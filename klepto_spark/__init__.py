@@ -1,0 +1,31 @@
+"""klepto_spark — a PySpark-native data copy / anonymisation / analytics engine.
+
+A brand-new engine with the query and data-processing capabilities of
+hellofresh/klepto (reference: /root/reference), re-expressed Spark-first:
+
+- config-driven per-table pipelines: scan -> FK-restriction join -> filter ->
+  sort -> limit -> per-column anonymise -> sink
+  (reference dataflow: pkg/dumper/engine/engine.go:75-144,
+   query grammar: pkg/reader/engine/engine.go:136-167)
+- a deterministic, seedable anonymiser registry covering the reference's full
+  faker surface (pkg/anonymiser/fake.go:11-102), implemented as built-in
+  Spark SQL expressions (JVM-side, whole-stage-codegen friendly) rather than
+  Python UDFs
+- large-scale training-data-pipeline extensions: dedup (exact/MinHash-LSH/
+  SimHash/ngram-Jaccard/embedding-cosine), similarity search, text analysis,
+  multimodal column plumbing
+"""
+
+__version__ = "0.1.0"
+
+from klepto_spark.config import Spec, TableSpec, FilterSpec, Relationship, load_spec
+from klepto_spark.session import get_spark
+
+__all__ = [
+    "Spec",
+    "TableSpec",
+    "FilterSpec",
+    "Relationship",
+    "load_spec",
+    "get_spark",
+]

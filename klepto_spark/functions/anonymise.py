@@ -1,0 +1,506 @@
+"""Deterministic anonymiser registry — the engine's scalar-function surface.
+
+Covers every faker name the reference dispatches by reflection
+(reference: pkg/anonymiser/fake.go:11-102; dispatch
+pkg/anonymiser/anonymiser.go:51-120), plus:
+
+- ``literal:<value>`` constant overwrite (anonymiser.go:19-20,77-80)
+- colon-separated args ``Type:a:b`` for the 8 parameterised fakers
+  (anonymiser.go:27-36,122-164); missing/invalid args fall back to
+  zero-values, mirroring parseArgs
+- the ``.<4 hex>`` uniqueness salt on EmailAddress/UserName
+  (anonymiser.go:94-102)
+- ``%f`` 6-decimal formatting for Latitude/Longitude (anonymiser.go:103-104)
+
+Deliberate divergences from the reference (SURVEY §4.3):
+- values are DETERMINISTIC: value = f(seed, table.column context, source
+  value). The reference draws fresh randomness per call, which makes runs
+  unreproducible and distributed retries inconsistent; keyed hashing gives
+  stable output across executors, retries, and engines (SURVEY §7 hard-part 1).
+- unknown faker names raise at plan time instead of emitting the
+  "Invalid anonymiser: X" poison value (anonymiser.go:84-91 — the reference
+  itself marks this with a TODO to abort).
+- ``Year``/``MonthNum``/``WeekdayNum`` return proper numeric strings; the
+  reference's reflection formats non-string returns as "<int Value>" (a Go
+  ``reflect.Value.String()`` artifact, plainly a bug, not preserved).
+
+Every generator compiles to a portable SQL expression (see
+functions/portable.py), so the hot path is built-in JVM expressions under
+whole-stage codegen — no Python UDFs — and the DuckDB oracle can reproduce
+values exactly.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from klepto_spark.functions import portable as P
+from klepto_spark.functions.portable import s
+
+log = logging.getLogger(__name__)
+
+DEFAULT_SEED = "klepto"
+LITERAL_PREFIX = "literal:"
+
+# ---------------------------------------------------------------------------
+# Wordlists (small, embedded; compiled to CASE expressions)
+# ---------------------------------------------------------------------------
+
+FIRST_NAMES_MALE = ["James", "John", "Robert", "Michael", "David", "Richard",
+                    "Joseph", "Thomas", "Charles", "Daniel", "Matthew", "Anthony",
+                    "Mark", "Paul", "Steven", "Andrew"]
+FIRST_NAMES_FEMALE = ["Mary", "Patricia", "Jennifer", "Linda", "Elizabeth",
+                      "Barbara", "Susan", "Jessica", "Sarah", "Karen", "Nancy",
+                      "Lisa", "Margaret", "Betty", "Sandra", "Ashley"]
+FIRST_NAMES = FIRST_NAMES_MALE + FIRST_NAMES_FEMALE
+LAST_NAMES = ["Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia",
+              "Miller", "Davis", "Rodriguez", "Martinez", "Hernandez", "Lopez",
+              "Gonzalez", "Wilson", "Anderson", "Taylor"]
+PATRONYMICS_MALE = ["Ivanovich", "Petrovich", "Sergeevich", "Alexandrovich",
+                    "Dmitrievich", "Nikolaevich", "Mikhailovich", "Andreevich"]
+PATRONYMICS_FEMALE = ["Ivanovna", "Petrovna", "Sergeevna", "Alexandrovna",
+                      "Dmitrievna", "Nikolaevna", "Mikhailovna", "Andreevna"]
+PREFIXES = ["Mr.", "Mrs.", "Ms.", "Dr.", "Prof."]
+SUFFIXES = ["Jr.", "Sr.", "II", "III", "PhD", "MD"]
+BRANDS = ["Acme", "Globex", "Initech", "Umbrella", "Stark", "Wayne", "Wonka",
+          "Tyrell", "Cyberdyne", "Soylent", "Vandelay", "Hooli", "Aperture",
+          "Monarch", "Sirius", "Octan"]
+CITIES = ["Springfield", "Riverton", "Fairview", "Kingsport", "Lakeside",
+          "Brookfield", "Ashford", "Mapleton", "Cedarville", "Elmwood",
+          "Georgetown", "Hillcrest", "Oakdale", "Pinehurst", "Westfield",
+          "Norwood"]
+COLORS = ["red", "orange", "yellow", "green", "blue", "indigo", "violet",
+          "black", "white", "gray", "brown", "pink", "teal", "maroon", "navy",
+          "olive"]
+COMPANY_SUFFIXES = ["Inc", "LLC", "Group", "Holdings", "Labs", "Systems",
+                    "Partners", "Industries"]
+CONTINENTS = ["Africa", "Antarctica", "Asia", "Australia", "Europe",
+              "North America", "South America"]
+COUNTRIES = ["Andorra", "Belgium", "Canada", "Denmark", "Estonia", "Finland",
+             "Germany", "Hungary", "Iceland", "Japan", "Kenya", "Latvia",
+             "Mexico", "Norway", "Portugal", "Sweden"]
+CURRENCIES = ["Dollar", "Euro", "Pound", "Yen", "Franc", "Krona", "Peso",
+              "Rupee", "Real", "Won", "Zloty", "Forint", "Koruna", "Leu",
+              "Dinar", "Baht"]
+CURRENCY_CODES = ["USD", "EUR", "GBP", "JPY", "CHF", "SEK", "MXN", "INR",
+                  "BRL", "KRW", "PLN", "HUF", "CZK", "RON", "RSD", "THB"]
+CC_TYPES = ["Visa", "MasterCard", "American Express", "Discover", "JCB",
+            "Diners Club", "Maestro", "UnionPay"]
+DOMAIN_ZONES = ["com", "net", "org", "io", "dev", "co", "info", "biz", "app",
+                "eu", "us", "uk", "de", "fr", "nl", "se"]
+INDUSTRIES = ["Agriculture", "Automotive", "Banking", "Construction",
+              "Education", "Energy", "Fashion", "Healthcare", "Hospitality",
+              "Insurance", "Logistics", "Manufacturing", "Media", "Retail",
+              "Technology", "Telecom"]
+JOB_TITLES = ["Engineer", "Analyst", "Manager", "Director", "Consultant",
+              "Designer", "Developer", "Architect", "Administrator",
+              "Coordinator", "Specialist", "Technician", "Officer",
+              "Strategist", "Scientist", "Producer"]
+LANGUAGES = ["English", "Spanish", "French", "German", "Italian", "Dutch",
+             "Portuguese", "Swedish", "Polish", "Czech", "Finnish", "Greek",
+             "Turkish", "Japanese", "Korean", "Arabic"]
+LOREM = ["lorem", "ipsum", "dolor", "amet", "consectetur", "adipiscing",
+         "elit", "sed", "tempor", "incididunt", "labore", "dolore", "magna",
+         "aliqua", "enim", "minim", "veniam", "quis", "nostrud", "exercitation",
+         "ullamco", "laboris", "nisi", "aliquip", "commodo", "consequat",
+         "duis", "aute", "irure", "voluptate", "velit", "esse"]
+PRODUCTS = ["Widget", "Gadget", "Sprocket", "Gizmo", "Doohickey", "Contraption",
+            "Apparatus", "Device", "Instrument", "Fixture", "Module", "Unit",
+            "Kit", "Tool", "Machine", "Appliance"]
+MODELS = ["X100", "Z200", "A300", "B450", "C550", "D650", "E750", "F850",
+          "G950", "H105", "J115", "K125", "L135", "M145", "N155", "P165"]
+STATES = ["Alabama", "Alaska", "Arizona", "Arkansas", "California", "Colorado",
+          "Connecticut", "Delaware", "Florida", "Georgia", "Hawaii", "Idaho",
+          "Illinois", "Indiana", "Iowa", "Kansas"]
+STATE_ABBREVS = ["AL", "AK", "AZ", "AR", "CA", "CO", "CT", "DE", "FL", "GA",
+                 "HI", "ID", "IL", "IN", "IA", "KS"]
+STREETS = ["Main Street", "Oak Avenue", "Maple Drive", "Cedar Lane",
+           "Park Road", "Elm Street", "Washington Avenue", "Lake Drive",
+           "Hill Road", "River Lane", "Sunset Boulevard", "Church Street",
+           "Mill Road", "Spring Street", "Highland Avenue", "Forest Drive"]
+TITLES_WORK = ["Senior", "Junior", "Lead", "Principal", "Staff", "Chief",
+               "Associate", "Head"]
+USER_AGENTS = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:120.0) Gecko/20100101 Firefox/120.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148",
+    "Mozilla/5.0 (Linux; Android 14) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Edg/120.0",
+    "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+]
+MONTHS = ["January", "February", "March", "April", "May", "June", "July",
+          "August", "September", "October", "November", "December"]
+MONTHS_SHORT = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep",
+                "Oct", "Nov", "Dec"]
+WEEKDAYS = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday",
+            "Sunday"]
+WEEKDAYS_SHORT = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+CHARS = "abcdefghijklmnopqrstuvwxyz"
+
+# Fakers that take colon-args (reference: pkg/anonymiser/anonymiser.go:27-36).
+REQUIRE_ARGS = {
+    "CharactersN": 1, "DigitsN": 1, "ParagraphsN": 1, "SentencesN": 1,
+    "WordsN": 1, "CreditCardNum": 1, "Password": 5, "Year": 2,
+}
+
+CC_PREFIX = {"visa": "4", "mastercard": "5", "amex": "34", "american express": "34",
+             "discover": "6011", "jcb": "35", "diners club": "36", "maestro": "50",
+             "unionpay": "62"}
+
+
+# ---------------------------------------------------------------------------
+# Builder machinery
+# ---------------------------------------------------------------------------
+
+class _Ctx:
+    """Compile-time context for one anonymised column.
+
+    ``h(n)`` returns the SQL for the n-th derived hash stream: each stream is
+    md5(seed | context | stream-index | source value) — 32 hex chars = plenty
+    of entropy per stream, new streams on demand for long composite values.
+    """
+
+    def __init__(self, key_sql: str, context: str, seed: str):
+        self.key_sql = key_sql
+        self.context = context
+        self.seed = seed
+
+    def h(self, n: int = 0) -> str:
+        prefix = f"{self.seed}|{self.context}|{n}|"
+        return P.md5_of(s(prefix), self.key_sql)
+
+
+def _digits(ctx: _Ctx, n: int, stream: int = 0) -> str:
+    """n deterministic decimal digits (n <= 16 per stream)."""
+    parts, pos, st = [], 1, stream
+    remaining = n
+    while remaining > 0:
+        take = min(remaining, 16)
+        for i in range(take):
+            parts.append(P.int_str(P.hex_mod(ctx.h(st), pos + i, 1, 10)))
+        remaining -= take
+        pos = 1
+        st += 1
+    return f"concat({', '.join(parts)})" if len(parts) > 1 else parts[0]
+
+
+def _chars(ctx: _Ctx, n: int, stream: int = 0) -> str:
+    """n deterministic lowercase letters."""
+    parts = []
+    for i in range(n):
+        st, pos = stream + i // 16, 1 + 2 * (i % 16)
+        idx = P.hex_mod(ctx.h(st), pos, 2, 26)
+        parts.append(P.pick(list(CHARS), idx))
+    return f"concat({', '.join(parts)})" if len(parts) > 1 else parts[0]
+
+
+def _word(ctx: _Ctx, i: int) -> str:
+    """i-th lorem word of this value's stream."""
+    st, pos = i // 8, 1 + 4 * (i % 8)
+    return P.pick_hashed(LOREM, ctx.h(st), pos)
+
+
+def _words(ctx: _Ctx, n: int, start: int = 0) -> str:
+    ws = []
+    for i in range(n):
+        if i > 0:
+            ws.append(s(" "))
+        ws.append(_word(ctx, start + i))
+    return f"concat({', '.join(ws)})" if len(ws) > 1 else ws[0]
+
+
+def _sentence(ctx: _Ctx, idx: int = 0) -> str:
+    """Capitalized 5-word sentence ending '.'; word stream offset by idx."""
+    first = P.title_case(_word(ctx, idx * 6))
+    rest = _words(ctx, 4, start=idx * 6 + 1)
+    return f"concat({first}, ' ', {rest}, '.')"
+
+
+def _sentences(ctx: _Ctx, n: int, start: int = 0) -> str:
+    parts = []
+    for i in range(n):
+        if i > 0:
+            parts.append(s(" "))
+        parts.append(_sentence(ctx, start + i))
+    return f"concat({', '.join(parts)})" if len(parts) > 1 else parts[0]
+
+
+def _paragraphs(ctx: _Ctx, n: int) -> str:
+    parts = []
+    for i in range(n):
+        if i > 0:
+            parts.append(s("\t"))
+        parts.append(_sentences(ctx, 3, start=i * 3))
+    return f"concat({', '.join(parts)})" if len(parts) > 1 else parts[0]
+
+
+def _salt4(ctx: _Ctx) -> str:
+    """'.<4 hex>' uniqueness suffix (reference: anonymiser.go:94-102), keyed
+    instead of random so runs are reproducible (SURVEY §4.3.6)."""
+    return f"concat('.', substr({ctx.h(9)}, 1, 4))"
+
+
+def _username(ctx: _Ctx) -> str:
+    return (f"concat(lower({P.pick_hashed(FIRST_NAMES, ctx.h(0), 1)}), '_', "
+            f"lower({P.pick_hashed(LAST_NAMES, ctx.h(0), 5)}), "
+            f"{_digits(ctx, 2, stream=8)})")
+
+
+def _domain(ctx: _Ctx) -> str:
+    return (f"concat(lower({P.pick_hashed(BRANDS, ctx.h(1), 1)}), '.', "
+            f"{P.pick_hashed(DOMAIN_ZONES, ctx.h(1), 5)})")
+
+
+def _micro_range(ctx: _Ctx, span_micro: int, offset_micro: int, pos: int = 1) -> str:
+    """Deterministic integer micro-units in [offset, offset+span)."""
+    u = P.hex_int(ctx.h(2), pos, 8)  # 0 .. 16^8-1
+    scaled = P.idiv(f"({u} * {span_micro})", 16 ** 8)
+    return f"({scaled} + {offset_micro})"
+
+
+def _int_in(ctx: _Ctx, lo: int, hi: int, pos: int = 1, stream: int = 0) -> str:
+    return P.int_str(P.hex_mod(ctx.h(stream), pos, 4, hi - lo + 1, offset=lo))
+
+
+def _password(ctx: _Ctx, at_least: int, at_most: int, allow_upper: bool,
+              allow_numeric: bool, allow_special: bool) -> str:
+    at_least = max(0, at_least)
+    at_most = max(at_least, at_most)
+    if at_most == 0:
+        return "''"
+    n = min(at_most, 32)
+    body = _chars(ctx, n, stream=3)
+    if allow_upper and n >= 1:
+        body = f"concat(upper(substr({body}, 1, 1)), substr({body}, 2, {n - 1}))"
+    if allow_numeric and n >= 2:
+        body = f"concat(substr({body}, 1, {n - 1}), {_digits(ctx, 1, stream=6)})"
+    if allow_special:
+        body = f"concat({body}, '!')"
+    if at_most > at_least:
+        length = P.hex_mod(ctx.h(7), 1, 4, at_most - at_least + 1, offset=at_least)
+        extra = 2 if allow_special else 1
+        return f"substr({body}, 1, cast({length} as int) + {extra - 1})"
+    return body
+
+
+# ---------------------------------------------------------------------------
+# The registry: name -> builder(ctx, args) -> portable SQL (string result)
+# ---------------------------------------------------------------------------
+
+def _simple(items: list[str]):
+    return lambda ctx, a: P.pick_hashed(items, ctx.h(0), 1)
+
+
+def _full_name(ctx, first_list, pos_shift=0):
+    return (f"concat({P.pick_hashed(first_list, ctx.h(0), 1 + pos_shift)}, ' ', "
+            f"{P.pick_hashed(LAST_NAMES, ctx.h(0), 5 + pos_shift)})")
+
+
+def _ipv4(ctx, a):
+    octets = [P.int_str(P.hex_mod(ctx.h(0), 1 + 2 * i, 2, 256)) for i in range(4)]
+    return ("concat(" + ", '.', ".join(octets) + ")")
+
+
+def _ipv6(ctx, a):
+    groups = [f"substr({ctx.h(0)}, {1 + 4 * i}, 4)" for i in range(8)]
+    return ("concat(" + ", ':', ".join(groups) + ")")
+
+
+def _credit_card_num(ctx, a):
+    vendor = (a[0] if a else "").strip().lower()
+    prefix = CC_PREFIX.get(vendor, "4")
+    total = 15 if prefix == "34" else 16
+    return f"concat('{prefix}', {_digits(ctx, total - len(prefix))})"
+
+
+def _year(ctx, a):
+    lo = _arg_int(a, 0)
+    hi = _arg_int(a, 1)
+    if hi < lo:
+        lo, hi = hi, lo
+    return _int_in(ctx, lo, hi)
+
+
+def _arg_int(args: list[str], i: int) -> int:
+    """parseArgs semantics: missing or unparsable -> 0 with a warning
+    (reference: pkg/anonymiser/anonymiser.go:138-164)."""
+    if i >= len(args):
+        log.warning("anonymiser: missing argument %d, falling back to 0", i)
+        return 0
+    try:
+        return int(args[i])
+    except ValueError:
+        log.warning("anonymiser: bad int argument %r, falling back to 0", args[i])
+        return 0
+
+
+def _arg_bool(args: list[str], i: int) -> bool:
+    if i >= len(args):
+        return False
+    try:
+        return args[i].strip().lower() in ("true", "t", "1")
+    except AttributeError:
+        return False
+
+
+_REGISTRY: dict = {
+    "Brand": _simple(BRANDS),
+    "Character": lambda ctx, a: _chars(ctx, 1),
+    "Characters": lambda ctx, a: _chars(ctx, 5),
+    "CharactersN": lambda ctx, a: _chars(ctx, min(max(_arg_int(a, 0), 0), 64)) if _arg_int(a, 0) > 0 else "''",
+    "City": _simple(CITIES),
+    "Color": _simple(COLORS),
+    "Company": lambda ctx, a: (
+        f"concat({P.pick_hashed(BRANDS, ctx.h(0), 1)}, ' ', "
+        f"{P.pick_hashed(COMPANY_SUFFIXES, ctx.h(0), 5)})"),
+    "Continent": _simple(CONTINENTS),
+    "Country": _simple(COUNTRIES),
+    "CreditCardNum": _credit_card_num,
+    "CreditCardType": _simple(CC_TYPES),
+    "Currency": _simple(CURRENCIES),
+    "CurrencyCode": _simple(CURRENCY_CODES),
+    "Day": lambda ctx, a: _int_in(ctx, 1, 31),
+    "Digits": lambda ctx, a: _digits(ctx, 5),
+    "DigitsN": lambda ctx, a: _digits(ctx, min(max(_arg_int(a, 0), 0), 64)) if _arg_int(a, 0) > 0 else "''",
+    "DomainName": lambda ctx, a: _domain(ctx),
+    "DomainZone": _simple(DOMAIN_ZONES),
+    "EmailAddress": lambda ctx, a: f"concat({_username(ctx)}, '@', {_domain(ctx)})",
+    "EmailBody": lambda ctx, a: _sentences(ctx, 3),
+    "EmailSubject": lambda ctx, a: f"concat({P.title_case(_word(ctx, 0))}, ' ', {_words(ctx, 3, start=1)})",
+    "FemaleFirstName": _simple(FIRST_NAMES_FEMALE),
+    "FemaleFullName": lambda ctx, a: _full_name(ctx, FIRST_NAMES_FEMALE),
+    "FemaleFullNameWithPrefix": lambda ctx, a: (
+        f"concat({P.pick_hashed(PREFIXES[1:3], ctx.h(1), 1)}, ' ', {_full_name(ctx, FIRST_NAMES_FEMALE)})"),
+    "FemaleFullNameWithSuffix": lambda ctx, a: (
+        f"concat({_full_name(ctx, FIRST_NAMES_FEMALE)}, ' ', {P.pick_hashed(SUFFIXES, ctx.h(1), 1)})"),
+    "FemaleLastName": _simple(LAST_NAMES),
+    "FemalePatronymic": _simple(PATRONYMICS_FEMALE),
+    "FirstName": _simple(FIRST_NAMES),
+    "FullName": lambda ctx, a: _full_name(ctx, FIRST_NAMES),
+    "FullNameWithPrefix": lambda ctx, a: (
+        f"concat({P.pick_hashed(PREFIXES, ctx.h(1), 1)}, ' ', {_full_name(ctx, FIRST_NAMES)})"),
+    "FullNameWithSuffix": lambda ctx, a: (
+        f"concat({_full_name(ctx, FIRST_NAMES)}, ' ', {P.pick_hashed(SUFFIXES, ctx.h(1), 1)})"),
+    "Gender": _simple(["Male", "Female"]),
+    "GenderAbbrev": _simple(["M", "F"]),
+    "GetLangs": lambda ctx, a: s(" ".join(["en", "es", "fr", "de"])),
+    "HexColor": lambda ctx, a: f"substr({ctx.h(0)}, 1, 6)",
+    "HexColorShort": lambda ctx, a: f"substr({ctx.h(0)}, 1, 3)",
+    "IPv4": _ipv4,
+    "IPv6": _ipv6,
+    "Industry": _simple(INDUSTRIES),
+    "JobTitle": _simple(JOB_TITLES),
+    "Language": _simple(LANGUAGES),
+    "LastName": _simple(LAST_NAMES),
+    "Latitude": lambda ctx, a: P.fixed6(_micro_range(ctx, 180_000_000, -90_000_000)),
+    "LatitudeDegrees": lambda ctx, a: _int_in(ctx, -90, 90),
+    "LatitudeDirection": _simple(["N", "S"]),
+    "LatitudeMinutes": lambda ctx, a: _int_in(ctx, 0, 59),
+    "LatitudeSeconds": lambda ctx, a: _int_in(ctx, 0, 59),
+    "Longitude": lambda ctx, a: P.fixed6(_micro_range(ctx, 360_000_000, -180_000_000)),
+    "LongitudeDegrees": lambda ctx, a: _int_in(ctx, -180, 180),
+    "LongitudeDirection": _simple(["E", "W"]),
+    "LongitudeMinutes": lambda ctx, a: _int_in(ctx, 0, 59),
+    "LongitudeSeconds": lambda ctx, a: _int_in(ctx, 0, 59),
+    "MaleFirstName": _simple(FIRST_NAMES_MALE),
+    "MaleFullName": lambda ctx, a: _full_name(ctx, FIRST_NAMES_MALE),
+    "MaleFullNameWithPrefix": lambda ctx, a: (
+        f"concat('Mr.', ' ', {_full_name(ctx, FIRST_NAMES_MALE)})"),
+    "MaleFullNameWithSuffix": lambda ctx, a: (
+        f"concat({_full_name(ctx, FIRST_NAMES_MALE)}, ' ', {P.pick_hashed(SUFFIXES, ctx.h(1), 1)})"),
+    "MaleLastName": _simple(LAST_NAMES),
+    "MalePatronymic": _simple(PATRONYMICS_MALE),
+    "Model": _simple(MODELS),
+    "Month": _simple(MONTHS),
+    "MonthNum": lambda ctx, a: _int_in(ctx, 1, 12),
+    "MonthShort": _simple(MONTHS_SHORT),
+    "Paragraph": lambda ctx, a: _sentences(ctx, 3),
+    "Paragraphs": lambda ctx, a: _paragraphs(ctx, 2),
+    "ParagraphsN": lambda ctx, a: _paragraphs(ctx, min(max(_arg_int(a, 0), 0), 8)) if _arg_int(a, 0) > 0 else "''",
+    "Password": lambda ctx, a: _password(ctx, _arg_int(a, 0), _arg_int(a, 1),
+                                         _arg_bool(a, 2), _arg_bool(a, 3), _arg_bool(a, 4)),
+    "Patronymic": _simple(PATRONYMICS_MALE + PATRONYMICS_FEMALE),
+    "Phone": lambda ctx, a: f"concat({_digits(ctx, 3)}, '-', {_digits(ctx, 3, stream=1)}, '-', {_digits(ctx, 4, stream=2)})",
+    "Product": lambda ctx, a: (
+        f"concat({P.pick_hashed(BRANDS, ctx.h(0), 1)}, ' ', "
+        f"{P.pick_hashed(PRODUCTS, ctx.h(0), 5)})"),
+    "ProductName": _simple(PRODUCTS),
+    "Sentence": lambda ctx, a: _sentence(ctx),
+    "Sentences": lambda ctx, a: _sentences(ctx, 3),
+    "SentencesN": lambda ctx, a: _sentences(ctx, min(max(_arg_int(a, 0), 0), 12)) if _arg_int(a, 0) > 0 else "''",
+    "SimplePassword": lambda ctx, a: f"concat({_chars(ctx, 6, stream=3)}, {_digits(ctx, 2, stream=6)})",
+    "State": _simple(STATES),
+    "StateAbbrev": _simple(STATE_ABBREVS),
+    "Street": _simple(STREETS),
+    "StreetAddress": lambda ctx, a: (
+        f"concat({P.int_str(P.hex_mod(ctx.h(1), 1, 3, 999, offset=1))}, ' ', "
+        f"{P.pick_hashed(STREETS, ctx.h(0), 1)})"),
+    "Title": _simple(TITLES_WORK),
+    "TopLevelDomain": _simple(DOMAIN_ZONES),
+    "UserAgent": _simple(USER_AGENTS),
+    "UserName": lambda ctx, a: _username(ctx),
+    "WeekDay": _simple(WEEKDAYS),
+    "WeekDayShort": _simple(WEEKDAYS_SHORT),
+    "WeekdayNum": lambda ctx, a: _int_in(ctx, 0, 6),
+    "Word": lambda ctx, a: _word(ctx, 0),
+    "Words": lambda ctx, a: _words(ctx, 3),
+    "WordsN": lambda ctx, a: _words(ctx, min(max(_arg_int(a, 0), 0), 32)) if _arg_int(a, 0) > 0 else "''",
+    "Year": _year,
+    "Zip": lambda ctx, a: _digits(ctx, 5),
+}
+
+FAKER_NAMES = sorted(_REGISTRY)
+
+# EmailAddress/UserName get the uniqueness salt (reference: anonymiser.go:94-102).
+_SALTED = {"EmailAddress", "UserName"}
+
+
+def parse_spec(spec: str) -> tuple[str, list[str]]:
+    """Split 'Type:a:b' colon syntax (reference: anonymiser.go:122-136).
+    Non-arg fakers ignore anything after ':' like the reference does."""
+    parts = spec.split(":")
+    name = parts[0]
+    return name, (parts[1:] if name in REQUIRE_ARGS else [])
+
+
+def validate_spec(spec: str, context: str = "") -> None:
+    """Plan-time strict validation — unknown faker names raise (divergence
+    from the reference's runtime poison value, anonymiser.go:84-91)."""
+    if spec.startswith(LITERAL_PREFIX):
+        return
+    name, _ = parse_spec(spec)
+    if name not in _REGISTRY:
+        raise ValueError(f"unknown anonymiser {name!r}"
+                         + (f" for {context}" if context else ""))
+
+
+def anonymise_sql(spec: str, column: str, table: str = "",
+                  seed: str = DEFAULT_SEED) -> str:
+    """Compile an anonymiser spec to a portable SQL expression over ``column``.
+
+    The expression is valid, and value-identical, in Spark SQL and DuckDB.
+    Deterministic: output = f(seed, table.column, source value); NULL source
+    values anonymise too (the reference replaces unconditionally,
+    anonymiser.go:77-108).
+    """
+    if spec.startswith(LITERAL_PREFIX):
+        return s(spec[len(LITERAL_PREFIX):])
+    name, args = parse_spec(spec)
+    if name not in _REGISTRY:
+        raise ValueError(f"unknown anonymiser {name!r}")
+    context = f"{table}.{column}" if table else column
+    key_sql = f"coalesce(cast({column} as string), '<NULL>')"
+    ctx = _Ctx(key_sql, context, seed)
+    expr = _REGISTRY[name](ctx, args)
+    if name in _SALTED:
+        expr = f"concat({expr}, {_salt4(ctx)})"
+    return expr
+
+
+def anonymise_expr(spec: str, column: str, table: str = "",
+                   seed: str = DEFAULT_SEED):
+    """Spark Column for an anonymiser spec (built-ins only, codegen-friendly)."""
+    from pyspark.sql import functions as F
+    return F.expr(anonymise_sql(spec, column, table=table, seed=seed))

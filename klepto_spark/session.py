@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing uses local[N]; the config posture is what we would ship on a
+1000-executor cluster against ~100 TB: AQE on (runtime re-planning, skew-join
+splitting, partition coalescing), broadcast threshold explicit, Arrow enabled
+for the few pandas-UDF paths (multimodal decode), shuffle partitions sized for
+the local harness but overridable per deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # Runtime re-planning: coalesce small shuffle partitions, split skewed
+    # ones. At 100 TB these matter more than any static tuning.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/customer-at-small-SF) broadcast; the
+    # 10 MB default is conservative — 64 MB is safe with 4 GB+ executors.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for pandas UDF / toPandas paths (multimodal, ANN rerank).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Local harness size; on a real cluster set ~2-3x total cores.
+    "spark.sql.shuffle.partitions": "32",
+    # Keep parquet scans splittable and pruning-friendly.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "klepto_spark", master: str | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) the session. ``master`` defaults to local[$SPARK_GRAFT_CPUS]."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
