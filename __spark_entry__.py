@@ -1,38 +1,480 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the klepto_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` covers the reference's operator inventory (SURVEY.md §2) —
+scan/projection, filter/matcher, FK-restriction joins (1- and 2-hop, inner
+and semi strategies), ordered sort + limit top-k, the anonymiser suite
+(literal / plain / parameterised / salted), structure-only tables — plus the
+engine's M5 extensions: aggregation/window/set-op analytics, exact and
+MinHash-LSH and SimHash dedup, n-gram Jaccard verification, text analysis,
+embedding similarity search.
+
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every query where the
+semantics are SQL-expressible (all but SimHash, whose xxhash64 primitive
+DuckDB lacks, and the multimodal stub). Anonymisation queries share their
+expression text between both engines via the portable-SQL design
+(klepto_spark/functions/portable.py), so value-hashes match exactly.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
+from klepto_spark.config import FilterSpec, Relationship, TableSpec
+from klepto_spark.functions.anonymise import anonymise_sql
+from klepto_spark.operators import dedup, similarity
+from klepto_spark.operators import text as T
+from klepto_spark.operators.pipeline import (
+    build_table_df,
+    build_table_sql,
+    parquet_loader,
+)
+
+SEED = "klepto"
+CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+# --------------------------------------------------------------------------
+# Shared pipeline specs (one spec drives BOTH the Spark query and the oracle)
+# --------------------------------------------------------------------------
+
+SPEC_FILTER_TOPK = TableSpec(
+    name="customer",
+    filter=FilterSpec(match="customer.c_acctbal > 1000", limit=100,
+                      sorts=[("c_acctbal", "desc"), ("c_custkey", "asc")]))
+
+SPEC_RESTRICT_SEMI = TableSpec(
+    name="orders",
+    filter=FilterSpec(match="customer.c_mktsegment = 'BUILDING'"),
+    relationships=[Relationship(foreign_key="o_custkey",
+                                referenced_table="customer",
+                                referenced_key="c_custkey")])
+
+SPEC_RESTRICT_2HOP = TableSpec(
+    name="lineitem",
+    filter=FilterSpec(match="customer.c_mktsegment = 'AUTOMOBILE'"),
+    relationships=[
+        Relationship(foreign_key="l_orderkey", referenced_table="orders",
+                     referenced_key="o_orderkey"),
+        Relationship(table="orders", foreign_key="o_custkey",
+                     referenced_table="customer", referenced_key="c_custkey"),
+    ])
+
+SPEC_ANONYMISE = TableSpec(
+    name="customer",
+    filter=FilterSpec(match="customer.c_acctbal > 5000"),
+    anonymise={"c_name": "FullName", "c_mktsegment": "DigitsN:4"})
+
+SPEC_ANON_SALTED = TableSpec(
+    name="customer",
+    filter=FilterSpec(match="customer.c_custkey <= 1000"),
+    anonymise={"c_name": "EmailAddress", "c_mktsegment": "UserName"})
+
+SPEC_ANON_GEO = TableSpec(
+    name="supplier",
+    anonymise={"s_name": "Latitude", "s_acctbal": "literal:0.0"})
+
+
+def _load(spark: SparkSession, sf_dir: str):
+    return parquet_loader(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Klepto-core queries (SURVEY §2.1-2.3, §2.5, §2.7)
+# --------------------------------------------------------------------------
+
+def q_scan(spark, sf_dir):
+    """S1/P1: full scan, own-columns projection."""
+    return build_table_df(TableSpec(name="customer"), _load(spark, sf_dir))
+
+
+def q_filter_topk(spark, sf_dir):
+    """P3/O1/O2/O3: predicate + ordered multi-key sort + limit (top-k)."""
+    return build_table_df(SPEC_FILTER_TOPK, _load(spark, sf_dir))
+
+
+def q_restrict_semi(spark, sf_dir):
+    """J1 (clean semantics): FK restriction as LEFT SEMI with pre-filtered
+    broadcast parent."""
+    return build_table_df(SPEC_RESTRICT_SEMI, _load(spark, sf_dir),
+                          join_strategy="semi")
+
+
+def q_restrict_2hop(spark, sf_dir):
+    """J1 (bug-compatible inner-join chain), 2-hop FK path."""
+    return build_table_df(SPEC_RESTRICT_2HOP, _load(spark, sf_dir),
+                          join_strategy="inner")
+
+
+def q_anonymise(spark, sf_dir):
+    """A1/A2/A3: plain + parameterised fakers after filter."""
+    return build_table_df(SPEC_ANONYMISE, _load(spark, sf_dir), seed=SEED)
+
+
+def q_anonymise_salted(spark, sf_dir):
+    """A4: EmailAddress/UserName with deterministic '.<4 hex>' salt."""
+    return build_table_df(SPEC_ANON_SALTED, _load(spark, sf_dir), seed=SEED)
+
+
+def q_anonymise_geo_literal(spark, sf_dir):
+    """A5/A7: %f-formatted float fakers + literal overwrite."""
+    return build_table_df(SPEC_ANON_GEO, _load(spark, sf_dir), seed=SEED)
+
+
+def q_structure_only(spark, sf_dir):
+    """X2 IgnoreData: schema preserved, zero rows."""
+    return _load(spark, sf_dir)("events").limit(0)
+
+
+# --------------------------------------------------------------------------
+# Analytics extensions (Spark-native capabilities; SURVEY §2.4-2.6 are
+# "none" in the reference — these make them first-class here)
+# --------------------------------------------------------------------------
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped grouped aggregation; decimal-exact sums cast to
+    double so the value-hash is FP-order-independent."""
+    li = _load(spark, sf_dir)("lineitem")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                             - _dec("l_discount")))
+    g = (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+         .groupBy("l_returnflag", "l_linestatus")
+         .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+              F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+              F.sum(disc_price).cast("double").alias("sum_disc_price"),
+              F.count(F.lit(1)).alias("count_order"))
+         .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+         .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6)))
+    return g.select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                    "sum_disc_price", "count_order", "avg_qty", "avg_price")
+
+
+def q_top_customers(spark, sf_dir):
+    """Join + aggregate + top-k: revenue per customer."""
+    load = _load(spark, sf_dir)
+    j = load("orders").join(load("customer"),
+                            F.col("o_custkey") == F.col("c_custkey"))
+    return (j.groupBy("c_custkey", "c_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(25))
+
+
+def q_window_rank(spark, sf_dir):
+    """Window function: top-3 orders per customer by totalprice."""
+    o = _load(spark, sf_dir)("orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Set op / anti-join: childless parents (FIXTURES.md edge case)."""
+    load = _load(spark, sf_dir)
+    return (load("customer")
+            .join(load("orders"), F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def q_events_rollup(spark, sf_dir):
+    """Time-bucketed rollup on the events stream table (batch form of the
+    streaming pipeline in klepto_spark/streaming)."""
+    e = _load(spark, sf_dir)("events")
+    return (e.groupBy(F.to_date(F.col("ts")).alias("day"),
+                      F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(_dec("value")).cast("double").alias("sum_value"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+# --------------------------------------------------------------------------
+# Dedup / text / similarity extensions (M5)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_load(spark, sf_dir)("documents"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_load(spark, sf_dir)("documents"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """No DuckDB oracle (xxhash64); driver records rows-only check."""
+    return dedup.simhash_dedup(_load(spark, sf_dir)("documents"))
+
+
+def q_dedup_jaccard_verified(spark, sf_dir):
+    docs = _load(spark, sf_dir)("documents")
+    return dedup.ngram_jaccard_pairs(docs, dedup.minhash_lsh_pairs(docs),
+                                     threshold=0.5)
+
+
+def q_text_stats(spark, sf_dir):
+    return T.quality_features(_load(spark, sf_dir)("documents"))
+
+
+def q_lang_profile(spark, sf_dir):
+    docs = _load(spark, sf_dir)("documents")
+    return (docs.select("doc_id", T.lang_id("text").alias("lang_pred"))
+            .groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    docs = _load(spark, sf_dir)("documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"),
+                       T.token_count("text").alias("n_tokens"))
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (_load(spark, sf_dir)("embeddings")
+           .filter(F.col("vec_id") == 0).select("embedding").first())
+    return [float(x) for x in row[0]]
+
+
+def q_ann_cosine(spark, sf_dir):
+    """Brute-force cosine similarity vs the vec_id=0 query vector; threshold
+    membership (0.25 sits in a score gap) keeps the result set deterministic
+    across engines."""
+    emb = _load(spark, sf_dir)("embeddings")
+    q = _query_vec(spark, sf_dir)
+    c = F.col("embedding").cast("array<double>")
+    score = similarity.cosine(c, similarity._vec_lit(q))
+    return (emb.select("vec_id", F.round(score, 6).alias("score"))
+            .filter(F.col("score") >= 0.25))
+
+
+def q_ann_pairs_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup vectors (rows-only check: hyperplane signatures
+    are engine-internal)."""
+    emb = _load(spark, sf_dir)("embeddings")
+    return similarity.cosine_similar_pairs(emb, threshold=0.9, bits=8)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> mapInPandas feature extraction
+    (stub decode; rows-only check)."""
+    from klepto_spark.operators import multimodal as M
+    docs = _load(spark, sf_dir)("documents")
+    media = M.attach_media(docs.withColumn("payload",
+                                           F.encode("text", "utf-8")),
+                           "payload", "doc_id", kind="text", mime="text/plain")
+    return M.extract_features(media)
+
+
+# --------------------------------------------------------------------------
+# Contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's signature pipeline (scan -> FK restrict ->
+    filter -> sort -> limit -> anonymise) on sf0.001."""
+    return q_anonymise(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "k01_scan": q_scan,
+        "k02_filter_topk": q_filter_topk,
+        "k03_restrict_semi": q_restrict_semi,
+        "k04_restrict_2hop": q_restrict_2hop,
+        "k05_anonymise": q_anonymise,
+        "k06_anonymise_salted": q_anonymise_salted,
+        "k07_anonymise_geo_literal": q_anonymise_geo_literal,
+        "k08_structure_only": q_structure_only,
+        "a01_pricing_summary": q_agg_pricing_summary,
+        "a02_top_customers": q_top_customers,
+        "a03_window_rank": q_window_rank,
+        "a04_customers_without_orders": q_customers_without_orders,
+        "a05_events_rollup": q_events_rollup,
+        "d01_dedup_exact": q_dedup_exact,
+        "d02_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "d03_dedup_simhash": q_dedup_simhash,
+        "d04_dedup_jaccard_verified": q_dedup_jaccard_verified,
+        "t01_text_stats": q_text_stats,
+        "t02_lang_profile": q_lang_profile,
+        "t03_doc_fingerprints": q_doc_fingerprints,
+        "s01_ann_cosine": q_ann_cosine,
+        "s02_ann_pairs_lsh": q_ann_pairs_lsh,
+        "m01_media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _pipeline_oracle(spec: TableSpec, columns: list[str]) -> str:
+    return build_table_sql(spec, columns=columns, seed=SEED)
+
+
+def _lsh_oracle(k: int = 5, num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    return f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct([substr(lower(text), i, {k})
+         FOR i IN range(1, greatest(length(text) - {k - 1}, 1) + 1)]) AS shingles
+  FROM documents),
+sig AS (
+  SELECT doc_id, [list_min([md5(concat(CAST(h AS VARCHAR), '|', s)) FOR s IN shingles])
+         FOR h IN range({num_hashes})] AS sig
+  FROM sh),
+bands AS (
+  SELECT doc_id, unnest([concat(CAST(b AS VARCHAR), '|',
+         array_to_string(sig[b*{rows}+1 : b*{rows}+{rows}], '|'))
+         FOR b IN range({bands})]) AS band
+  FROM sig)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+"""
+
+
+def _jaccard_oracle(k: int = 5, threshold: float = 0.5) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct([substr(lower(text), i, {k})
+         FOR i IN range(1, greatest(length(text) - {k - 1}, 1) + 1)]) AS sh
+  FROM documents),
+cand AS ({_lsh_oracle(k=k)})
+SELECT cand.a, cand.b,
+       round(CAST(length(list_intersect(la.sh, lb.sh)) AS DOUBLE)
+             / greatest(length(list_distinct(la.sh || lb.sh)), 1), 6) AS jaccard
+FROM cand
+JOIN sh la ON la.doc_id = cand.a
+JOIN sh lb ON lb.doc_id = cand.b
+WHERE round(CAST(length(list_intersect(la.sh, lb.sh)) AS DOUBLE)
+            / greatest(length(list_distinct(la.sh || lb.sh)), 1), 6) >= {threshold}
+"""
+
+
+def _stopword_hits_sql(lang: str) -> str:
+    """Mirror of klepto_spark.operators.text.stopword_hits in plain SQL."""
+    padded = "concat(' ', lower(text), ' ')"
+    for ch in [",", ".", ";", ":", "!", "?"]:
+        padded = f"replace({padded}, '{ch}', ' ')"
+    terms = [
+        f"CAST((length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in T.LANG_STOPWORDS[lang]
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(T.LANG_STOPWORDS)
+    expr, best = "'und'", "CAST(0 AS BIGINT)"
+    for lang in langs:
+        hits = _stopword_hits_sql(lang)
+        expr = f"CASE WHEN {hits} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"greatest({best}, {hits})"
+    return expr
+
+
+def _text_stats_oracle() -> str:
+    en_hits = _stopword_hits_sql("en")
+    return f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        / greatest(length(text), 1), 6) AS punct_ratio,
+  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        / greatest(length(text), 1), 6) AS alpha_ratio,
+  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        / greatest(CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1), 6) AS mean_word_len,
+  round({en_hits} / greatest(CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1), 6) AS stopword_ratio,
+  round(least(1.0, CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) / 100.0) * 0.25
+      + least(1.0, round({en_hits} / greatest(CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1), 6) * 5) * 0.25
+      + round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1), 6) * 0.25
+      + (1 - least(1.0, round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1), 6) * 10)) * 0.25, 6) AS quality_score
+FROM documents
+"""
+
+
+def _ann_oracle() -> str:
+    return """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+FROM embeddings e, q
+WHERE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) >= 0.25
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dec = "CAST({c} AS DECIMAL(18,2))"
+    disc = (f"({dec.format(c='l_extendedprice')} * "
+            f"(CAST(1 AS DECIMAL(18,2)) - {dec.format(c='l_discount')}))")
+    return {
+        "k01_scan": "SELECT * FROM customer",
+        "k02_filter_topk": _pipeline_oracle(SPEC_FILTER_TOPK, CUSTOMER_COLS),
+        "k03_restrict_semi": _pipeline_oracle(
+            SPEC_RESTRICT_SEMI,
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"]),
+        "k04_restrict_2hop": _pipeline_oracle(
+            SPEC_RESTRICT_2HOP,
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+             "l_returnflag", "l_linestatus", "l_shipdate"]),
+        "k05_anonymise": _pipeline_oracle(SPEC_ANONYMISE, CUSTOMER_COLS),
+        "k06_anonymise_salted": _pipeline_oracle(SPEC_ANON_SALTED, CUSTOMER_COLS),
+        "k07_anonymise_geo_literal": _pipeline_oracle(
+            SPEC_ANON_GEO, ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]),
+        "k08_structure_only": "SELECT * FROM events WHERE 1 = 0",
+        "a01_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM({dec.format(c='l_quantity')}) AS DOUBLE) AS sum_qty,
+                   CAST(SUM({dec.format(c='l_extendedprice')}) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM({disc}) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order,
+                   round(CAST(SUM({dec.format(c='l_quantity')}) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+                   round(CAST(SUM({dec.format(c='l_extendedprice')}) AS DOUBLE) / COUNT(*), 6) AS avg_price
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "a02_top_customers": """
+            SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 25""",
+        "a03_window_rank": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders) WHERE rn <= 3""",
+        "a04_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "a05_events_rollup": """
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2""",
+        "d01_dedup_exact": """
+            SELECT md5(text) AS fp, min(doc_id) AS doc_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY 1""",
+        "d02_dedup_minhash_lsh": _lsh_oracle(),
+        "d04_dedup_jaccard_verified": _jaccard_oracle(),
+        "t01_text_stats": _text_stats_oracle(),
+        "t02_lang_profile": f"""
+            SELECT {_lang_id_sql()} AS lang_pred, COUNT(*) AS n_docs
+            FROM documents GROUP BY 1""",
+        "t03_doc_fingerprints": """
+            SELECT doc_id, md5(text) AS fp,
+                   CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+            FROM documents""",
+        "s01_ann_cosine": _ann_oracle(),
+        # d03_dedup_simhash, s02_ann_pairs_lsh, m01_media_features: no SQL
+        # oracle (engine-internal hash primitives / pandas UDF stub) ->
+        # rows-only check, by design.
+    }

@@ -1,0 +1,108 @@
+"""Multimodal column plumbing (engine extension, M5).
+
+Images/audio/video are opaque ``binary`` columns + a typed metadata struct.
+The Spark-side plumbing — schemas, Arrow-batched pandas iteration via
+``mapInPandas``, partition sizing — is real and tested; the actual media
+decode is STUBBED (the container has no image/audio libraries) behind
+``_decode_image_stub``, which is deterministic so tests can assert shapes.
+
+Scale notes: binary payloads dominate partition size — size partitions by
+``spark.sql.files.maxPartitionBytes`` against payload size, not row count,
+and keep metadata in separate (pruned) columns so metadata-only queries
+never touch the blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+# Typed metadata for an opaque media payload.
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),        # image | audio | video
+    StructField("mime", StringType(), True),
+    StructField("payload", BinaryType(), True),
+    StructField("width", IntegerType(), True),       # images/video
+    StructField("height", IntegerType(), True),
+    StructField("duration_ms", LongType(), True),    # audio/video
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("n_bytes", LongType(), True),
+    StructField("feat_mean", LongType(), True),      # stub feature: mean byte
+    StructField("feat_head", StringType(), True),    # stub feature: head hex
+])
+
+
+def attach_media(df: DataFrame, payload_col: str, media_id_col: str,
+                 kind: str, mime: str | None = None) -> DataFrame:
+    """Wrap a binary column into the canonical media schema."""
+    return df.select(
+        F.col(media_id_col).cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.lit(mime).cast("string").alias("mime"),
+        F.col(payload_col).cast("binary").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def _decode_image_stub(payload: bytes) -> dict:
+    """Deterministic fake decode. Replace with PIL/libvips in a deployment:
+
+        from PIL import Image; img = Image.open(io.BytesIO(payload))
+
+    Raises for None payloads like a real decoder would."""
+    if payload is None:
+        raise ValueError("no payload")
+    return {
+        "n_bytes": len(payload),
+        "feat_mean": int(sum(payload) / len(payload)) if payload else 0,
+        "feat_head": payload[:4].hex(),
+    }
+
+
+def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Decode/feature-extract via Arrow-batched ``mapInPandas``.
+
+    The pattern to copy for real decoders: iterate pandas batches, keep
+    per-batch vectorised work in numpy/pandas, never collect to the driver.
+    Rows with NULL payloads yield NULL features (permissive mode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "n_bytes": [], "feat_mean": [],
+                   "feat_head": []}
+            for payload in pdf["payload"]:
+                if payload is None:
+                    out["n_bytes"].append(None)
+                    out["feat_mean"].append(None)
+                    out["feat_head"].append(None)
+                else:
+                    f = _decode_image_stub(bytes(payload))
+                    out["n_bytes"].append(f["n_bytes"])
+                    out["feat_mean"].append(f["feat_mean"])
+                    out["feat_head"].append(f["feat_head"])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Plan frame-sampling work items for video payloads: one row per
+    (media_id, frame_ts) — the explode happens on metadata only, so the
+    planning query never shuffles payload bytes."""
+    frames = F.sequence(F.lit(0),
+                        F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0))
+                                   - 1, F.lit(0)),
+                        F.lit(every_ms))
+    return (df.filter(F.col("kind") == "video")
+            .select("media_id", F.explode(frames).alias("frame_ts")))

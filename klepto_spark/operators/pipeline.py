@@ -41,8 +41,19 @@ LoadFn = Callable[[str], DataFrame]
 
 
 def parquet_loader(spark: SparkSession, sf_dir: str) -> LoadFn:
-    """Loader over the driver's testdata layout: <dir>/<table>.parquet."""
-    return lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Loader over the driver's testdata layout: <dir>/<table>.parquet.
+
+    events.ts is stored as TIMESTAMP(NANOS), which Spark reads as a long
+    (see session.py nanosAsLong); normalise it back to a microsecond
+    TimestampType so downstream operators see a proper timestamp."""
+    def load(name: str) -> DataFrame:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for field in df.schema.fields:
+            if field.name == "ts" and field.dataType.simpleString() == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return load
 
 
 def _tables_in_expr(expr: str, known: list[str]) -> set[str]:

@@ -1,0 +1,128 @@
+"""Text-analysis operators over document tables (engine extension, M5).
+
+The reference has no text operators (SURVEY §2.7 — its only scalar surface is
+the anonymiser); these are the training-data-pipeline additions mandated by
+the north star: language ID, quality scoring, token counting, document
+fingerprinting. All hot paths are built-in Spark SQL expressions (JVM-side,
+codegen) — no Python UDFs.
+
+Scale notes: every operator here is a narrow map over the documents table —
+no shuffle, no skew sensitivity; predicate pushdown and column pruning reach
+the parquet scan untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Top stopwords per language for the n-gram/stopword-ratio language ID
+# heuristic. Counting via split-size keeps it expressible in plain SQL for
+# the DuckDB oracle.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "que"],
+    "es": ["el", "la", "de", "que", "los", "es", "una", "por"],
+}
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (split on runs of whitespace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+")).cast("bigint")
+
+
+def word_tokens(col: Column | str) -> Column:
+    """Lowercased word tokens via a BPE-ish word regex: letter runs, digit
+    runs, or single punctuation — the classic pre-tokenisation split."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c),
+                                F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+
+
+def _count_occurrences(c: Column, needle: str) -> Column:
+    """Occurrences of a literal inside a string via length arithmetic —
+    no regex, identical semantics in any SQL engine."""
+    return ((F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit(""))))
+            / len(needle)).cast("bigint")
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """How many stopword occurrences of ``lang`` appear in the text
+    (padded word-boundary count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    # strip common punctuation so boundaries are spaces
+    for ch in [",", ".", ";", ":", "!", "?"]:
+        padded = F.replace(padded, F.lit(ch), F.lit(" "))
+    total = None
+    for w in LANG_STOPWORDS[lang]:
+        hits = _count_occurrences(padded, f" {w} ")
+        total = hits if total is None else total + hits
+    return total.cast("bigint")
+
+
+def lang_id(col: Column | str) -> Column:
+    """Pick the language whose stopword list scores highest; 'und' when all
+    score zero. Deterministic tie-break by language code order."""
+    scores = [(lang, stopword_hits(col, lang)) for lang in sorted(LANG_STOPWORDS)]
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("bigint")
+    # left-to-right fold keeps the first max -> deterministic tie-break
+    for lang, score in scores:
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length
+    features plus a composite [0,1] quality score (heuristics in the spirit
+    of Gopher/C4 quality filtering)."""
+    c = F.col(text_col)
+    n_chars = F.length(c).cast("bigint")
+    n_tokens = token_count(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
+    mean_word_len = F.round(n_alpha / F.greatest(n_tokens, F.lit(1)), 6)
+    stop_ratio = F.round(stopword_hits(c, "en") / F.greatest(n_tokens, F.lit(1)), 6)
+    score = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.25
+        + F.least(F.lit(1.0), stop_ratio * 5) * 0.25
+        + alpha_ratio * 0.25
+        + (1 - F.least(F.lit(1.0), punct_ratio * 10)) * 0.25, 6)
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(col: Column | str, algo: str = "md5") -> Column:
+    """Whole-document content fingerprint (exact-dup key). md5 keeps the
+    DuckDB oracle value-identical."""
+    c = F.col(col) if isinstance(col, str) else col
+    if algo == "md5":
+        return F.md5(c)
+    if algo == "xxhash":
+        return F.xxhash64(c)  # faster, Spark-only (no oracle parity)
+    raise ValueError(f"unknown fingerprint algo {algo!r}")
+
+
+def rolling_hash_fingerprint(col: Column | str, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min md5 over character shingles of
+    ``window`` chars — robust to small appends, cheap (one pass, no
+    shuffle). Returns the minimum shingle hash as hex."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c) - F.lit(window - 1), F.lit(1))
+    shingles = F.transform(F.sequence(F.lit(1), n),
+                           lambda i: F.md5(F.substring(c, i, window)))
+    return F.array_min(shingles)

@@ -30,6 +30,10 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # The driver's events.parquet stores TIMESTAMP(NANOS), which the Spark
+    # vectorized reader rejects; read as long and rebuild in the loader
+    # (sources/catalog.py normalises back to TimestampType).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
