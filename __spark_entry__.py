@@ -220,11 +220,12 @@ def q_dedup_jaccard_verified(spark, sf_dir):
 
 
 def q_text_stats(spark, sf_dir):
-    return T.quality_features(_load(spark, sf_dir)("documents"))
+    docs = dedup.fan_out(_load(spark, sf_dir)("documents"), "doc_id")
+    return T.quality_features(docs)
 
 
 def q_lang_profile(spark, sf_dir):
-    docs = _load(spark, sf_dir)("documents")
+    docs = dedup.fan_out(_load(spark, sf_dir)("documents"), "doc_id")
     return (docs.select("doc_id", T.lang_id("text").alias("lang_pred"))
             .groupBy("lang_pred")
             .agg(F.count(F.lit(1)).alias("n_docs")))
@@ -246,10 +247,10 @@ def q_ann_cosine(spark, sf_dir):
     """Brute-force cosine similarity vs the vec_id=0 query vector; threshold
     membership (0.25 sits in a score gap) keeps the result set deterministic
     across engines."""
-    emb = _load(spark, sf_dir)("embeddings")
+    emb = dedup.fan_out(_load(spark, sf_dir)("embeddings"), "vec_id")
     q = _query_vec(spark, sf_dir)
     c = F.col("embedding").cast("array<double>")
-    score = similarity.cosine(c, similarity._vec_lit(q))
+    score = similarity.cosine_const(c, q)
     return (emb.select("vec_id", F.round(score, 6).alias("score"))
             .filter(F.col("score") >= 0.25))
 

@@ -20,7 +20,37 @@ hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def fan_out(df: DataFrame, key_col: str, target: int | None = None) -> DataFrame:
+    """Spread a (possibly single-partition) input across the cluster before
+    per-row-expensive work. Local parquet testdata arrives as ONE partition
+    (single file, single row group) — without this, shingling/hashing runs
+    on one core. The shuffle moves only the raw rows (cheap) and buys full
+    parallelism for everything downstream; hash-partitioning by the doc key
+    also pre-co-locates the later signature aggregation, which then needs
+    no second shuffle."""
+    if target is None:
+        target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(target, F.col(key_col))
+
+
+def exploded_shingles(df: DataFrame, text_col: str, key_col: str,
+                      k: int) -> DataFrame:
+    """(key, shingle) rows: explode a position sequence, then shingle with a
+    plain substring projection. Deliberately NOT transform()/array-valued —
+    higher-order functions run interpreted (outside whole-stage codegen) and
+    dominated the profile; explode(sequence) + substring stays codegen'd.
+    Emits the shingle MULTISET (no dedup) — min-based signatures are
+    unaffected; set-based consumers dedup downstream."""
+    low = F.lower(F.col(text_col))
+    n = F.greatest(F.length(low) - F.lit(k - 1), F.lit(1))
+    return (df
+            .select(F.col(key_col), low.alias("_t"),
+                    F.explode(F.sequence(F.lit(1), n)).alias("_i"))
+            .select(F.col(key_col),
+                    F.substring(F.col("_t"), F.col("_i"), F.lit(k)).alias("sh")))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -57,9 +87,7 @@ def minhash_signature_df(df: DataFrame, text_col: str = "text",
     on the doc key). The tempting alternative — array_min over transform()
     higher-order funcs per signature — re-evaluates the shingle array per
     hash function outside codegen: measured 300s vs ~2s on 500 docs."""
-    exploded = (df
-                .select(F.col(key_col),
-                        F.explode(char_shingles(text_col, k)).alias("sh")))
+    exploded = exploded_shingles(fan_out(df, key_col), text_col, key_col, k)
     aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh_{i}")
             for i in range(num_hashes)]
     return exploded.groupBy(key_col).agg(*aggs)
@@ -114,9 +142,8 @@ def simhash_df(df: DataFrame, text_col: str = "text",
     hash-aggregate with ``bits`` sum columns (map-side combine), then
     assemble the fingerprint from the vote signs — all codegen'd
     built-ins."""
-    exploded = (df
-                .select(F.col(key_col),
-                        F.explode(char_shingles(text_col, k)).alias("sh"))
+    exploded = (exploded_shingles(fan_out(df, key_col), text_col, key_col, k)
+                .distinct()  # vote per distinct shingle, not per occurrence
                 .withColumn("h", F.xxhash64("sh")))
     aggs = [
         F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
@@ -146,8 +173,19 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
                         k: int = 5, threshold: float = 0.8) -> DataFrame:
     """Exact Jaccard verification of candidate pairs: broadcast-joins the
     shingle sets onto the (small) candidate list, keeps pairs >= threshold."""
-    sh = df.select(F.col(key_col),
-                   char_shingles(text_col, k).alias("sh"))
+    # Only shingle documents that appear in a candidate pair: a left-semi
+    # join prunes the (typically tiny) candidate id set out of the corpus
+    # before the expensive shingling — at 100 TB this is the difference
+    # between re-scanning everything and touching a few thousand docs.
+    # The candidate list is referenced three times (id extraction + final
+    # join); persist it so the upstream LSH pipeline runs ONCE.
+    pairs = pairs.persist()
+    ids = (pairs.select(F.explode(F.array("a", "b")).alias(key_col))
+           .distinct())
+    pruned = fan_out(df.join(ids, key_col, "left_semi"), key_col)
+    sh = (exploded_shingles(pruned, text_col, key_col, k)
+          .groupBy(key_col)
+          .agg(F.collect_set("sh").alias("sh")))
     joined = (pairs
               .join(sh.withColumnRenamed(key_col, "a").withColumnRenamed("sh", "sh_a"), "a")
               .join(sh.withColumnRenamed(key_col, "b").withColumnRenamed("sh", "sh_b"), "b"))

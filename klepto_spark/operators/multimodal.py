@@ -93,7 +93,14 @@ def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
                     out["feat_head"].append(f["feat_head"])
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+    from klepto_spark.operators.dedup import fan_out
+    # Fan out so decode parallelises across Python workers, but cap the
+    # partition count: each partition pays worker spin-up + Arrow transfer,
+    # so tiny inputs want few fat partitions (at real scale, partition count
+    # follows data size via maxPartitionBytes anyway).
+    n_part = max(4, min(8, df.sparkSession.sparkContext.defaultParallelism))
+    return fan_out(df, "media_id", target=n_part).mapInPandas(
+        run, schema=FEATURE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -27,6 +27,8 @@ def _vec_lit(vec: list[float]) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
+    """Row-vector x row-vector dot product (fold; interpreted — fine for
+    small candidate sets, use the *_const variants for scans)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
 
@@ -40,6 +42,38 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def dot_const(v: Column, q: list[float]) -> Column:
+    """Row-vector x plan-time-constant dot product, UNROLLED into plain
+    arithmetic: higher-order folds run interpreted (no whole-stage codegen),
+    which dominated scan profiles; an element_at sum chain stays codegen'd.
+    Left-associated in ascending index order — bit-identical to the fold."""
+    terms = [F.element_at(v, j + 1) * float(q[j]) for j in range(len(q))]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def norm_unrolled(v: Column, dim: int) -> Column:
+    terms = [F.element_at(v, j + 1) * F.element_at(v, j + 1)
+             for j in range(dim)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return F.sqrt(out)
+
+
+def cosine_const(v: Column, q: list[float]) -> Column:
+    """cosine(row vector, constant vector) — codegen-friendly unrolled form;
+    the query norm is folded at plan time (same ascending-order float64
+    arithmetic, so values match the in-engine computation exactly)."""
+    # plain left-to-right sum (not fsum): must match the engine's fold order
+    acc = 0.0
+    for x in q:
+        acc += float(x) * float(x)
+    return dot_const(v, q) / (norm_unrolled(v, len(q)) * math.sqrt(acc))
+
+
 def brute_force_topk(df: DataFrame, query: list[float],
                      vec_col: str = "embedding", key_col: str = "vec_id",
                      k: int = 10) -> DataFrame:
@@ -47,9 +81,11 @@ def brute_force_topk(df: DataFrame, query: list[float],
 
     Emits (key, score); compiles to scan -> project -> TakeOrderedAndProject
     (verified in tests) — no global sort, no shuffle of vectors."""
+    from klepto_spark.operators.dedup import fan_out
     c = F.col(vec_col).cast("array<double>")
-    score = cosine(c, _vec_lit(query))
-    return (df.select(F.col(key_col), F.round(score, 6).alias("score"))
+    score = cosine_const(c, query)
+    return (fan_out(df, key_col)
+            .select(F.col(key_col), F.round(score, 6).alias("score"))
             .orderBy(F.desc("score"), F.col(key_col))
             .limit(k))
 
@@ -59,19 +95,36 @@ def cosine_similar_pairs(df: DataFrame, threshold: float,
                          bits: int = 16) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket then verify.
 
-    Random-hyperplane signatures bucket the vectors; only same-bucket pairs
-    are verified with exact cosine. Replaces the O(n^2) cross join with a
-    bucket-key shuffle (same shape as minhash_lsh_pairs)."""
+    Random-hyperplane signatures bucket the vectors; candidate pairs expand
+    bucket-locally (one groupBy shuffle, no self-join, signatures computed
+    once), then the small candidate list broadcast-joins the vectors back
+    for exact cosine verification — same scale shape as
+    dedup.minhash_lsh_pairs."""
+    from klepto_spark.operators.dedup import fan_out
+    spread = fan_out(df, key_col)
     sig = rh_signature(F.col(vec_col).cast("array<double>"), bits)
-    with_sig = df.select(F.col(key_col), F.col(vec_col), sig.alias("sig"))
-    left, right = with_sig.alias("l"), with_sig.alias("r")
-    cand = left.join(right, (F.col("l.sig") == F.col("r.sig"))
-                     & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")))
-    score = cosine(F.col(f"l.{vec_col}").cast("array<double>"),
-                   F.col(f"r.{vec_col}").cast("array<double>"))
-    return (cand.select(F.col(f"l.{key_col}").alias("a"),
-                        F.col(f"r.{key_col}").alias("b"),
-                        F.round(score, 6).alias("cosine"))
+    with_sig = spread.select(F.col(key_col), sig.alias("sig"))
+    buckets = (with_sig.groupBy("sig")
+               .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    n = F.size("ids")
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.slice("ids", i + 1, n - i),
+            lambda other: F.struct(
+                F.element_at("ids", i).alias("a"), other.alias("b")))))
+    cand = (buckets.select(F.explode(pair_structs).alias("p"))
+            .select("p.a", "p.b"))
+    vecs = spread.select(F.col(key_col), F.col(vec_col).cast("array<double>")
+                         .alias("v"))
+    joined = (cand
+              .join(vecs.withColumnRenamed(key_col, "a")
+                    .withColumnRenamed("v", "va"), "a")
+              .join(vecs.withColumnRenamed(key_col, "b")
+                    .withColumnRenamed("v", "vb"), "b"))
+    score = cosine(F.col("va"), F.col("vb"))
+    return (joined.select("a", "b", F.round(score, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
 
 
@@ -91,7 +144,7 @@ def rh_signature(vec: Column, bits: int = 16, dim: int = _DIM) -> Column:
     parts = []
     for b in range(bits):
         plane = _hyperplane(b, dim)
-        parts.append(F.when(dot(vec, _vec_lit(plane)) >= 0, F.lit("1"))
+        parts.append(F.when(dot_const(vec, plane) >= 0, F.lit("1"))
                      .otherwise(F.lit("0")))
     return F.concat(*parts)
 

@@ -25,7 +25,14 @@ _DEFAULTS = {
     # Arrow for pandas UDF / toPandas paths (multimodal, ANN rerank).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Local harness size; on a real cluster set ~2-3x total cores.
-    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "16"),
+    # Shuffle/spill on tmpfs: in this (virtualised) test environment the
+    # disk-backed local dir produced 70-99% SYSTEM cpu during shuffle-heavy
+    # stages (kernel fs churn), inflating small-stage wall time 10-40x.
+    # On a real cluster use fast local SSDs instead.
+    "spark.local.dir": os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                                      "/dev/shm/spark-local"),
     # Keep parquet scans splittable and pruning-friendly.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
