@@ -41,6 +41,9 @@ _DEFAULTS = {
     # vectorized reader rejects; read as long and rebuild in the loader
     # (sources/catalog.py normalises back to TimestampType).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Interleave the orchestrator's concurrent per-table jobs (engine.py X1)
+    # instead of FIFO head-of-line blocking.
+    "spark.scheduler.mode": "FAIR",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }

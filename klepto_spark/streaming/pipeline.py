@@ -1,0 +1,85 @@
+"""Structured Streaming pipelines.
+
+The reference has NO streaming operators (SURVEY §2.8 — its channel
+"streaming" is a batch transport). This module is the engine's forward
+extension for the ``events`` stream table: the same declarative pipeline
+pieces (filter / anonymise projection) applied on an unbounded source, plus
+watermarked event-time rollups — the streaming twin of
+``__spark_entry__.q_events_rollup``.
+
+All sinks default to ``availableNow`` triggers in tests (bounded drain);
+production would run continuous triggers with checkpointing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from klepto_spark.functions.anonymise import anonymise_sql
+
+
+def read_events_stream(spark: SparkSession, directory: str,
+                       schema=None) -> DataFrame:
+    """File-source stream over a directory of parquet event files."""
+    if schema is None:
+        static = spark.read.parquet(directory)
+        schema = static.schema
+    df = spark.readStream.schema(schema).parquet(directory)
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def anonymise_stream(df: DataFrame, anonymise: dict[str, str],
+                     table: str = "", seed: str = "klepto") -> DataFrame:
+    """The anonymise projection is stateless — identical expression code
+    works on stream and batch (same registry, same determinism)."""
+    for col, spec in anonymise.items():
+        df = df.withColumn(col, F.expr(anonymise_sql(spec, col, table=table,
+                                                     seed=seed)))
+    return df
+
+
+def windowed_rollup(df: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Watermarked event-time rollup: count/sum per (window, event_type).
+
+    The watermark bounds state: late rows beyond it are dropped, so state
+    size is O(active windows x event types) regardless of stream length —
+    the property that makes this safe on an unbounded 100 TB/day feed."""
+    return (df
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                 .alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str,
+                  output_mode: str = "append") -> None:
+    """Drain the stream with an availableNow trigger into an in-memory
+    table (test/debug sink); blocks until the drain finishes."""
+    q = (stream_df.writeStream
+         .format("memory")
+         .queryName(query_name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def run_to_parquet(stream_df: DataFrame, path: str, checkpoint: str,
+                   output_mode: str = "append") -> None:
+    q = (stream_df.writeStream
+         .format("parquet")
+         .option("path", path)
+         .option("checkpointLocation", checkpoint)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -1,0 +1,197 @@
+"""Sinks, DSN routing, DDL, orchestrator, and streaming tests
+(reference surfaces: SURVEY §2.1 S6-S12, §2.10 X1-X5, §2.8)."""
+
+import io
+
+import pytest
+
+from klepto_spark.config import Spec, TableSpec, FilterSpec
+from klepto_spark.engine import steal
+from klepto_spark.sinks.ddl import create_table_sql, quote_ident
+from klepto_spark.sinks.sqltext import dump_table_sql, insert_statements, open_output
+from klepto_spark.sources import dsn as dsn_mod
+from klepto_spark.sources.catalog import FileCatalog, connect
+
+
+# ---------------------------------------------------------------- DSN ----
+
+def test_dsn_parse_full():
+    d = dsn_mod.parse("mysql://root:pw@localhost:3306/shop?charset=utf8")
+    assert (d.type, d.username, d.password) == ("mysql", "root", "pw")
+    assert (d.host, d.port, d.data_source) == ("localhost", "3306", "shop")
+    assert d.params == {"charset": "utf8"}
+
+
+def test_dsn_parse_errors():
+    # reference error cases: pkg/dsn/dsn_test.go:39-85
+    with pytest.raises(dsn_mod.DSNError):
+        dsn_mod.parse("")
+    with pytest.raises(dsn_mod.DSNError):
+        dsn_mod.parse("not-a-dsn")
+    with pytest.raises(dsn_mod.DSNError):
+        dsn_mod.route("teleport://nowhere")
+
+
+def test_dsn_route_kinds():
+    assert dsn_mod.route("parquet:///data/dir")[0] == "files"
+    assert dsn_mod.route("os://stdout")[0] == "text"
+    assert dsn_mod.route("postgres://u:p@h:5432/db")[0] == "jdbc"
+
+
+# ---------------------------------------------------------------- DDL ----
+
+def test_ddl_generation(spark):
+    df = spark.createDataFrame([(1, "x", 1.5, True)],
+                               "id long, name string, score double, ok boolean")
+    ddl = create_table_sql("users", df.schema, "postgres")
+    assert '"id" BIGINT' in ddl and '"name" TEXT' in ddl
+    assert '"score" DOUBLE PRECISION' in ddl and '"ok" BOOLEAN' in ddl
+    mysql = create_table_sql("users", df.schema, "mysql")
+    assert "`id` BIGINT" in mysql
+
+
+def test_ident_quoting_escapes():
+    # mirrors reference quoting incl. doubling (mysql/reader.go:114-116)
+    assert quote_ident("order`items", "mysql") == "`order``items`"
+    assert quote_ident('Order"Items', "postgres") == '"Order""Items"'
+
+
+# ----------------------------------------------------------- SQL text ----
+
+def test_insert_statements_value_formatting(spark):
+    df = spark.createDataFrame(
+        [(1, "O'Brien", None, True), (2, "plain", 2.5, None)],
+        "id long, name string, score double, ok boolean")
+    stmts = sorted(r[0] for r in insert_statements(df, "users").collect())
+    assert stmts[0] == ("INSERT INTO \"users\" (\"id\", \"name\", \"score\", "
+                        "\"ok\") VALUES (1, 'O''Brien', NULL, true);")
+    assert stmts[1].endswith("(2, 'plain', 2.5, NULL);")
+
+
+def test_dump_table_sql_with_ddl(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    buf = io.StringIO()
+    n = dump_table_sql(df, "t", buf, dialect="mysql")
+    text = buf.getvalue()
+    assert n == 1
+    assert text.startswith("CREATE TABLE `t`")
+    assert "INSERT INTO `t` (`id`, `v`) VALUES (1, 'a');" in text
+
+
+def test_open_output_routing():
+    import sys
+    assert open_output("os://stdout") is sys.stdout
+    assert open_output("os://stderr") is sys.stderr
+    with pytest.raises(dsn_mod.DSNError):
+        open_output("os://nowhere")
+
+
+# ----------------------------------------------------------- catalog ----
+
+def test_file_catalog(spark, sf_dir):
+    cat = FileCatalog(spark, sf_dir)
+    assert "customer" in cat.tables() and "lineitem" in cat.tables()
+    assert cat.columns("customer") == ["c_custkey", "c_name", "c_nationkey",
+                                       "c_acctbal", "c_mktsegment"]
+    ddl = cat.structure()
+    assert "CREATE TABLE" in ddl and '"l_orderkey"' in ddl
+
+
+def test_connect_routes_file_catalog(spark, sf_dir):
+    cat = connect(spark, f"parquet://{sf_dir}")
+    assert "orders" in cat.tables()
+
+
+# ------------------------------------------------------ orchestrator ----
+
+def _spec():
+    return Spec(tables=[
+        TableSpec(name="customer",
+                  filter=FilterSpec(match="customer.c_acctbal > 5000"),
+                  anonymise={"c_name": "FullName"}),
+        TableSpec(name="nation", ignore_data=True),
+    ])
+
+
+def test_steal_end_to_end(spark, sf_dir, tmp_path):
+    cat = FileCatalog(spark, sf_dir)
+    report = steal(_spec(), cat, f"parquet://{tmp_path}/out", concurrency=4)
+    assert report.ok
+    by_name = {t.table: t for t in report.tables}
+    # ignore_data table skipped, data untouched
+    assert by_name["nation"].skipped
+    assert not (tmp_path / "out" / "nation.parquet").exists()
+    # unconfigured tables copy verbatim
+    assert by_name["region"].rows == 5
+    # configured filter applied + anonymised
+    got = spark.read.parquet(str(tmp_path / "out" / "customer.parquet"))
+    assert got.count() == by_name["customer"].rows > 0
+    assert not [r for r in got.collect() if r.c_name.startswith("Customer#")]
+    # structure captured for ALL tables incl. skipped
+    assert '"n_nationkey"' in report.structure_sql
+
+
+def test_steal_strict_vs_permissive(spark, sf_dir, tmp_path):
+    bad = Spec(tables=[TableSpec(
+        name="customer", filter=FilterSpec(match="no_such_column > 1"))])
+    cat = FileCatalog(spark, sf_dir)
+    with pytest.raises(RuntimeError, match="customer"):
+        steal(bad, cat, f"parquet://{tmp_path}/o1", concurrency=2)
+    report = steal(bad, cat, f"parquet://{tmp_path}/o2", concurrency=2,
+                   strict=False)
+    assert not report.ok
+    errs = [t for t in report.tables if t.error]
+    assert len(errs) == 1 and errs[0].table == "customer"
+
+
+def test_steal_data_only(spark, sf_dir, tmp_path):
+    cat = FileCatalog(spark, sf_dir)
+    report = steal(Spec(), cat, f"parquet://{tmp_path}/out", concurrency=2,
+                   data_only=True)
+    assert report.structure_sql is None and report.ok
+
+
+# -------------------------------------------------------- streaming ----
+
+def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming rollup over a bounded drain must agree with the batch
+    rollup over the same files (stream-batch unification)."""
+    import shutil
+    from pyspark.sql import functions as F
+    from klepto_spark.streaming.pipeline import (
+        read_events_stream, windowed_rollup, run_to_memory)
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+
+    stream = read_events_stream(spark, str(src))
+    assert stream.isStreaming
+    # complete mode: append would hold back windows newer than the
+    # watermark at end-of-drain (correct streaming semantics; the batch
+    # comparison below wants every window)
+    run_to_memory(windowed_rollup(stream, "1 day", "2 days"), "rollup_test",
+                  output_mode="complete")
+    got = spark.table("rollup_test")
+
+    batch = (spark.read.parquet(str(src))
+             .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+             .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    assert got.count() == batch.count() > 0
+    assert {"window_start", "window_end", "event_type", "n_events",
+            "sum_value"} == set(got.columns)
+
+
+def test_streaming_anonymise(spark, sf_dir, tmp_path):
+    import shutil
+    from klepto_spark.streaming.pipeline import (
+        anonymise_stream, read_events_stream, run_to_memory)
+    src = tmp_path / "ev2"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    stream = anonymise_stream(read_events_stream(spark, str(src)),
+                              {"props": "Sentence"}, table="events")
+    run_to_memory(stream.select("event_id", "props"), "anon_stream")
+    rows = spark.table("anon_stream").limit(5).collect()
+    assert rows and all(r.props and r.props[0].isupper() for r in rows)
