@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from klepto_spark.config import FilterSpec, Relationship, TableSpec
+from klepto_spark.config import FilterSpec, Relationship, Spec, TableSpec
 from klepto_spark.functions.anonymise import anonymise_sql
 from klepto_spark.operators import dedup, similarity
 from klepto_spark.operators import text as T
@@ -75,6 +75,21 @@ SPEC_ANON_GEO = TableSpec(
     name="supplier",
     anonymise={"s_name": "Latitude", "s_acctbal": "literal:0.0"})
 
+# Named-matcher resolution (P4, reference pkg/config/config.go:101-117)
+SPEC_WITH_MATCHERS = Spec(
+    matchers={"BigSpenders": "customer.c_acctbal > 7000"},
+    tables=[TableSpec(name="customer",
+                      filter=FilterSpec(match="BigSpenders"))])
+
+# Parameterised faker suite (A3 colon-args, anonymiser.go:122-164);
+# anonymised columns become strings regardless of source type — the
+# reference's documented coercion (SURVEY §4.3.4)
+SPEC_ANON_PARAMS = TableSpec(
+    name="supplier",
+    anonymise={"s_name": "CharactersN:12",
+               "s_nationkey": "Password:6:10:true:false:false",
+               "s_acctbal": "Year:2000:2030"})
+
 
 def _load(spark: SparkSession, sf_dir: str):
     return parquet_loader(spark, sf_dir)
@@ -125,6 +140,17 @@ def q_anonymise_geo_literal(spark, sf_dir):
 def q_structure_only(spark, sf_dir):
     """X2 IgnoreData: schema preserved, zero rows."""
     return _load(spark, sf_dir)("events").limit(0)
+
+
+def q_matcher_alias(spark, sf_dir):
+    """P4: Filter.Match naming a Matchers entry resolves to its SQL."""
+    return build_table_df(SPEC_WITH_MATCHERS.tables[0], _load(spark, sf_dir),
+                          spec=SPEC_WITH_MATCHERS)
+
+
+def q_anonymise_params(spark, sf_dir):
+    """A3: CharactersN / Password / Year colon-arg fakers."""
+    return build_table_df(SPEC_ANON_PARAMS, _load(spark, sf_dir), seed=SEED)
 
 
 # --------------------------------------------------------------------------
@@ -185,6 +211,32 @@ def q_customers_without_orders(spark, sf_dir):
             .select("c_custkey", "c_name"))
 
 
+def q_region_rollup(spark, sf_dir):
+    """ROLLUP grouping sets over the region->nation->customer dimension
+    chain; dimension joins broadcast."""
+    load = _load(spark, sf_dir)
+    j = (load("customer")
+         .join(load("nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+         .join(load("region"), F.col("n_regionkey") == F.col("r_regionkey")))
+    return (j.rollup("r_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal")))
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT/EXCEPT set algebra: BUILDING-segment customers that have
+    orders, minus those in debt."""
+    load = _load(spark, sf_dir)
+    building = (load("customer")
+                .filter(F.col("c_mktsegment") == "BUILDING")
+                .select("c_custkey"))
+    with_orders = load("orders").select(
+        F.col("o_custkey").alias("c_custkey"))
+    in_debt = (load("customer").filter(F.col("c_acctbal") < 0)
+               .select("c_custkey"))
+    return building.intersect(with_orders).exceptAll(in_debt)
+
+
 def q_events_rollup(spark, sf_dir):
     """Time-bucketed rollup on the events stream table (batch form of the
     streaming pipeline in klepto_spark/streaming)."""
@@ -235,6 +287,17 @@ def q_doc_fingerprints(spark, sf_dir):
     docs = _load(spark, sf_dir)("documents")
     return docs.select("doc_id", T.fingerprint("text").alias("fp"),
                        T.token_count("text").alias("n_tokens"))
+
+
+def q_ngram_profile(spark, sf_dir):
+    """Corpus-level character trigram frequencies (the n-gram side of
+    language ID): shingle multiset -> count, frequent grams only."""
+    docs = _load(spark, sf_dir)("documents")
+    grams = dedup.exploded_shingles(dedup.fan_out(docs, "doc_id"),
+                                    "text", "doc_id", k=3)
+    return (grams.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 200))
 
 
 def _query_vec(spark, sf_dir) -> list[float]:
@@ -293,11 +356,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k06_anonymise_salted": q_anonymise_salted,
         "k07_anonymise_geo_literal": q_anonymise_geo_literal,
         "k08_structure_only": q_structure_only,
+        "k09_matcher_alias": q_matcher_alias,
+        "k10_anonymise_params": q_anonymise_params,
         "a01_pricing_summary": q_agg_pricing_summary,
         "a02_top_customers": q_top_customers,
         "a03_window_rank": q_window_rank,
         "a04_customers_without_orders": q_customers_without_orders,
         "a05_events_rollup": q_events_rollup,
+        "a06_region_rollup": q_region_rollup,
+        "a07_set_ops": q_set_ops,
         "d01_dedup_exact": q_dedup_exact,
         "d02_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "d03_dedup_simhash": q_dedup_simhash,
@@ -305,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t01_text_stats": q_text_stats,
         "t02_lang_profile": q_lang_profile,
         "t03_doc_fingerprints": q_doc_fingerprints,
+        "t04_ngram_profile": q_ngram_profile,
         "s01_ann_cosine": q_ann_cosine,
         "s02_ann_pairs_lsh": q_ann_pairs_lsh,
         "m01_media_features": q_media_features,
@@ -428,6 +496,12 @@ def oracle_sql() -> dict[str, str]:
         "k07_anonymise_geo_literal": _pipeline_oracle(
             SPEC_ANON_GEO, ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]),
         "k08_structure_only": "SELECT * FROM events WHERE 1 = 0",
+        "k09_matcher_alias": build_table_sql(
+            SPEC_WITH_MATCHERS.tables[0], spec=SPEC_WITH_MATCHERS,
+            columns=CUSTOMER_COLS),
+        "k10_anonymise_params": _pipeline_oracle(
+            SPEC_ANON_PARAMS, ["s_suppkey", "s_name", "s_nationkey",
+                               "s_acctbal"]),
         "a01_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM({dec.format(c='l_quantity')}) AS DOUBLE) AS sum_qty,
@@ -461,6 +535,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
                    COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2""",
+        "a06_region_rollup": """
+            SELECT r_name, n_name, COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)""",
+        "a07_set_ops": """
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey AS c_custkey FROM orders
+            EXCEPT ALL
+            SELECT c_custkey FROM customer WHERE c_acctbal < 0""",
         "d01_dedup_exact": """
             SELECT md5(text) AS fp, min(doc_id) AS doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY 1""",
@@ -474,6 +561,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS fp,
                    CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
             FROM documents""",
+        "t04_ngram_profile": """
+            SELECT sh, COUNT(*) AS n FROM (
+              SELECT unnest([substr(lower(text), i, 3)
+                     FOR i IN range(1, greatest(length(text) - 2, 1) + 1)]) AS sh
+              FROM documents)
+            GROUP BY sh HAVING COUNT(*) >= 200""",
         "s01_ann_cosine": _ann_oracle(),
         # d03_dedup_simhash, s02_ann_pairs_lsh, m01_media_features: no SQL
         # oracle (engine-internal hash primitives / pandas UDF stub) ->

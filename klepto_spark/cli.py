@@ -1,0 +1,95 @@
+"""Command-line interface — the ``klepto`` UX on Spark.
+
+Mirrors the reference's cobra commands (reference: cmd/root.go:31-45,
+cmd/init.go:27-47, cmd/steal.go:40-135) minus ``update`` (pip distributes
+this package; SURVEY §3.3 marks the self-updater as not portable).
+
+    python -m klepto_spark init [--path .klepto.toml]
+    python -m klepto_spark steal --from parquet:///data/src \\
+        --to parquet:///data/out [--config .klepto.toml] \\
+        [--concurrency N] [--data-only] [--permissive] [--seed S] \\
+        [--join-strategy semi|inner]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_init(args: argparse.Namespace) -> int:
+    from klepto_spark.config import write_sample
+    try:
+        write_sample(args.path)
+    except FileExistsError:
+        print(f"refusing to overwrite existing {args.path}", file=sys.stderr)
+        return 1
+    print(f"wrote sample config to {args.path}")
+    return 0
+
+
+def _cmd_steal(args: argparse.Namespace) -> int:
+    from klepto_spark.config import Spec, load_spec
+    from klepto_spark.engine import steal
+    from klepto_spark.session import get_spark
+    from klepto_spark.sources.catalog import connect
+
+    spec = load_spec(args.config) if args.config else Spec()
+    spark = get_spark(app_name="klepto_spark_steal")
+    spark.sparkContext.setLogLevel("WARN")
+    source = connect(spark, getattr(args, "from"))
+    try:
+        report = steal(spec, source, args.to, concurrency=args.concurrency,
+                       data_only=args.data_only, strict=not args.permissive,
+                       join_strategy=args.join_strategy, seed=args.seed)
+    except RuntimeError as exc:
+        print(str(exc), file=sys.stderr)
+        return 1
+    # run report (reference logs total_time at cmd/steal.go:126-132)
+    print(json.dumps({
+        "tables": {t.table: {"rows": t.rows, "seconds": t.seconds,
+                             "skipped": t.skipped, "error": t.error}
+                   for t in report.tables},
+        "total_seconds": report.seconds,
+        "ok": report.ok,
+    }))
+    return 0 if report.ok else 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="klepto_spark",
+                                description="Steals and anonymises data, on Spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pi = sub.add_parser("init", help="create a sample pipeline config")
+    pi.add_argument("--path", default=".klepto.toml")
+    pi.set_defaults(fn=_cmd_init)
+
+    ps = sub.add_parser("steal", help="copy + anonymise source to target")
+    ps.add_argument("--from", required=True, dest="from",
+                    help="source DSN (parquet://dir, csv://dir, mysql://…)")
+    ps.add_argument("--to", required=True,
+                    help="target DSN (parquet://dir, os://stdout, …)")
+    ps.add_argument("--config", default=None, help="pipeline TOML")
+    ps.add_argument("--concurrency", type=int, default=None,
+                    help="concurrent tables (default: CPU count)")
+    ps.add_argument("--data-only", action="store_true",
+                    help="skip the structure pass")
+    ps.add_argument("--permissive", action="store_true",
+                    help="log per-table failures instead of failing the run")
+    ps.add_argument("--seed", default="klepto",
+                    help="anonymisation determinism seed")
+    ps.add_argument("--join-strategy", choices=["semi", "inner"],
+                    default="semi")
+    ps.set_defaults(fn=_cmd_steal)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

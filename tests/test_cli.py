@@ -1,0 +1,48 @@
+"""CLI tests (reference: cmd/init.go, cmd/steal.go flag surface)."""
+
+import json
+
+import pytest
+
+from klepto_spark.cli import main
+
+
+def test_init_and_refuse_overwrite(tmp_path, capsys):
+    path = tmp_path / ".klepto.toml"
+    assert main(["init", "--path", str(path)]) == 0
+    assert path.exists()
+    assert main(["init", "--path", str(path)]) == 1
+    assert "refusing" in capsys.readouterr().err
+
+
+def test_steal_cli_end_to_end(spark, sf_dir, tmp_path, capsys):
+    cfg = tmp_path / "cfg.toml"
+    cfg.write_text("""
+[[Tables]]
+  Name = "customer"
+  [Tables.Filter]
+    Match = "customer.c_acctbal > 5000"
+  [Tables.Anonymise]
+    c_name = "FullName"
+""")
+    rc = main(["steal", "--from", f"parquet://{sf_dir}",
+               "--to", f"parquet:///{str(tmp_path / 'out').lstrip('/')}",
+               "--config", str(cfg), "--concurrency", "4"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["ok"] and report["tables"]["customer"]["rows"] > 0
+    got = spark.read.parquet(str(tmp_path / "out" / "customer.parquet"))
+    assert got.count() == report["tables"]["customer"]["rows"]
+
+
+def test_steal_cli_bad_config(tmp_path, capsys):
+    cfg = tmp_path / "bad.toml"
+    cfg.write_text("""
+[[Tables]]
+  Name = "customer"
+  [Tables.Anonymise]
+    c_name = "NotAFaker"
+""")
+    with pytest.raises(ValueError, match="NotAFaker"):
+        main(["steal", "--from", "parquet:///nowhere", "--to",
+              "parquet:///tmp/x", "--config", str(cfg)])

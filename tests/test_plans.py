@@ -1,0 +1,76 @@
+"""Plan-quality assertions: the scale posture, proven on the plans.
+
+These tests pin the physical properties the 100 TB design depends on —
+if a refactor breaks pushdown, pruning, broadcast choice, or top-k
+compilation, they fail even though results stay correct.
+"""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from klepto_spark.config import FilterSpec, Relationship, TableSpec
+from klepto_spark.operators.pipeline import build_table_df, parquet_loader
+from klepto_spark.plans import inspect as I
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    t = TableSpec(name="customer",
+                  filter=FilterSpec(match="customer.c_acctbal > 1000"))
+    df = build_table_df(t, parquet_loader(spark, sf_dir))
+    assert any("c_acctbal" in f for f in I.pushed_filters(df))
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = (parquet_loader(spark, sf_dir)("lineitem")
+          .select("l_orderkey", "l_quantity"))
+    cols = I.scan_columns(df)
+    assert cols and cols[0] == {"l_orderkey", "l_quantity"}
+
+
+def test_semi_join_parent_is_broadcast_and_pruned(spark, sf_dir):
+    t = TableSpec(
+        name="orders",
+        filter=FilterSpec(match="customer.c_mktsegment = 'BUILDING'"),
+        relationships=[Relationship(foreign_key="o_custkey",
+                                    referenced_table="customer",
+                                    referenced_key="c_custkey")])
+    df = build_table_df(t, parquet_loader(spark, sf_dir), join_strategy="semi")
+    assert I.has_broadcast_join(df)
+    # the parent scan reads only the join key + predicate column
+    parent_scans = [c for c in I.scan_columns(df) if "c_custkey" in c]
+    assert parent_scans and parent_scans[0] <= {"c_custkey", "c_mktsegment"}
+    # a semi-join restriction is shuffle-free when the parent broadcasts
+    assert I.shuffle_count(df) == 0
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    df = entry.q_filter_topk(spark, sf_dir)
+    assert I.has_top_k(df)
+
+
+def test_anonymise_stays_in_codegen(spark, sf_dir):
+    """The anonymise projection must not break whole-stage codegen — it is
+    pure built-in expressions (no Python UDFs in the hot path)."""
+    df = entry.q_anonymise(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert I.codegen_span_count(df) >= 1
+
+
+def test_agg_uses_partial_aggregation(spark, sf_dir):
+    df = entry.q_agg_pricing_summary(spark, sf_dir)
+    plan = I.executed_plan(df)
+    # partial (map-side) then final aggregate: one shuffle of partials only
+    assert plan.count("HashAggregate") >= 2
+    assert I.shuffle_count(df) <= 2
+
+
+def test_events_rollup_pushes_nothing_to_python(spark, sf_dir):
+    df = entry.q_events_rollup(spark, sf_dir)
+    assert "Python" not in I.executed_plan(df)
+
+
+def test_plan_report_shape(spark, sf_dir):
+    rep = I.plan_report(entry.q_restrict_semi(spark, sf_dir))
+    assert rep["broadcast_join"] is True
+    assert isinstance(rep["shuffles"], int)
