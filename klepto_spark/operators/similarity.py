@@ -102,7 +102,8 @@ def cosine_similar_pairs(df: DataFrame, threshold: float,
     dedup.minhash_lsh_pairs."""
     from klepto_spark.operators.dedup import fan_out
     spread = fan_out(df, key_col)
-    sig = rh_signature(F.col(vec_col).cast("array<double>"), bits)
+    dim = len(df.select(vec_col).first()[0])  # plan-time probe (1 row)
+    sig = rh_signature(F.col(vec_col).cast("array<double>"), bits, dim=dim)
     with_sig = spread.select(F.col(key_col), sig.alias("sig"))
     buckets = (with_sig.groupBy("sig")
                .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
@@ -136,11 +137,9 @@ def _hyperplane(bit: int, dim: int) -> list[float]:
     return [v / n for v in vals]
 
 
-_DIM = 16  # testdata embedding dim; parameterise per deployment
-
-
-def rh_signature(vec: Column, bits: int = 16, dim: int = _DIM) -> Column:
-    """Random-hyperplane LSH signature as a bits-length bitstring."""
+def rh_signature(vec: Column, bits: int = 16, dim: int = 64) -> Column:
+    """Random-hyperplane LSH signature as a bits-length bitstring; ``dim``
+    must match the vector length (hyperplanes are unrolled at plan time)."""
     parts = []
     for b in range(bits):
         plane = _hyperplane(b, dim)

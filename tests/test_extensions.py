@@ -1,0 +1,148 @@
+"""Operator-level tests for the M5 extensions: behaviors the oracle parity
+suite doesn't pin (IVF probing, rolling-hash robustness, tokenizer shapes,
+multimodal batch plumbing, simhash locality)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from klepto_spark.operators import dedup, multimodal as M, similarity, text as T
+
+
+# ------------------------------------------------------------- dedup ----
+
+def test_exact_dedup_groups_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.n_dups for r in dedup.exact_dedup(df).collect()}
+    assert got == {1: 2, 3: 1}  # min key kept, counts right
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base[:-10] + "sleepy cat"
+    far = "completely different content about spark engines and parquet"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string")
+    pairs = {(r.a, r.b) for r in dedup.minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_scores_bounded_and_ordered(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij" * 10), (2, "abcdefghij" * 10),
+         (3, "abcdefghij" * 9 + "zzzzzzzzzz")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    got = {(r.a, r.b): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(df, pairs, threshold=0.0).collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.0 < got[(1, 3)] < 1.0
+
+
+def test_simhash_locality(spark):
+    """Near-identical docs get close fingerprints (small hamming distance);
+    unrelated docs don't collide."""
+    base = "spark dataframe shuffle partition broadcast join " * 8
+    near = base + "extra"
+    far = "zq xv wk jy pf mg bd " * 12
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string")
+    fp = {r.doc_id: r.simhash for r in dedup.simhash_df(df).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(fp[1], fp[2]) <= 8
+    assert hamming(fp[1], fp[3]) > 16
+
+
+# -------------------------------------------------------- similarity ----
+
+def test_brute_force_topk_exact(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = similarity.brute_force_topk(df, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert top[0].vec_id == 0 and top[0].score == 1.0
+    assert top[1].score == 0.0  # orthogonal
+
+
+def test_ivf_probe_restricts_and_finds(spark):
+    import math
+    rows = [(i, [math.cos(i * 0.01), math.sin(i * 0.01)]) for i in range(50)]
+    rows += [(100 + i, [-math.cos(i * 0.01), -math.sin(i * 0.01)])
+             for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = [[1.0, 0.0], [-1.0, 0.0]]
+    assigned = similarity.ivf_assign(df, centroids)
+    counts = {r.cluster: 1 for r in assigned.collect()}
+    assert set(counts) == {0, 1}
+    top = similarity.ivf_topk(df, [1.0, 0.05], centroids, n_probe=1, k=3).collect()
+    assert all(r.vec_id < 100 for r in top)  # only the probed cluster
+
+
+def test_cosine_similar_pairs_threshold(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.999, 0.04]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.a, r.b) for r in
+           similarity.cosine_similar_pairs(df, threshold=0.99, bits=4).collect()}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+# -------------------------------------------------------------- text ----
+
+def test_token_count_and_word_tokens(spark):
+    df = spark.createDataFrame([("Hello, world! 42 times",)], "text string")
+    row = df.select(T.token_count("text").alias("n"),
+                    T.word_tokens("text").alias("w")).first()
+    assert row.n == 4  # whitespace tokens
+    assert row.w == ["hello", ",", "world", "!", "42", "times"]  # BPE-ish
+
+
+def test_lang_id_english_vs_german(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog sat in the house and it is warm"),
+         (2, "der hund und die katze sind nicht in das haus und das ist gut"),
+         (3, "xyzzy plugh abracadabra")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.lang for r in
+           df.select("doc_id", T.lang_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_rolling_hash_fingerprint_stability(spark):
+    """Winnowing min-hash fingerprint survives an append (the rolling-hash
+    property exact md5 lacks)."""
+    base = "abcdefghijklmnopqrstuvwxyz" * 4
+    df = spark.createDataFrame([(1, base), (2, base + "APPENDED")],
+                               "doc_id long, text string")
+    fps = [r.fp for r in
+           df.select(T.rolling_hash_fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+    exact = [r.fp for r in df.select(T.fingerprint("text").alias("fp")).collect()]
+    assert exact[0] != exact[1]
+
+
+# -------------------------------------------------------- multimodal ----
+
+def test_media_schema_and_features(spark):
+    df = spark.createDataFrame([(1, bytearray(b"\x01\x02\x03\x04\x05")),
+                                (2, None)],
+                               "media_id long, payload binary")
+    media = M.attach_media(df, "payload", "media_id", kind="image",
+                           mime="image/png")
+    assert [f.name for f in media.schema.fields] == \
+        [f.name for f in M.MEDIA_SCHEMA.fields]
+    feats = {r.media_id: r for r in M.extract_features(media).collect()}
+    assert feats[1].n_bytes == 5 and feats[1].feat_head == "01020304"
+    assert feats[1].feat_mean == 3
+    assert feats[2].n_bytes is None  # NULL payload -> NULL features
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "video", 2500), (2, "image", None)],
+        "media_id long, kind string, duration_ms long")
+    got = M.frame_sample_plan(df, every_ms=1000).collect()
+    assert {(r.media_id, r.frame_ts) for r in got} == {(1, 0), (1, 1000), (1, 2000)}
