@@ -90,6 +90,18 @@ SPEC_ANON_PARAMS = TableSpec(
                "s_nationkey": "Password:6:10:true:false:false",
                "s_acctbal": "Year:2000:2030"})
 
+# Registry breadth: a diverse slice of the 90-function faker surface
+# (fake.go:11-102) in one driver-verified query — names, geo, net, commerce,
+# lorem, dates. (The full registry is unit-parity-tested per function in
+# tests/test_anonymise.py.)
+SPEC_ANON_REGISTRY = TableSpec(
+    name="customer",
+    filter=FilterSpec(match="customer.c_custkey <= 50"),
+    anonymise={"c_name": "Company",
+               "c_mktsegment": "City",
+               "c_nationkey": "CreditCardNum:mastercard",
+               "c_acctbal": "Longitude"})
+
 
 def _load(spark: SparkSession, sf_dir: str):
     return parquet_loader(spark, sf_dir)
@@ -151,6 +163,11 @@ def q_matcher_alias(spark, sf_dir):
 def q_anonymise_params(spark, sf_dir):
     """A3: CharactersN / Password / Year colon-arg fakers."""
     return build_table_df(SPEC_ANON_PARAMS, _load(spark, sf_dir), seed=SEED)
+
+
+def q_anonymise_registry(spark, sf_dir):
+    """A2 breadth: company/geo/commerce/net faker families."""
+    return build_table_df(SPEC_ANON_REGISTRY, _load(spark, sf_dir), seed=SEED)
 
 
 # --------------------------------------------------------------------------
@@ -358,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k08_structure_only": q_structure_only,
         "k09_matcher_alias": q_matcher_alias,
         "k10_anonymise_params": q_anonymise_params,
+        "k11_anonymise_registry": q_anonymise_registry,
         "a01_pricing_summary": q_agg_pricing_summary,
         "a02_top_customers": q_top_customers,
         "a03_window_rank": q_window_rank,
@@ -502,6 +520,8 @@ def oracle_sql() -> dict[str, str]:
         "k10_anonymise_params": _pipeline_oracle(
             SPEC_ANON_PARAMS, ["s_suppkey", "s_name", "s_nationkey",
                                "s_acctbal"]),
+        "k11_anonymise_registry": _pipeline_oracle(SPEC_ANON_REGISTRY,
+                                                   CUSTOMER_COLS),
         "a01_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM({dec.format(c='l_quantity')}) AS DOUBLE) AS sum_qty,

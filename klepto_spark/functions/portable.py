@@ -22,8 +22,30 @@ HEX = "0123456789abcdef"
 
 
 def s(text: str) -> str:
-    """SQL single-quoted string literal."""
-    return "'" + text.replace("'", "''") + "'"
+    """Portable SQL string literal.
+
+    Quotes are doubled ('' — works in Spark's default lexer AND DuckDB).
+    Backslashes and control characters CANNOT be written identically in
+    both engines (Spark backslash-escapes inside '...', DuckDB is ANSI),
+    so they are spliced in via chr(n), which both evaluate the same way.
+    """
+    if "\\" not in text and not any(ord(c) < 32 for c in text):
+        return "'" + text.replace("'", "''") + "'"
+    parts: list[str] = []
+    plain = ""
+    for ch in text:
+        if ch == "\\" or ord(ch) < 32:
+            if plain:
+                parts.append("'" + plain.replace("'", "''") + "'")
+                plain = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            plain += ch
+    if plain:
+        parts.append("'" + plain.replace("'", "''") + "'")
+    if len(parts) == 1:
+        return parts[0]
+    return f"concat({', '.join(parts)})"
 
 
 def md5_of(*parts: str) -> str:

@@ -41,6 +41,15 @@ _DEFAULTS = {
     # vectorized reader rejects; read as long and rebuild in the loader
     # (sources/catalog.py normalises back to TimestampType).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # NOTE on string literals: Spark's default lexer backslash-escapes
+    # inside '...' while DuckDB follows ANSI (backslash is plain). Portable
+    # literal text therefore never embeds raw backslashes/control chars —
+    # klepto_spark.functions.portable.s() splices them via chr(n), which
+    # both engines evaluate identically (found by hypothesis in
+    # tests/test_portable_properties.py). Quote-doubling '' works in both.
+    # Managed-table warehouse (bucketed tables) on tmpfs like local.dir.
+    "spark.sql.warehouse.dir": os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR",
+                                              "/dev/shm/spark-warehouse"),
     # Interleave the orchestrator's concurrent per-table jobs (engine.py X1)
     # instead of FIFO head-of-line blocking.
     "spark.scheduler.mode": "FAIR",
