@@ -26,6 +26,7 @@ from klepto_spark.config import FilterSpec, Relationship, Spec, TableSpec
 from klepto_spark.functions.anonymise import anonymise_sql
 from klepto_spark.operators import dedup, similarity
 from klepto_spark.operators import text as T
+from klepto_spark.operators.asof import asof_join
 from klepto_spark.operators.pipeline import (
     build_table_df,
     build_table_sql,
@@ -254,6 +255,24 @@ def q_set_ops(spark, sf_dir):
     return building.intersect(with_orders).exceptAll(in_debt)
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time join (operators/asof.py): each event picks up the
+    user's latest order at-or-before the event time. Right side deduped
+    per (key, time) with max_by so tie-breaks are engine-independent;
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    load = _load(spark, sf_dir)
+    orders_d = (load("orders")
+                .groupBy(F.col("o_custkey").alias("user_id"),
+                         F.col("o_orderdate").cast("timestamp").alias("otime"))
+                .agg(F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+                     F.max("o_orderkey").alias("o_orderkey")))
+    ev = load("events").select("event_id", "user_id", "ts")
+    joined = asof_join(ev, orders_d, key="user_id", left_time="ts",
+                       right_time="otime",
+                       payload=["o_orderkey", "o_totalprice"])
+    return joined.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
 def q_events_rollup(spark, sf_dir):
     """Time-bucketed rollup on the events stream table (batch form of the
     streaming pipeline in klepto_spark/streaming)."""
@@ -383,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a05_events_rollup": q_events_rollup,
         "a06_region_rollup": q_region_rollup,
         "a07_set_ops": q_set_ops,
+        "a08_asof_join": q_asof_join,
         "d01_dedup_exact": q_dedup_exact,
         "d02_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "d03_dedup_simhash": q_dedup_simhash,
@@ -568,6 +588,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey AS c_custkey FROM orders
             EXCEPT ALL
             SELECT c_custkey FROM customer WHERE c_acctbal < 0""",
+        "a08_asof_join": """
+            WITH orders_d AS (
+              SELECT o_custkey AS user_id, o_orderdate AS otime,
+                     max_by(o_totalprice, o_orderkey) AS o_totalprice,
+                     max(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+            FROM events e
+            ASOF LEFT JOIN orders_d o
+              ON e.user_id = o.user_id AND o.otime <= e.ts""",
         "d01_dedup_exact": """
             SELECT md5(text) AS fp, min(doc_id) AS doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY 1""",

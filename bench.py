@@ -33,7 +33,9 @@ def main() -> None:
     # best-of-2 per query: the first pass pays per-plan codegen compile and
     # (in this VM) occasional noise spikes; the second run is the steady
     # state a long-running cluster job would see.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # best-of-3: host-level vCPU contention in this environment produces
+    # order-of-magnitude outliers (same plan: 4.1s vs 96.6s measured)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         best = float("inf")
