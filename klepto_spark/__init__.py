@@ -21,6 +21,20 @@ __version__ = "0.1.0"
 from klepto_spark.config import Spec, TableSpec, FilterSpec, Relationship, load_spec
 from klepto_spark.session import get_spark
 
+
+def steal(*args, **kwargs):
+    """See :func:`klepto_spark.engine.steal` (lazy import: keeps bare
+    ``import klepto_spark`` free of sink/engine imports)."""
+    from klepto_spark.engine import steal as _steal
+    return _steal(*args, **kwargs)
+
+
+def connect(*args, **kwargs):
+    """See :func:`klepto_spark.sources.catalog.connect`."""
+    from klepto_spark.sources.catalog import connect as _connect
+    return _connect(*args, **kwargs)
+
+
 __all__ = [
     "Spec",
     "TableSpec",
@@ -28,4 +42,6 @@ __all__ = [
     "Relationship",
     "load_spec",
     "get_spark",
+    "steal",
+    "connect",
 ]
