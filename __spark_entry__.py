@@ -307,6 +307,15 @@ def q_dedup_jaccard_verified(spark, sf_dir):
                                      threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """The full dedup decision: LSH pairs -> connected components ->
+    canonical doc per cluster (operators/components.py). Oracle is a
+    DuckDB recursive CTE computing the same transitive closure."""
+    from klepto_spark.operators.components import dedup_clusters
+    docs = _load(spark, sf_dir)("documents")
+    return dedup_clusters(docs, dedup.minhash_lsh_pairs(docs))
+
+
 def q_text_stats(spark, sf_dir):
     docs = dedup.fan_out(_load(spark, sf_dir)("documents"), "doc_id")
     return T.quality_features(docs)
@@ -407,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d02_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "d03_dedup_simhash": q_dedup_simhash,
         "d04_dedup_jaccard_verified": q_dedup_jaccard_verified,
+        "d05_dedup_clusters": q_dedup_clusters,
         "t01_text_stats": q_text_stats,
         "t02_lang_profile": q_lang_profile,
         "t03_doc_fingerprints": q_doc_fingerprints,
@@ -603,6 +613,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1""",
         "d02_dedup_minhash_lsh": _lsh_oracle(),
         "d04_dedup_jaccard_verified": _jaccard_oracle(),
+        "d05_dedup_clusters": f"""
+WITH RECURSIVE pairs AS ({_lsh_oracle()}),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS canonical,
+       least(d.doc_id, coalesce(min(r.dst), d.doc_id)) != d.doc_id AS is_duplicate
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id""",
         "t01_text_stats": _text_stats_oracle(),
         "t02_lang_profile": f"""
             SELECT {_lang_id_sql()} AS lang_pred, COUNT(*) AS n_docs

@@ -1,0 +1,36 @@
+"""Connected-components dedup clustering tests."""
+
+from klepto_spark.operators.components import connected_components, dedup_clusters
+
+
+def test_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter > 1), clique 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "a long, b long")
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_dedup_clusters_with_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "a long, b long")
+    got = {r.doc_id: (r.canonical, r.is_duplicate)
+           for r in dedup_clusters(docs, pairs).collect()}
+    assert got[0] == (0, False) and got[3] == (0, True) and got[5] == (0, True)
+    assert got[1] == (1, False) and got[2] == (2, False) and got[4] == (4, False)
+
+
+def test_end_to_end_lsh_to_clusters(spark):
+    from klepto_spark.operators.dedup import minhash_lsh_pairs
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, base[:-10] + "sleepy cat"), (3, base + " again"),
+         (4, "completely different text about spark shuffles and parquet")],
+        "doc_id long, text string")
+    clusters = dedup_clusters(docs, minhash_lsh_pairs(docs))
+    got = {r.doc_id: r.canonical for r in clusters.collect()}
+    # 1,2,3 are near-dups (transitively) -> one canonical; 4 stands alone
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 4
