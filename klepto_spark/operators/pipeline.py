@@ -44,15 +44,15 @@ def parquet_loader(spark: SparkSession, sf_dir: str) -> LoadFn:
     """Loader over the driver's testdata layout: <dir>/<table>.parquet.
 
     events.ts is stored as TIMESTAMP(NANOS), which Spark reads as a long
-    (see session.py nanosAsLong); normalise it back to a microsecond
+    (nanosAsLong, set at runtime so sessions we did not build — the
+    driver's — also read it); normalise it back to a microsecond
     TimestampType so downstream operators see a proper timestamp."""
+    from klepto_spark.session import ensure_nanos_conf, normalise_nanos_ts
+
     def load(name: str) -> DataFrame:
+        ensure_nanos_conf(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        for field in df.schema.fields:
-            if field.name == "ts" and field.dataType.simpleString() == "bigint":
-                df = df.withColumn(
-                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-        return df
+        return normalise_nanos_ts(df)
     return load
 
 

@@ -58,6 +58,31 @@ _DEFAULTS = {
 }
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Make nanosecond-timestamp parquet readable in ANY session.
+
+    The driver (and any embedding application) constructs its own
+    SparkSession without our builder defaults, so the loaders set this
+    runtime-settable conf immediately before reading. Without it, Spark
+    rejects INT64 TIMESTAMP(NANOS) parquet columns outright
+    (PARQUET_TYPE_ILLEGAL)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def normalise_nanos_ts(df, column: str = "ts"):
+    """Rebuild a nanos-as-long column into a microsecond TimestampType.
+
+    Integer division (`div`) keeps the arithmetic in BIGINT — float
+    division loses precision above 2^53, which rounds ~2024-era nano
+    epochs and lands the truncating cast 1µs low on ~2% of rows."""
+    from pyspark.sql import functions as F
+    for field in df.schema.fields:
+        if field.name == column and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                column, F.timestamp_micros(F.expr(f"`{column}` div 1000")))
+    return df
+
+
 def get_spark(app_name: str = "klepto_spark", master: str | None = None,
               extra_conf: dict | None = None) -> SparkSession:
     """Build (or fetch) the session. ``master`` defaults to local[$SPARK_GRAFT_CPUS]."""

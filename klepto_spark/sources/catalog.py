@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from klepto_spark.sources.dsn import DSN, DSNError, file_path, jdbc_url, route
 
@@ -40,16 +40,14 @@ class FileCatalog:
         return self._columns_cache[table]
 
     def load(self, table: str) -> DataFrame:
+        from klepto_spark.session import ensure_nanos_conf, normalise_nanos_ts
+        ensure_nanos_conf(self.spark)
         reader = self.spark.read.format(self.fmt)
         if self.fmt == "csv":
             reader = reader.option("header", "true").option("inferSchema", "true")
         df = reader.load(str(self.directory / f"{table}.{self.fmt}"))
         # normalise nanosecond timestamps read as long (see session.py)
-        for field in df.schema.fields:
-            if field.name == "ts" and field.dataType.simpleString() == "bigint":
-                df = df.withColumn(
-                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-        return df
+        return normalise_nanos_ts(df)
 
     def structure(self) -> str:
         """Whole-catalog DDL text (reference GetStructure)."""

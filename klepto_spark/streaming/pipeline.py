@@ -21,15 +21,13 @@ from klepto_spark.functions.anonymise import anonymise_sql
 def read_events_stream(spark: SparkSession, directory: str,
                        schema=None) -> DataFrame:
     """File-source stream over a directory of parquet event files."""
+    from klepto_spark.session import ensure_nanos_conf, normalise_nanos_ts
+    ensure_nanos_conf(spark)
     if schema is None:
         static = spark.read.parquet(directory)
         schema = static.schema
     df = spark.readStream.schema(schema).parquet(directory)
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return df
+    return normalise_nanos_ts(df)
 
 
 def anonymise_stream(df: DataFrame, anonymise: dict[str, str],
