@@ -363,11 +363,19 @@ def q_ann_cosine(spark, sf_dir):
             .filter(F.col("score") >= 0.25))
 
 
+# ANN LSH-pair parameters: 0.4 sits in a gap of the bucketed-candidate
+# cosine distribution (nearest values 0.397/0.403 at sf0.01, 0.3996/0.4004
+# at sf0.1), so round-6 float noise cannot flip membership; bits=4 keeps
+# the driver data's near pairs co-bucketed while pruning ~94% of pairs.
+ANN_LSH = dict(threshold=0.4, bits=4, dim=64)
+
+
 def q_ann_pairs_lsh(spark, sf_dir):
-    """LSH-bucketed near-dup vectors (rows-only check: hyperplane signatures
-    are engine-internal)."""
+    """LSH-bucketed near-dup vectors. Hyperplanes are deterministic plan-
+    time constants, so the DuckDB oracle replays the exact signature
+    arithmetic (similarity.similar_pairs_sql)."""
     emb = _load(spark, sf_dir)("embeddings")
-    return similarity.cosine_similar_pairs(emb, threshold=0.9, bits=8)
+    return similarity.cosine_similar_pairs(emb, **ANN_LSH)
 
 
 def q_media_features(spark, sf_dir):
@@ -641,7 +649,8 @@ GROUP BY d.doc_id""",
               FROM documents)
             GROUP BY sh HAVING COUNT(*) >= 200""",
         "s01_ann_cosine": _ann_oracle(),
-        # d03_dedup_simhash, s02_ann_pairs_lsh, m01_media_features: no SQL
-        # oracle (engine-internal hash primitives / pandas UDF stub) ->
+        "s02_ann_pairs_lsh": similarity.similar_pairs_sql(**ANN_LSH),
+        # d03_dedup_simhash, m01_media_features: no SQL oracle
+        # (engine-internal hash primitive / pandas UDF stub) ->
         # rows-only check, by design.
     }

