@@ -10,7 +10,7 @@ embedding similarity search.
 
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every query where the
 semantics are SQL-expressible (all but SimHash, whose xxhash64 primitive
-DuckDB lacks, and the multimodal stub). Anonymisation queries share their
+DuckDB lacks). Anonymisation queries share their
 expression text between both engines via the portable-SQL design
 (klepto_spark/functions/portable.py), so value-hashes match exactly.
 """
@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from klepto_spark.config import FilterSpec, Relationship, Spec, TableSpec
 from klepto_spark.functions.anonymise import anonymise_sql
-from klepto_spark.operators import dedup, similarity
+from klepto_spark.operators import dedup, multimodal, similarity
 from klepto_spark.operators import text as T
 from klepto_spark.operators.asof import asof_join
 from klepto_spark.operators.pipeline import (
@@ -379,8 +379,9 @@ def q_ann_pairs_lsh(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: binary payload -> mapInPandas feature extraction
-    (stub decode; rows-only check)."""
+    """Multimodal plumbing: binary payload -> mapInPandas feature extraction.
+    The stub features are pure byte math, so the DuckDB oracle recomputes
+    them from encode(text) (multimodal.media_features_sql)."""
     from klepto_spark.operators import multimodal as M
     docs = _load(spark, sf_dir)("documents")
     media = M.attach_media(docs.withColumn("payload",
@@ -650,7 +651,7 @@ GROUP BY d.doc_id""",
             GROUP BY sh HAVING COUNT(*) >= 200""",
         "s01_ann_cosine": _ann_oracle(),
         "s02_ann_pairs_lsh": similarity.similar_pairs_sql(**ANN_LSH),
-        # d03_dedup_simhash, m01_media_features: no SQL oracle
-        # (engine-internal hash primitive / pandas UDF stub) ->
-        # rows-only check, by design.
+        "m01_media_features": multimodal.media_features_sql(),
+        # d03_dedup_simhash: no SQL oracle (DuckDB lacks xxhash64) ->
+        # rows-only check plus a hamming-locality pytest, by design.
     }

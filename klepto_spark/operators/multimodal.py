@@ -65,7 +65,7 @@ def _decode_image_stub(payload: bytes) -> dict:
         raise ValueError("no payload")
     return {
         "n_bytes": len(payload),
-        "feat_mean": int(sum(payload) / len(payload)) if payload else 0,
+        "feat_mean": sum(payload) // len(payload) if payload else 0,
         "feat_head": payload[:4].hex(),
     }
 
@@ -74,24 +74,41 @@ def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     """Decode/feature-extract via Arrow-batched ``mapInPandas``.
 
     The pattern to copy for real decoders: iterate pandas batches, keep
-    per-batch vectorised work in numpy/pandas, never collect to the driver.
-    Rows with NULL payloads yield NULL features (permissive mode)."""
+    per-batch work vectorised in numpy over ONE concatenated buffer (no
+    per-row Python loop), never collect to the driver. Rows with NULL
+    payloads yield NULL features (permissive mode)."""
+    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": pdf["media_id"], "n_bytes": [], "feat_mean": [],
-                   "feat_head": []}
-            for payload in pdf["payload"]:
-                if payload is None:
-                    out["n_bytes"].append(None)
-                    out["feat_mean"].append(None)
-                    out["feat_head"].append(None)
+            payloads = [None if p is None else bytes(p)
+                        for p in pdf["payload"]]
+            valid = [p for p in payloads if p is not None]
+            # Variable-length byte stats, vectorised: concatenate the batch
+            # into one uint8 buffer, then slice sums via prefix-sum — exact,
+            # O(bytes), and robust to zero-length payloads.
+            lens = np.fromiter((len(p) for p in valid), dtype=np.int64,
+                               count=len(valid))
+            buf = np.frombuffer(b"".join(valid), dtype=np.uint8)
+            csum = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            sums = csum[ends] - csum[starts]
+            means = sums // np.maximum(lens, 1)  # len 0 -> sum 0 -> mean 0
+            it = iter(range(len(valid)))
+            rows = {"media_id": pdf["media_id"], "n_bytes": [],
+                    "feat_mean": [], "feat_head": []}
+            for p in payloads:
+                if p is None:
+                    rows["n_bytes"].append(None)
+                    rows["feat_mean"].append(None)
+                    rows["feat_head"].append(None)
                 else:
-                    f = _decode_image_stub(bytes(payload))
-                    out["n_bytes"].append(f["n_bytes"])
-                    out["feat_mean"].append(f["feat_mean"])
-                    out["feat_head"].append(f["feat_head"])
-            yield pd.DataFrame(out)
+                    i = next(it)
+                    rows["n_bytes"].append(int(lens[i]))
+                    rows["feat_mean"].append(int(means[i]))
+                    rows["feat_head"].append(p[:4].hex())
+            yield pd.DataFrame(rows)
 
     from klepto_spark.operators.dedup import fan_out
     # Fan out so decode parallelises across Python workers, but cap the
@@ -101,6 +118,27 @@ def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     n_part = max(4, min(8, df.sparkSession.sparkContext.defaultParallelism))
     return fan_out(df, "media_id", target=n_part).mapInPandas(
         run, schema=FEATURE_SCHEMA)
+
+
+def media_features_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """ANSI/DuckDB oracle for :func:`extract_features` over a utf-8 text
+    payload (the driver fixture): the stub features are pure byte math, so
+    the oracle recomputes them from ``encode(text)`` — byte count, floored
+    mean byte via hex-pair arithmetic, head-4 hex. Keeps the mapInPandas
+    plumbing value-checked until a real decoder replaces the stub."""
+    nibble = "strpos('0123456789abcdef', substr(hx, 2*i + {o}, 1)) - 1"
+    byte = f"({nibble.format(o=1)}) * 16 + {nibble.format(o=2)}"
+    return f"""
+WITH b AS (SELECT CAST({id_col} AS BIGINT) AS media_id,
+                  encode({text_col}) AS p FROM {table}),
+h AS (SELECT media_id, octet_length(p) AS n, lower(hex(p)) AS hx FROM b)
+SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN n = 0 THEN 0 ELSE
+    coalesce(list_sum(list_transform(range(0, n), i -> {byte})), 0) // n
+  END AS BIGINT) AS feat_mean,
+  substr(hx, 1, 8) AS feat_head
+FROM h"""
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
