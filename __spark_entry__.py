@@ -440,7 +440,8 @@ def _pipeline_oracle(spec: TableSpec, columns: list[str]) -> str:
     return build_table_sql(spec, columns=columns, seed=SEED)
 
 
-def _lsh_oracle(k: int = 5, num_hashes: int = 16, bands: int = 4) -> str:
+def _lsh_oracle(k: int = 5, num_hashes: int = 16, bands: int = 4,
+                max_bucket: int = 64) -> str:
     rows = num_hashes // bands
     return f"""
 WITH sh AS (
@@ -455,9 +456,13 @@ bands AS (
   SELECT doc_id, unnest([concat(CAST(b AS VARCHAR), '|',
          array_to_string(sig[b*{rows}+1 : b*{rows}+{rows}], '|'))
          FOR b IN range({bands})]) AS band
-  FROM sig)
+  FROM sig),
+bst AS (SELECT band, count(DISTINCT doc_id) AS n, min(doc_id) AS mn
+        FROM bands GROUP BY band)
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM bands l JOIN bands r ON l.band = r.band AND l.doc_id < r.doc_id
+JOIN bst s ON s.band = l.band
+WHERE s.n <= {max_bucket} OR l.doc_id = s.mn
 """
 
 

@@ -24,9 +24,14 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def connected_components(pairs: DataFrame, *, a: str = "a", b: str = "b",
-                         max_iter: int = 10) -> DataFrame:
+                         max_iter: int | None = None) -> DataFrame:
     """(node, component) for every node in ``pairs``; the component id is
-    the minimum node id reachable via pair edges."""
+    the minimum node id reachable via pair edges.
+
+    Iterates to the fixed point by default — label propagation needs
+    O(diameter) rounds, and a silently-unconverged result is WRONG labels.
+    Pass ``max_iter`` to bound the rounds; exhausting it raises rather
+    than returning partial labels."""
     edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
              .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
              .distinct()
@@ -34,7 +39,9 @@ def connected_components(pairs: DataFrame, *, a: str = "a", b: str = "b",
     labels = (edges.select(F.col("src").alias("node"))
               .distinct()
               .withColumn("comp", F.col("node")))
-    for _ in range(max_iter):
+    rounds = 0
+    while True:
+        rounds += 1
         neighbour_min = (edges
                          .join(labels, edges.dst == labels.node)
                          .groupBy("src")
@@ -52,6 +59,13 @@ def connected_components(pairs: DataFrame, *, a: str = "a", b: str = "b",
         labels = updated.drop("_changed")
         if changed == 0:
             break
+        if max_iter is not None and rounds >= max_iter:
+            edges.unpersist()
+            raise RuntimeError(
+                f"connected_components: not converged after {max_iter} "
+                "rounds (component diameter exceeds max_iter); labels "
+                "would be wrong — raise max_iter or use the default "
+                "fixed-point mode")
     edges.unpersist()
     return labels
 

@@ -93,16 +93,50 @@ def minhash_signature_df(df: DataFrame, text_col: str = "text",
     return exploded.groupBy(key_col).agg(*aggs)
 
 
+def capped_bucket_pairs(buckets: DataFrame, max_bucket: int,
+                        dedup: bool = True) -> DataFrame:
+    """Expand sorted-id buckets to (a, b) candidate pairs with a skew cap.
+
+    Buckets of <= ``max_bucket`` members expand all-pairs (best recall for
+    downstream verification). Larger buckets — giant true-duplicate classes,
+    the one pathological LSH input — expand as a STAR from the smallest id
+    instead: O(m) edges, not O(m^2), so a 100k-member class emits 10^5 pairs
+    in one task rather than 10^10. Every member stays connected to the
+    representative, so connected-components clustering recovers the full
+    class by transitivity; only the redundant intra-class edges are elided.
+    ``buckets`` must have an array column ``ids`` (sorted, distinct).
+    ``dedup=False`` skips the final distinct when buckets are known
+    disjoint (e.g. full-signature buckets) — saves a shuffle."""
+    n = F.size("ids")
+    all_pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.slice("ids", i + 1, n - i),
+            lambda other: F.struct(
+                F.element_at("ids", i).alias("a"), other.alias("b")))))
+    star = F.transform(
+        F.slice("ids", 2, n - 1),
+        lambda other: F.struct(F.element_at("ids", 1).alias("a"),
+                               other.alias("b")))
+    pair_structs = F.when(n <= max_bucket, all_pairs).otherwise(star)
+    out = (buckets.select(F.explode(pair_structs).alias("p"))
+           .select("p.a", "p.b"))
+    return out.distinct() if dedup else out
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       key_col: str = "doc_id", k: int = 5,
-                      num_hashes: int = 16, bands: int = 4) -> DataFrame:
+                      num_hashes: int = 16, bands: int = 4,
+                      max_bucket: int = 64) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
     rows = num_hashes // bands minhashes concatenate into one band key;
     docs sharing any band key become a candidate pair. The expensive part
     is a self-join on band buckets — a key-partitioned shuffle that scales
     linearly with data (plus bucket-skew, which AQE's skew-join handles).
-    Verify candidates with :func:`ngram_jaccard_pairs` before acting.
+    Pathological buckets fall back to star expansion (see
+    :func:`capped_bucket_pairs`). Verify candidates with
+    :func:`ngram_jaccard_pairs` before acting.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
@@ -114,22 +148,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     ]
     exploded = sig.select(key_col, F.explode(F.array(*band_cols)).alias("band"))
     # Bucket-local pair generation instead of a bucket self-join: one
-    # groupBy shuffle, no signature recompute, and the m^2 expansion stays
-    # inside each (small) LSH bucket. At 100 TB, cap pathological buckets
-    # (giant true-dup groups) before expansion with max_bucket.
+    # groupBy shuffle, no signature recompute, and the expansion stays
+    # inside each bucket, capped against giant true-dup classes. (The
+    # collect_set id array itself is O(m) per bucket — fine up to millions
+    # of members; beyond that, pre-split buckets by salting the band key.)
     buckets = (exploded.groupBy("band")
                .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
                .filter(F.size("ids") > 1))
-    n = F.size("ids")
-    pair_structs = F.flatten(F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.transform(
-            F.slice("ids", i + 1, n - i),
-            lambda other: F.struct(
-                F.element_at("ids", i).alias("a"), other.alias("b")))))
-    return (buckets.select(F.explode(pair_structs).alias("p"))
-            .select("p.a", "p.b")
-            .distinct())
+    return capped_bucket_pairs(buckets, max_bucket)
 
 
 def simhash_df(df: DataFrame, text_col: str = "text",

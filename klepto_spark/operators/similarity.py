@@ -92,18 +92,19 @@ def brute_force_topk(df: DataFrame, query: list[float],
 
 def cosine_similar_pairs(df: DataFrame, threshold: float,
                          vec_col: str = "embedding", key_col: str = "vec_id",
-                         bits: int = 16, dim: int | None = None) -> DataFrame:
+                         bits: int = 16, dim: int | None = None,
+                         max_bucket: int = 64) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket then verify.
 
     Random-hyperplane signatures bucket the vectors; candidate pairs expand
     bucket-locally (one groupBy shuffle, no self-join, signatures computed
-    once), then the small candidate list broadcast-joins the vectors back
-    for exact cosine verification — same scale shape as
-    dedup.minhash_lsh_pairs.
+    once, giant buckets star-capped — see dedup.capped_bucket_pairs), then
+    the small candidate list broadcast-joins the vectors back for exact
+    cosine verification — same scale shape as dedup.minhash_lsh_pairs.
 
     Pass ``dim`` explicitly when known — it is a plan-time constant, and
     the fallback probe costs one extra (1-row) job."""
-    from klepto_spark.operators.dedup import fan_out
+    from klepto_spark.operators.dedup import capped_bucket_pairs, fan_out
     spread = fan_out(df, key_col)
     if dim is None:
         dim = len(df.select(vec_col).first()[0])  # plan-time probe (1 row)
@@ -112,15 +113,9 @@ def cosine_similar_pairs(df: DataFrame, threshold: float,
     buckets = (with_sig.groupBy("sig")
                .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
                .filter(F.size("ids") > 1))
-    n = F.size("ids")
-    pair_structs = F.flatten(F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.transform(
-            F.slice("ids", i + 1, n - i),
-            lambda other: F.struct(
-                F.element_at("ids", i).alias("a"), other.alias("b")))))
-    cand = (buckets.select(F.explode(pair_structs).alias("p"))
-            .select("p.a", "p.b"))
+    # Full-signature buckets are disjoint -> pairs already unique, skip
+    # the distinct shuffle.
+    cand = capped_bucket_pairs(buckets, max_bucket, dedup=False)
     vecs = spread.select(F.col(key_col), F.col(vec_col).cast("array<double>")
                          .alias("v"))
     joined = (cand
@@ -179,19 +174,23 @@ def rh_signature_sql(vec_expr: str, bits: int, dim: int) -> str:
 
 def similar_pairs_sql(threshold: float, bits: int, dim: int,
                       table: str = "embeddings", vec_col: str = "embedding",
-                      key_col: str = "vec_id") -> str:
+                      key_col: str = "vec_id", max_bucket: int = 64) -> str:
     """DuckDB oracle for :func:`cosine_similar_pairs`: same buckets (exact
-    signature arithmetic), same a<b pair expansion, same round-6 cosine
-    filter. Choose ``threshold`` in a gap of the candidate cosine
-    distribution so the float round cannot flip membership."""
+    signature arithmetic), same a<b pair expansion with the same star cap
+    on oversize buckets, same round-6 cosine filter. Choose ``threshold``
+    in a gap of the candidate cosine distribution so the float round cannot
+    flip membership."""
     sig = rh_signature_sql("v", bits, dim)
     return f"""
 WITH e AS (SELECT {key_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
-sig AS (SELECT {key_col}, v, {sig} AS sig FROM e)
+sig AS (SELECT {key_col}, v, {sig} AS sig FROM e),
+st AS (SELECT sig, count(*) AS n, min({key_col}) AS mn FROM sig GROUP BY sig)
 SELECT l.{key_col} AS a, r.{key_col} AS b,
        round(list_cosine_similarity(l.v, r.v), 6) AS cosine
 FROM sig l JOIN sig r ON l.sig = r.sig AND l.{key_col} < r.{key_col}
-WHERE round(list_cosine_similarity(l.v, r.v), 6) >= {threshold}
+JOIN st s ON s.sig = l.sig
+WHERE (s.n <= {max_bucket} OR l.{key_col} = s.mn)
+  AND round(list_cosine_similarity(l.v, r.v), 6) >= {threshold}
 """
 
 

@@ -41,6 +41,48 @@ def test_jaccard_scores_bounded_and_ordered(spark):
     assert 0.0 < got[(1, 3)] < 1.0
 
 
+def test_capped_bucket_pairs_bounds_giant_class(spark):
+    """The 100 TB failure mode: a giant true-duplicate class lands in one
+    LSH bucket. The cap must turn the m^2 expansion into m-1 star edges
+    while clustering still recovers the full class transitively."""
+    from klepto_spark.operators.components import dedup_clusters
+    text = "identical duplicate content for the pathological bucket " * 3
+    rows = [(i, text) for i in range(1000)] + [
+        (5000, "qx zv jk wm unrelated singleton content pf bd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, max_bucket=64)
+    got = pairs.collect()
+    assert len(got) == 999          # star edges, not 1000*999/2 pairs
+    assert {r.a for r in got} == {0}  # all from the min-id representative
+    clusters = dedup_clusters(df, pairs).collect()
+    canon = {r.doc_id: r.canonical for r in clusters}
+    assert all(canon[i] == 0 for i in range(1000))
+    assert canon[5000] == 5000
+
+
+def test_capped_bucket_pairs_all_pairs_below_cap(spark):
+    """Buckets at or under the cap keep full all-pairs expansion."""
+    buckets = spark.createDataFrame([([1, 2, 3],)], "ids array<long>")
+    got = {(r.a, r.b) for r in
+           dedup.capped_bucket_pairs(buckets, max_bucket=3).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    star = {(r.a, r.b) for r in
+            dedup.capped_bucket_pairs(buckets, max_bucket=2).collect()}
+    assert star == {(1, 2), (1, 3)}
+
+
+def test_connected_components_convergence_guard(spark):
+    """A bounded max_iter must raise on non-convergence, never return
+    partial (wrong) labels; the default iterates to the fixed point."""
+    from klepto_spark.operators.components import connected_components
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long")  # diameter 12
+    labels = {r.node: r.comp for r in connected_components(path).collect()}
+    assert set(labels.values()) == {0}
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(path, max_iter=2)
+
+
 def test_simhash_locality(spark):
     """Near-identical docs get close fingerprints (small hamming distance);
     unrelated docs don't collide."""
