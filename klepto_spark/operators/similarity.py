@@ -212,15 +212,53 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     return df.select(F.col(key_col), best_id.alias("cluster"))
 
 
+def _nearest_clusters(query: list[float], centroids: list[list[float]],
+                      n_probe: int) -> list[int]:
+    def dist(c1, c2):
+        return sum((x - y) ** 2 for x, y in zip(c1, c2))
+    return sorted(range(len(centroids)),
+                  key=lambda i: dist(centroids[i], query))[:n_probe]
+
+
 def ivf_topk(df: DataFrame, query: list[float], centroids: list[list[float]],
              n_probe: int = 2, vec_col: str = "embedding",
              key_col: str = "vec_id", k: int = 10) -> DataFrame:
-    """IVF ANN: score only vectors in the n_probe nearest clusters."""
-    def dist(c1, c2):
-        return sum((x - y) ** 2 for x, y in zip(c1, c2))
-    probed = sorted(range(len(centroids)),
-                    key=lambda i: dist(centroids[i], query))[:n_probe]
+    """IVF ANN over an in-flight DataFrame: score only vectors in the
+    n_probe nearest clusters. This form still SCANS everything (the
+    assignment must be computed); for repeated queries build the at-rest
+    index with :func:`ivf_write_index` so the scan itself prunes."""
+    probed = _nearest_clusters(query, centroids, n_probe)
     assigned = ivf_assign(df, centroids, vec_col, key_col)
     subset = (df.join(assigned.filter(F.col("cluster").isin(probed)),
                       key_col, "left_semi"))
     return brute_force_topk(subset, query, vec_col, key_col, k)
+
+
+def ivf_write_index(df: DataFrame, centroids: list[list[float]], path: str,
+                    vec_col: str = "embedding", key_col: str = "vec_id",
+                    mode: str = "overwrite") -> None:
+    """Materialise the IVF index at rest: vectors hive-partitioned by
+    cluster id, so probes read ONLY the probed clusters' files (partition
+    pruning at the scan — the 100 TB path: n_probe/n_clusters of the data
+    ever leaves storage).
+
+    The pre-write repartition on cluster gives each output directory one
+    writer task (no small-files explosion from every task writing every
+    cluster); AQE coalescing keeps tiny clusters from over-splitting."""
+    assigned = ivf_assign(df, centroids, vec_col, key_col)
+    (df.join(assigned, key_col)
+       .repartition(F.col("cluster"))
+       .write.mode(mode).partitionBy("cluster").parquet(path))
+
+
+def ivf_probe_index(spark, path: str, query: list[float],
+                    centroids: list[list[float]], n_probe: int = 2,
+                    vec_col: str = "embedding", key_col: str = "vec_id",
+                    k: int = 10) -> DataFrame:
+    """Query an at-rest IVF index: the cluster filter is a partition
+    predicate, so the parquet scan's PartitionFilters prunes unprobed
+    clusters before any IO (plan-asserted in tests/test_plans.py)."""
+    probed = _nearest_clusters(query, centroids, n_probe)
+    scan = (spark.read.parquet(path)
+            .filter(F.col("cluster").isin(probed)))
+    return brute_force_topk(scan, query, vec_col, key_col, k)

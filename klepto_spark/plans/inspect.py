@@ -50,6 +50,15 @@ def scan_columns(df: DataFrame) -> list[set[str]]:
     return cols
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Partition predicates applied at the scan (hive-partition pruning) —
+    files of non-matching partitions are never opened."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", formatted_plan(df)):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in executed_plan(df)
 

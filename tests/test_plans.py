@@ -74,3 +74,35 @@ def test_plan_report_shape(spark, sf_dir):
     rep = I.plan_report(entry.q_restrict_semi(spark, sf_dir))
     assert rep["broadcast_join"] is True
     assert isinstance(rep["shuffles"], int)
+
+
+def test_ivf_index_scan_prunes_partitions(spark, sf_dir, tmp_path):
+    """The at-rest IVF path: probing must prune unprobed clusters AT THE
+    SCAN (PartitionFilters + no unprobed files opened), and agree with the
+    scan-everything in-flight form."""
+    from klepto_spark.operators import similarity as S
+    emb = parquet_loader(spark, sf_dir)("embeddings")
+    dim = 64
+    centroids = [[1.0 if j % 4 == c else 0.0 for j in range(dim)]
+                 for c in range(4)]
+    path = str(tmp_path / "ivf_index")
+    S.ivf_write_index(emb, centroids, path)
+    query = centroids[0]
+    df = S.ivf_probe_index(spark, path, query, centroids, n_probe=2, k=5)
+    # pruning is visible in the plan...
+    pf = " ".join(I.partition_filters(df))
+    assert "cluster" in pf
+    # ...and in the files actually read (inputFiles() is relation-level
+    # and ignores pruning; input_file_name() reflects it)
+    probed = S._nearest_clusters(query, centroids, 2)
+    scan = spark.read.parquet(path).filter(F.col("cluster").isin(probed))
+    opened = [r[0] for r in
+              scan.select(F.input_file_name()).distinct().collect()]
+    assert opened and all(
+        any(f"cluster={c}/" in f for c in probed) for f in opened)
+    # same answer as the in-flight (full-scan) form
+    at_rest = {(r.vec_id, r.score) for r in df.collect()}
+    in_flight = {(r.vec_id, r.score)
+                 for r in S.ivf_topk(emb, query, centroids,
+                                     n_probe=2, k=5).collect()}
+    assert at_rest == in_flight
