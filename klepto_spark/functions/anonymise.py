@@ -476,6 +476,11 @@ def validate_spec(spec: str, context: str = "") -> None:
                          + (f" for {context}" if context else ""))
 
 
+import re as _re
+
+_IDENT_RE = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def anonymise_sql(spec: str, column: str, table: str = "",
                   seed: str = DEFAULT_SEED) -> str:
     """Compile an anonymiser spec to a portable SQL expression over ``column``.
@@ -484,12 +489,32 @@ def anonymise_sql(spec: str, column: str, table: str = "",
     Deterministic: output = f(seed, table.column, source value); NULL source
     values anonymise too (the reference replaces unconditionally,
     anonymiser.go:77-108).
-    """
+
+    ``column`` must be a plain identifier: the expression text is shared
+    verbatim between engines whose identifier-quoting characters are
+    incompatible (backtick vs double-quote), so quoting cannot be portable —
+    exotic names fail HERE, at plan time, not silently inside an engine.
+
+    Determinism-key portability bound: the key is ``cast(col as string)``.
+    For FLOAT/DOUBLE source columns the two engines render shortest-digit
+    strings with different scientific-notation cutoffs, so cross-engine
+    value parity (the DuckDB oracle) holds for |x| < 1e7; Spark-side
+    determinism is unaffected at any magnitude. (No portable exact
+    rendering exists: decimal casts go through float scaling in DuckDB,
+    and printf('%f') pads shortest digits in Java but prints the exact
+    binary expansion in fmt — both measured diverging.) Anonymise
+    integer/decimal/string keys, or pre-round floats, where the oracle
+    must stay exact above that bound."""
     if spec.startswith(LITERAL_PREFIX):
         return s(spec[len(LITERAL_PREFIX):])
     name, args = parse_spec(spec)
     if name not in _REGISTRY:
         raise ValueError(f"unknown anonymiser {name!r}")
+    if not _IDENT_RE.match(column):
+        raise ValueError(
+            f"anonymise column {column!r} is not a plain identifier; "
+            "portable SQL cannot quote it identically in both engines — "
+            "rename/alias the column before anonymising")
     context = f"{table}.{column}" if table else column
     key_sql = f"coalesce(cast({column} as string), '<NULL>')"
     ctx = _Ctx(key_sql, context, seed)

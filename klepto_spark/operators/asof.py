@@ -43,21 +43,29 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
         raise ValueError(f"unknown direction {direction!r}")
     if payload is None:
         payload = [c for c in right.columns if c not in (key, right_time)]
+    if not payload:
+        return left
+
+    from pyspark.sql.types import StructType
+    rfields = {f.name: f for f in right.schema.fields}
+    ptype = StructType([rfields[c] for c in payload])
 
     lcols = left.columns
     # side marker orders equal timestamps: right (0) visible to left (1)
-    # for backward; reversed for forward.
+    # for backward; reversed for forward. Payload columns travel as ONE
+    # struct so the window picks a whole right ROW — per-column
+    # last(ignorenulls) would mix columns from different right rows when
+    # the true as-of row has NULLs (diverging from ASOF-join semantics).
     l_marked = left.select(
         F.col(key).alias("_k"), F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_p_{c}")
-          for c in payload])
+        F.lit(None).cast(ptype).alias("_p"))
     r_marked = right.select(
         F.col(key).alias("_k"), F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
-        *[F.col(c).alias(f"_p_{c}") for c in payload])
+        F.struct(*[F.col(c) for c in payload]).alias("_p"))
 
     unioned = l_marked.unionByName(r_marked)
     order = [F.asc("_t"), F.asc("_side")] if direction == "backward" \
@@ -69,9 +77,10 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
         # right payload colliding with a left column gets an r_ prefix
         return c if c not in lcols else f"r_{c}"
 
-    picked = [F.last(f"_p_{c}", ignorenulls=True).over(w).alias(out_name(c))
-              for c in payload]
     return (unioned
-            .select("_side", *lcols, *picked)
+            .select("_side", *lcols,
+                    F.last("_p", ignorenulls=True).over(w).alias("_pp"))
             .filter(F.col("_side") == 1)
-            .drop("_side"))
+            .select(*lcols,
+                    *[F.col("_pp").getField(c).alias(out_name(c))
+                      for c in payload]))

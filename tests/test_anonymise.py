@@ -54,6 +54,17 @@ def test_literal():
     assert anonymise_sql("literal:it's", "c") == "'it''s'"
 
 
+def test_non_identifier_column_raises_at_plan_time():
+    # portable SQL cannot quote identifiers identically in both engines;
+    # exotic names must fail loudly, not splice broken SQL
+    with pytest.raises(ValueError, match="not a plain identifier"):
+        anonymise_sql("FirstName", "weird name")
+    with pytest.raises(ValueError, match="not a plain identifier"):
+        anonymise_sql("FirstName", "a;drop")
+    # literals never reference the source column, any target name is fine
+    assert anonymise_sql("literal:x", "weird name") == "'x'"
+
+
 def test_missing_args_fall_back_to_zero_values():
     # reference parseArgs pads with zero values (anonymiser.go:138-164)
     assert anonymise_sql("DigitsN", "c") == "''"

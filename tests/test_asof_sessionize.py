@@ -57,6 +57,22 @@ def test_asof_collision_rename(spark):
     assert row.tag == "L" and row.r_tag == "R"
 
 
+def test_asof_null_payload_comes_from_matching_row(spark):
+    """Whole-row semantics: when the true as-of right row carries a NULL in
+    one payload column, that NULL must surface — not a stale value filled
+    from an older right row (per-column last(ignorenulls) did that)."""
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 100.0, "old"),
+         (1, _ts("2024-01-01 10:02:00"), None, "new")],
+        "k long, rt timestamp, px double, tag string")
+    left = spark.createDataFrame(
+        [(7, 1, _ts("2024-01-01 10:03:00"))], "tid long, k long, t timestamp")
+    row = asof_join(left, right, key="k", left_time="t",
+                    right_time="rt", payload=["px", "tag"]).first()
+    assert row.tag == "new"
+    assert row.px is None  # from the matching row, not 100.0 from the older
+
+
 def test_asof_single_shuffle(spark, quotes_trades):
     from klepto_spark.plans import inspect as I
     quotes, trades = quotes_trades
