@@ -9,9 +9,11 @@ pkg/dumper/engine/engine.go:50-144 and cmd/steal.go:86-135):
   Spark-side each submission is an independent job, so the FAIR scheduler
   interleaves them across executors
 - IgnoreData tables: DDL only (X2 — engine.go:99-102)
-- strict/permissive error modes (X5): the reference logs table failures
-  and continues (engine.go:116-118); we default to strict (fail the run)
-  with permissive opt-in, surfacing the semantic difference (SURVEY §4.3.8)
+- strict/permissive error modes (X5), at BOTH granularities: table-level
+  (the reference logs table failures and continues — engine.go:116-118; we
+  default strict with permissive opt-in, SURVEY §4.3.8) and row-level via
+  the source's row_mode (the reference skips unscannable rows —
+  engine.go:202-205; FileCatalog skips+counts them, TableResult.skipped_rows)
 - run report with per-table rows + wall clock (cmd/steal.go:126-132)
 """
 
@@ -36,6 +38,7 @@ class TableResult:
     seconds: float = 0.0
     skipped: bool = False
     error: str | None = None
+    skipped_rows: int = 0  # rows dropped by a row-permissive source read
 
 
 @dataclass
@@ -90,6 +93,11 @@ def steal(spec: Spec, source, sink_dsn: str, *, concurrency: int | None = None,
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             write_table(df, sink_dsn, table_name, mode=mode)
             res.rows = obs.get["rows"]
+            # row-level permissive metric (X5 row granularity — reference
+            # skips unscannable rows and keeps going, engine.go:202-205)
+            counter = getattr(source, "corrupt_count", None)
+            if counter is not None:
+                res.skipped_rows = counter(table_name)
         except Exception as exc:  # noqa: BLE001 — X5 permissive mode
             res.error = str(exc)
             log.error("table %s failed: %s", table_name, exc)

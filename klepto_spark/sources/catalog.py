@@ -22,14 +22,51 @@ from pyspark.sql import DataFrame, SparkSession
 from klepto_spark.sources.dsn import DSN, DSNError, file_path, jdbc_url, route
 
 
-class FileCatalog:
-    """Directory-of-files catalog (parquet/csv/json)."""
+CORRUPT_COL = "_corrupt_record"
 
-    def __init__(self, spark: SparkSession, directory: str, fmt: str = "parquet"):
+
+class FileCatalog:
+    """Directory-of-files catalog (parquet/csv/json).
+
+    ``row_mode`` controls row-level error semantics for text formats
+    (mirrors the reference's row-skip in pkg/reader/engine/engine.go:202-205):
+
+    - ``'strict'`` (default): a malformed row fails the table read
+      (FAILFAST). NOTE: Spark's own default is silently-permissive —
+      malformed CSV/JSON rows become nulls with no signal; strict is the
+      honest default for a copy tool.
+    - ``'permissive'``: malformed rows are SKIPPED and counted
+      (:meth:`corrupt_count`); the pipeline sees only clean rows.
+
+    Parquet is columnar — there is no per-row parse to fail; its analog is
+    ``ignoreCorruptFiles`` at file/row-group granularity, applied in
+    permissive mode.
+
+    ``schemas`` (table -> StructType) pins text-format schemas explicitly —
+    the right call at scale (inference costs a scan) and REQUIRED for full
+    row-level typing: CSV/JSON type inference ignores the parse mode
+    (measured), so one poison row silently widens affected columns to
+    string. With a declared schema, type-corrupt rows are detected and
+    (in permissive mode) skipped; with inference, only arity-corrupt rows
+    are."""
+
+    def __init__(self, spark: SparkSession, directory: str, fmt: str = "parquet",
+                 row_mode: str = "strict", schemas: dict | None = None):
+        if row_mode not in ("strict", "permissive"):
+            raise ValueError(f"unknown row_mode {row_mode!r}")
         self.spark = spark
         self.directory = Path(directory)
         self.fmt = fmt
+        self.row_mode = row_mode
+        self.schemas = schemas or {}
         self._columns_cache: dict[str, list[str]] = {}
+        if row_mode == "permissive" and fmt == "csv":
+            # With parser column pruning, arity-malformed rows are only
+            # detected when the FULL row parses — a narrow projection would
+            # let corrupt rows leak past the filter. Permissive mode is an
+            # explicit correctness opt-in, so trade pruning speed away.
+            spark.conf.set("spark.sql.csv.parser.columnPruning.enabled",
+                           "false")
 
     def tables(self) -> list[str]:
         return sorted(p.stem for p in self.directory.glob(f"*.{self.fmt}"))
@@ -39,15 +76,80 @@ class FileCatalog:
             self._columns_cache[table] = self.load(table).columns
         return self._columns_cache[table]
 
-    def load(self, table: str) -> DataFrame:
-        from klepto_spark.session import ensure_nanos_conf, normalise_nanos_ts
-        ensure_nanos_conf(self.spark)
+    def _path(self, table: str) -> str:
+        return str(self.directory / f"{table}.{self.fmt}")
+
+    def _text_reader(self, table: str):
         reader = self.spark.read.format(self.fmt)
         if self.fmt == "csv":
-            reader = reader.option("header", "true").option("inferSchema", "true")
-        df = reader.load(str(self.directory / f"{table}.{self.fmt}"))
+            reader = reader.option("header", "true")
+        if table in self.schemas:
+            return reader.schema(self.schemas[table])
+        return reader.option("inferSchema", "true")
+
+    def _table_schema(self, table: str):
+        if table in self.schemas:
+            return self.schemas[table]
+        return self._text_reader(table).load(self._path(table)).schema
+
+    def _raw_permissive(self, table: str) -> DataFrame:
+        """Text read with the corrupt-record column materialised. Spark only
+        populates it from an EXPLICIT schema — declared, or inferred in a
+        schema-only pass (see class docstring for the inference caveat)."""
+        from pyspark.sql.types import StringType, StructField, StructType
+        schema = StructType(list(self._table_schema(table).fields)
+                            + [StructField(CORRUPT_COL, StringType(), True)])
+        reader = (self.spark.read.format(self.fmt).schema(schema)
+                  .option("mode", "PERMISSIVE")
+                  .option("columnNameOfCorruptRecord", CORRUPT_COL))
+        if self.fmt == "csv":
+            reader = reader.option("header", "true")
+        return reader.load(self._path(table))
+
+    def load(self, table: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from klepto_spark.session import ensure_nanos_conf, normalise_nanos_ts
+        ensure_nanos_conf(self.spark)
+        if self.fmt in ("csv", "json"):
+            if self.row_mode == "permissive":
+                df = (self._raw_permissive(table)
+                      .filter(F.col(CORRUPT_COL).isNull())
+                      .drop(CORRUPT_COL))
+            else:
+                df = (self._text_reader(table).option("mode", "FAILFAST")
+                      .load(self._path(table)))
+        else:
+            reader = self.spark.read.format(self.fmt)
+            if self.row_mode == "permissive":
+                reader = reader.option("ignoreCorruptFiles", "true")
+            df = reader.load(self._path(table))
         # normalise nanosecond timestamps read as long (see session.py)
         return normalise_nanos_ts(df)
+
+    def corrupt_count(self, table: str) -> int:
+        """Rows skipped by a permissive text read (0 in strict mode /
+        non-text formats). Costs one extra scan of the table's file —
+        charged only when permissive mode asks for the metric; at scale,
+        route corrupt rows to a quarantine sink instead and count there."""
+        if self.row_mode != "permissive" or self.fmt not in ("csv", "json"):
+            return 0
+        from pyspark.sql import functions as F
+        # One aggregate pass that references EVERY data column: the CSV
+        # parser only detects arity-malformed rows when it parses the full
+        # row, and column pruning short-circuits that (a corrupt-only scan
+        # is outright disallowed). count(col) references cannot be
+        # constant-folded away, so the scan stays full-width.
+        raw = self._raw_permissive(table)
+        data_cols = [f.name for f in raw.schema.fields
+                     if f.name != CORRUPT_COL]
+        row = raw.agg(
+            F.sum(F.when(F.col(CORRUPT_COL).isNotNull(), 1)
+                  .otherwise(0)).alias("skipped"),
+            *[F.count(F.col(c)).alias(f"_w_{i}")
+              for i, c in enumerate(data_cols)],
+        ).collect()[0]
+        return int(row["skipped"] or 0)
 
     def structure(self) -> str:
         """Whole-catalog DDL text (reference GetStructure)."""
@@ -103,12 +205,13 @@ class JdbcCatalog:
             create_table_sql(t, self.load(t).schema) for t in self.tables())
 
 
-def connect(spark: SparkSession, dsn_str: str):
+def connect(spark: SparkSession, dsn_str: str, row_mode: str = "strict"):
     """Reader factory routed by DSN scheme
-    (reference: pkg/reader/reader.go:99-115)."""
+    (reference: pkg/reader/reader.go:99-115). ``row_mode`` is the
+    row-level error policy for file sources (see FileCatalog)."""
     kind, fmt, dsn = route(dsn_str)
     if kind == "files":
-        return FileCatalog(spark, file_path(dsn), fmt)
+        return FileCatalog(spark, file_path(dsn), fmt, row_mode=row_mode)
     if kind == "jdbc":
         return JdbcCatalog(spark, dsn)
     raise DSNError(f"scheme {dsn.type!r} is not a readable source")

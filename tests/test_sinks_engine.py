@@ -144,6 +144,41 @@ def test_steal_strict_vs_permissive(spark, sf_dir, tmp_path):
     assert len(errs) == 1 and errs[0].table == "customer"
 
 
+def test_row_level_permissive_skips_and_counts(spark, tmp_path):
+    """X5 at row granularity (reference skips unscannable rows,
+    engine.go:202-205): strict fails the table on one poison row;
+    permissive skips exactly that row and reports it."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "t.csv").write_text(
+        "id,val\n1,10\n2,20\nBROKEN,row,with,too,many,fields\n3,30\n")
+    schemas = {"t": StructType([StructField("id", IntegerType()),
+                                StructField("val", IntegerType())])}
+
+    strict = FileCatalog(spark, str(src), fmt="csv", schemas=schemas)
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        strict.load("t").collect()
+
+    perm = FileCatalog(spark, str(src), fmt="csv", row_mode="permissive",
+                       schemas=schemas)
+    rows = perm.load("t").collect()
+    assert {r.id for r in rows} == {1, 2, 3}
+    assert perm.corrupt_count("t") == 1
+
+    # inference path: arity-corrupt rows still skipped, but the poison row
+    # widens types to string (CSV inference ignores parse mode — the
+    # documented reason to declare schemas)
+    inferred = FileCatalog(spark, str(src), fmt="csv", row_mode="permissive")
+    assert {r.id for r in inferred.load("t").collect()} == {"1", "2", "3"}
+
+    # end-to-end: the steal report carries the skipped-row metric
+    report = steal(Spec(), perm, f"parquet://{tmp_path}/out", concurrency=1)
+    assert report.ok
+    t = {r.table: r for r in report.tables}["t"]
+    assert t.rows == 3 and t.skipped_rows == 1
+
+
 def test_steal_data_only(spark, sf_dir, tmp_path):
     cat = FileCatalog(spark, sf_dir)
     report = steal(Spec(), cat, f"parquet://{tmp_path}/out", concurrency=2,
