@@ -8,9 +8,11 @@ Bulk-load parity: the reference's LOAD DATA INFILE / COPY IN fast paths
 (pkg/dumper/mysql/dumper.go:136-199, pkg/dumper/postgres/dumper.go:168-212)
 map to JDBC writer batching (``batchsize``, ``rewriteBatchedInserts``);
 per-table transactional atomicity (one txn per table, dumper.go:74-99) is
-approximated with ``numPartitions=1`` per table write — Spark JDBC commits
-per partition, so a single partition gives one transaction (SURVEY §7
-hard-part 3). Set ``atomic=False`` to trade atomicity for parallel load.
+the STAGING-SWAP: all partitions load a staging table in parallel, then a
+single transaction publishes it (rename for overwrite, INSERT..SELECT for
+append) — readers never observe a half-loaded table and the bulk write
+stays parallel (SURVEY §7 hard-part 3). ``atomic=False`` writes directly
+(partition-level commits become visible as they land).
 """
 
 from __future__ import annotations
@@ -47,27 +49,75 @@ def write_files(df: DataFrame, directory: str, table: str, fmt: str,
     writer.save(f"{directory.rstrip('/')}/{table}.{fmt}")
 
 
-def write_jdbc(df: DataFrame, dsn: DSN, table: str, mode: str = "append",
-               atomic: bool = True, batchsize: int = 10_000,
-               hooks: JdbcHooks | None = None) -> None:
-    """JDBC sink (gated: requires the driver jar on the classpath)."""
-    out = df.coalesce(1) if atomic else df
-    writer = (out.write.format("jdbc")
+STAGING_SUFFIX = "_klepto_staging"
+
+
+def _jdbc_writer(df: DataFrame, dsn: DSN, table: str, mode: str,
+                 batchsize: int, pre: list[str]):
+    writer = (df.write.format("jdbc")
               .option("url", jdbc_url(dsn))
-              .option("user", dsn.username)
-              .option("password", dsn.password)
               .option("dbtable", table)
               .option("batchsize", str(batchsize))
               .option("isolationLevel", "READ_COMMITTED")
               .mode(mode))
+    if dsn.username:
+        writer = (writer.option("user", dsn.username)
+                  .option("password", dsn.password))
     if dsn.type == "mysql":
         writer = writer.option("rewriteBatchedInserts", "true")
-    if hooks and hooks.pre:
-        writer = writer.option("sessionInitStatement", "; ".join(hooks.pre))
-    writer.save()
-    # post-hooks need a direct connection; executed via a 1-row jdbc query
-    # per statement when a driver is available. Left to deployments — the
-    # container has no JDBC driver to exercise it.
+    if pre:
+        writer = writer.option("sessionInitStatement", "; ".join(pre))
+    return writer
+
+
+def _rename_sql(dialect: str, src: str, dst: str) -> str:
+    if dialect == "postgres":
+        return f"ALTER TABLE {src} RENAME TO {dst}"
+    return f"RENAME TABLE {src} TO {dst}"  # mysql, derby
+
+
+def write_jdbc(df: DataFrame, dsn: DSN, table: str, mode: str = "append",
+               atomic: bool = True, batchsize: int = 10_000,
+               hooks: JdbcHooks | None = None) -> None:
+    """JDBC sink. ``atomic`` publishes via staging-table swap: the bulk
+    load runs fully parallel into ``<table>_klepto_staging``, then one
+    transaction renames it into place (overwrite) or INSERT..SELECTs it
+    (append) — atomicity without serialising the write. Post-hooks (FK /
+    trigger re-enable — reference pkg/dumper/postgres/dumper.go:81-145)
+    execute over a direct connection after the load."""
+    from klepto_spark import jdbc as J
+    spark = df.sparkSession
+    hooks = hooks or JdbcHooks()
+    try:
+        if not atomic:
+            _jdbc_writer(df, dsn, table, mode, batchsize, hooks.pre).save()
+            return
+        staging = f"{table}{STAGING_SUFFIX}"
+        _jdbc_writer(df, dsn, staging, "overwrite", batchsize,
+                     hooks.pre).save()
+        swap = list(hooks.pre)
+        exists = J.table_exists(spark, dsn, table)
+        if mode == "overwrite":
+            if exists:
+                swap.append(f"DROP TABLE {table}")
+            swap.append(_rename_sql(dsn.type, staging, table))
+        elif exists:
+            swap.append(f"INSERT INTO {table} SELECT * FROM {staging}")
+            swap.append(f"DROP TABLE {staging}")
+        else:
+            swap.append(_rename_sql(dsn.type, staging, table))
+        J.execute(spark, dsn, swap, transactional=True)
+    finally:
+        # post-hooks run even on failure — a target must not be left with
+        # triggers/constraints disabled; a post-hook failure is logged, not
+        # raised, so it cannot mask the original error
+        if hooks.post:
+            try:
+                J.execute(spark, dsn, hooks.post, transactional=False)
+            except Exception as exc:  # noqa: BLE001
+                import logging
+                logging.getLogger(__name__).error(
+                    "post-hooks failed for %s: %s", table, exc)
 
 
 def write_table(df: DataFrame, dsn_str: str, table: str,

@@ -160,31 +160,28 @@ class FileCatalog:
 
 class JdbcCatalog:
     """JDBC catalog; usable when a JDBC driver jar is on the Spark
-    classpath (not bundled in this container — constructor raises cleanly
-    otherwise, keeping the dependency gated)."""
+    classpath (embedded Derby ships with Spark, so the path is exercised
+    in-container — tests/test_jdbc.py; mysql/postgres jars slot in the
+    same way).
 
-    def __init__(self, spark: SparkSession, dsn: DSN):
+    ``read_timeout`` maps the reference's per-read timeout (default 5 min,
+    cmd/steal.go:72, enforced pkg/reader/engine/engine.go:106-130) onto the
+    JDBC ``queryTimeout`` option, enforced by the driver per statement."""
+
+    def __init__(self, spark: SparkSession, dsn: DSN,
+                 read_timeout: int = 300):
         self.spark = spark
         self.dsn = dsn
         self.url = jdbc_url(dsn)
+        self.read_timeout = read_timeout
         self._columns_cache: dict[str, list[str]] = {}
 
-    def _read(self, query: str) -> DataFrame:
-        return (self.spark.read.format("jdbc")
-                .option("url", self.url)
-                .option("user", self.dsn.username)
-                .option("password", self.dsn.password)
-                .option("query", query)
-                .load())
-
     def tables(self) -> list[str]:
-        # base tables only — views are excluded, mirroring the reference
-        # (pg relkind='r' / mysql BASE TABLE filters)
-        q = ("SELECT table_name FROM information_schema.tables "
-             "WHERE table_type = 'BASE TABLE' "
-             "AND table_schema NOT IN ('information_schema', 'pg_catalog', "
-             "'mysql', 'performance_schema', 'sys')")
-        return sorted(r[0] for r in self._read(q).collect())
+        # base tables only — DatabaseMetaData's TABLE type filter excludes
+        # views and system tables, mirroring the reference's relkind='r' /
+        # BASE TABLE filters, dialect-agnostically
+        from klepto_spark import jdbc as J
+        return J.list_tables(self.spark, self.dsn)
 
     def columns(self, table: str) -> list[str]:
         if table not in self._columns_cache:
@@ -192,17 +189,29 @@ class JdbcCatalog:
         return self._columns_cache[table]
 
     def load(self, table: str) -> DataFrame:
-        return (self.spark.read.format("jdbc")
-                .option("url", self.url)
-                .option("user", self.dsn.username)
-                .option("password", self.dsn.password)
-                .option("dbtable", table)
-                .load())
+        reader = (self.spark.read.format("jdbc")
+                  .option("url", self.url)
+                  .option("dbtable", table)
+                  .option("queryTimeout", str(self.read_timeout)))
+        if self.dsn.username:
+            reader = (reader.option("user", self.dsn.username)
+                      .option("password", self.dsn.password))
+        return reader.load()
 
     def structure(self) -> str:
+        """Native DDL with constraint fidelity (PK/FK/defaults) captured
+        through the connection — SHOW CREATE TABLE on mysql, DatabaseMetaData
+        assembly elsewhere; falls back to schema-derived DDL if the driver
+        lacks metadata support."""
+        from klepto_spark import jdbc as J
         from klepto_spark.sinks.ddl import create_table_sql
-        return "\n\n".join(
-            create_table_sql(t, self.load(t).schema) for t in self.tables())
+        parts = []
+        for t in self.tables():
+            try:
+                parts.append(J.native_ddl(self.spark, self.dsn, t))
+            except Exception:  # noqa: BLE001 — driver-specific metadata gaps
+                parts.append(create_table_sql(t, self.load(t).schema))
+        return "\n\n".join(parts)
 
 
 def connect(spark: SparkSession, dsn_str: str, row_mode: str = "strict"):

@@ -69,6 +69,9 @@ SCHEMES: dict[str, tuple[str, str]] = {
     "json": ("files", "json"),
     "mysql": ("jdbc", "jdbc"),
     "postgres": ("jdbc", "jdbc"),
+    # embedded Derby ships with Spark itself (the Hive-metastore engine),
+    # so the JDBC paths are exercisable without external services
+    "derby": ("jdbc", "jdbc"),
     "os": ("text", ""),
     "file": ("text", ""),
 }
@@ -84,9 +87,14 @@ def file_path(dsn: DSN) -> str:
 
 
 def jdbc_url(dsn: DSN) -> str:
-    """JDBC url + credential options for mysql/postgres DSNs
+    """JDBC url + credential options for mysql/postgres/derby DSNs
     (reference connection setup: pkg/reader/mysql/mysql.go:14-35,
     pkg/reader/postgres/postgres.go:15-36)."""
+    if dsn.type == "derby":
+        # derby:///abs/path/db?create=true -> jdbc:derby:/abs/path/db;create=true
+        path = file_path(dsn)
+        opts = "".join(f";{k}={v}" for k, v in dsn.params.items())
+        return f"jdbc:derby:{path}{opts}"
     driver = {"mysql": "mysql", "postgres": "postgresql"}[dsn.type]
     return f"jdbc:{driver}://{dsn.address}/{dsn.data_source}"
 

