@@ -37,19 +37,36 @@ def main() -> None:
     # order-of-magnitude outliers (same plan: 4.1s vs 96.6s measured)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name, fn in entry_mod.queries().items():
-        best = float("inf")
+        samples = []
         for _ in range(max(1, runs)):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"{name}: {timings[name]}s", file=sys.stderr)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        n = len(samples)
+        median = (samples[n // 2] if n % 2
+                  else (samples[n // 2 - 1] + samples[n // 2]) / 2)
+        mean = sum(samples) / n
+        stdev = (sum((s - mean) ** 2 for s in samples) / n) ** 0.5
+        timings[name] = round(samples[0], 3)
+        # per-query spread so round-over-round comparisons can separate a
+        # regression from this host's vCPU-contention noise (measured
+        # outliers: same plan 4.1s vs 96.6s)
+        spread[name] = {"median": round(median, 3),
+                        "stdev": round(stdev, 3),
+                        "max": round(samples[-1], 3)}
+        print(f"{name}: best={timings[name]}s median={spread[name]['median']}s"
+              f" stdev={spread[name]['stdev']}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    total_median = round(sum(s["median"] for s in spread.values()), 3)
     print(json.dumps({"metric": "total_query_sec", "value": total,
-                      "unit": "sec", "queries": timings, "sf": sf}))
+                      "unit": "sec", "queries": timings, "sf": sf,
+                      "runs": runs, "total_median_sec": total_median,
+                      "spread": spread}))
     spark.stop()
 
 

@@ -30,9 +30,16 @@ def fan_out(df: DataFrame, key_col: str, target: int | None = None) -> DataFrame
     on one core. The shuffle moves only the raw rows (cheap) and buys full
     parallelism for everything downstream; hash-partitioning by the doc key
     also pre-co-locates the later signature aggregation, which then needs
-    no second shuffle."""
+    no second shuffle.
+
+    GATED on the input's actual partition count: a 100 TB scan already
+    arrives in thousands of splits, and an unconditional repartition of
+    well-partitioned input is a wasted full shuffle — skip when the input
+    has at least half the target parallelism."""
     if target is None:
         target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
     return df.repartition(target, F.col(key_col))
 
 
