@@ -17,6 +17,7 @@ expression text between both engines via the portable-SQL design
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -378,6 +379,48 @@ def q_ann_pairs_lsh(spark, sf_dir):
     return similarity.cosine_similar_pairs(emb, **ANN_LSH)
 
 
+# IVF contract constants: deterministic centroids with measured assignment
+# margins (min inter-centroid distance gap 0.012 at sf0.01) and a top-k
+# boundary score gap (rank10-rank11 = 0.0146), so round-6 float noise
+# cannot flip cluster membership or the k cut.
+IVF_CENTROIDS = [[math.sin(0.37 * (j + 1) + 2.1 * c) for j in range(64)]
+                 for c in range(4)]
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN: coarse-assign to deterministic centroids, probe the 2
+    nearest clusters, exact cosine top-k inside them
+    (similarity.ivf_topk_sql replays assignment + scoring in DuckDB)."""
+    emb = _load(spark, sf_dir)("embeddings")
+    return similarity.ivf_topk(emb, IVF_CENTROIDS[0], IVF_CENTROIDS,
+                               n_probe=2, k=10)
+
+
+def q_sessionize_batch(spark, sf_dir):
+    """Gap-based sessionization (batch twin of the stateful streaming
+    operator): 1-hour inactivity gap, decimal-exact value sums so the
+    DuckDB lag/cumsum oracle matches to the bit."""
+    from klepto_spark.streaming.sessionize import sessionize_batch
+    ev = (_load(spark, sf_dir)("events")
+          .withColumn("value", F.col("value").cast("decimal(18,2)")))
+    s = sessionize_batch(ev, gap_s=3600.0)
+    return s.withColumn("sum_value", F.col("sum_value").cast("double"))
+
+
+def q_frame_plan(spark, sf_dir):
+    """Multimodal frame-sampling plan: one row per (media_id, frame_ts),
+    metadata-only explode (payload bytes never shuffle). Durations derive
+    deterministically from the id so DuckDB replays the sequence."""
+    from klepto_spark.operators import multimodal as M
+    docs = _load(spark, sf_dir)("documents")
+    media = (M.attach_media(docs.withColumn("payload",
+                                            F.encode("text", "utf-8")),
+                            "payload", "doc_id", kind="video")
+             .withColumn("duration_ms",
+                         (F.col("media_id") % 30) * 1000 + 500))
+    return M.frame_sample_plan(media, every_ms=1000)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> mapInPandas feature extraction.
     The stub features are pure byte math, so the DuckDB oracle recomputes
@@ -432,7 +475,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t04_ngram_profile": q_ngram_profile,
         "s01_ann_cosine": q_ann_cosine,
         "s02_ann_pairs_lsh": q_ann_pairs_lsh,
+        "s03_ivf_topk": q_ivf_topk,
+        "a09_sessionize_batch": q_sessionize_batch,
         "m01_media_features": q_media_features,
+        "m02_frame_plan": q_frame_plan,
     }
 
 
@@ -656,7 +702,27 @@ GROUP BY d.doc_id""",
             GROUP BY sh HAVING COUNT(*) >= 200""",
         "s01_ann_cosine": _ann_oracle(),
         "s02_ann_pairs_lsh": similarity.similar_pairs_sql(**ANN_LSH),
+        "s03_ivf_topk": similarity.ivf_topk_sql(
+            IVF_CENTROIDS[0], IVF_CENTROIDS, n_probe=2, k=10),
+        "a09_sessionize_batch": """
+WITH o AS (
+  SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts)) > 3600.0
+              THEN 1 ELSE 0 END AS new
+  FROM events),
+s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, CAST(SUM(value) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid""",
         "m01_media_features": multimodal.media_features_sql(),
+        "m02_frame_plan": """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       unnest(range(0, greatest((CAST(doc_id AS BIGINT) % 30) * 1000 + 500
+                                - 1, 0) + 1, 1000)) AS frame_ts
+FROM documents""",
         # d03_dedup_simhash: no SQL oracle (DuckDB lacks xxhash64) ->
         # rows-only check plus a hamming-locality pytest, by design.
     }

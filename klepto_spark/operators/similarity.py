@@ -234,6 +234,36 @@ def ivf_topk(df: DataFrame, query: list[float], centroids: list[list[float]],
     return brute_force_topk(subset, query, vec_col, key_col, k)
 
 
+def ivf_topk_sql(query: list[float], centroids: list[list[float]],
+                 n_probe: int = 2, k: int = 10, table: str = "embeddings",
+                 vec_col: str = "embedding", key_col: str = "vec_id") -> str:
+    """DuckDB oracle for :func:`ivf_topk`. The distance expressions unroll
+    left-associated in element order — bit-identical to the zip_with/
+    aggregate fold (0.0 + t1 == t1 in IEEE), so cluster argmin agrees
+    exactly; ties keep the first minimum on both engines (strict < in
+    ivf_assign, list_position finds the first match). Choose centroids
+    with clear assignment margins and a k-boundary score gap (both
+    measured for the contract constants)."""
+    dists = []
+    for cent in centroids:
+        terms = " + ".join(
+            f"(v[{j + 1}] - {float(cent[j])!r}) * (v[{j + 1}] - {float(cent[j])!r})"
+            for j in range(len(cent)))
+        dists.append(f"({terms})")
+    ds = "[" + ", ".join(dists) + "]"
+    qlit = "[" + ", ".join(repr(float(x)) for x in query) + "]"
+    probed = ", ".join(str(p) for p in
+                       _nearest_clusters(query, centroids, n_probe))
+    return f"""
+WITH e AS (SELECT {key_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
+a AS (SELECT {key_col}, v, {ds} AS ds FROM e),
+c AS (SELECT {key_col}, v, list_position(ds, list_min(ds)) - 1 AS cluster FROM a)
+SELECT {key_col}, round(list_cosine_similarity(v, {qlit}), 6) AS score
+FROM c WHERE cluster IN ({probed})
+ORDER BY score DESC, {key_col} LIMIT {k}
+"""
+
+
 def ivf_write_index(df: DataFrame, centroids: list[list[float]], path: str,
                     vec_col: str = "embedding", key_col: str = "vec_id",
                     mode: str = "overwrite") -> None:
