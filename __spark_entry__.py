@@ -298,8 +298,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """No DuckDB oracle (xxhash64); driver records rows-only check."""
-    return dedup.simhash_dedup(_load(spark, sf_dir)("documents"))
+    """SimHash dedup over md5-nibble bit votes — slower than the default
+    xxhash64 variant but bit-replayable in DuckDB (dedup.simhash_dedup_sql),
+    so the whole operator is value-checked; xxhash64 keeps a
+    hamming-locality pytest."""
+    return dedup.simhash_dedup(_load(spark, sf_dir)("documents"),
+                               hash_fn="md5hex")
 
 
 def q_dedup_jaccard_verified(spark, sf_dir):
@@ -717,6 +721,7 @@ s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY ts
 SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
        COUNT(*) AS n_events, CAST(SUM(value) AS DOUBLE) AS sum_value
 FROM s GROUP BY user_id, sid""",
+        "d03_dedup_simhash": dedup.simhash_dedup_sql(),
         "m01_media_features": multimodal.media_features_sql(),
         "m02_frame_plan": """
 SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -167,38 +167,99 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 def simhash_df(df: DataFrame, text_col: str = "text",
                key_col: str = "doc_id", k: int = 4,
-               bits: int = 64) -> DataFrame:
-    """SimHash fingerprints (default 64-bit): each shingle occurrence votes
-    its xxhash64 bits; the fingerprint sign-aggregates votes per bit.
+               bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash fingerprints (default 64-bit): each distinct shingle votes
+    its hash bits; the fingerprint sign-aggregates votes per bit.
 
     Same scale shape as minhash_signature_df: explode shingles, ONE
     hash-aggregate with ``bits`` sum columns (map-side combine), then
     assemble the fingerprint from the vote signs — all codegen'd
-    built-ins."""
+    built-ins.
+
+    hash_fn:
+      'xxhash64' — fastest (JVM intrinsic); fingerprint is a signed LONG.
+        No DuckDB twin, so cross-engine checks can't replay it.
+      'md5hex'   — md5-nibble bit source; fingerprint is a 16-char HEX
+        STRING. Slower, but both engines compute identical md5, making
+        the whole operator value-checkable against SQL (the contract
+        query uses this)."""
     exploded = (exploded_shingles(fan_out(df, key_col), text_col, key_col, k)
-                .distinct()  # vote per distinct shingle, not per occurrence
-                .withColumn("h", F.xxhash64("sh")))
-    aggs = [
-        F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
-              .otherwise(-1)).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    votes = exploded.groupBy(key_col).agg(*aggs)
-    fingerprint = F.lit(0).cast("long")
+                .distinct())  # vote per distinct shingle, not per occurrence
+    if hash_fn == "xxhash64":
+        exploded = exploded.withColumn("h", F.xxhash64("sh"))
+        aggs = [
+            F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+                  .otherwise(-1)).alias(f"v{b}")
+            for b in range(bits)
+        ]
+        votes = exploded.groupBy(key_col).agg(*aggs)
+        fingerprint = F.lit(0).cast("long")
+        for b in range(bits):
+            fingerprint = fingerprint.bitwiseOR(
+                F.when(F.col(f"v{b}") > 0,
+                       F.shiftleft(F.lit(1).cast("long"), b))
+                .otherwise(F.lit(0).cast("long")))
+        return votes.select(F.col(key_col), fingerprint.alias("simhash"))
+    if hash_fn != "md5hex":
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    assert bits % 4 == 0
+    exploded = exploded.withColumn("h", F.md5("sh"))
+    # bit b = bit (3 - b%4) of hex nibble b//4 — big-endian within the
+    # nibble so the fingerprint reads as the md5 prefix would
+    aggs = []
     for b in range(bits):
-        fingerprint = fingerprint.bitwiseOR(
-            F.when(F.col(f"v{b}") > 0,
-                   F.shiftleft(F.lit(1).cast("long"), b))
-            .otherwise(F.lit(0).cast("long")))
-    return votes.select(F.col(key_col), fingerprint.alias("simhash"))
+        nibble = F.conv(F.substring("h", b // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(nibble, 3 - b % 4).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{b}"))
+    votes = exploded.groupBy(key_col).agg(*aggs)
+    nibbles = []
+    for n in range(bits // 4):
+        val = F.lit(0)
+        for j in range(4):
+            b = n * 4 + j
+            val = val + F.when(F.col(f"v{b}") > 0,
+                               F.lit(1 << (3 - j))).otherwise(F.lit(0))
+        nibbles.append(F.substring(F.lit("0123456789abcdef"), val + 1, 1))
+    return votes.select(F.col(key_col),
+                        F.concat(*nibbles).alias("simhash"))
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text",
-                  key_col: str = "doc_id", k: int = 4) -> DataFrame:
+                  key_col: str = "doc_id", k: int = 4,
+                  hash_fn: str = "xxhash64") -> DataFrame:
     """Group docs by identical SimHash (hamming-0 near-dups)."""
-    return (simhash_df(df, text_col, key_col, k)
+    return (simhash_df(df, text_col, key_col, k, hash_fn=hash_fn)
             .groupBy("simhash")
             .agg(F.min(key_col).alias(key_col), F.count(F.lit(1)).alias("n_dups")))
+
+
+def simhash_dedup_sql(k: int = 4, bits: int = 64, table: str = "documents",
+                      text_col: str = "text", key_col: str = "doc_id") -> str:
+    """DuckDB oracle for simhash_dedup(hash_fn='md5hex'): identical md5
+    nibble bit votes, identical hex fingerprint assembly."""
+    assert bits % 4 == 0
+    votes = []
+    for b in range(bits):
+        nib = (f"(strpos('0123456789abcdef', "
+               f"substr(h, {b // 4 + 1}, 1)) - 1)")
+        bit = f"(({nib} // {1 << (3 - b % 4)}) % 2)"
+        votes.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS v{b}")
+    nibbles = []
+    for n in range(bits // 4):
+        val = " + ".join(
+            f"(CASE WHEN v{n * 4 + j} > 0 THEN {1 << (3 - j)} ELSE 0 END)"
+            for j in range(4))
+        nibbles.append(f"substr('0123456789abcdef', ({val}) + 1, 1)")
+    fp = "concat(" + ", ".join(nibbles) + ")"
+    return f"""
+WITH sh AS (
+  SELECT {key_col}, unnest(list_distinct([substr(lower({text_col}), i, {k})
+         FOR i IN range(1, greatest(length({text_col}) - {k - 1}, 1) + 1)])) AS s
+  FROM {table}),
+hs AS (SELECT {key_col}, md5(s) AS h FROM sh),
+v AS (SELECT {key_col}, {", ".join(votes)} FROM hs GROUP BY {key_col})
+SELECT {fp} AS simhash, MIN({key_col}) AS {key_col}, COUNT(*) AS n_dups
+FROM v GROUP BY 1"""
 
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
