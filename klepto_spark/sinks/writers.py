@@ -78,18 +78,26 @@ def _rename_sql(dialect: str, src: str, dst: str) -> str:
 
 def write_jdbc(df: DataFrame, dsn: DSN, table: str, mode: str = "append",
                atomic: bool = True, batchsize: int = 10_000,
-               hooks: JdbcHooks | None = None) -> None:
+               hooks: JdbcHooks | None = None,
+               txn_statements: list[str] | None = None) -> None:
     """JDBC sink. ``atomic`` publishes via staging-table swap: the bulk
     load runs fully parallel into ``<table>_klepto_staging``, then one
     transaction renames it into place (overwrite) or INSERT..SELECTs it
     (append) — atomicity without serialising the write. Post-hooks (FK /
     trigger re-enable — reference pkg/dumper/postgres/dumper.go:81-145)
-    execute over a direct connection after the load."""
+    execute over a direct connection after the load.
+
+    ``txn_statements`` join the publish transaction (atomic mode only) —
+    the hook exactly-once streaming needs: commit a watermark/epoch
+    marker atomically WITH the data."""
     from klepto_spark import jdbc as J
     spark = df.sparkSession
     hooks = hooks or JdbcHooks()
     try:
         if not atomic:
+            if txn_statements:
+                raise ValueError("txn_statements require atomic=True "
+                                 "(they join the publish transaction)")
             _jdbc_writer(df, dsn, table, mode, batchsize, hooks.pre).save()
             return
         staging = f"{table}{STAGING_SUFFIX}"
@@ -106,6 +114,7 @@ def write_jdbc(df: DataFrame, dsn: DSN, table: str, mode: str = "append",
             swap.append(f"DROP TABLE {staging}")
         else:
             swap.append(_rename_sql(dsn.type, staging, table))
+        swap.extend(txn_statements or [])
         J.execute(spark, dsn, swap, transactional=True)
     finally:
         # post-hooks run even on failure — a target must not be left with

@@ -81,3 +81,52 @@ def run_to_parquet(stream_df: DataFrame, path: str, checkpoint: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+EPOCH_TABLE_SUFFIX = "_klepto_epochs"
+
+
+def run_to_jdbc(stream_df: DataFrame, dsn_str: str, table: str,
+                checkpoint: str, batchsize: int = 10_000,
+                available_now: bool = True):
+    """Stream into a JDBC table with EXACTLY-ONCE micro-batches.
+
+    Spark's foreachBatch is at-least-once (a crashed epoch replays), so
+    each micro-batch publishes through the atomic staging swap WITH its
+    epoch id committed in the same transaction into
+    ``<table>_klepto_epochs``; a replayed epoch is detected there and
+    skipped before any write. Data and progress marker land atomically or
+    not at all — the streaming twin of the batch sink's atomicity.
+
+    Returns the StreamingQuery (caller awaits); ``available_now=False``
+    runs continuously."""
+    from klepto_spark import jdbc as J
+    from klepto_spark.sinks.writers import write_jdbc
+    from klepto_spark.sources.dsn import route
+
+    kind, _, dsn = route(dsn_str)
+    if kind != "jdbc":
+        raise ValueError(f"run_to_jdbc needs a jdbc DSN, got {dsn_str!r}")
+    epochs = f"{table}{EPOCH_TABLE_SUFFIX}"
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not J.table_exists(spark, dsn, epochs):
+            J.execute(spark, dsn,
+                      [f"CREATE TABLE {epochs} (epoch_id BIGINT NOT NULL)"],
+                      transactional=False)
+        elif J.query_rows(spark, dsn,
+                          f"SELECT COUNT(*) FROM {epochs} "
+                          f"WHERE epoch_id = {int(epoch_id)}")[0][0] != "0":
+            return  # replayed epoch: already committed with its data
+        write_jdbc(batch_df, dsn, table, mode="append", atomic=True,
+                   batchsize=batchsize,
+                   txn_statements=[
+                       f"INSERT INTO {epochs} VALUES ({int(epoch_id)})"])
+
+    writer = (stream_df.writeStream
+              .foreachBatch(sink)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

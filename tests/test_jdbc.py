@@ -103,6 +103,45 @@ def test_write_jdbc_staging_swap_and_hooks(spark, src):
               transactional=False)
 
 
+def test_streaming_jdbc_sink_exactly_once(spark, src, tmp_path):
+    """foreachBatch JDBC sink: micro-batches publish through the atomic
+    staging swap with the epoch id committed in the SAME transaction —
+    a replayed epoch is skipped, so restarts cannot duplicate rows."""
+    from klepto_spark.streaming.pipeline import (
+        EPOCH_TABLE_SUFFIX, read_events_stream, run_to_jdbc)
+    src_dir = str(tmp_path / "stream_src")
+    (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+     .limit(200).write.mode("overwrite").parquet(src_dir))
+    n_src = spark.read.parquet(src_dir).count()
+    stream = read_events_stream(spark, src_dir)
+    dsn_str = os.environ.get(
+        "TEST_JDBC_URL",
+        f"derby:///{str(tmp_path / 'streamdb').lstrip('/')}?create=true")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_to_jdbc(stream, dsn_str, "ev_sink", checkpoint=ckpt)
+    q.awaitTermination()
+    dsn = parse(dsn_str)
+    assert J.query_rows(spark, dsn,
+                        "SELECT COUNT(*) FROM ev_sink")[0][0] == str(n_src)
+    # restart on the same checkpoint: nothing new -> no duplicates
+    q2 = run_to_jdbc(read_events_stream(spark, src_dir), dsn_str, "ev_sink",
+                     checkpoint=ckpt)
+    q2.awaitTermination()
+    assert J.query_rows(spark, dsn,
+                        "SELECT COUNT(*) FROM ev_sink")[0][0] == str(n_src)
+    # real epoch replay (crash between txn commit and checkpoint write):
+    # a FRESH checkpoint re-delivers the source as epoch 0 again, and the
+    # committed epoch id short-circuits before any write
+    assert J.query_rows(
+        spark, dsn, f"SELECT COUNT(*) FROM ev_sink{EPOCH_TABLE_SUFFIX} "
+        "WHERE epoch_id = 0")[0][0] == "1"
+    q3 = run_to_jdbc(read_events_stream(spark, src_dir), dsn_str, "ev_sink",
+                     checkpoint=str(tmp_path / "ckpt2"))
+    q3.awaitTermination()
+    assert J.query_rows(spark, dsn,
+                        "SELECT COUNT(*) FROM ev_sink")[0][0] == str(n_src)
+
+
 def test_steal_jdbc_roundtrip_with_anonymise(spark, src, tmp_path):
     """The reference's headline flow (features/mysql_test.go:122-212):
     source DB -> anonymise -> target DB, with the source≡target row and
