@@ -76,6 +76,20 @@ def test_plan_report_shape(spark, sf_dir):
     assert isinstance(rep["shuffles"], int)
 
 
+def test_sessionize_batch_single_shuffle_no_python(spark, sf_dir):
+    """The session groupBy(user_id, _sid) must reuse the window's
+    partitionBy(user_id) exchange — one shuffle total, all JVM-side."""
+    df = entry.q_sessionize_batch(spark, sf_dir)
+    assert I.shuffle_count(df) == 1
+    assert "Python" not in I.executed_plan(df)
+
+
+def test_frame_plan_is_shuffle_free(spark, sf_dir):
+    """Frame planning explodes metadata only — no shuffle, no payload."""
+    df = entry.q_frame_plan(spark, sf_dir)
+    assert I.shuffle_count(df) == 0
+
+
 def test_ivf_index_scan_prunes_partitions(spark, sf_dir, tmp_path):
     """The at-rest IVF path: probing must prune unprobed clusters AT THE
     SCAN (PartitionFilters + no unprobed files opened), and agree with the
