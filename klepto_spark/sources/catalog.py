@@ -127,6 +127,19 @@ class FileCatalog:
         # normalise nanosecond timestamps read as long (see session.py)
         return normalise_nanos_ts(df)
 
+    def quarantine(self, table: str) -> DataFrame:
+        """The malformed rows a permissive read skips, with whatever
+        columns DID parse plus the raw line in ``_corrupt_record`` — write
+        this to a side sink at scale instead of re-scanning for
+        :meth:`corrupt_count` (the write references every column, which
+        also guarantees full-row parsing so arity corruption is caught)."""
+        if self.row_mode != "permissive" or self.fmt not in ("csv", "json"):
+            raise ValueError("quarantine() needs row_mode='permissive' on "
+                             "a csv/json catalog")
+        from pyspark.sql import functions as F
+        raw = self._raw_permissive(table)
+        return raw.filter(F.col(CORRUPT_COL).isNotNull())
+
     def corrupt_count(self, table: str) -> int:
         """Rows skipped by a permissive text read (0 in strict mode /
         non-text formats). Costs one extra scan of the table's file —

@@ -102,6 +102,33 @@ def test_simhash_locality(spark):
 
 # -------------------------------------------------------- similarity ----
 
+def test_kmeans_recovers_separated_blobs(spark):
+    """Lloyd's over DataFrame aggs: three well-separated blobs must come
+    back as three pure clusters with centroids at the blob means, and the
+    result must be deterministic (smallest-key init)."""
+    import random
+    rng = random.Random(11)
+    blobs = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = []
+    for i in range(90):
+        c = blobs[i % 3]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_fit(df, k=3, max_iter=20, dim=3)
+    assert cents == similarity.kmeans_fit(df, k=3, max_iter=20, dim=3)
+    # each blob mean is ~one centroid
+    for blob in blobs:
+        best = min(cents, key=lambda c: sum((a - b) ** 2
+                                            for a, b in zip(c, blob)))
+        assert all(abs(a - b) < 0.6 for a, b in zip(best, blob))
+    # assignment purity: every member lands with its blob's centroid
+    assigned = similarity.ivf_assign(df, cents)
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+    for m in range(3):
+        members = {got[i] for i in range(90) if i % 3 == m}
+        assert len(members) == 1
+
+
 def test_brute_force_topk_exact(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")

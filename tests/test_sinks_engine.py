@@ -172,6 +172,15 @@ def test_row_level_permissive_skips_and_counts(spark, tmp_path):
     inferred = FileCatalog(spark, str(src), fmt="csv", row_mode="permissive")
     assert {r.id for r in inferred.load("t").collect()} == {"1", "2", "3"}
 
+    # quarantine: the skipped row is recoverable with its raw line
+    bad = perm.quarantine("t").collect()
+    assert len(bad) == 1
+    assert bad[0]["_corrupt_record"].startswith("BROKEN,row")
+    # ...and writable to a side sink (references all columns -> full parse)
+    perm.quarantine("t").write.mode("overwrite").parquet(
+        str(tmp_path / "quarantine"))
+    assert spark.read.parquet(str(tmp_path / "quarantine")).count() == 1
+
     # end-to-end: the steal report carries the skipped-row metric
     report = steal(Spec(), perm, f"parquet://{tmp_path}/out", concurrency=1)
     assert report.ok
