@@ -31,9 +31,13 @@ def connect_raw(spark: SparkSession, dsn: DSN):
 
 
 def execute(spark: SparkSession, dsn: DSN, statements: list[str],
-            transactional: bool = True) -> None:
+            transactional: bool = True,
+            query_timeout: int | None = None) -> None:
     """Run statements on one connection; ``transactional`` wraps them in a
-    single commit (rollback on failure) — the atomic-swap requirement."""
+    single commit (rollback on failure) — the atomic-swap requirement.
+    ``query_timeout`` (seconds) bounds each statement the same way the
+    reference bounds reads (pkg/reader/engine/engine.go:106-130); the
+    driver aborts the statement server-side when it expires."""
     if not statements:
         return
     conn = connect_raw(spark, dsn)
@@ -41,6 +45,8 @@ def execute(spark: SparkSession, dsn: DSN, statements: list[str],
         if transactional:
             conn.setAutoCommit(False)
         st = conn.createStatement()
+        if query_timeout is not None:
+            st.setQueryTimeout(int(query_timeout))
         try:
             for s in statements:
                 st.execute(s)
@@ -59,12 +65,15 @@ def execute(spark: SparkSession, dsn: DSN, statements: list[str],
         conn.close()
 
 
-def query_rows(spark: SparkSession, dsn: DSN, sql: str) -> list[tuple]:
+def query_rows(spark: SparkSession, dsn: DSN, sql: str,
+               query_timeout: int | None = None) -> list[tuple]:
     """Small driver-side query (catalog/DDL introspection only — row data
     belongs in spark.read)."""
     conn = connect_raw(spark, dsn)
     try:
         st = conn.createStatement()
+        if query_timeout is not None:
+            st.setQueryTimeout(int(query_timeout))
         rs = st.executeQuery(sql)
         n = rs.getMetaData().getColumnCount()
         out = []

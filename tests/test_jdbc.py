@@ -142,6 +142,34 @@ def test_streaming_jdbc_sink_exactly_once(spark, src, tmp_path):
                         "SELECT COUNT(*) FROM ev_sink")[0][0] == str(n_src)
 
 
+def test_read_timeout_enforced(spark, src, tmp_path):
+    """X4: the read timeout is not just an option string — the driver
+    really aborts an over-running statement (reference default 5 min,
+    cmd/steal.go:72, enforced per read pkg/reader/engine/engine.go:106-130).
+    Derby signals expiry with SQLState XCL52."""
+    df = spark.range(400).selectExpr("cast(id as int) AS id")
+    write_jdbc(df, src, "slow_base", mode="overwrite", atomic=False)
+    cartesian = ("SELECT COUNT(*) AS n FROM slow_base a, slow_base b, "
+                 "slow_base c, slow_base d")
+
+    # raw statement path (hooks / introspection)
+    with pytest.raises(Exception) as err:
+        J.query_rows(spark, src, cartesian, query_timeout=1)
+    assert "XCL52" in str(err.value) or "timeout" in str(err.value).lower()
+
+    # the Spark scan path: JdbcCatalog wires read_timeout into the JDBC
+    # reader's queryTimeout, which the executor-side statement enforces
+    cat = JdbcCatalog(spark, src, read_timeout=1)
+    with pytest.raises(Exception) as err:
+        cat.load(f"({cartesian}) AS t").collect()
+    assert "XCL52" in str(err.value) or "timeout" in str(err.value).lower()
+
+    # generous timeout on a sane query passes untouched
+    assert JdbcCatalog(spark, src, read_timeout=300).load(
+        "(SELECT COUNT(*) AS n FROM slow_base) AS t").collect()[0][0] == 400
+    J.execute(spark, src, ["DROP TABLE slow_base"], transactional=False)
+
+
 def test_steal_jdbc_roundtrip_with_anonymise(spark, src, tmp_path):
     """The reference's headline flow (features/mysql_test.go:122-212):
     source DB -> anonymise -> target DB, with the source≡target row and
