@@ -41,15 +41,77 @@ class JdbcHooks:
                    post=[f'ALTER TABLE "{table}" ENABLE TRIGGER ALL'])
 
 
-def write_files(df: DataFrame, directory: str, table: str, fmt: str,
-                mode: str = "overwrite") -> None:
-    writer = df.write.format(fmt).mode(mode)
-    if fmt == "csv":
-        writer = writer.option("header", "true")
-    writer.save(f"{directory.rstrip('/')}/{table}.{fmt}")
-
-
 STAGING_SUFFIX = "_klepto_staging"
+_OLD_SUFFIX = "_klepto_old"
+
+
+def _hadoop_fs(df: DataFrame, path: str):
+    jvm = df.sparkSession._sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(
+        df.sparkSession._sc._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
+def write_files(df: DataFrame, directory: str, table: str, fmt: str,
+                mode: str = "overwrite", atomic: bool = True) -> None:
+    """File sink with the same publish discipline as the JDBC sink: the
+    job writes a ``_klepto_staging`` directory in full parallel, and only
+    a successful job renames it into place — a failed or killed write
+    never leaves the target half-replaced (the JDBC staging-table swap,
+    applied to directories). Directory rename is atomic on HDFS and posix
+    filesystems; on object stores without atomic rename, pair this with a
+    rename-committing layer or keep ``atomic=False`` + versioned paths.
+
+    ``mode='append'`` stages the new files the same way, then moves the
+    staged data files into the live directory under collision-free names:
+    readers never observe a partially-written FILE, and nothing moves
+    unless the whole job succeeded."""
+    target = f"{directory.rstrip('/')}/{table}.{fmt}"
+
+    def _save(path: str, m: str) -> None:
+        writer = df.write.format(fmt).mode(m)
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.save(path)
+
+    if not atomic:
+        _save(target, mode)
+        return
+
+    jvm, fs, tgt = _hadoop_fs(df, target)
+    staging = jvm.org.apache.hadoop.fs.Path(target + STAGING_SUFFIX)
+    old = jvm.org.apache.hadoop.fs.Path(target + _OLD_SUFFIX)
+    for leftover in (staging, old):
+        if fs.exists(leftover):
+            fs.delete(leftover, True)
+    try:
+        _save(str(staging), "overwrite")
+        if mode == "overwrite" or not fs.exists(tgt):
+            if fs.exists(tgt):
+                if not fs.rename(tgt, old):
+                    raise IOError(f"cannot retire {target}")
+            if not fs.rename(staging, tgt):
+                # roll the previous data back into place
+                if fs.exists(old):
+                    fs.rename(old, tgt)
+                raise IOError(f"cannot publish {target}")
+            fs.delete(old, True)
+        else:  # append into a live directory, file-at-a-time
+            import uuid
+            run_id = uuid.uuid4().hex[:12]
+            for status in fs.listStatus(staging):
+                name = status.getPath().getName()
+                if name.startswith(("_", ".")):
+                    continue  # _SUCCESS / hidden commit metadata
+                dest = jvm.org.apache.hadoop.fs.Path(
+                    tgt, f"part-{run_id}-{name.removeprefix('part-')}")
+                if not fs.rename(status.getPath(), dest):
+                    raise IOError(f"cannot append {name} into {target}")
+            fs.delete(staging, True)
+    finally:
+        if fs.exists(staging):
+            fs.delete(staging, True)
 
 
 def _jdbc_writer(df: DataFrame, dsn: DSN, table: str, mode: str,

@@ -188,6 +188,40 @@ def test_row_level_permissive_skips_and_counts(spark, tmp_path):
     assert t.rows == 3 and t.skipped_rows == 1
 
 
+def test_write_files_staging_swap(spark, tmp_path):
+    """File sinks publish through a staging-dir swap (the JDBC
+    staging-table pattern on directories): success swaps in, append moves
+    only committed files, and a FAILED job leaves the previous target
+    byte-for-byte intact with no staging debris."""
+    from klepto_spark.sinks.writers import write_files
+    out = str(tmp_path / "sink")
+    df1 = spark.range(10).selectExpr("id", "id * 2 AS v")
+    write_files(df1, out, "t", "parquet")
+    read = lambda: spark.read.parquet(f"{out}/t.parquet")  # noqa: E731
+    assert read().count() == 10
+
+    # overwrite replaces, append accumulates
+    df2 = spark.range(5).selectExpr("id", "id * 3 AS v")
+    write_files(df2, out, "t", "parquet", mode="overwrite")
+    assert read().count() == 5
+    write_files(df1, out, "t", "parquet", mode="append")
+    assert read().count() == 15
+
+    # a job that blows up mid-write must not touch the live data
+    from pyspark.sql import functions as F
+    poison = spark.range(10).select(
+        F.when(F.col("id") < 9, F.col("id"))
+        .otherwise(F.expr("cast(raise_error('boom') as long)")).alias("id"),
+        F.lit(1).alias("v"))
+    before = sorted(r.id for r in read().collect())
+    with pytest.raises(Exception, match="boom"):
+        write_files(poison, out, "t", "parquet", mode="overwrite")
+    assert sorted(r.id for r in read().collect()) == before
+    # no staging/retired dirs left behind
+    assert sorted(p.name for p in (tmp_path / "sink").iterdir()) == \
+        ["t.parquet"]
+
+
 def test_steal_data_only(spark, sf_dir, tmp_path):
     cat = FileCatalog(spark, sf_dir)
     report = steal(Spec(), cat, f"parquet://{tmp_path}/out", concurrency=2,
