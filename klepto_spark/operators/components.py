@@ -13,9 +13,11 @@ labels per round (one action per iteration).
 
 Scale notes: each round is two shuffles (join on edge endpoints + groupBy
 min). Labels are checkpointed every round via localCheckpoint to truncate
-the lineage — without it, round N replays rounds 1..N-1. For planet-scale
-graphs swap in the alternating large-star/small-star algorithm; for the
-near-dup use case this direct form is simpler and equivalent.
+the lineage — without it, round N replays rounds 1..N-1. When component
+diameters grow past a handful of hops, switch to
+:func:`connected_components_star` (large-star/small-star, O(log^2 n)
+rounds regardless of diameter); for near-dup star/clique graphs this
+direct form is simpler and converges faster.
 """
 
 from __future__ import annotations
@@ -70,12 +72,87 @@ def connected_components(pairs: DataFrame, *, a: str = "a", b: str = "b",
     return labels
 
 
+def connected_components_star(pairs: DataFrame, *, a: str = "a",
+                              b: str = "b",
+                              max_iter: int = 50) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    planet-scale swap the propagation docstring promises.
+
+    Min-label propagation moves one hop per round, so a diameter-D
+    component costs D rounds; star operations contract greedily and
+    converge in O(log^2 n) rounds REGARDLESS of diameter — the right form
+    when near-dup graphs stop being stars/cliques (chained shingle
+    overlaps, transitive ANN edges). Same contract as
+    :func:`connected_components`: (node, comp) with comp = min reachable
+    node id.
+
+    Each round is two groupBy-min aggregations and two joins on node id —
+    neighbour minima come from aggregation, never a collected neighbour
+    list, so a hub node with millions of edges stays a streaming
+    aggregate instead of one giant array in a task. Edge sets are
+    localCheckpoint'd per round to truncate lineage."""
+    edges = (pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .distinct().localCheckpoint())
+    nodes = (pairs.select(F.col(a).alias("node"))
+             .union(pairs.select(F.col(b).alias("node"))).distinct())
+    converged = False
+    for _ in range(max_iter):
+        # large-star: every neighbour larger than u hooks onto
+        # min(N(u) ∪ {u})
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nbr_min = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (sym.join(nbr_min, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"),
+                         F.least(F.col("mn"), F.col("u")).alias("v"))
+                 .where(F.col("u") != F.col("v")))
+        # small-star: orient to the smaller endpoint, hook every smaller
+        # neighbour (and u itself) onto the minimum
+        oriented = (large.select(F.greatest("u", "v").alias("u"),
+                                 F.least("u", "v").alias("v")).distinct())
+        mn2 = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+        hooked = oriented.join(mn2, "u")
+        small = (hooked.select(F.col("v").alias("u"),
+                               F.col("mn").alias("v"))
+                 .union(hooked.select(F.col("u"), F.col("mn").alias("v"))))
+        new_edges = (small.where(F.col("u") != F.col("v"))
+                     .distinct().localCheckpoint())
+        stable = (new_edges.count() == edges.count()
+                  and new_edges.exceptAll(edges).limit(1).count() == 0)
+        edges = new_edges
+        if stable:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: not converged after {max_iter} "
+            "rounds — pathological input or max_iter too low "
+            "(expected O(log^2 n) rounds)")
+    # fixed point is a star per component: every non-min node has exactly
+    # one edge, to the component minimum
+    labels = edges.groupBy("u").agg(F.min("v").alias("comp"))
+    return (nodes.join(labels, nodes.node == labels.u, "left")
+            .select(F.col("node"),
+                    F.coalesce(F.col("comp"), F.col("node")).alias("comp")))
+
+
 def dedup_clusters(df: DataFrame, pairs: DataFrame, *,
-                   key_col: str = "doc_id") -> DataFrame:
+                   key_col: str = "doc_id",
+                   algorithm: str = "propagation") -> DataFrame:
     """Full dedup decision: every document mapped to its canonical
     representative (min doc id of its near-dup cluster; singletons map to
-    themselves). Output: (key, canonical, is_duplicate)."""
-    comp = connected_components(pairs).withColumnRenamed("node", key_col)
+    themselves). Output: (key, canonical, is_duplicate).
+
+    ``algorithm='star'`` switches to large-star/small-star for graphs
+    whose diameter outgrows propagation (default stays propagation: for
+    star/clique-shaped near-dup graphs it converges in 2-3 cheaper
+    rounds)."""
+    cc = (connected_components_star if algorithm == "star"
+          else connected_components)
+    comp = cc(pairs).withColumnRenamed("node", key_col)
     return (df.select(key_col)
             .join(comp, key_col, "left")
             .select(F.col(key_col),

@@ -1,6 +1,9 @@
 """Connected-components dedup clustering tests."""
 
-from klepto_spark.operators.components import connected_components, dedup_clusters
+import random
+
+from klepto_spark.operators.components import (
+    connected_components, connected_components_star, dedup_clusters)
 
 
 def test_components_chain_and_clique(spark):
@@ -11,6 +14,42 @@ def test_components_chain_and_clique(spark):
     got = {r.node: r.comp for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_star_matches_propagation_on_random_graphs(spark):
+    """large-star/small-star must agree with min-label propagation on
+    arbitrary graphs — both compute component = min reachable id."""
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(rng.randrange(20, 80))]
+        edges = [(x, y) for x, y in edges if x != y]
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        ref = {r.node: r.comp for r in connected_components(pairs).collect()}
+        got = {r.node: r.comp
+               for r in connected_components_star(pairs).collect()}
+        assert got == ref, f"trial {trial} diverged"
+
+
+def test_star_handles_long_chain_in_few_rounds(spark):
+    """The case propagation is wrong for: a diameter-40 chain needs 40
+    propagation rounds (a bounded run raises), while the star form
+    contracts it within its O(log^2 n) budget and still labels every node
+    with the chain minimum."""
+    chain = [(i, i + 1) for i in range(40)]
+    pairs = spark.createDataFrame(chain, "a long, b long")
+    import pytest
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(pairs, max_iter=5)
+    got = {r.node: r.comp
+           for r in connected_components_star(pairs, max_iter=12).collect()}
+    assert got == {i: 0 for i in range(41)}
+    # and the dedup wrapper exposes it
+    docs = spark.createDataFrame([(i,) for i in range(41)], "doc_id long")
+    via = dedup_clusters(docs, pairs, algorithm="star")
+    assert {r.doc_id: r.canonical for r in via.collect()} == \
+        {i: 0 for i in range(41)}
 
 
 def test_dedup_clusters_with_singletons(spark):
