@@ -47,18 +47,31 @@ class Relationship:
 
 @dataclass
 class TableSpec:
-    """reference: pkg/config/config.go:33-45."""
+    """reference: pkg/config/config.go:33-45.
+
+    ``cast_policy``: 'string' (default — anonymised columns become
+    strings, the reference's behaviour: everything is dumped as SQL text)
+    or 'keep' (cast faked output back to the source column type; a faker
+    whose output can't parse into that type fails at plan time)."""
     name: str
     ignore_data: bool = False
     filter: FilterSpec = field(default_factory=FilterSpec)
     anonymise: dict[str, str] = field(default_factory=dict)  # column -> faker spec
     relationships: list[Relationship] = field(default_factory=list)
+    cast_policy: str = "string"
+
+    def __post_init__(self) -> None:
+        if self.cast_policy not in ("string", "keep"):
+            raise ValueError(
+                f"invalid cast_policy {self.cast_policy!r} for table "
+                f"{self.name!r} (expected 'string' or 'keep')")
 
 
 @dataclass
 class Spec:
     matchers: dict[str, str] = field(default_factory=dict)
     tables: list[TableSpec] = field(default_factory=list)
+    locale: str = "en"  # wordpack for locale-sensitive fakers
 
     def find_table(self, name: str) -> TableSpec | None:
         for t in self.tables:
@@ -99,6 +112,7 @@ def _parse_table(raw: dict) -> TableSpec:
         filter=filt,
         anonymise=dict(raw.get("Anonymise", {})),
         relationships=rels,
+        cast_policy=str(raw.get("CastPolicy", "string")),
     )
 
 
@@ -111,11 +125,16 @@ def load_spec(path: str | Path | None = None, text: str | None = None,
         text = Path(path).read_text()
     raw = tomllib.loads(text)
     spec = Spec(matchers=dict(raw.get("Matchers", {})),
-                tables=[_parse_table(t) for t in raw.get("Tables", [])])
+                tables=[_parse_table(t) for t in raw.get("Tables", [])],
+                locale=str(raw.get("Locale", "en")))
     for t in spec.tables:
         t.filter.match = spec.resolve_matcher(t.filter.match)
     if validate_anonymisers:
-        from klepto_spark.functions.anonymise import validate_spec
+        from klepto_spark.functions.anonymise import (
+            FAKER_LOCALES, validate_spec)
+        if spec.locale not in FAKER_LOCALES:
+            raise ValueError(f"unknown Locale {spec.locale!r} "
+                             f"(have {', '.join(FAKER_LOCALES)})")
         for t in spec.tables:
             for column, faker_spec in t.anonymise.items():
                 validate_spec(faker_spec, context=f"{t.name}.{column}")

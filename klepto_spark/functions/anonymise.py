@@ -293,9 +293,10 @@ def _simple(items: list[str]):
     return lambda ctx, a: P.pick_hashed(items, ctx.h(0), 1)
 
 
-def _full_name(ctx, first_list, pos_shift=0):
+def _full_name(ctx, first_list, last_list=None, pos_shift=0):
+    last_list = LAST_NAMES if last_list is None else last_list
     return (f"concat({P.pick_hashed(first_list, ctx.h(0), 1 + pos_shift)}, ' ', "
-            f"{P.pick_hashed(LAST_NAMES, ctx.h(0), 5 + pos_shift)})")
+            f"{P.pick_hashed(last_list, ctx.h(0), 5 + pos_shift)})")
 
 
 def _ipv4(ctx, a):
@@ -456,6 +457,173 @@ FAKER_NAMES = sorted(_REGISTRY)
 # EmailAddress/UserName get the uniqueness salt (reference: anonymiser.go:94-102).
 _SALTED = {"EmailAddress", "UserName"}
 
+# ---------------------------------------------------------------------------
+# Locale wordpacks — overrides for the locale-sensitive fakers; everything
+# not overridden (usernames, emails, lorem, tech strings) stays ASCII/en.
+# Compiled through the same CASE machinery, so locale output keeps exact
+# Spark/DuckDB value parity (UTF-8 string literals are portable SQL).
+# ---------------------------------------------------------------------------
+
+_LOCALE_PACKS: dict[str, dict[str, list[str]]] = {
+    "de": {
+        "first_male": ["Lukas", "Finn", "Jonas", "Leon", "Paul", "Felix",
+                       "Maximilian", "Moritz", "Elias", "Noah", "Ben", "Jan"],
+        "first_female": ["Anna", "Lena", "Marie", "Laura", "Julia", "Sophie",
+                         "Hannah", "Emma", "Mia", "Lea", "Clara", "Ida"],
+        "last": ["Müller", "Schmidt", "Schneider", "Fischer", "Weber",
+                 "Meyer", "Wagner", "Becker", "Schulz", "Hoffmann",
+                 "Koch", "Bauer"],
+        "cities": ["Grünstadt", "Neudorf", "Waldheim", "Seefeld",
+                   "Bergheim", "Lindenthal", "Rosenau", "Steinbach",
+                   "Birkenfeld", "Eichenau", "Tannenberg", "Wiesental"],
+        "streets": ["Hauptstraße", "Bahnhofstraße", "Gartenweg",
+                    "Lindenallee", "Schulstraße", "Dorfstraße",
+                    "Bergweg", "Kirchgasse", "Am Markt", "Waldweg",
+                    "Rosenweg", "Mühlenstraße"],
+        "months": ["Januar", "Februar", "März", "April", "Mai", "Juni",
+                   "Juli", "August", "September", "Oktober", "November",
+                   "Dezember"],
+        "months_short": ["Jan", "Feb", "Mär", "Apr", "Mai", "Jun", "Jul",
+                         "Aug", "Sep", "Okt", "Nov", "Dez"],
+        "weekdays": ["Montag", "Dienstag", "Mittwoch", "Donnerstag",
+                     "Freitag", "Samstag", "Sonntag"],
+        "weekdays_short": ["Mo", "Di", "Mi", "Do", "Fr", "Sa", "So"],
+    },
+    "fr": {
+        "first_male": ["Jean", "Pierre", "Michel", "Louis", "Nicolas",
+                       "Antoine", "Hugo", "Lucas", "Paul", "Thomas",
+                       "Julien", "Mathis"],
+        "first_female": ["Marie", "Camille", "Léa", "Chloé", "Manon",
+                         "Sophie", "Emma", "Julie", "Inès", "Jeanne",
+                         "Louise", "Alice"],
+        "last": ["Martin", "Bernard", "Dubois", "Thomas", "Robert",
+                 "Richard", "Petit", "Durand", "Leroy", "Moreau",
+                 "Simon", "Laurent"],
+        "cities": ["Villeneuve", "Beaumont", "Montclair", "Rochefort",
+                   "Clairvaux", "Fontenay", "Valbonne", "Saint-Aubin",
+                   "Belleville", "Champfleury", "Verneuil", "Aubigny"],
+        "streets": ["Rue de la Paix", "Avenue des Champs", "Rue Victor Hugo",
+                    "Boulevard Saint-Michel", "Rue de l'Église",
+                    "Place du Marché", "Rue des Lilas", "Chemin Vert",
+                    "Rue de la Gare", "Impasse des Roses",
+                    "Avenue de la République", "Rue du Moulin"],
+        "months": ["janvier", "février", "mars", "avril", "mai", "juin",
+                   "juillet", "août", "septembre", "octobre", "novembre",
+                   "décembre"],
+        "months_short": ["janv", "févr", "mars", "avr", "mai", "juin",
+                         "juil", "août", "sept", "oct", "nov", "déc"],
+        "weekdays": ["lundi", "mardi", "mercredi", "jeudi", "vendredi",
+                     "samedi", "dimanche"],
+        "weekdays_short": ["lun", "mar", "mer", "jeu", "ven", "sam", "dim"],
+    },
+}
+
+FAKER_LOCALES = ("en",) + tuple(sorted(_LOCALE_PACKS))
+
+
+def _pack_registry(pk: dict[str, list[str]]) -> dict:
+    fm, ff, ln = pk["first_male"], pk["first_female"], pk["last"]
+    return {
+        "FirstName": _simple(fm + ff),
+        "MaleFirstName": _simple(fm),
+        "FemaleFirstName": _simple(ff),
+        "LastName": _simple(ln),
+        "MaleLastName": _simple(ln),
+        "FemaleLastName": _simple(ln),
+        "FullName": lambda ctx, a: _full_name(ctx, fm + ff, ln),
+        "MaleFullName": lambda ctx, a: _full_name(ctx, fm, ln),
+        "FemaleFullName": lambda ctx, a: _full_name(ctx, ff, ln),
+        "City": _simple(pk["cities"]),
+        "Street": _simple(pk["streets"]),
+        "StreetAddress": lambda ctx, a: (
+            f"concat({P.int_str(P.hex_mod(ctx.h(1), 1, 3, 999, offset=1))}, "
+            f"' ', {P.pick_hashed(pk['streets'], ctx.h(0), 1)})"),
+        "Month": _simple(pk["months"]),
+        "MonthShort": _simple(pk["months_short"]),
+        "WeekDay": _simple(pk["weekdays"]),
+        "WeekDayShort": _simple(pk["weekdays_short"]),
+    }
+
+
+_LOCALE_REGISTRIES: dict[str, dict] = {}
+
+
+def _registry_for(locale: str) -> dict:
+    if locale in ("", "en"):
+        return _REGISTRY
+    if locale not in _LOCALE_PACKS:
+        raise ValueError(f"unknown anonymiser locale {locale!r} "
+                         f"(have {', '.join(FAKER_LOCALES)})")
+    if locale not in _LOCALE_REGISTRIES:
+        _LOCALE_REGISTRIES[locale] = {
+            **_REGISTRY, **_pack_registry(_LOCALE_PACKS[locale])}
+    return _LOCALE_REGISTRIES[locale]
+
+
+# ---------------------------------------------------------------------------
+# Cast policy — what a faker's output parses as, for 'keep source type'
+# ---------------------------------------------------------------------------
+
+# Output kinds: 'int' (integer text), 'float' (decimal text), 'digits'
+# (digit runs, may lead with 0 or exceed int32), everything else 'text'.
+_INT_FAKERS = {"Day", "MonthNum", "WeekdayNum", "Year", "LatitudeDegrees",
+               "LatitudeMinutes", "LatitudeSeconds", "LongitudeDegrees",
+               "LongitudeMinutes", "LongitudeSeconds"}
+_FLOAT_FAKERS = {"Latitude", "Longitude"}
+_DIGIT_FAKERS = {"Digits", "DigitsN", "Zip", "CreditCardNum"}
+
+_NUMERIC_OK = {"int": {"int", "digits"},
+               "bigint": {"int", "digits"},
+               "smallint": {"int", "digits"},
+               "tinyint": {"int"},
+               "float": {"int", "float", "digits"},
+               "double": {"int", "float", "digits"}}
+
+
+def output_kind(spec: str) -> str:
+    if spec.startswith(LITERAL_PREFIX):
+        return "literal"
+    name, _ = parse_spec(spec)
+    if name in _INT_FAKERS:
+        return "int"
+    if name in _FLOAT_FAKERS:
+        return "float"
+    if name in _DIGIT_FAKERS:
+        return "digits"
+    return "text"
+
+
+def keep_type_sql(spec: str, expr_sql: str, spark_type: str,
+                  context: str = "") -> str:
+    """Wrap a compiled anonymise expression so it keeps the source column's
+    type (cast policy 'keep'). The cast text is portable: Spark and DuckDB
+    share INTEGER/BIGINT/DOUBLE/DECIMAL(p,s) spellings. A faker whose
+    output can never parse into the source type fails HERE, at plan time —
+    not as a runtime cast error halfway through a 100 TB job."""
+    t = spark_type.lower()
+    if t in ("string", "varchar"):
+        return expr_sql
+    kind = output_kind(spec)
+    where = f" for {context}" if context else ""
+    if t in _NUMERIC_OK or t.startswith("decimal"):
+        allowed = (_NUMERIC_OK.get(t, {"int", "float", "digits"})
+                   | {"literal"})
+        if kind not in allowed:
+            raise ValueError(
+                f"cast policy 'keep': {spec!r} emits {kind} text, which "
+                f"cannot parse as source type {spark_type}{where} — use a "
+                "numeric faker or cast policy 'string'")
+        sql_type = {"int": "INTEGER", "bigint": "BIGINT",
+                    "smallint": "SMALLINT", "tinyint": "TINYINT",
+                    "float": "FLOAT", "double": "DOUBLE"}.get(t, spark_type)
+        return f"cast(({expr_sql}) as {sql_type})"
+    if kind == "literal":
+        # the user supplies the text; let the engines parse it (dates etc.)
+        return f"cast(({expr_sql}) as {spark_type})"
+    raise ValueError(
+        f"cast policy 'keep': no faker emits {spark_type}{where} — use "
+        "literal:<value> or cast policy 'string'")
+
 
 def parse_spec(spec: str) -> tuple[str, list[str]]:
     """Split 'Type:a:b' colon syntax (reference: anonymiser.go:122-136).
@@ -482,7 +650,7 @@ _IDENT_RE = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def anonymise_sql(spec: str, column: str, table: str = "",
-                  seed: str = DEFAULT_SEED) -> str:
+                  seed: str = DEFAULT_SEED, locale: str = "en") -> str:
     """Compile an anonymiser spec to a portable SQL expression over ``column``.
 
     The expression is valid, and value-identical, in Spark SQL and DuckDB.
@@ -507,8 +675,9 @@ def anonymise_sql(spec: str, column: str, table: str = "",
     must stay exact above that bound."""
     if spec.startswith(LITERAL_PREFIX):
         return s(spec[len(LITERAL_PREFIX):])
+    registry = _registry_for(locale)
     name, args = parse_spec(spec)
-    if name not in _REGISTRY:
+    if name not in registry:
         raise ValueError(f"unknown anonymiser {name!r}")
     if not _IDENT_RE.match(column):
         raise ValueError(
@@ -518,14 +687,15 @@ def anonymise_sql(spec: str, column: str, table: str = "",
     context = f"{table}.{column}" if table else column
     key_sql = f"coalesce(cast({column} as string), '<NULL>')"
     ctx = _Ctx(key_sql, context, seed)
-    expr = _REGISTRY[name](ctx, args)
+    expr = registry[name](ctx, args)
     if name in _SALTED:
         expr = f"concat({expr}, {_salt4(ctx)})"
     return expr
 
 
 def anonymise_expr(spec: str, column: str, table: str = "",
-                   seed: str = DEFAULT_SEED):
+                   seed: str = DEFAULT_SEED, locale: str = "en"):
     """Spark Column for an anonymiser spec (built-ins only, codegen-friendly)."""
     from pyspark.sql import functions as F
-    return F.expr(anonymise_sql(spec, column, table=table, seed=seed))
+    return F.expr(anonymise_sql(spec, column, table=table, seed=seed,
+                                locale=locale))

@@ -35,7 +35,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from klepto_spark.config import Spec, TableSpec
-from klepto_spark.functions.anonymise import DEFAULT_SEED, anonymise_sql
+from klepto_spark.functions.anonymise import (
+    DEFAULT_SEED, anonymise_sql, keep_type_sql)
 
 LoadFn = Callable[[str], DataFrame]
 
@@ -118,10 +119,15 @@ def build_table_df(table: TableSpec, load: LoadFn, *, spec: Spec | None = None,
         df = df.limit(table.filter.limit)
 
     if anonymise and table.anonymise:
+        locale = spec.locale if spec else "en"
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         for col, faker_spec in table.anonymise.items():
-            df = df.withColumn(
-                col, F.expr(anonymise_sql(faker_spec, col, table=table.name,
-                                          seed=seed)))
+            sql = anonymise_sql(faker_spec, col, table=table.name,
+                                seed=seed, locale=locale)
+            if table.cast_policy == "keep" and col in types:
+                sql = keep_type_sql(faker_spec, sql, types[col],
+                                    context=f"{table.name}.{col}")
+            df = df.withColumn(col, F.expr(sql))
     return df
 
 
@@ -166,7 +172,8 @@ def _build_semi(table: TableSpec, base: DataFrame, load: LoadFn,
 
 def build_table_sql(table: TableSpec, *, spec: Spec | None = None,
                     columns: list[str], seed: str = DEFAULT_SEED,
-                    anonymise: bool = True) -> str:
+                    anonymise: bool = True,
+                    column_types: dict[str, str] | None = None) -> str:
     """The equivalent ANSI SQL (DuckDB-runnable) of :func:`build_table_df`
     with join_strategy='inner' — mirrors the reference's generated SQL
     (engine.go:136-167) with the anonymise projection layered on top."""
@@ -188,9 +195,16 @@ def build_table_sql(table: TableSpec, *, spec: Spec | None = None,
         sql += f" LIMIT {table.filter.limit}"
     if not (anonymise and table.anonymise):
         return sql
+    locale = spec.locale if spec else "en"
+
+    def _anon(c: str) -> str:
+        e = anonymise_sql(table.anonymise[c], c, table=t, seed=seed,
+                          locale=locale)
+        if table.cast_policy == "keep" and column_types and c in column_types:
+            e = keep_type_sql(table.anonymise[c], e, column_types[c],
+                              context=f"{t}.{c}")
+        return f"{e} AS {c}"
+
     outer = ", ".join(
-        f"{anonymise_sql(table.anonymise[c], c, table=t, seed=seed)} AS {c}"
-        if c in table.anonymise else c
-        for c in columns
-    )
+        _anon(c) if c in table.anonymise else c for c in columns)
     return f"SELECT {outer} FROM ({sql}) AS {t}"

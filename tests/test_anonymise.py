@@ -140,3 +140,82 @@ def test_spark_duckdb_value_parity(spark, duck):
     srows = [tuple(r) for r in spark.sql(q).collect()]
     drows = [tuple(r) for r in duck.execute(q).fetchall()]
     assert srows == drows
+
+
+def test_locale_wordpacks(duck):
+    """Locale packs swap the locale-sensitive lists; everything else
+    (usernames, lorem, tech strings) stays en/ASCII."""
+    from klepto_spark.functions.anonymise import _LOCALE_PACKS, FAKER_LOCALES
+    assert FAKER_LOCALES == ("en", "de", "fr")
+    sql_de = anonymise_sql("FullName", "email", locale="de")
+    assert sql_de != anonymise_sql("FullName", "email")
+    v = duck.execute(
+        f"SELECT ({sql_de}) FROM (VALUES ('alice@x.com')) AS v(email)"
+    ).fetchone()[0]
+    first, last = v.split(" ", 1)
+    pk = _LOCALE_PACKS["de"]
+    assert first in pk["first_male"] + pk["first_female"]
+    assert last in pk["last"]
+    with pytest.raises(ValueError, match="unknown anonymiser locale"):
+        anonymise_sql("FullName", "email", locale="xx")
+
+
+def test_locale_parity_spark_duckdb(spark, duck):
+    """UTF-8 wordpack literals (Müller, août) must stay value-identical
+    across engines — the oracle invariant extended to locales."""
+    for loc in ("de", "fr"):
+        sel = ", ".join(
+            f"({anonymise_sql(n, 'email', table='users', locale=loc)}) AS f{i}"
+            for i, n in enumerate(
+                ["FullName", "City", "Month", "StreetAddress", "WeekDay"]))
+        q = (f"SELECT {sel} FROM {SRC} AS t "
+             "ORDER BY coalesce(email, 'zzz')")
+        srows = [tuple(r) for r in spark.sql(q).collect()]
+        drows = [tuple(r) for r in duck.execute(q).fetchall()]
+        assert srows == drows, loc
+
+
+def test_cast_policy_keep_types_and_plan_time_errors(spark):
+    """'keep' casts faked output back to the source type; a faker that can
+    never parse into the type fails at plan time, not mid-job."""
+    from klepto_spark.config import TableSpec
+    from klepto_spark.operators.pipeline import build_table_df
+    df = spark.createDataFrame([(7, 12.5, "Bob"), (8, -3.25, "Eve")],
+                               "id int, lat double, name string")
+    keep = TableSpec(name="t", cast_policy="keep",
+                     anonymise={"id": "Zip", "lat": "Latitude",
+                                "name": "FullName"})
+    out = build_table_df(keep, lambda n: df)
+    assert dict(out.dtypes) == {"id": "int", "lat": "double",
+                                "name": "string"}
+    rows = out.collect()
+    assert all(isinstance(r.lat, float) and -90 <= r.lat <= 90 for r in rows)
+    assert all(isinstance(r.id, int) for r in rows)
+    # default policy turns the same columns into strings
+    as_str = build_table_df(
+        TableSpec(name="t", anonymise={"lat": "Latitude"}), lambda n: df)
+    assert dict(as_str.dtypes)["lat"] == "string"
+    # plan-time rejection: name-shaped text can't become an int
+    with pytest.raises(ValueError, match="cast policy 'keep'"):
+        build_table_df(TableSpec(name="t", cast_policy="keep",
+                                 anonymise={"id": "FullName"}),
+                       lambda n: df)
+    with pytest.raises(ValueError, match="invalid cast_policy"):
+        TableSpec(name="t", cast_policy="bogus")
+
+
+def test_cast_policy_keep_duckdb_parity(spark, duck):
+    """The cast wrap is portable SQL: Spark and DuckDB agree on the casted
+    values (typed, not string, comparison)."""
+    from klepto_spark.functions.anonymise import keep_type_sql
+    lat = keep_type_sql("Latitude", anonymise_sql("Latitude", "email"),
+                        "double")
+    yr = keep_type_sql("Year:1990:2020",
+                       anonymise_sql("Year:1990:2020", "email"), "int")
+    q = (f"SELECT ({lat}) AS la, ({yr}) AS yr FROM {SRC} AS t "
+         "ORDER BY coalesce(email, 'zzz')")
+    srows = [tuple(r) for r in spark.sql(q).collect()]
+    drows = [tuple(r) for r in duck.execute(q).fetchall()]
+    assert srows == drows
+    assert all(isinstance(r[0], float) and isinstance(r[1], int)
+               for r in srows)

@@ -77,3 +77,16 @@ def test_write_sample_refuses_overwrite(tmp_path):
     with pytest.raises(FileExistsError):
         write_sample(p)
     load_spec(p)  # sample must itself parse
+
+
+def test_locale_and_cast_policy_from_toml():
+    spec = load_spec(text=(
+        'Locale = "de"\n'
+        '[[Tables]]\n  Name = "users"\n  CastPolicy = "keep"\n'))
+    assert spec.locale == "de"
+    assert spec.tables[0].cast_policy == "keep"
+    import pytest
+    with pytest.raises(ValueError, match="unknown Locale"):
+        load_spec(text='Locale = "zz"\n')
+    with pytest.raises(ValueError, match="invalid cast_policy"):
+        load_spec(text='[[Tables]]\n  Name = "t"\n  CastPolicy = "x"\n')
