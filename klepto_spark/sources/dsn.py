@@ -74,6 +74,9 @@ SCHEMES: dict[str, tuple[str, str]] = {
     "derby": ("jdbc", "jdbc"),
     "os": ("text", ""),
     "file": ("text", ""),
+    # streaming transport (gated: the Kafka connector jar is not bundled
+    # with pyspark — see streaming/kafka.py)
+    "kafka": ("stream", "kafka"),
 }
 
 
