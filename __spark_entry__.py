@@ -105,6 +105,20 @@ SPEC_ANON_REGISTRY = TableSpec(
                "c_acctbal": "Longitude"})
 
 
+# Locale wordpacks + keep-source-type cast policy (round-3 anonymiser
+# breadth): German names/months via the de pack; Latitude keeps
+# c_acctbal's DOUBLE type through a portable cast.
+SPEC_ANON_LOCALE = Spec(
+    locale="de",
+    tables=[TableSpec(
+        name="customer",
+        filter=FilterSpec(match="customer.c_custkey <= 500"),
+        cast_policy="keep",
+        anonymise={"c_name": "FullName",
+                   "c_mktsegment": "Month",
+                   "c_acctbal": "Latitude"})])
+
+
 def _load(spark: SparkSession, sf_dir: str):
     return parquet_loader(spark, sf_dir)
 
@@ -170,6 +184,14 @@ def q_anonymise_params(spark, sf_dir):
 def q_anonymise_registry(spark, sf_dir):
     """A2 breadth: company/geo/commerce/net faker families."""
     return build_table_df(SPEC_ANON_REGISTRY, _load(spark, sf_dir), seed=SEED)
+
+
+def q_anonymise_locale(spark, sf_dir):
+    """Locale wordpacks (de) + cast policy 'keep': UTF-8 wordpack
+    literals stay value-identical across engines, and the faked
+    c_acctbal comes back as DOUBLE, not string."""
+    return build_table_df(SPEC_ANON_LOCALE.tables[0], _load(spark, sf_dir),
+                          spec=SPEC_ANON_LOCALE, seed=SEED)
 
 
 # --------------------------------------------------------------------------
@@ -272,6 +294,22 @@ def q_asof_join(spark, sf_dir):
                        right_time="otime",
                        payload=["o_orderkey", "o_totalprice"])
     return joined.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+def q_moving_avg(spark, sf_dir):
+    """Frame windows: 4-row moving average + lag per user over event
+    time. Sum/count in decimal then one double division, so the value
+    hash is FP-order-independent; (ts, event_id) ordering keys make
+    frames deterministic under ties."""
+    e = _load(spark, sf_dir)("events")
+    frame = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(-3, Window.currentRow))
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.sum(_dec("value")).over(frame).cast("double")
+                / F.count(F.lit(1)).over(frame), 6).alias("mov_avg"),
+        F.lag("value").over(seq).alias("prev_value"))
 
 
 def q_events_rollup(spark, sf_dir):
@@ -460,11 +498,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k09_matcher_alias": q_matcher_alias,
         "k10_anonymise_params": q_anonymise_params,
         "k11_anonymise_registry": q_anonymise_registry,
+        "k12_anonymise_locale": q_anonymise_locale,
         "a01_pricing_summary": q_agg_pricing_summary,
         "a02_top_customers": q_top_customers,
         "a03_window_rank": q_window_rank,
         "a04_customers_without_orders": q_customers_without_orders,
         "a05_events_rollup": q_events_rollup,
+        "a10_moving_avg": q_moving_avg,
         "a06_region_rollup": q_region_rollup,
         "a07_set_ops": q_set_ops,
         "a08_asof_join": q_asof_join,
@@ -616,6 +656,21 @@ def oracle_sql() -> dict[str, str]:
                                "s_acctbal"]),
         "k11_anonymise_registry": _pipeline_oracle(SPEC_ANON_REGISTRY,
                                                    CUSTOMER_COLS),
+        "k12_anonymise_locale": build_table_sql(
+            SPEC_ANON_LOCALE.tables[0], spec=SPEC_ANON_LOCALE,
+            columns=CUSTOMER_COLS, seed=SEED,
+            column_types={"c_acctbal": "double"}),
+        "a10_moving_avg": """
+SELECT event_id, user_id,
+  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / COUNT(*) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg,
+  LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    AS prev_value
+FROM events""",
         "a01_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM({dec.format(c='l_quantity')}) AS DOUBLE) AS sum_qty,
