@@ -84,6 +84,21 @@ def test_sessionize_batch_single_shuffle_no_python(spark, sf_dir):
     assert "Python" not in I.executed_plan(df)
 
 
+def test_moving_avg_single_window_single_shuffle(spark, sf_dir):
+    """All three window functions (moving sum/count + lag) share one
+    partitioning and ordering, so the plan must carry exactly ONE Window
+    operator over ONE exchange — and the scan reads only the 4 columns
+    the query touches."""
+    df = entry.q_moving_avg(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert I.shuffle_count(df) == 1
+    assert plan.count("+- Window ") == 1
+    schema = I.read_schema(df) if hasattr(I, "read_schema") else plan
+    for col in ("event_id", "ts", "user_id", "value"):
+        assert col in schema
+    assert "event_type" not in plan.split("ReadSchema")[-1]
+
+
 def test_frame_plan_is_shuffle_free(spark, sf_dir):
     """Frame planning explodes metadata only — no shuffle, no payload."""
     df = entry.q_frame_plan(spark, sf_dir)
