@@ -119,6 +119,16 @@ SPEC_ANON_LOCALE = Spec(
                    "c_acctbal": "Latitude"})])
 
 
+# Format-preserving masking: shape/length/charclass of the source value
+# survive (digits->digits, letters->letters with case, punctuation kept);
+# c_acctbal's masked digits parse back to DOUBLE under cast_policy keep.
+SPEC_ANON_FORMAT = TableSpec(
+    name="customer",
+    filter=FilterSpec(match="customer.c_custkey <= 300"),
+    cast_policy="keep",
+    anonymise={"c_name": "FormatPreserve", "c_acctbal": "FormatPreserve"})
+
+
 def _load(spark: SparkSession, sf_dir: str):
     return parquet_loader(spark, sf_dir)
 
@@ -192,6 +202,12 @@ def q_anonymise_locale(spark, sf_dir):
     c_acctbal comes back as DOUBLE, not string."""
     return build_table_df(SPEC_ANON_LOCALE.tables[0], _load(spark, sf_dir),
                           spec=SPEC_ANON_LOCALE, seed=SEED)
+
+
+def q_anonymise_format(spark, sf_dir):
+    """Format-preserving masking (per-position keyed substitution,
+    charclass/length kept) with keep-type casts on the numeric column."""
+    return build_table_df(SPEC_ANON_FORMAT, _load(spark, sf_dir), seed=SEED)
 
 
 # --------------------------------------------------------------------------
@@ -499,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k10_anonymise_params": q_anonymise_params,
         "k11_anonymise_registry": q_anonymise_registry,
         "k12_anonymise_locale": q_anonymise_locale,
+        "k13_anonymise_format": q_anonymise_format,
         "a01_pricing_summary": q_agg_pricing_summary,
         "a02_top_customers": q_top_customers,
         "a03_window_rank": q_window_rank,
@@ -659,6 +676,9 @@ def oracle_sql() -> dict[str, str]:
         "k12_anonymise_locale": build_table_sql(
             SPEC_ANON_LOCALE.tables[0], spec=SPEC_ANON_LOCALE,
             columns=CUSTOMER_COLS, seed=SEED,
+            column_types={"c_acctbal": "double"}),
+        "k13_anonymise_format": build_table_sql(
+            SPEC_ANON_FORMAT, columns=CUSTOMER_COLS, seed=SEED,
             column_types={"c_acctbal": "double"}),
         "a10_moving_avg": """
 SELECT event_id, user_id,

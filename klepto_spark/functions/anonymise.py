@@ -162,10 +162,12 @@ class _Ctx:
     of entropy per stream, new streams on demand for long composite values.
     """
 
-    def __init__(self, key_sql: str, context: str, seed: str):
+    def __init__(self, key_sql: str, context: str, seed: str,
+                 raw_sql: str = "''"):
         self.key_sql = key_sql
         self.context = context
         self.seed = seed
+        self.raw_sql = raw_sql  # NULL-safe source text (shape-dependent fakers)
 
     def h(self, n: int = 0) -> str:
         prefix = f"{self.seed}|{self.context}|{n}|"
@@ -346,8 +348,46 @@ def _arg_bool(args: list[str], i: int) -> bool:
         return False
 
 
+# Format-preserving masking: per-position substitution that keeps the
+# source value's shape — digits stay digits, letters stay letters with
+# case, punctuation/whitespace/unicode pass through, length is kept.
+# Positions up to _FPE_MAX get per-value keyed substitutions (hash
+# streams); any tail beyond that is statically masked with translate()
+# (still shape- and length-preserving, just not value-keyed).
+_FPE_MAX = 40
+_FPE_SRC = CHARS + CHARS.upper() + "0123456789"
+_FPE_DST = "x" * 26 + "X" * 26 + "9" * 10
+
+
+def _format_preserve(ctx: _Ctx, a) -> str:
+    # the RAW value drives the shape; NULL -> '' (concat-with-NULL
+    # semantics differ between Spark and DuckDB, so never concat NULLs)
+    raw = ctx.raw_sql
+    parts = []
+    for i in range(1, _FPE_MAX + 1):
+        ch = f"substr({raw}, {i}, 1)"
+        digit = P.int_str(P.hex_mod(ctx.h(10 + (i - 1) // 16),
+                                    1 + ((i - 1) % 16), 1, 10))
+        upper = P.pick(list(CHARS.upper()),
+                       P.hex_mod(ctx.h(14 + (i - 1) // 8),
+                                 1 + 2 * ((i - 1) % 8), 2, 26))
+        lower = P.pick(list(CHARS),
+                       P.hex_mod(ctx.h(20 + (i - 1) // 8),
+                                 1 + 2 * ((i - 1) % 8), 2, 26))
+        parts.append(
+            f"case when {ch} = '' or {ch} is null then ''"
+            f" when {ch} between '0' and '9' then {digit}"
+            f" when {ch} between 'A' and 'Z' then {upper}"
+            f" when {ch} between 'a' and 'z' then {lower}"
+            f" else {ch} end")
+    tail = (f"translate(substr({raw}, {_FPE_MAX + 1}), "
+            f"{s(_FPE_SRC)}, {s(_FPE_DST)})")
+    return f"concat({', '.join(parts)}, coalesce({tail}, ''))"
+
+
 _REGISTRY: dict = {
     "Brand": _simple(BRANDS),
+    "FormatPreserve": _format_preserve,
     "Character": lambda ctx, a: _chars(ctx, 1),
     "Characters": lambda ctx, a: _chars(ctx, 5),
     "CharactersN": lambda ctx, a: _chars(ctx, min(max(_arg_int(a, 0), 0), 64)) if _arg_int(a, 0) > 0 else "''",
@@ -570,7 +610,10 @@ _INT_FAKERS = {"Day", "MonthNum", "WeekdayNum", "Year", "LatitudeDegrees",
                "LatitudeMinutes", "LatitudeSeconds", "LongitudeDegrees",
                "LongitudeMinutes", "LongitudeSeconds"}
 _FLOAT_FAKERS = {"Latitude", "Longitude"}
-_DIGIT_FAKERS = {"Digits", "DigitsN", "Zip", "CreditCardNum"}
+# FormatPreserve masks shape-preservingly, so a numeric source value
+# ('1234.56') masks to numeric-parsable text — numeric kinds accept it.
+_DIGIT_FAKERS = {"Digits", "DigitsN", "Zip", "CreditCardNum",
+                 "FormatPreserve"}
 
 _NUMERIC_OK = {"int": {"int", "digits"},
                "bigint": {"int", "digits"},
@@ -686,7 +729,8 @@ def anonymise_sql(spec: str, column: str, table: str = "",
             "rename/alias the column before anonymising")
     context = f"{table}.{column}" if table else column
     key_sql = f"coalesce(cast({column} as string), '<NULL>')"
-    ctx = _Ctx(key_sql, context, seed)
+    ctx = _Ctx(key_sql, context, seed,
+               raw_sql=f"coalesce(cast({column} as string), '')")
     expr = registry[name](ctx, args)
     if name in _SALTED:
         expr = f"concat({expr}, {_salt4(ctx)})"

@@ -26,8 +26,9 @@ ARG_SPECS = {
 
 def test_registry_covers_reference_surface():
     # every name in the reference's generated table
-    # (reference: pkg/anonymiser/fake.go:11-102)
-    assert len(FAKER_NAMES) == 90
+    # (reference: pkg/anonymiser/fake.go:11-102) plus the
+    # FormatPreserve extension
+    assert len(FAKER_NAMES) == 91
     for required in ["EmailAddress", "UserName", "Latitude", "Longitude",
                      "FirstName", "CreditCardNum", "Password", "Year",
                      "UserAgent", "GetLangs"]:
@@ -77,7 +78,10 @@ def test_every_faker_runs_in_duckdb(duck, name):
     rows = duck.execute(f"SELECT ({sql}) FROM {SRC} AS t").fetchall()
     assert len(rows) == 3
     for (v,) in rows:
-        assert isinstance(v, str) and v != ""  # strings, NULL input included
+        assert isinstance(v, str)
+        # FormatPreserve keeps the source's shape, so NULL -> '' by design
+        if name != "FormatPreserve":
+            assert v != ""  # non-empty for every input, NULL included
 
 
 def test_determinism_and_keying(duck):
@@ -219,3 +223,63 @@ def test_cast_policy_keep_duckdb_parity(spark, duck):
     assert srows == drows
     assert all(isinstance(r[0], float) and isinstance(r[1], int)
                for r in srows)
+
+
+def test_format_preserve_keeps_shape(duck):
+    """FormatPreserve: digits->digits, letters->letters with case,
+    punctuation/space kept, length kept, per-value keyed, NULL -> ''."""
+    sql = anonymise_sql("FormatPreserve", "email", table="users")
+    src = ("(SELECT * FROM (VALUES ('Card 1234-5678 Ok!'), ('Card 1234-5678 Ok!'), "
+           "('zz 99'), (CAST(NULL AS STRING))) AS v(email))")
+    rows = [r[0] for r in duck.execute(
+        f"SELECT ({sql}) FROM {src} AS t").fetchall()]
+    a, a2, b, nul = rows
+    assert a == a2  # deterministic
+    assert nul == ""
+    import re as _re
+    assert len(a) == len("Card 1234-5678 Ok!")
+    for src_ch, out_ch in zip("Card 1234-5678 Ok!", a):
+        if src_ch.isdigit():
+            assert out_ch.isdigit()
+        elif src_ch.isupper():
+            assert out_ch.isupper() and out_ch.isalpha()
+        elif src_ch.islower():
+            assert out_ch.islower() and out_ch.isalpha()
+        else:
+            assert out_ch == src_ch  # '-', ' ', '!'
+    assert a != "Card 1234-5678 Ok!"  # actually masked
+    assert _re.fullmatch(r"[a-z]{2} \d{2}", b)
+
+
+def test_format_preserve_long_tail_and_parity(spark, duck):
+    """Beyond the keyed prefix the tail is statically masked but shape
+    and length survive; values agree across engines."""
+    sql = anonymise_sql("FormatPreserve", "email")
+    long_src = "A1b-" * 15  # 60 chars > keyed prefix of 40
+    q = (f"SELECT ({sql}) AS x FROM (VALUES ('{long_src}'), ('n/a 77')) "
+         "AS v(email) ORDER BY 1")
+    srows = [r.x for r in spark.sql(q).collect()]
+    drows = [r[0] for r in duck.execute(q).fetchall()]
+    assert srows == drows
+    masked = next(v for v in srows if len(v) == 60)
+    for s_ch, o_ch in zip(long_src, masked):
+        assert (s_ch.isdigit() == o_ch.isdigit()
+                and s_ch.isalpha() == o_ch.isalpha()
+                and (not s_ch.isalpha() or s_ch.isupper() == o_ch.isupper())
+                and (s_ch.isalnum() or s_ch == o_ch))
+
+
+def test_format_preserve_numeric_keep_cast(spark):
+    """digits-kind: a masked numeric value parses back into the source
+    numeric type under cast policy 'keep'."""
+    from klepto_spark.config import TableSpec
+    from klepto_spark.operators.pipeline import build_table_df
+    df = spark.createDataFrame([(1, 1234.56), (2, -78.9)],
+                               "id int, bal double")
+    out = build_table_df(
+        TableSpec(name="t", cast_policy="keep",
+                  anonymise={"bal": "FormatPreserve"}), lambda n: df)
+    assert dict(out.dtypes)["bal"] == "double"
+    vals = {r.id: r.bal for r in out.collect()}
+    assert vals[2] < 0  # sign position survives masking
+    assert all(v is not None for v in vals.values())
