@@ -35,6 +35,12 @@ def connect(*args, **kwargs):
     return _connect(*args, **kwargs)
 
 
+def steal_incremental(*args, **kwargs):
+    """See :func:`klepto_spark.incremental.steal_incremental`."""
+    from klepto_spark.incremental import steal_incremental as _si
+    return _si(*args, **kwargs)
+
+
 __all__ = [
     "Spec",
     "TableSpec",
@@ -43,5 +49,6 @@ __all__ = [
     "load_spec",
     "get_spark",
     "steal",
+    "steal_incremental",
     "connect",
 ]

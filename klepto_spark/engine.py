@@ -55,7 +55,8 @@ class RunReport:
 def steal(spec: Spec, source, sink_dsn: str, *, concurrency: int | None = None,
           data_only: bool = False, strict: bool = True,
           join_strategy: str = "semi", seed: str = "klepto",
-          mode: str = "overwrite") -> RunReport:
+          mode: str = "overwrite",
+          only_tables: list[str] | None = None) -> RunReport:
     """Copy every source table through its configured pipeline to the sink.
 
     ``source`` is a catalog from klepto_spark.sources.catalog.connect;
@@ -106,6 +107,9 @@ def steal(spec: Spec, source, sink_dsn: str, *, concurrency: int | None = None,
         return res
 
     tables = source.tables()
+    if only_tables is not None:
+        wanted = set(only_tables)
+        tables = [t for t in tables if t in wanted]
     with ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
         futures = {pool.submit(run_one, t): t for t in tables}
         for fut in as_completed(futures):

@@ -1,0 +1,175 @@
+"""Watermark-based incremental copy — delta-shaped ``steal``.
+
+The reference always copies whole tables (pkg/dumper/engine/engine.go has
+no notion of a previous run). For DB→lake pipelines that re-run on a
+schedule, re-reading 100 TB to pick up yesterday's rows is the dominant
+cost, so this module adds the standard high-water-mark pattern on top of
+the existing engine:
+
+- per table, a monotonically-increasing *watermark column* (id,
+  created_at, …) and a persisted *mark* (the highest value already
+  copied, stored as JSON next to the pipeline)
+- each run snapshots the CURRENT max first, copies only
+  ``mark < col <= new_max`` (append mode, through the full configured
+  pipeline — filters, restriction joins, anonymisation all apply), and
+  persists the new mark only after the copy succeeded — a crashed run
+  re-copies its window instead of losing it
+- the upper bound makes the window closed: rows arriving mid-copy land
+  in the NEXT run instead of being half-copied
+- the first run (no mark) is a plain full copy in overwrite mode
+
+Scale: the `col > mark` predicate is pushed into the scan (parquet
+row-group stats / JDBC WHERE), so an incremental run's cost follows the
+delta, not the table. Limits, shared with every watermark design: rows
+UPDATED in place behind the mark are not re-copied (this is insert-shaped
+capture, not CDC), and ties at the old mark's exact value that commit
+AFTER the snapshot are picked up next run only if the column keeps
+increasing — use a strictly-monotonic column.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import tempfile
+from dataclasses import replace
+
+from klepto_spark.config import Spec, TableSpec
+from klepto_spark.engine import RunReport, TableResult, steal
+
+
+def load_marks(state_path: str) -> dict:
+    if not os.path.exists(state_path):
+        return {}
+    with open(state_path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def save_marks(state_path: str, marks: dict) -> None:
+    """Atomic replace: a crash mid-write leaves the previous state."""
+    d = os.path.dirname(os.path.abspath(state_path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".marks-")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            json.dump(marks, fh, indent=1, default=str)
+        os.replace(tmp, state_path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def _literal(value) -> str:
+    """Render a watermark value as a Spark SQL literal."""
+    if isinstance(value, bool):
+        raise ValueError("boolean watermark columns are not monotonic")
+    if isinstance(value, (int, float)):
+        return repr(value)
+    if isinstance(value, _dt.datetime):
+        return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(value, _dt.date):
+        return f"DATE '{value.isoformat()}'"
+    escaped = str(value).replace("'", "''")
+    return f"'{escaped}'"
+
+
+def _from_json(stored: dict):
+    """Stored mark -> comparable literal SQL (types round-trip via tag)."""
+    kind, raw = stored["kind"], stored["value"]
+    if kind == "int":
+        return _literal(int(raw))
+    if kind == "float":
+        return _literal(float(raw))
+    if kind == "timestamp":
+        return f"TIMESTAMP '{raw}'"
+    if kind == "date":
+        return f"DATE '{raw}'"
+    return _literal(str(raw))
+
+
+def _to_json(value) -> dict:
+    if isinstance(value, _dt.datetime):
+        return {"kind": "timestamp",
+                "value": value.strftime("%Y-%m-%d %H:%M:%S.%f")}
+    if isinstance(value, _dt.date):
+        return {"kind": "date", "value": value.isoformat()}
+    if isinstance(value, int):
+        return {"kind": "int", "value": value}
+    if isinstance(value, float):
+        return {"kind": "float", "value": value}
+    return {"kind": "string", "value": str(value)}
+
+
+def _with_range(tspec: TableSpec, pred: str) -> TableSpec:
+    match = tspec.filter.match
+    combined = f"({match}) AND {pred}" if match else pred
+    filt = replace(tspec.filter, match=combined)
+    return replace(tspec, filter=filt)
+
+
+def steal_incremental(spec: Spec, source, sink_dsn: str, *,
+                      state_path: str, watermarks: dict[str, str],
+                      concurrency: int | None = None, strict: bool = True,
+                      join_strategy: str = "semi", seed: str = "klepto",
+                      copy_others: bool = True) -> RunReport:
+    """Incremental ``steal``: watermarked tables copy only rows past their
+    persisted mark (append); everything else full-copies (overwrite)
+    unless ``copy_others=False``.
+
+    ``watermarks`` maps table name -> monotonically-increasing column.
+    State lives at ``state_path`` (JSON, atomically replaced)."""
+    from pyspark.sql import functions as F
+
+    marks = load_marks(state_path)
+    report = RunReport()
+
+    if copy_others:
+        others = [t for t in source.tables() if t not in watermarks]
+        if others:
+            full = steal(spec, source, sink_dsn, concurrency=concurrency,
+                         strict=strict, join_strategy=join_strategy,
+                         seed=seed, mode="overwrite", only_tables=others)
+            report.tables.extend(full.tables)
+            report.structure_sql = full.structure_sql
+            report.seconds += full.seconds
+
+    for table, col in sorted(watermarks.items()):
+        stored = marks.get(table)
+        # snapshot the upper bound BEFORE copying: rows landing mid-copy
+        # belong to the next window
+        new_max = source.load(table).agg(F.max(col).alias("m")).first()["m"]
+        if new_max is None or (stored is not None
+                               and _to_json(new_max) == stored):
+            report.tables.append(TableResult(table=table, rows=0,
+                                             skipped=stored is not None))
+            continue
+        tspec = spec.find_table(table) or TableSpec(name=table)
+        upper = f"{table}.{col} <= {_literal(new_max)}"
+        if stored is None:
+            tspec = _with_range(tspec, upper)
+            mode = "overwrite"
+        else:
+            tspec = _with_range(
+                tspec, f"{table}.{col} > {_from_json(stored)} AND {upper}")
+            mode = "append"
+        run_spec = Spec(matchers=dict(spec.matchers),
+                        tables=[tspec] + [t for t in spec.tables
+                                          if t.name != table],
+                        locale=spec.locale)
+        part = steal(run_spec, source, sink_dsn, concurrency=concurrency,
+                     strict=strict, join_strategy=join_strategy, seed=seed,
+                     mode=mode, only_tables=[table], data_only=True)
+        report.tables.extend(part.tables)
+        report.seconds += part.seconds
+        if part.ok:
+            # persist only after a successful copy: a crashed run replays
+            # its window (at-least-once into an atomic sink)
+            marks[table] = _to_json(new_max)
+            save_marks(state_path, marks)
+
+    report.tables.sort(key=lambda r: r.table)
+    if strict and not report.ok:
+        failed = [t.table for t in report.tables if t.error]
+        raise RuntimeError(f"incremental steal failed for: {failed}")
+    return report
