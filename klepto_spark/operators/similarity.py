@@ -387,3 +387,71 @@ def ivf_probe_index(spark, path: str, query: list[float],
     scan = (spark.read.parquet(path)
             .filter(F.col("cluster").isin(probed)))
     return brute_force_topk(scan, query, vec_col, key_col, k)
+
+
+def ivf_stats(spark, path: str) -> DataFrame:
+    """Cluster-size histogram of an at-rest index — the drift signal.
+    Reads ONLY the partition column (no vector IO): a metadata-priced
+    check that tells you when one cluster has gone hot (probe cost is
+    proportional to the largest probed cluster) or the assignment no
+    longer matches the data distribution."""
+    return (spark.read.parquet(path)
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+            .orderBy("cluster"))
+
+
+def ivf_retrain(spark, path: str, k: int, out_path: str,
+                vec_col: str = "embedding", key_col: str = "vec_id",
+                max_iter: int = 10,
+                dim: int | None = None) -> list[list[float]]:
+    """Re-train centroids on the CURRENT index contents and rewrite the
+    index partitioned by the new assignment. This is the maintenance
+    answer to drift and hot clusters alike: k-means splits dense regions
+    by construction, so a hot cluster becomes several (raise ``k`` to
+    split further). Writes to ``out_path`` (swap directories to publish —
+    the file-sink staging pattern) and returns the new centroids, which
+    the caller must persist for probing."""
+    current = spark.read.parquet(path).drop("cluster")
+    cents = kmeans_fit(current, k, vec_col, key_col,
+                       max_iter=max_iter, dim=dim)
+    ivf_write_index(current, cents, out_path, vec_col, key_col)
+    return cents
+
+
+# ---------------------------------------------------------------------------
+# Pre-normalised embeddings at rest
+# ---------------------------------------------------------------------------
+
+def normalise_embeddings(df: DataFrame, dim: int,
+                         vec_col: str = "embedding",
+                         norm_col: str = "vec_norm") -> DataFrame:
+    """Store unit vectors + the original norm once, at write time.
+
+    Cosine against a unit-normalised query then degenerates to a pure dot
+    product: every later search drops ``dim`` multiplies + a sqrt PER ROW
+    (the row-norm term), which at query-per-day × 100 TB scan volume is
+    the dominant repeated cost. Zero vectors stay zero with norm 0 (no
+    NaNs downstream)."""
+    v = F.col(vec_col).cast("array<double>")
+    n = norm_unrolled(v, dim)
+    unit = F.array(*[
+        F.when(n == 0.0, F.lit(0.0))
+        .otherwise(F.element_at(v, j + 1) / n) for j in range(dim)])
+    return (df.withColumn(norm_col, n)
+            .withColumn(vec_col, unit))
+
+
+def topk_prenormalised(df: DataFrame, query: list[float],
+                       vec_col: str = "embedding", key_col: str = "vec_id",
+                       k: int = 10) -> DataFrame:
+    """Cosine top-k over pre-normalised vectors: score = dot(unit_row,
+    unit_query) — no per-row norm, no sqrt, same TakeOrderedAndProject
+    shape as brute_force_topk. The query is normalised driver-side."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
+    unit_q = [float(x) / qn for x in query]
+    v = F.col(vec_col).cast("array<double>")
+    return (df.select(F.col(key_col),
+                      F.round(dot_const(v, unit_q), 6).alias("score"))
+            .orderBy(F.desc("score"), F.col(key_col))
+            .limit(k))

@@ -215,3 +215,59 @@ def test_frame_sample_plan(spark):
         "media_id long, kind string, duration_ms long")
     got = M.frame_sample_plan(df, every_ms=1000).collect()
     assert {(r.media_id, r.frame_ts) for r in got} == {(1, 0), (1, 1000), (1, 2000)}
+
+
+def test_prenormalised_topk_matches_brute_force(spark, tmp_path):
+    """Unit-vectors-at-rest: dot-only scoring returns the same top-k as
+    full cosine, and — once the normalised form is materialised, as it
+    would be at rest — the per-row sqrt is GONE from the query plan."""
+    import random
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [rng.uniform(-1, 1) for _ in range(16)]
+    base = similarity.brute_force_topk(df, q, k=10).collect()
+    (similarity.normalise_embeddings(df, dim=16)
+     .write.mode("overwrite").parquet(str(tmp_path / "normed")))
+    normed = spark.read.parquet(str(tmp_path / "normed"))
+    fast = similarity.topk_prenormalised(normed, q, k=10).collect()
+    assert [r.vec_id for r in base] == [r.vec_id for r in fast]
+    for a, b in zip(base, fast):
+        assert abs(a.score - b.score) <= 1e-5
+    # the norm column holds the original magnitudes; vectors are unit
+    sample = normed.limit(5).collect()
+    for r in sample:
+        assert abs(sum(x * x for x in r.embedding) - 1.0) < 1e-9
+        assert r.vec_norm > 0
+    plan = similarity.topk_prenormalised(normed, q, k=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SQRT" not in plan.upper().replace("TAKEORDEREDANDPROJECT", "")
+
+
+def test_ivf_retrain_splits_hot_cluster(spark, tmp_path):
+    """Maintenance loop: an index written with degenerate centroids (one
+    hot cluster) retrains into balanced clusters and probes stay exact."""
+    import random
+    rng = random.Random(5)
+    blobs = [[8.0, 0.0], [0.0, 8.0], [-8.0, -8.0]]
+    rows = [(i, [c + rng.uniform(-0.5, 0.5) for c in blobs[i % 3]])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # degenerate: both centroids far away -> everything lands in cluster 0
+    bad = [[100.0, 100.0], [200.0, 200.0]]
+    idx = str(tmp_path / "idx")
+    similarity.ivf_write_index(df, bad, idx)
+    sizes = {r.cluster: r.n_vectors
+             for r in similarity.ivf_stats(spark, idx).collect()}
+    assert sizes == {0: 120}  # hot cluster detected via stats
+    idx2 = str(tmp_path / "idx2")
+    cents = similarity.ivf_retrain(spark, idx, k=3, out_path=idx2)
+    sizes2 = {r.cluster: r.n_vectors
+              for r in similarity.ivf_stats(spark, idx2).collect()}
+    assert len(sizes2) == 3 and all(v == 40 for v in sizes2.values())
+    # probing the retrained index matches exact brute force
+    q = [8.0, 0.5]
+    got = similarity.ivf_probe_index(spark, idx2, q, cents, n_probe=1, k=5)
+    exact = similarity.brute_force_topk(df, q, k=5)
+    assert [r.vec_id for r in got.collect()] == \
+        [r.vec_id for r in exact.collect()]
