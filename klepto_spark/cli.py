@@ -57,6 +57,44 @@ def _cmd_steal(args: argparse.Namespace) -> int:
     return 0 if report.ok else 1
 
 
+def _cmd_steal_incremental(args: argparse.Namespace) -> int:
+    from klepto_spark.config import Spec, load_spec
+    from klepto_spark.incremental import steal_incremental
+    from klepto_spark.session import get_spark
+    from klepto_spark.sources.catalog import connect
+
+    watermarks = {}
+    for item in args.watermark:
+        try:
+            table, col = item.split("=", 1)
+        except ValueError:
+            print(f"bad --watermark {item!r} (want table=column)",
+                  file=sys.stderr)
+            return 2
+        watermarks[table] = col
+    spec = load_spec(args.config) if args.config else Spec()
+    spark = get_spark(app_name="klepto_spark_steal_incremental")
+    spark.sparkContext.setLogLevel("WARN")
+    source = connect(spark, getattr(args, "from"))
+    try:
+        report = steal_incremental(
+            spec, source, args.to, state_path=args.state,
+            watermarks=watermarks, concurrency=args.concurrency,
+            strict=not args.permissive, join_strategy=args.join_strategy,
+            seed=args.seed, copy_others=not args.watermarked_only)
+    except RuntimeError as exc:
+        print(str(exc), file=sys.stderr)
+        return 1
+    print(json.dumps({
+        "tables": {t.table: {"rows": t.rows, "seconds": t.seconds,
+                             "skipped": t.skipped, "error": t.error}
+                   for t in report.tables},
+        "total_seconds": report.seconds,
+        "ok": report.ok,
+    }))
+    return 0 if report.ok else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="klepto_spark",
                                 description="Steals and anonymises data, on Spark")
@@ -83,6 +121,26 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--join-strategy", choices=["semi", "inner"],
                     default="semi")
     ps.set_defaults(fn=_cmd_steal)
+
+    pinc = sub.add_parser(
+        "steal-incremental",
+        help="delta copy: only rows past each table's high-water mark")
+    pinc.add_argument("--from", required=True, dest="from")
+    pinc.add_argument("--to", required=True)
+    pinc.add_argument("--state", required=True,
+                      help="JSON file holding per-table high-water marks")
+    pinc.add_argument("--watermark", action="append", required=True,
+                      metavar="TABLE=COLUMN",
+                      help="monotonic watermark column (repeatable)")
+    pinc.add_argument("--config", default=None)
+    pinc.add_argument("--concurrency", type=int, default=None)
+    pinc.add_argument("--permissive", action="store_true")
+    pinc.add_argument("--seed", default="klepto")
+    pinc.add_argument("--join-strategy", choices=["semi", "inner"],
+                      default="semi")
+    pinc.add_argument("--watermarked-only", action="store_true",
+                      help="skip full copies of non-watermarked tables")
+    pinc.set_defaults(fn=_cmd_steal_incremental)
     return p
 
 

@@ -442,6 +442,83 @@ def normalise_embeddings(df: DataFrame, dim: int,
             .withColumn(vec_col, unit))
 
 
+# ---------------------------------------------------------------------------
+# Product quantisation (PQ): compressed vectors + asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+def pq_train(df: DataFrame, m: int, k: int = 16,
+             vec_col: str = "embedding", key_col: str = "vec_id",
+             max_iter: int = 8,
+             dim: int | None = None) -> list[list[list[float]]]:
+    """Train PQ codebooks: split each vector into ``m`` contiguous
+    subvectors and run k-means (``k`` codes) independently per subspace.
+    Returns m codebooks of k centroids each.
+
+    Deterministic (inherits kmeans_fit's smallest-key init). Storage
+    math: dim float64 (8·dim bytes) compresses to m code bytes — 64× at
+    dim=64, m=8 — which is what lets a 100 TB embedding corpus's codes
+    fit a fraction of the scan budget (or memory) while the full vectors
+    stay at rest for reranking."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    books = []
+    for i in range(m):
+        part = df.select(F.col(key_col),
+                         F.slice(v, i * sub + 1, sub).alias(vec_col))
+        books.append(kmeans_fit(part, k, vec_col, key_col,
+                                max_iter=max_iter, dim=sub))
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              key_col: str = "vec_id") -> DataFrame:
+    """(key, codes array<int>): each subvector's nearest-centroid index.
+    Pure projection (argmin per subspace, same machinery as ivf_assign) —
+    no shuffle; write the result once, search the codes forever."""
+    v = F.col(vec_col).cast("array<double>")
+    sub = len(codebooks[0][0])
+    codes = [
+        _argmin_cluster(F.slice(v, i * sub + 1, sub), book)
+        for i, book in enumerate(codebooks)]
+    return df.select(F.col(key_col), F.array(*codes).alias("codes"))
+
+
+def pq_topk(codes_df: DataFrame, query: list[float],
+            codebooks: list[list[list[float]]],
+            key_col: str = "vec_id", k: int = 10) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): the query stays
+    uncompressed; per subspace a k-entry lookup table of exact
+    query-to-centroid squared distances is built driver-side and embedded
+    as an array literal, so the per-row score is m element_at lookups +
+    adds — no vector math against rows at all. Scan cost is O(m) per row
+    over 1-byte codes: the cheapest first pass at corpus scale, with
+    exact rerank of the survivors as the standard follow-up."""
+    sub = len(codebooks[0][0])
+    m = len(codebooks)
+    if len(query) != m * sub:
+        raise ValueError(f"query dim {len(query)} != {m}x{sub}")
+    score_terms = []
+    for i, book in enumerate(codebooks):
+        q_i = query[i * sub:(i + 1) * sub]
+        table = [sum((float(a) - float(b)) ** 2 for a, b in zip(q_i, cent))
+                 for cent in book]
+        lut = F.array(*[F.lit(d) for d in table])
+        score_terms.append(
+            F.element_at(lut, F.element_at(F.col("codes"), i + 1) + 1))
+    dist = score_terms[0]
+    for t in score_terms[1:]:
+        dist = dist + t
+    return (codes_df.select(F.col(key_col),
+                            F.round(dist, 6).alias("sq_dist"))
+            .orderBy(F.asc("sq_dist"), F.col(key_col))
+            .limit(k))
+
+
 def topk_prenormalised(df: DataFrame, query: list[float],
                        vec_col: str = "embedding", key_col: str = "vec_id",
                        k: int = 10) -> DataFrame:

@@ -46,3 +46,29 @@ def test_steal_cli_bad_config(tmp_path, capsys):
     with pytest.raises(ValueError, match="NotAFaker"):
         main(["steal", "--from", "parquet:///nowhere", "--to",
               "parquet:///tmp/x", "--config", str(cfg)])
+
+
+def test_steal_incremental_cli_roundtrip(spark, tmp_path, capsys):
+    """steal-incremental: first run full-copies, second copies only the
+    delta past the persisted watermark."""
+    src = tmp_path / "src"
+    (spark.range(10).selectExpr("id", "id * 2 AS v")
+     .write.parquet(str(src / "t.parquet")))
+    args = ["steal-incremental", "--from", f"parquet://{src}",
+            "--to", f"parquet:///{str(tmp_path / 'out').lstrip('/')}",
+            "--state", str(tmp_path / "marks.json"),
+            "--watermark", "t=id"]
+    assert main(args) == 0
+    capsys.readouterr()
+    (spark.range(10, 13).selectExpr("id", "id * 2 AS v")
+     .write.mode("append").parquet(str(src / "t.parquet")))
+    assert main(args) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["tables"]["t"]["rows"] == 3
+    got = spark.read.parquet(str(tmp_path / "out" / "t.parquet"))
+    assert got.count() == 13
+
+    # malformed watermark spec is a usage error
+    assert main(["steal-incremental", "--from", f"parquet://{src}",
+                 "--to", "parquet:///tmp/x", "--state", "/tmp/s.json",
+                 "--watermark", "nocolumn"]) == 2

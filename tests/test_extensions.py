@@ -271,3 +271,35 @@ def test_ivf_retrain_splits_hot_cluster(spark, tmp_path):
     exact = similarity.brute_force_topk(df, q, k=5)
     assert [r.vec_id for r in got.collect()] == \
         [r.vec_id for r in exact.collect()]
+
+
+def test_pq_compression_and_adc_search(spark):
+    """PQ: codebooks train per subspace, codes are m small ints, and
+    ADC top-k finds the true nearest neighbours on separated data."""
+    import random
+    rng = random.Random(9)
+    blobs = [[6.0, 0.0, 0.0, 0.0], [0.0, 6.0, 0.0, 0.0],
+             [0.0, 0.0, 6.0, 0.0], [0.0, 0.0, 0.0, 6.0]]
+    rows = [(i, [c + rng.uniform(-0.4, 0.4) for c in blobs[i % 4]])
+            for i in range(160)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train_wrap(df, m=2, k=8, max_iter=10, dim=4)
+    assert len(books) == 2 and all(len(b) == 8 for b in books)
+    assert books == pq_train_wrap(df, m=2, k=8, max_iter=10, dim=4)  # deterministic
+    codes = similarity.pq_encode(df, books)
+    row = codes.first()
+    assert len(row.codes) == 2 and all(0 <= c < 8 for c in row.codes)
+    # ADC search: every top-8 hit for a blob-0 query is a blob-0 member
+    q = [6.0, 0.1, -0.1, 0.0]
+    got = similarity.pq_topk(codes, q, books, k=8).collect()
+    assert all(r.vec_id % 4 == 0 for r in got), [r.vec_id for r in got]
+    # dim mismatch fails loudly
+    import pytest
+    with pytest.raises(ValueError, match="query dim"):
+        similarity.pq_topk(codes, [1.0, 2.0], books)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train_wrap(df, m=3, dim=4)
+
+
+def pq_train_wrap(df, m, k=16, max_iter=8, dim=None):
+    return similarity.pq_train(df, m, k=k, max_iter=max_iter, dim=dim)
