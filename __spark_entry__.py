@@ -454,6 +454,26 @@ def q_ivf_topk(spark, sf_dir):
                                n_probe=2, k=10)
 
 
+# PQ contract constants: 8 subspaces x 16 codes over dim=64 (8 doubles ->
+# 1 code byte per subspace = 64x compression). Codebooks and the query are
+# deterministic plan-time constants, so the ADC lookup tables are identical
+# Python doubles embedded as literals in BOTH engines — scores match to the
+# bit and the (sq_dist, vec_id) sort breaks any k-boundary tie identically.
+PQ_CODEBOOKS = [[[0.25 * math.sin(1.7 * (j + 1) + 0.83 * c + 1.19 * i)
+                 for j in range(8)] for c in range(16)] for i in range(8)]
+PQ_QUERY = [0.2 * math.sin(0.9 * (j + 1)) for j in range(64)]
+
+
+def q_pq_topk(spark, sf_dir):
+    """Product-quantised ANN: encode vectors to 8 code bytes (nearest
+    codebook entry per subspace, codegen'd unrolled distances), then
+    asymmetric-distance top-k via plan-time lookup tables — no per-row
+    vector math (similarity.pq_topk_sql replays encode + ADC in DuckDB)."""
+    emb = dedup.fan_out(_load(spark, sf_dir)("embeddings"), "vec_id")
+    codes = similarity.pq_encode(emb, PQ_CODEBOOKS)
+    return similarity.pq_topk(codes, PQ_QUERY, PQ_CODEBOOKS, k=10)
+
+
 def q_sessionize_batch(spark, sf_dir):
     """Gap-based sessionization (batch twin of the stateful streaming
     operator): 1-hour inactivity gap, decimal-exact value sums so the
@@ -537,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s01_ann_cosine": q_ann_cosine,
         "s02_ann_pairs_lsh": q_ann_pairs_lsh,
         "s03_ivf_topk": q_ivf_topk,
+        "s04_pq_topk": q_pq_topk,
         "a09_sessionize_batch": q_sessionize_batch,
         "m01_media_features": q_media_features,
         "m02_frame_plan": q_frame_plan,
@@ -783,6 +804,7 @@ GROUP BY d.doc_id""",
         "s02_ann_pairs_lsh": similarity.similar_pairs_sql(**ANN_LSH),
         "s03_ivf_topk": similarity.ivf_topk_sql(
             IVF_CENTROIDS[0], IVF_CENTROIDS, n_probe=2, k=10),
+        "s04_pq_topk": similarity.pq_topk_sql(PQ_QUERY, PQ_CODEBOOKS, k=10),
         "a09_sessionize_batch": """
 WITH o AS (
   SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS value,

@@ -519,6 +519,51 @@ def pq_topk(codes_df: DataFrame, query: list[float],
             .limit(k))
 
 
+def pq_topk_sql(query: list[float], codebooks: list[list[list[float]]],
+                k: int = 10, table: str = "embeddings",
+                vec_col: str = "embedding", key_col: str = "vec_id") -> str:
+    """DuckDB oracle for :func:`pq_encode` + :func:`pq_topk`.
+
+    Encode replays exactly: per subspace an unrolled left-associated
+    squared-distance list (same arithmetic as ``_sq_dist_unrolled``) and a
+    first-minimum argmin (``list_position(ds, list_min(ds))`` = Spark's
+    ``array_position(ds, array_min(ds))``). The ADC lookup tables are
+    driver-computed Python doubles embedded as literals in BOTH engines, so
+    the final score is bit-identical; ties at the k-boundary break on
+    ``key_col`` in both ORDER BYs."""
+    sub = len(codebooks[0][0])
+    m = len(codebooks)
+    if len(query) != m * sub:
+        raise ValueError(f"query dim {len(query)} != {m}x{sub}")
+    ds_cols, code_cols, luts = [], [], []
+    for i, book in enumerate(codebooks):
+        dists = []
+        for cent in book:
+            terms = " + ".join(
+                f"(v[{i * sub + j + 1}] - {float(cent[j])!r})"
+                f" * (v[{i * sub + j + 1}] - {float(cent[j])!r})"
+                for j in range(sub))
+            dists.append(f"({terms})")
+        ds_cols.append("[" + ", ".join(dists) + f"] AS ds{i}")
+        code_cols.append(f"list_position(ds{i}, list_min(ds{i})) AS c{i}")
+        q_i = query[i * sub:(i + 1) * sub]
+        table_i = [sum((float(a) - float(b)) ** 2 for a, b in zip(q_i, cent))
+                   for cent in book]
+        # CAST: a bare decimal-literal list parses as DECIMAL[] in DuckDB;
+        # repr doubles round-trip exactly through the decimal->double cast
+        luts.append("CAST([" + ", ".join(repr(d) for d in table_i)
+                    + "] AS DOUBLE[])")
+    # list_position is 1-based = Spark's element_at(lut, code + 1)
+    score = " + ".join(f"{luts[i]}[c{i}]" for i in range(m))
+    return f"""
+WITH e AS (SELECT {key_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
+d AS (SELECT {key_col}, {", ".join(ds_cols)} FROM e),
+c AS (SELECT {key_col}, {", ".join(code_cols)} FROM d)
+SELECT {key_col}, round({score}, 6) AS sq_dist
+FROM c ORDER BY sq_dist ASC, {key_col} LIMIT {k}
+"""
+
+
 def topk_prenormalised(df: DataFrame, query: list[float],
                        vec_col: str = "embedding", key_col: str = "vec_id",
                        k: int = 10) -> DataFrame:
