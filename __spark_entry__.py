@@ -129,6 +129,17 @@ SPEC_ANON_FORMAT = TableSpec(
     anonymise={"c_name": "FormatPreserve", "c_acctbal": "FormatPreserve"})
 
 
+# Luhn-fixing format preservation: digits-only c_custkey masks to a
+# same-length Luhn-VALID number (checksum recomputed over the masked
+# payload); c_name ('Customer#000000042') has letters and '#', so it takes
+# the documented plain-FormatPreserve fallback — both paths in one query.
+SPEC_ANON_LUHN = TableSpec(
+    name="customer",
+    filter=FilterSpec(match="customer.c_custkey <= 300"),
+    anonymise={"c_custkey": "FormatPreserveLuhn",
+               "c_name": "FormatPreserveLuhn"})
+
+
 def _load(spark: SparkSession, sf_dir: str):
     return parquet_loader(spark, sf_dir)
 
@@ -208,6 +219,12 @@ def q_anonymise_format(spark, sf_dir):
     """Format-preserving masking (per-position keyed substitution,
     charclass/length kept) with keep-type casts on the numeric column."""
     return build_table_df(SPEC_ANON_FORMAT, _load(spark, sf_dir), seed=SEED)
+
+
+def q_anonymise_luhn(spark, sf_dir):
+    """Luhn-fixing format preservation: masked card-like digits stay
+    checksum-valid; separator-shaped values keep their shape (fallback)."""
+    return build_table_df(SPEC_ANON_LUHN, _load(spark, sf_dir), seed=SEED)
 
 
 # --------------------------------------------------------------------------
@@ -536,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k11_anonymise_registry": q_anonymise_registry,
         "k12_anonymise_locale": q_anonymise_locale,
         "k13_anonymise_format": q_anonymise_format,
+        "k14_anonymise_luhn": q_anonymise_luhn,
         "a01_pricing_summary": q_agg_pricing_summary,
         "a02_top_customers": q_top_customers,
         "a03_window_rank": q_window_rank,
@@ -701,6 +719,8 @@ def oracle_sql() -> dict[str, str]:
         "k13_anonymise_format": build_table_sql(
             SPEC_ANON_FORMAT, columns=CUSTOMER_COLS, seed=SEED,
             column_types={"c_acctbal": "double"}),
+        "k14_anonymise_luhn": build_table_sql(
+            SPEC_ANON_LUHN, columns=CUSTOMER_COLS, seed=SEED),
         "a10_moving_avg": """
 SELECT event_id, user_id,
   round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (

@@ -385,9 +385,58 @@ def _format_preserve(ctx: _Ctx, a) -> str:
     return f"concat({', '.join(parts)}, coalesce({tail}, ''))"
 
 
+# Luhn-fixing variant: card/account numbers at rest are digit strings of
+# 2..19 chars; masked output must still pass checksum validation or the
+# target system's input validation rejects the anonymised copy.
+_LUHN_MAX = 19
+
+
+def _luhn_digit(ctx: _Ctx, i: int) -> str:
+    """Keyed masked digit (BIGINT 0..9) for 1-based digit position i —
+    the same hash streams as _format_preserve's digit positions, so the
+    two variants mask a shared prefix identically."""
+    return P.hex_mod(ctx.h(10 + (i - 1) // 16), 1 + ((i - 1) % 16), 1, 10)
+
+
+def _format_preserve_luhn(ctx: _Ctx, a) -> str:
+    """FormatPreserve whose output passes the Luhn check.
+
+    A digits-only value of 2..19 chars masks to keyed digits of the same
+    length with the LAST digit recomputed as the Luhn check digit over the
+    masked payload (doubling every second digit from the right, 2d-9
+    folding). Any other shape — separators, letters, overlong — falls back
+    to plain FormatPreserve: a masked '12-34' has no principled digit to
+    absorb the check, and shape fidelity wins over checksum fidelity there.
+    """
+    raw = ctx.raw_sql
+    n = f"length({raw})"
+    digit_ok = " and ".join(
+        f"(substr({raw}, {i}, 1) = '' or "
+        f"substr({raw}, {i}, 1) between '0' and '9')"
+        for i in range(1, _LUHN_MAX + 1))
+    is_card = f"({n} between 2 and {_LUHN_MAX} and {digit_ok})"
+    contribs, payload = [], []
+    for i in range(1, _LUHN_MAX + 1):
+        d = _luhn_digit(ctx, i)
+        doubled = f"case when {d} >= 5 then {d} * 2 - 9 else {d} * 2 end"
+        # payload digit i (everything but the last position) contributes;
+        # doubled iff its distance from the check digit is odd
+        contribs.append(
+            f"(case when {i} <= {n} - 1 then "
+            f"(case when ({n} - {i}) % 2 = 1 then {doubled} else {d} end) "
+            f"else 0 end)")
+        payload.append(
+            f"case when {i} <= {n} - 1 then {P.int_str(d)} else '' end")
+    check = f"((10 - (({' + '.join(contribs)}) % 10)) % 10)"
+    luhn_out = f"concat({', '.join(payload)}, cast({check} as string))"
+    return (f"case when {is_card} then {luhn_out} "
+            f"else {_format_preserve(ctx, a)} end")
+
+
 _REGISTRY: dict = {
     "Brand": _simple(BRANDS),
     "FormatPreserve": _format_preserve,
+    "FormatPreserveLuhn": _format_preserve_luhn,
     "Character": lambda ctx, a: _chars(ctx, 1),
     "Characters": lambda ctx, a: _chars(ctx, 5),
     "CharactersN": lambda ctx, a: _chars(ctx, min(max(_arg_int(a, 0), 0), 64)) if _arg_int(a, 0) > 0 else "''",
@@ -613,7 +662,7 @@ _FLOAT_FAKERS = {"Latitude", "Longitude"}
 # FormatPreserve masks shape-preservingly, so a numeric source value
 # ('1234.56') masks to numeric-parsable text — numeric kinds accept it.
 _DIGIT_FAKERS = {"Digits", "DigitsN", "Zip", "CreditCardNum",
-                 "FormatPreserve"}
+                 "FormatPreserve", "FormatPreserveLuhn"}
 
 _NUMERIC_OK = {"int": {"int", "digits"},
                "bigint": {"int", "digits"},

@@ -27,8 +27,8 @@ ARG_SPECS = {
 def test_registry_covers_reference_surface():
     # every name in the reference's generated table
     # (reference: pkg/anonymiser/fake.go:11-102) plus the
-    # FormatPreserve extension
-    assert len(FAKER_NAMES) == 91
+    # FormatPreserve / FormatPreserveLuhn extensions
+    assert len(FAKER_NAMES) == 92
     for required in ["EmailAddress", "UserName", "Latitude", "Longitude",
                      "FirstName", "CreditCardNum", "Password", "Year",
                      "UserAgent", "GetLangs"]:
@@ -79,8 +79,8 @@ def test_every_faker_runs_in_duckdb(duck, name):
     assert len(rows) == 3
     for (v,) in rows:
         assert isinstance(v, str)
-        # FormatPreserve keeps the source's shape, so NULL -> '' by design
-        if name != "FormatPreserve":
+        # FormatPreserve variants keep the source's shape, so NULL -> ''
+        if not name.startswith("FormatPreserve"):
             assert v != ""  # non-empty for every input, NULL included
 
 
@@ -267,6 +267,47 @@ def test_format_preserve_long_tail_and_parity(spark, duck):
                 and s_ch.isalpha() == o_ch.isalpha()
                 and (not s_ch.isalpha() or s_ch.isupper() == o_ch.isupper())
                 and (s_ch.isalnum() or s_ch == o_ch))
+
+
+def _luhn_ok(digits: str) -> bool:
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = int(ch)
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def test_format_preserve_luhn(duck):
+    """Digits-only values mask to same-length Luhn-valid digits; shaped
+    values fall back to plain FormatPreserve masking; NULL -> ''."""
+    sql = anonymise_sql("FormatPreserveLuhn", "email", table="users")
+    cards = ["4539578763621486", "6011000990139424", "355555555555", "42",
+             "1234567890123456789"]
+    src = ", ".join(f"('{c}')" for c in cards)
+    rows = [r[0] for r in duck.execute(
+        f"SELECT ({sql}) FROM (SELECT * FROM (VALUES {src}, "
+        "('12-34'), ('9'), (CAST(NULL AS STRING))) AS v(email)) AS t"
+    ).fetchall()]
+    masked, dashed, single, nul = rows[:len(cards)], *rows[len(cards):]
+    for srcv, out in zip(cards, masked):
+        assert len(out) == len(srcv) and out.isdigit()
+        assert _luhn_ok(out), (srcv, out)
+    assert len(dashed) == 5 and dashed[2] == "-"  # fallback keeps shape
+    assert single.isdigit() and len(single) == 1  # too short for a check digit
+    assert nul == ""
+
+
+def test_format_preserve_luhn_engine_parity(spark, duck):
+    sql = anonymise_sql("FormatPreserveLuhn", "email")
+    q = (f"SELECT ({sql}) AS x FROM (VALUES ('4539578763621486'), "
+         "('n/a 77'), ('00123')) AS v(email) ORDER BY 1")
+    srows = [r.x for r in spark.sql(q).collect()]
+    drows = [r[0] for r in duck.execute(q).fetchall()]
+    assert srows == drows
 
 
 def test_format_preserve_numeric_keep_cast(spark):
