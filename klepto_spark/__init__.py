@@ -41,6 +41,12 @@ def steal_incremental(*args, **kwargs):
     return _si(*args, **kwargs)
 
 
+def steal_cdc(*args, **kwargs):
+    """See :func:`klepto_spark.incremental.steal_cdc`."""
+    from klepto_spark.incremental import steal_cdc as _sc
+    return _sc(*args, **kwargs)
+
+
 __all__ = [
     "Spec",
     "TableSpec",
@@ -50,5 +56,6 @@ __all__ = [
     "get_spark",
     "steal",
     "steal_incremental",
+    "steal_cdc",
     "connect",
 ]

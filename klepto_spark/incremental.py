@@ -33,10 +33,11 @@ import datetime as _dt
 import json
 import os
 import tempfile
-from dataclasses import replace
+from dataclasses import dataclass, replace
 
 from klepto_spark.config import Spec, TableSpec
 from klepto_spark.engine import RunReport, TableResult, steal
+from klepto_spark.operators.pipeline import build_table_df
 
 
 def load_marks(state_path: str) -> dict:
@@ -106,6 +107,113 @@ def _with_range(tspec: TableSpec, pred: str) -> TableSpec:
     combined = f"({match}) AND {pred}" if match else pred
     filt = replace(tspec.filter, match=combined)
     return replace(tspec, filter=filt)
+
+
+@dataclass
+class CdcTable:
+    """CDC capture config for one table.
+
+    ``mark_col`` must bump on UPDATE as well as INSERT (updated_at, a
+    version counter, an LSN...); ``keys`` identify the row for the merge.
+    Both must survive the table's configured pipeline (not anonymised
+    away) — validated before any data moves."""
+    mark_col: str
+    keys: list[str]
+
+
+def steal_cdc(spec: Spec, source, sink_dsn: str, *,
+              state_path: str, tables: dict[str, "CdcTable"],
+              strict: bool = True, join_strategy: str = "semi",
+              seed: str = "klepto") -> RunReport:
+    """CDC-shaped incremental ``steal``: unlike :func:`steal_incremental`
+    (insert-only capture), rows UPDATED in place are re-captured — the
+    watermark rides a column that bumps on update, and the sink applies
+    the delta as a keyed latest-wins MERGE instead of an append.
+
+    Per table and run: snapshot ``max(mark_col)``, read only
+    ``mark < mark_col <= new_max`` through the full configured pipeline
+    (predicate pushed to the scan), keep the newest version per key inside
+    the window, then merge: files = anti-join + atomic staging-dir swap;
+    JDBC = staged delete+insert in one transaction. The mark persists only
+    after a successful merge, and because merging is idempotent, a crashed
+    run's replay converges to the same target state (exactly-once effect
+    from at-least-once capture).
+
+    Limits: DELETEs don't surface (a vanished row leaves no trace in a
+    state-table scan — capture them via tombstone rows or a log-based
+    source), and ``mark_col`` ties across versions of one key merge
+    arbitrarily — use a strictly-monotonic version column."""
+    from pyspark.sql import Observation, Window, functions as F
+
+    from klepto_spark.sinks.writers import merge_table
+
+    marks = load_marks(state_path)
+    report = RunReport()
+    import time as _time
+    t0 = _time.time()
+
+    for table, cdc in sorted(tables.items()):
+        res = TableResult(table=table)
+        start = _time.time()
+        try:
+            stored = marks.get(table)
+            new_max = (source.load(table)
+                       .agg(_agg_max(cdc.mark_col)).first()["m"])
+            if new_max is None or (stored is not None
+                                   and _to_json(new_max) == stored):
+                res.rows, res.skipped = 0, stored is not None
+                continue
+            tspec = spec.find_table(table) or TableSpec(name=table)
+            upper = f"{table}.{cdc.mark_col} <= {_literal(new_max)}"
+            pred = (upper if stored is None else
+                    f"{table}.{cdc.mark_col} > {_from_json(stored)} "
+                    f"AND {upper}")
+            tspec = _with_range(tspec, pred)
+            run_spec = Spec(matchers=dict(spec.matchers),
+                            tables=[tspec] + [t for t in spec.tables
+                                              if t.name != table],
+                            locale=spec.locale)
+            df = build_table_df(tspec, source.load, spec=run_spec,
+                                join_strategy=join_strategy, seed=seed)
+            masked = [c for c in [*cdc.keys, cdc.mark_col]
+                      if c in tspec.anonymise]
+            missing = [c for c in [*cdc.keys, cdc.mark_col]
+                       if c not in df.columns]
+            if masked or missing:
+                raise ValueError(
+                    f"CDC columns masked={masked} missing={missing} for "
+                    f"table {table!r}: merge keys and the mark column "
+                    "must reach the sink unmasked — an anonymised mark "
+                    "breaks version ordering and an anonymised key breaks "
+                    "identity across seed changes")
+            # one version per key per window: a key updated twice between
+            # runs must merge once, with its newest state
+            w = Window.partitionBy(*cdc.keys).orderBy(F.desc(cdc.mark_col))
+            df = (df.withColumn("_cdc_rn", F.row_number().over(w))
+                  .filter(F.col("_cdc_rn") == 1).drop("_cdc_rn"))
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            merge_table(df, sink_dsn, table, cdc.keys)
+            res.rows = obs.get["rows"]
+            marks[table] = _to_json(new_max)
+            save_marks(state_path, marks)
+        except Exception as exc:  # noqa: BLE001 — permissive mode parity
+            res.error = str(exc)
+        finally:
+            res.seconds = round(_time.time() - start, 3)
+            report.tables.append(res)
+
+    report.tables.sort(key=lambda r: r.table)
+    report.seconds = round(_time.time() - t0, 3)
+    if strict and not report.ok:
+        failed = [t.table for t in report.tables if t.error]
+        raise RuntimeError(f"cdc steal failed for: {failed}")
+    return report
+
+
+def _agg_max(col: str):
+    from pyspark.sql import functions as F
+    return F.max(col).alias("m")
 
 
 def steal_incremental(spec: Spec, source, sink_dsn: str, *,

@@ -1,10 +1,16 @@
 """Watermark-based incremental steal: first run full-copies, later runs
-copy only the delta, marks persist across runs, crashes replay."""
+copy only the delta, marks persist across runs, crashes replay. CDC mode
+additionally re-captures in-place updates and merges latest-wins by key."""
 
 import json
 
 from klepto_spark.config import Spec, TableSpec
-from klepto_spark.incremental import load_marks, steal_incremental
+from klepto_spark.incremental import (
+    CdcTable,
+    load_marks,
+    steal_cdc,
+    steal_incremental,
+)
 from klepto_spark.sources.catalog import FileCatalog
 
 SCHEMA = "id long, name string, v double"
@@ -78,6 +84,81 @@ def test_incremental_timestamp_watermark(spark, tmp_path, sf_dir):
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
     assert rep.ok
+
+
+CDC_SCHEMA = "id long, ver long, name string, v double"
+
+
+def _write_cdc(spark, tmp_path, rows, mode="overwrite"):
+    (spark.createDataFrame(rows, CDC_SCHEMA)
+     .write.mode(mode).parquet(str(tmp_path / "src" / "t.parquet")))
+
+
+def test_cdc_recaptures_updates_and_merges(spark, tmp_path):
+    """An in-place update behind the old watermark is re-captured (its
+    version column moved) and REPLACES the target row instead of
+    duplicating it; inserts land; untouched rows survive."""
+    _write_cdc(spark, tmp_path, [(1, 10, "a", 1.0), (2, 10, "b", 2.0),
+                                 (3, 10, "c", 3.0)])
+    state = str(tmp_path / "marks.json")
+    out = f"parquet://{tmp_path}/out"
+    cdc = {"t": CdcTable(mark_col="ver", keys=["id"])}
+
+    rep1 = steal_cdc(Spec(), _cat(spark, tmp_path), out,
+                     state_path=state, tables=cdc)
+    assert rep1.ok and {t.table: t for t in rep1.tables}["t"].rows == 3
+    assert load_marks(state)["t"] == {"kind": "int", "value": 10}
+
+    # source mutates: id=2 UPDATED (ver bumps, value changes) — simulated
+    # as a current-state rewrite — plus id=4 inserted
+    _write_cdc(spark, tmp_path, [(1, 10, "a", 1.0), (2, 11, "b", 2.5),
+                                 (3, 10, "c", 3.0), (4, 11, "d", 4.0)])
+    rep2 = steal_cdc(Spec(), _cat(spark, tmp_path), out,
+                     state_path=state, tables=cdc)
+    assert rep2.ok and {t.table: t for t in rep2.tables}["t"].rows == 2
+    got = {r.id: r for r in
+           spark.read.parquet(f"{tmp_path}/out/t.parquet").collect()}
+    assert sorted(got) == [1, 2, 3, 4]          # no duplicate for id=2
+    assert got[2].v == 2.5 and got[2].ver == 11  # update won
+    assert got[1].v == 1.0                       # untouched row survives
+    assert load_marks(state)["t"]["value"] == 11
+
+    # idempotent: nothing new -> nothing merged
+    rep3 = steal_cdc(Spec(), _cat(spark, tmp_path), out,
+                     state_path=state, tables=cdc)
+    assert {t.table: t for t in rep3.tables}["t"].rows == 0
+
+
+def test_cdc_latest_wins_within_one_window(spark, tmp_path):
+    """Two versions of one key inside a single capture window merge once,
+    keeping the newest; the pipeline (anonymise) still applies."""
+    _write_cdc(spark, tmp_path, [(1, 1, "a", 1.0)])
+    state = str(tmp_path / "marks.json")
+    out = f"parquet://{tmp_path}/out"
+    cdc = {"t": CdcTable(mark_col="ver", keys=["id"])}
+    spec = Spec(tables=[TableSpec(name="t", anonymise={"name": "FirstName"})])
+    steal_cdc(spec, _cat(spark, tmp_path), out, state_path=state, tables=cdc)
+
+    # an append-log style source: key 1 appears twice in the new window
+    _write_cdc(spark, tmp_path, [(1, 2, "a", 1.5), (1, 3, "a", 1.9)],
+               mode="append")
+    rep = steal_cdc(spec, _cat(spark, tmp_path), out,
+                    state_path=state, tables=cdc)
+    assert {t.table: t for t in rep.tables}["t"].rows == 1
+    rows = spark.read.parquet(f"{tmp_path}/out/t.parquet").collect()
+    assert len(rows) == 1 and rows[0].ver == 3 and rows[0].v == 1.9
+    assert rows[0].name != "a"  # anonymisation still applied
+
+
+def test_cdc_rejects_pipeline_that_drops_keys(spark, tmp_path):
+    """Anonymising the merge key away must fail loudly before data moves."""
+    import pytest
+    _write_cdc(spark, tmp_path, [(1, 1, "a", 1.0)])
+    spec = Spec(tables=[TableSpec(name="t", anonymise={"id": "FirstName"})])
+    with pytest.raises(RuntimeError, match="cdc steal failed"):
+        steal_cdc(spec, _cat(spark, tmp_path), f"parquet://{tmp_path}/out",
+                  state_path=str(tmp_path / "m.json"),
+                  tables={"t": CdcTable(mark_col="ver", keys=["id"])})
 
 
 def test_incremental_state_is_atomic_and_replayable(spark, tmp_path):

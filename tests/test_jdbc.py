@@ -194,3 +194,29 @@ def test_steal_jdbc_roundtrip_with_anonymise(spark, src, tmp_path):
     assert src_names.isdisjoint(dst_names)  # every name anonymised
     # structure captured from the source includes constraints
     assert "PRIMARY KEY" in report.structure_sql.upper()
+
+
+def test_merge_jdbc_keyed_upsert(spark, src):
+    """CDC sink half: the delta stages in parallel, then ONE transaction
+    deletes overlapped keys and inserts the staged rows — an update
+    replaces, an insert lands, untouched rows survive."""
+    from klepto_spark.sinks.writers import merge_jdbc
+
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "id int, tag string, v double")
+    merge_jdbc(base, src, "merged", keys=["id"])  # first merge = create
+    delta = spark.createDataFrame(
+        [(2, "b2", 2.5), (4, "d", 4.0)], "id int, tag string, v double")
+    merge_jdbc(delta, src, "merged", keys=["id"])
+    rows = {int(r[0]): (r[1], float(r[2])) for r in J.query_rows(
+        spark, src, 'SELECT "id", "tag", "v" FROM merged')}
+    assert sorted(rows) == [1, 2, 3, 4]
+    assert rows[2] == ("b2", 2.5)   # update replaced in place
+    assert rows[1] == ("a", 1.0)    # untouched row survives
+    # merging the same delta again is idempotent
+    merge_jdbc(delta, src, "merged", keys=["id"])
+    assert J.query_rows(
+        spark, src, "SELECT COUNT(*) FROM merged")[0][0] == "4"
+    assert not J.table_exists(spark, src, f"merged{STAGING_SUFFIX}")
+    J.execute(spark, src, ["DROP TABLE merged"], transactional=False)
