@@ -39,6 +39,7 @@ class TableResult:
     skipped: bool = False
     error: str | None = None
     skipped_rows: int = 0  # rows dropped by a row-permissive source read
+    deleted_rows: int = 0  # keys removed at the sink by CDC delete capture
 
 
 @dataclass

@@ -116,9 +116,29 @@ class CdcTable:
     ``mark_col`` must bump on UPDATE as well as INSERT (updated_at, a
     version counter, an LSN...); ``keys`` identify the row for the merge.
     Both must survive the table's configured pipeline (not anonymised
-    away) — validated before any data moves."""
+    away) — validated before any data moves.
+
+    Delete capture, two mechanisms (combinable):
+
+    - ``tombstone``: a boolean SQL expression over the captured row (e.g.
+      ``"deleted_at IS NOT NULL"``) marking soft-deleted rows. Sources
+      that soft-delete bump ``mark_col`` on delete, so tombstones ride
+      the normal capture window for free; matching keys are removed at
+      the sink instead of merged. The expression's columns must survive
+      the pipeline unmasked, like the keys.
+    - ``sync_deletes``: per run, diff the source's CURRENT key set
+      against the sink's (both scans column-pruned to the keys, so the
+      shuffle carries keys only — O(|keys|), not O(table)) and remove
+      keys that vanished. Catches HARD deletes, which leave no row to
+      tombstone; runs even when the watermark is unchanged, because a
+      hard delete never bumps ``max(mark_col)``.
+
+    Both delete paths land in the SAME atomic publish / transaction as
+    the upserts (:func:`klepto_spark.sinks.writers.merge_table`)."""
     mark_col: str
     keys: list[str]
+    tombstone: str | None = None
+    sync_deletes: bool = False
 
 
 def steal_cdc(spec: Spec, source, sink_dsn: str, *,
@@ -139,10 +159,11 @@ def steal_cdc(spec: Spec, source, sink_dsn: str, *,
     run's replay converges to the same target state (exactly-once effect
     from at-least-once capture).
 
-    Limits: DELETEs don't surface (a vanished row leaves no trace in a
-    state-table scan — capture them via tombstone rows or a log-based
-    source), and ``mark_col`` ties across versions of one key merge
-    arbitrarily — use a strictly-monotonic version column."""
+    DELETE capture is opt-in per table (:class:`CdcTable`): ``tombstone``
+    routes soft-deleted rows in the capture window to sink-side removal,
+    ``sync_deletes`` diffs key sets to catch hard deletes. Remaining
+    limit: ``mark_col`` ties across versions of one key merge arbitrarily
+    — use a strictly-monotonic version column."""
     from pyspark.sql import Observation, Window, functions as F
 
     from klepto_spark.sinks.writers import merge_table
@@ -159,15 +180,23 @@ def steal_cdc(spec: Spec, source, sink_dsn: str, *,
             stored = marks.get(table)
             new_max = (source.load(table)
                        .agg(_agg_max(cdc.mark_col)).first()["m"])
-            if new_max is None or (stored is not None
-                                   and _to_json(new_max) == stored):
+            window_open = not (new_max is None or
+                               (stored is not None
+                                and _to_json(new_max) == stored))
+            if not window_open and not cdc.sync_deletes:
                 res.rows, res.skipped = 0, stored is not None
                 continue
-            tspec = spec.find_table(table) or TableSpec(name=table)
-            upper = f"{table}.{cdc.mark_col} <= {_literal(new_max)}"
-            pred = (upper if stored is None else
-                    f"{table}.{cdc.mark_col} > {_from_json(stored)} "
-                    f"AND {upper}")
+            base_tspec = spec.find_table(table) or TableSpec(name=table)
+            tspec = base_tspec
+            if window_open:
+                upper = f"{table}.{cdc.mark_col} <= {_literal(new_max)}"
+                pred = (upper if stored is None else
+                        f"{table}.{cdc.mark_col} > {_from_json(stored)} "
+                        f"AND {upper}")
+            else:
+                # unchanged watermark, but sync_deletes still needs a
+                # pass: hard deletes never bump max(mark_col)
+                pred = "1=0"
             tspec = _with_range(tspec, pred)
             run_spec = Spec(matchers=dict(spec.matchers),
                             tables=[tspec] + [t for t in spec.tables
@@ -191,12 +220,57 @@ def steal_cdc(spec: Spec, source, sink_dsn: str, *,
             w = Window.partitionBy(*cdc.keys).orderBy(F.desc(cdc.mark_col))
             df = (df.withColumn("_cdc_rn", F.row_number().over(w))
                   .filter(F.col("_cdc_rn") == 1).drop("_cdc_rn"))
+            dels = None
+            if cdc.tombstone:
+                # soft-deleted rows ride the capture window (their
+                # mark_col bumped); route their keys to removal instead
+                # of merging the tombstoned row into the sink
+                flag = F.coalesce(F.expr(cdc.tombstone), F.lit(False))
+                dels = df.filter(flag).select(*cdc.keys)
+                df = df.filter(~flag)
+            if cdc.sync_deletes:
+                sink_keys = _sink_keys(df.sparkSession, sink_dsn, table,
+                                       cdc.keys)
+                if sink_keys is not None:
+                    # live keys go through the SAME configured pipeline
+                    # (filters, restriction joins — not anonymisation,
+                    # keys are unmasked by contract), so a row leaving
+                    # the configured subset is removed too. Keys-only on
+                    # both sides: column-pruned scans, the shuffle
+                    # carries keys — O(|keys|), not O(table).
+                    base_run = Spec(matchers=dict(spec.matchers),
+                                    tables=[base_tspec] +
+                                    [t for t in spec.tables
+                                     if t.name != table],
+                                    locale=spec.locale)
+                    live = build_table_df(
+                        base_tspec, source.load, spec=base_run,
+                        join_strategy=join_strategy, seed=seed,
+                        anonymise=False).select(*cdc.keys)
+                    vanished = sink_keys.join(live, on=cdc.keys,
+                                              how="left_anti")
+                    dels = (vanished if dels is None
+                            else dels.unionByName(vanished))
+            if dels is not None:
+                dels = dels.persist()
+                res.deleted_rows = dels.count()
+                if res.deleted_rows == 0:
+                    dels.unpersist()
+                    dels = None
+            if not window_open and dels is None:
+                res.rows, res.skipped = 0, True
+                continue
             obs = Observation()
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-            merge_table(df, sink_dsn, table, cdc.keys)
+            try:
+                merge_table(df, sink_dsn, table, cdc.keys, deletes=dels)
+            finally:
+                if dels is not None:
+                    dels.unpersist()
             res.rows = obs.get["rows"]
-            marks[table] = _to_json(new_max)
-            save_marks(state_path, marks)
+            if window_open:
+                marks[table] = _to_json(new_max)
+                save_marks(state_path, marks)
         except Exception as exc:  # noqa: BLE001 — permissive mode parity
             res.error = str(exc)
         finally:
@@ -214,6 +288,18 @@ def steal_cdc(spec: Spec, source, sink_dsn: str, *,
 def _agg_max(col: str):
     from pyspark.sql import functions as F
     return F.max(col).alias("m")
+
+
+def _sink_keys(spark, sink_dsn: str, table: str, keys: list[str]):
+    """Current sink-side key set, or None before the first publish."""
+    from klepto_spark.sources.catalog import connect
+    try:
+        cat = connect(spark, sink_dsn)
+        if table not in cat.tables():
+            return None
+        return cat.load(table).select(*keys)
+    except Exception:  # noqa: BLE001 — missing sink dir = first run
+        return None
 
 
 def steal_incremental(spec: Spec, source, sink_dsn: str, *,

@@ -192,11 +192,13 @@ def write_jdbc(df: DataFrame, dsn: DSN, table: str, mode: str = "append",
 
 
 def merge_files(df: DataFrame, directory: str, table: str, fmt: str,
-                keys: list[str]) -> None:
+                keys: list[str], deletes: DataFrame | None = None) -> None:
     """Keyed merge into a file-sink table: current rows whose key appears
     in ``df`` are replaced, everything else is kept, new keys append — in
     ONE atomic publish (the staging-dir swap), so readers see either the
-    old table or the fully-merged one.
+    old table or the fully-merged one. ``deletes`` (a keys-only frame)
+    removes those keys in the SAME publish — upserts and deletes land
+    together or not at all.
 
     The rewrite cost is the table, not the delta — the honest baseline
     for keyed merge on immutable files. At scale, lay the table out
@@ -213,8 +215,10 @@ def merge_files(df: DataFrame, directory: str, table: str, fmt: str,
             reader = reader.option("header", "true").option(
                 "inferSchema", "true")
         current = reader.load(target)
-        kept = current.join(df.select(*keys).distinct(), on=keys,
-                            how="left_anti")
+        gone = df.select(*keys)
+        if deletes is not None:
+            gone = gone.unionByName(deletes.select(*keys))
+        kept = current.join(gone.distinct(), on=keys, how="left_anti")
         merged = kept.unionByName(df)
     # the staged write reads the live directory lazily BEFORE the rename
     # publishes, so read-rewrite-swap is safe in one pass
@@ -222,47 +226,64 @@ def merge_files(df: DataFrame, directory: str, table: str, fmt: str,
 
 
 def merge_jdbc(df: DataFrame, dsn: DSN, table: str, keys: list[str],
-               batchsize: int = 10_000) -> None:
+               batchsize: int = 10_000,
+               deletes: DataFrame | None = None) -> None:
     """Keyed merge into a JDBC table: the delta bulk-loads a staging table
     in parallel, then ONE transaction deletes the overlapped keys and
     inserts the staged rows (delete+insert = engine-portable upsert; no
-    reliance on dialect MERGE). Readers never observe a half-merged state,
-    and the transactional cost follows the DELTA, not the table."""
+    reliance on dialect MERGE). ``deletes`` (a keys-only frame) stages a
+    second table whose keys are DELETEd inside that same transaction.
+    Readers never observe a half-merged state, and the transactional cost
+    follows the DELTA, not the table."""
     from klepto_spark import jdbc as J
     spark = df.sparkSession
     staging = f"{table}{STAGING_SUFFIX}"
     _jdbc_writer(df, dsn, staging, "overwrite", batchsize, []).save()
-    if J.table_exists(spark, dsn, table):
+    exists = J.table_exists(spark, dsn, table)
+    dstaging = None
+    if deletes is not None and exists:
+        dstaging = f"{table}{STAGING_SUFFIX}_d"
+        _jdbc_writer(deletes.select(*keys), dsn, dstaging, "overwrite",
+                     batchsize, []).save()
+    if exists:
         # outer rows referenced by table name, not a correlation alias
         # (Derby rejects aliased DELETE targets), and key columns quoted
         # in the sink dialect — Spark's JDBC writer creates them as
         # quoted case-sensitive identifiers, so unquoted refs misfold
         from klepto_spark.sinks.ddl import quote_ident
         dialect = dsn.type if dsn.type in ("mysql", "postgres") else "ansi"
+
         cond = " AND ".join(
             f"{table}.{quote_ident(k, dialect)} = s.{quote_ident(k, dialect)}"
             for k in keys)
         stmts = [
             f"DELETE FROM {table} WHERE EXISTS "
             f"(SELECT 1 FROM {staging} s WHERE {cond})",
-            f"INSERT INTO {table} SELECT * FROM {staging}",
-            f"DROP TABLE {staging}",
         ]
+        if dstaging is not None:
+            stmts.append(
+                f"DELETE FROM {table} WHERE EXISTS "
+                f"(SELECT 1 FROM {dstaging} s WHERE {cond})")
+        stmts.append(f"INSERT INTO {table} SELECT * FROM {staging}")
+        stmts.append(f"DROP TABLE {staging}")
+        if dstaging is not None:
+            stmts.append(f"DROP TABLE {dstaging}")
     else:
         stmts = [_rename_sql(dsn.type, staging, table)]
     J.execute(spark, dsn, stmts, transactional=True)
 
 
 def merge_table(df: DataFrame, dsn_str: str, table: str,
-                keys: list[str]) -> None:
+                keys: list[str], deletes: DataFrame | None = None) -> None:
     """Keyed-merge sink routed by DSN (the CDC counterpart of
-    :func:`write_table`)."""
+    :func:`write_table`). ``deletes`` is an optional keys-only frame whose
+    keys are removed in the same atomic publish/transaction."""
     kind, fmt, dsn = route(dsn_str)
     if kind == "files":
-        merge_files(df, file_path(dsn), table, fmt, keys)
+        merge_files(df, file_path(dsn), table, fmt, keys, deletes=deletes)
         return
     if kind == "jdbc":
-        merge_jdbc(df, dsn, table, keys)
+        merge_jdbc(df, dsn, table, keys, deletes=deletes)
         return
     raise DSNError(f"sink dsn {dsn_str!r} cannot merge by key "
                    "(sql-text sinks have no keyed state)")

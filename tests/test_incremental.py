@@ -183,3 +183,78 @@ def test_incremental_state_is_atomic_and_replayable(spark, tmp_path):
                             state_path=state, watermarks={"t": "id"})
     assert {t.table: t for t in rep.tables}["t"].rows == 1
     assert load_marks(state)["t"]["value"] == 3
+
+
+TOMB_SCHEMA = "id long, ver long, name string, deleted boolean"
+
+
+def _write_tomb(spark, tmp_path, rows, mode="overwrite"):
+    (spark.createDataFrame(rows, TOMB_SCHEMA)
+     .write.mode(mode).parquet(str(tmp_path / "src" / "t.parquet")))
+
+
+def test_cdc_tombstone_soft_deletes(spark, tmp_path):
+    """A soft-deleted row (deleted flag set, version bumped) rides the
+    normal capture window and REMOVES its key at the sink instead of
+    merging the tombstoned row; upserts in the same window still land,
+    in one atomic publish."""
+    _write_tomb(spark, tmp_path, [(1, 10, "a", False), (2, 10, "b", False),
+                                  (3, 10, "c", False)])
+    state = str(tmp_path / "marks.json")
+    out = f"parquet://{tmp_path}/out"
+    cdc = {"t": CdcTable(mark_col="ver", keys=["id"], tombstone="deleted")}
+
+    steal_cdc(Spec(), _cat(spark, tmp_path), out, state_path=state,
+              tables=cdc)
+    assert spark.read.parquet(f"{tmp_path}/out/t.parquet").count() == 3
+
+    # id=2 soft-deleted (ver bumps), id=4 inserted — one window
+    _write_tomb(spark, tmp_path, [(1, 10, "a", False), (2, 11, "b", True),
+                                  (3, 10, "c", False), (4, 11, "d", False)])
+    rep = steal_cdc(Spec(), _cat(spark, tmp_path), out, state_path=state,
+                    tables=cdc)
+    res = {t.table: t for t in rep.tables}["t"]
+    assert res.rows == 1 and res.deleted_rows == 1
+    got = sorted(r.id for r in
+                 spark.read.parquet(f"{tmp_path}/out/t.parquet").collect())
+    assert got == [1, 3, 4]
+    # a later delete->reinsert resurrects the key (latest wins)
+    _write_tomb(spark, tmp_path, [(1, 10, "a", False), (2, 12, "b2", False),
+                                  (3, 10, "c", False), (4, 11, "d", False)])
+    steal_cdc(Spec(), _cat(spark, tmp_path), out, state_path=state,
+              tables=cdc)
+    back = {r.id: r for r in
+            spark.read.parquet(f"{tmp_path}/out/t.parquet").collect()}
+    assert sorted(back) == [1, 2, 3, 4] and back[2].name == "b2"
+
+
+def test_cdc_snapshot_diff_hard_deletes(spark, tmp_path):
+    """A hard delete never bumps max(mark_col); sync_deletes catches it
+    by diffing key sets (keys-only scans) even on an unchanged
+    watermark, and the mark does not move."""
+    _write_cdc(spark, tmp_path, [(1, 10, "a", 1.0), (2, 10, "b", 2.0),
+                                 (3, 10, "c", 3.0)])
+    state = str(tmp_path / "marks.json")
+    out = f"parquet://{tmp_path}/out"
+    cdc = {"t": CdcTable(mark_col="ver", keys=["id"], sync_deletes=True)}
+
+    steal_cdc(Spec(), _cat(spark, tmp_path), out, state_path=state,
+              tables=cdc)
+    mark = load_marks(state)["t"]
+
+    # current-state rewrite WITHOUT id=2: watermark unchanged
+    _write_cdc(spark, tmp_path, [(1, 10, "a", 1.0), (3, 10, "c", 3.0)])
+    rep = steal_cdc(Spec(), _cat(spark, tmp_path), out, state_path=state,
+                    tables=cdc)
+    res = {t.table: t for t in rep.tables}["t"]
+    assert res.deleted_rows == 1 and res.rows == 0
+    got = sorted(r.id for r in
+                 spark.read.parquet(f"{tmp_path}/out/t.parquet").collect())
+    assert got == [1, 3]
+    assert load_marks(state)["t"] == mark  # mark untouched
+
+    # converged: the next diff removes nothing and skips the rewrite
+    rep2 = steal_cdc(Spec(), _cat(spark, tmp_path), out, state_path=state,
+                     tables=cdc)
+    res2 = {t.table: t for t in rep2.tables}["t"]
+    assert res2.deleted_rows == 0 and res2.skipped

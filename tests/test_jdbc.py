@@ -220,3 +220,22 @@ def test_merge_jdbc_keyed_upsert(spark, src):
         spark, src, "SELECT COUNT(*) FROM merged")[0][0] == "4"
     assert not J.table_exists(spark, src, f"merged{STAGING_SUFFIX}")
     J.execute(spark, src, ["DROP TABLE merged"], transactional=False)
+
+
+def test_merge_jdbc_with_deletes_one_txn(spark, src):
+    """Delete capture at the JDBC sink: tombstoned keys stage a second
+    table and are removed in the SAME transaction as the upserts."""
+    from klepto_spark.sinks.writers import merge_jdbc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, tag string")
+    merge_jdbc(base, src, "mdel", keys=["id"])
+    delta = spark.createDataFrame([(4, "d")], "id int, tag string")
+    gone = spark.createDataFrame([(2,)], "id int")
+    merge_jdbc(delta, src, "mdel", keys=["id"], deletes=gone)
+    rows = sorted(int(r[0]) for r in J.query_rows(
+        spark, src, 'SELECT "id" FROM mdel'))
+    assert rows == [1, 3, 4]
+    assert not J.table_exists(spark, src, f"mdel{STAGING_SUFFIX}")
+    assert not J.table_exists(spark, src, f"mdel{STAGING_SUFFIX}_d")
+    J.execute(spark, src, ["DROP TABLE mdel"], transactional=False)
