@@ -110,10 +110,15 @@ def sessionize_batch(events: DataFrame, gap_s: float = 1800.0) -> DataFrame:
     """Batch twin: gap-flagging + cumulative session ids via windows.
     Emits ALL sessions (batch input has a defined end)."""
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # timestamp_diff works on TIMESTAMP and TIMESTAMP_NTZ alike (a plain
+    # double cast is illegal on NTZ) and never routes through the session
+    # timezone, so gaps are stable across DST transitions.
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
     with_id = (events
                .select("user_id", "ts", "value")
-               .withColumn("_new", F.when(gap.isNull() | (gap > gap_s), 1)
+               .withColumn("_new",
+                           F.when(gap_us.isNull()
+                                  | (gap_us > int(gap_s * 1_000_000)), 1)
                            .otherwise(0))
                .withColumn("_sid", F.sum("_new").over(
                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
