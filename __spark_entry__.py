@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from klepto_spark.config import FilterSpec, Relationship, Spec, TableSpec
 from klepto_spark.functions.anonymise import anonymise_sql
-from klepto_spark.operators import dedup, multimodal, similarity
+from klepto_spark.operators import dedup, multimodal, sampling, similarity
 from klepto_spark.operators import text as T
 from klepto_spark.operators.asof import asof_join
 from klepto_spark.operators.pipeline import (
@@ -516,6 +516,42 @@ def q_frame_plan(spark, sf_dir):
     return M.frame_sample_plan(media, every_ms=1000)
 
 
+# Deterministic sampling contract constants. Rates are arbitrary but fixed;
+# membership is a pure function of (salt, key) via an md5-prefix draw, so
+# DuckDB replays the exact hex comparison (operators/sampling.py *_sql twins).
+SPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+STRATA_RATES = {"en": 0.3, "zh": 1.0, "de": 0.5}
+
+
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/valid/test assignment: cumulative md5-prefix
+    thresholds, zero shuffle, repartition- and growth-stable (a doc's
+    split never changes when other docs are added)."""
+    from klepto_spark.operators import sampling as P
+    docs = _load(spark, sf_dir)("documents")
+    return P.split_assign(docs, "doc_id", SPLIT_WEIGHTS,
+                          salt=SEED).select("doc_id", "lang", "split")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-language Bernoulli rates (downsample dominant en, keep zh
+    whole, default 0.75) — one CASE predicate, pure map-side filter."""
+    from klepto_spark.operators import sampling as P
+    docs = _load(spark, sf_dir)("documents")
+    return P.sample_stratified(docs, "lang", "doc_id", STRATA_RATES,
+                               default_rate=0.75,
+                               salt=SEED).select("doc_id", "lang")
+
+
+def q_sample_exact_n(spark, sf_dir):
+    """Exactly 10 docs per source in deterministic hash order — the batch
+    reservoir. One shuffle on the strata key."""
+    from klepto_spark.operators import sampling as P
+    docs = _load(spark, sf_dir)("documents")
+    return (P.sample_exact_n(docs, "source", "doc_id", 10, salt=SEED)
+            .select("doc_id", "source", "rn"))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> mapInPandas feature extraction.
     The stub features are pure byte math, so the DuckDB oracle recomputes
@@ -577,6 +613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s03_ivf_topk": q_ivf_topk,
         "s04_pq_topk": q_pq_topk,
         "a09_sessionize_batch": q_sessionize_batch,
+        "p01_sample_split": q_sample_split,
+        "p02_sample_stratified": q_sample_stratified,
+        "p03_sample_exact_n": q_sample_exact_n,
         "m01_media_features": q_media_features,
         "m02_frame_plan": q_frame_plan,
     }
@@ -838,6 +877,18 @@ s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY ts
 SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
        COUNT(*) AS n_events, CAST(SUM(value) AS DOUBLE) AS sum_value
 FROM s GROUP BY user_id, sid""",
+        "p01_sample_split": (
+            f"SELECT doc_id, lang, "
+            f"{sampling.split_assign_sql('doc_id', SPLIT_WEIGHTS, salt=SEED)}"
+            f" FROM documents"),
+        "p02_sample_stratified": (
+            f"SELECT doc_id, lang FROM documents WHERE "
+            + sampling.sample_stratified_sql(
+                "lang", "doc_id", STRATA_RATES, default_rate=0.75,
+                salt=SEED)),
+        "p03_sample_exact_n": sampling.sample_exact_n_sql(
+            "documents", "source", "doc_id", 10, salt=SEED,
+            columns="doc_id, source"),
         "d03_dedup_simhash": dedup.simhash_dedup_sql(),
         "m01_media_features": multimodal.media_features_sql(),
         "m02_frame_plan": """

@@ -1,0 +1,170 @@
+"""Deterministic sampling & dataset splitting (training-data pipeline ops).
+
+A 100 TB curation pipeline needs samples that are REPRODUCIBLE — rerun the
+job, get the same rows — and CONSISTENT across engines and re-partitionings.
+Spark's built-in ``df.sample``/``sampleBy`` are seeded per-partition, so the
+selected set changes whenever the partitioning does; that is useless as a
+contract. These operators derive membership from a keyed hash instead:
+
+    member(row)  :=  md5(salt || '|' || key)[:8]  <  hex(floor(rate * 16^8))
+
+The hex prefix of md5 is uniform over [0, 16^8); comparing it to a constant
+hex literal is a pure, stateless, codegen'd map-side predicate — no shuffle,
+no state, no RNG, and both Spark and DuckDB compute the identical md5 of the
+identical UTF-8 string, so every sample here has an exact SQL oracle
+(the same portability trick as the MinHash signatures in dedup.py).
+
+Families:
+- sample_uniform:    Bernoulli(rate) by key — filter, zero shuffle.
+- split_assign:      train/valid/test assignment from cumulative rate
+                     thresholds — one CASE expression, zero shuffle; a row's
+                     split NEVER changes when other rows come or go (the
+                     property random splits lack).
+- sample_stratified: per-stratum rates (e.g. downsample dominant languages)
+                     as one CASE over the strata column — still zero shuffle.
+- sample_exact_n:    exactly n rows per stratum, chosen by hash order —
+                     a deterministic "reservoir". This one shuffles by
+                     stratum (row_number needs the group together); strata
+                     are typically few and heavy, so at scale pre-thin with
+                     sample_stratified to ~4n/|stratum| first and take the
+                     exact top-n from the survivors.
+
+Keys should be stable identifiers (ints or strings). Numeric keys splice
+through CAST(key AS STRING); the same magnitude caveats as the anonymiser
+determinism key apply (functions/anonymise.py) — integers are always safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_HEX_SPACE = 16 ** 8  # 8 hex chars = 32 bits of md5 prefix
+
+
+def _threshold_hex(rate: float) -> str:
+    """Rate in [0,1] -> 8-char lowercase hex threshold."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(min(int(rate * _HEX_SPACE), _HEX_SPACE - 1)
+                  if rate < 1.0 else _HEX_SPACE - 1, "08x")
+
+
+def hash_prefix(key_col: str, salt: str = "") -> Column:
+    """The uniform 8-hex-char draw for a key (Spark side)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string"))),
+        1, 8)
+
+
+def _hash_prefix_sql(key_col: str, salt: str = "") -> str:
+    """The identical draw in DuckDB SQL."""
+    return f"substr(md5(concat('{salt}|', CAST({key_col} AS VARCHAR))), 1, 8)"
+
+
+def sample_uniform(df: DataFrame, key_col: str, rate: float,
+                   salt: str = "") -> DataFrame:
+    """Deterministic Bernoulli(rate) sample by key. Pure filter: no
+    shuffle, no state; repartition-stable and engine-portable."""
+    if rate >= 1.0:
+        return df
+    return df.filter(hash_prefix(key_col, salt) < F.lit(_threshold_hex(rate)))
+
+
+def sample_uniform_sql(key_col: str, rate: float, salt: str = "") -> str:
+    """WHERE-clause twin of :func:`sample_uniform`."""
+    if rate >= 1.0:
+        return "TRUE"
+    return f"{_hash_prefix_sql(key_col, salt)} < '{_threshold_hex(rate)}'"
+
+
+def split_assign(df: DataFrame, key_col: str, weights: dict[str, float],
+                 salt: str = "", out_col: str = "split") -> DataFrame:
+    """Assign every row to exactly one named split (train/valid/test...)
+    by cumulative hash thresholds. Weights must sum to 1 (±1e-9).
+
+    Membership depends only on (salt, key), so adding or removing OTHER
+    rows never moves a row between splits — safe for incremental corpus
+    growth (yesterday's training docs stay training docs)."""
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    h = hash_prefix(key_col, salt)
+    names = list(weights)
+    expr, cum = None, 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = h < F.lit(_threshold_hex(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def split_assign_sql(key_col: str, weights: dict[str, float],
+                     salt: str = "", out_col: str = "split") -> str:
+    """SELECT-expression twin of :func:`split_assign`."""
+    h = _hash_prefix_sql(key_col, salt)
+    names = list(weights)
+    if len(names) == 1:
+        return f"'{names[0]}' AS {out_col}"
+    parts, cum = [], 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        parts.append(f"WHEN {h} < '{_threshold_hex(cum)}' THEN '{name}'")
+    return ("CASE " + " ".join(parts)
+            + f" ELSE '{names[-1]}' END AS {out_col}")
+
+
+def sample_stratified(df: DataFrame, strata_col: str, key_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Per-stratum Bernoulli rates (downsample dominant strata, keep rare
+    ones whole). One CASE predicate — still a pure map-side filter."""
+    h = hash_prefix(key_col, salt)
+    thresh = None
+    for value, rate in rates.items():
+        cond = F.col(strata_col) == value
+        t = F.lit(_threshold_hex(rate))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = (F.lit(_threshold_hex(default_rate)) if thresh is None
+              else thresh.otherwise(_threshold_hex(default_rate)))
+    return df.filter(h < thresh)
+
+
+def sample_stratified_sql(strata_col: str, key_col: str,
+                          rates: dict[str, float], default_rate: float = 0.0,
+                          salt: str = "") -> str:
+    """WHERE-clause twin of :func:`sample_stratified`."""
+    h = _hash_prefix_sql(key_col, salt)
+    whens = " ".join(
+        f"WHEN {strata_col} = '{v}' THEN '{_threshold_hex(r)}'"
+        for v, r in rates.items())
+    return (f"{h} < (CASE {whens} "
+            f"ELSE '{_threshold_hex(default_rate)}' END)")
+
+
+def sample_exact_n(df: DataFrame, strata_col: str, key_col: str, n: int,
+                   salt: str = "", out_col: str = "rn") -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, in deterministic hash
+    order — the batch equivalent of per-stratum reservoir sampling.
+
+    Shuffles once on the strata column (row_number needs each stratum
+    together). Strata are few-and-heavy by nature; at 100 TB, pre-thin
+    with :func:`sample_stratified` at ~4n/|stratum| so the window sees
+    thousands of rows per stratum, not billions."""
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_prefix(key_col, salt), F.col(key_col))
+    return (df.withColumn(out_col, F.row_number().over(w))
+            .filter(F.col(out_col) <= n))
+
+
+def sample_exact_n_sql(table_sql: str, strata_col: str, key_col: str, n: int,
+                       salt: str = "", out_col: str = "rn",
+                       columns: str = "*") -> str:
+    """Full-query twin of :func:`sample_exact_n` over ``table_sql``."""
+    h = _hash_prefix_sql(key_col, salt)
+    return f"""
+SELECT {columns}, {out_col} FROM (
+  SELECT *, row_number() OVER (PARTITION BY {strata_col}
+            ORDER BY {h}, {key_col}) AS {out_col}
+  FROM {table_sql})
+WHERE {out_col} <= {n}"""
