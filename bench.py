@@ -63,10 +63,21 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     total_median = round(sum(s["median"] for s in spread.values()), 3)
-    print(json.dumps({"metric": "total_query_sec", "value": total,
-                      "unit": "sec", "queries": timings, "sf": sf,
-                      "runs": runs, "total_median_sec": total_median,
-                      "spread": spread}))
+    medians = {name: s["median"] for name, s in spread.items()}
+    # stdout gets ONE compact line (the driver's tail capture truncated the
+    # full spread map in round 2 -> "parsed": null); best/stdev/max detail
+    # goes to stderr + a side file for human analysis.
+    print(json.dumps({"metric": "total_query_sec", "value": total_median,
+                      "unit": "sec", "queries": medians, "sf": sf,
+                      "runs": runs, "total_best_sec": total},
+                     separators=(",", ":")))
+    detail = {"best": timings, "spread": spread, "sf": sf, "runs": runs}
+    print(json.dumps(detail, separators=(",", ":")), file=sys.stderr)
+    try:
+        with open("BENCH_DETAIL.json", "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
     spark.stop()
 
 

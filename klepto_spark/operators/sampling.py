@@ -41,24 +41,46 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _HEX_SPACE = 16 ** 8  # 8 hex chars = 32 bits of md5 prefix
 
 
+#: stands in for a NULL key in the hash input. Spark's concat is
+#: NULL-propagating while DuckDB's skips NULL arguments, so without a
+#: sentinel the engines disagree on nullable keys (Spark drops the row,
+#: DuckDB hashes 'salt|'). A real key value equal to the sentinel would
+#: collide with NULL — keep keys NOT NULL where that matters.
+_NULL_KEY = "<NULL>"
+
+
 def _threshold_hex(rate: float) -> str:
-    """Rate in [0,1] -> 8-char lowercase hex threshold."""
+    """Rate in [0,1] -> 8-char lowercase hex threshold.
+
+    rate >= 1.0 returns the sentinel ``'g'``: it sorts above every hex
+    string in both engines (bytewise compare, 'g' > 'f'), so "keep the
+    whole stratum" keeps even the p=2^-32 keys whose md5 prefix is
+    exactly 'ffffffff' — a plain hex threshold silently drops those."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1], got {rate}")
-    return format(min(int(rate * _HEX_SPACE), _HEX_SPACE - 1)
-                  if rate < 1.0 else _HEX_SPACE - 1, "08x")
+    if rate >= 1.0:
+        return "g"
+    return format(min(int(rate * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+
+
+def _q(text: str) -> str:
+    """Escape a value for splicing into a single-quoted SQL literal."""
+    return str(text).replace("'", "''")
 
 
 def hash_prefix(key_col: str, salt: str = "") -> Column:
     """The uniform 8-hex-char draw for a key (Spark side)."""
     return F.substring(
-        F.md5(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string"))),
+        F.md5(F.concat(F.lit(f"{salt}|"),
+                       F.coalesce(F.col(key_col).cast("string"),
+                                  F.lit(_NULL_KEY)))),
         1, 8)
 
 
 def _hash_prefix_sql(key_col: str, salt: str = "") -> str:
     """The identical draw in DuckDB SQL."""
-    return f"substr(md5(concat('{salt}|', CAST({key_col} AS VARCHAR))), 1, 8)"
+    return (f"substr(md5(concat('{_q(salt)}|', "
+            f"coalesce(CAST({key_col} AS VARCHAR), '{_NULL_KEY}'))), 1, 8)")
 
 
 def sample_uniform(df: DataFrame, key_col: str, rate: float,
@@ -109,9 +131,9 @@ def split_assign_sql(key_col: str, weights: dict[str, float],
     parts, cum = [], 0.0
     for name in names[:-1]:
         cum += weights[name]
-        parts.append(f"WHEN {h} < '{_threshold_hex(cum)}' THEN '{name}'")
+        parts.append(f"WHEN {h} < '{_threshold_hex(cum)}' THEN '{_q(name)}'")
     return ("CASE " + " ".join(parts)
-            + f" ELSE '{names[-1]}' END AS {out_col}")
+            + f" ELSE '{_q(names[-1])}' END AS {out_col}")
 
 
 def sample_stratified(df: DataFrame, strata_col: str, key_col: str,
@@ -136,7 +158,7 @@ def sample_stratified_sql(strata_col: str, key_col: str,
     """WHERE-clause twin of :func:`sample_stratified`."""
     h = _hash_prefix_sql(key_col, salt)
     whens = " ".join(
-        f"WHEN {strata_col} = '{v}' THEN '{_threshold_hex(r)}'"
+        f"WHEN {strata_col} = '{_q(v)}' THEN '{_threshold_hex(r)}'"
         for v, r in rates.items())
     return (f"{h} < (CASE {whens} "
             f"ELSE '{_threshold_hex(default_rate)}' END)")
@@ -150,7 +172,12 @@ def sample_exact_n(df: DataFrame, strata_col: str, key_col: str, n: int,
     Shuffles once on the strata column (row_number needs each stratum
     together). Strata are few-and-heavy by nature; at 100 TB, pre-thin
     with :func:`sample_stratified` at ~4n/|stratum| so the window sees
-    thousands of rows per stratum, not billions."""
+    thousands of rows per stratum, not billions.
+
+    ``key_col`` must be unique within each stratum: the sort is
+    (hash, key), so duplicate keys tie on both columns and which
+    physical duplicate gets rn<=n is engine-dependent — the determinism
+    and oracle contracts only hold for unique keys."""
     w = Window.partitionBy(strata_col).orderBy(
         hash_prefix(key_col, salt), F.col(key_col))
     return (df.withColumn(out_col, F.row_number().over(w))
@@ -160,10 +187,15 @@ def sample_exact_n(df: DataFrame, strata_col: str, key_col: str, n: int,
 def sample_exact_n_sql(table_sql: str, strata_col: str, key_col: str, n: int,
                        salt: str = "", out_col: str = "rn",
                        columns: str = "*") -> str:
-    """Full-query twin of :func:`sample_exact_n` over ``table_sql``."""
+    """Full-query twin of :func:`sample_exact_n` over ``table_sql``.
+
+    With the default ``columns='*'`` the outer select is a bare ``*``
+    (the inner subquery already carries ``out_col``; ``*, rn`` would
+    emit the row-number column twice and break schema comparison)."""
     h = _hash_prefix_sql(key_col, salt)
+    sel = "*" if columns.strip() == "*" else f"{columns}, {out_col}"
     return f"""
-SELECT {columns}, {out_col} FROM (
+SELECT {sel} FROM (
   SELECT *, row_number() OVER (PARTITION BY {strata_col}
             ORDER BY {h}, {key_col}) AS {out_col}
   FROM {table_sql})

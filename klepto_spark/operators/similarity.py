@@ -265,10 +265,41 @@ def ivf_topk(df: DataFrame, query: list[float], centroids: list[list[float]],
     assignment must be computed); for repeated queries build the at-rest
     index with :func:`ivf_write_index` so the scan itself prunes."""
     probed = _nearest_clusters(query, centroids, n_probe)
-    assigned = ivf_assign(df, centroids, vec_col, key_col)
-    subset = (df.join(assigned.filter(F.col("cluster").isin(probed)),
-                      key_col, "left_semi"))
+    c = F.col(vec_col).cast("array<double>")
+    # The assignment is a pure projection of the row — compute it inline
+    # and filter, ONE scan with zero joins (the previous form built a
+    # second DataFrame and semi-joined it back: two scans + a join).
+    # The argmin goes through the Arrow-vectorised path even when k*dim
+    # fits the codegen budget: fused with the cosine scoring it shares a
+    # whole-stage-codegen method, and the COMBINED tree blows janino's
+    # 64KB method limit — the stage silently drops to interpreted mode
+    # (measured: 8.6 s vs 1.4 s on 100k rows). The UDF splits the stage,
+    # so the scoring side keeps codegen.
+    subset = (df.withColumn("__ivf_cluster",
+                            _argmin_sq_pandas(centroids)(c))
+              .filter(F.col("__ivf_cluster").isin(probed))
+              .drop("__ivf_cluster"))
     return brute_force_topk(subset, query, vec_col, key_col, k)
+
+
+def _argmin_sq_pandas(centroids: list[list[float]]):
+    """Vectorised nearest-centroid in the SAME subtract-square form as
+    ``_sq_dist_unrolled`` ((v-c)^2 summed) so values track the expression
+    path / DuckDB oracle to summation order only — below any measured
+    assignment margin. Ties keep the first minimum (np.argmin), matching
+    both."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    C = np.asarray(centroids, dtype=np.float64)          # (k, dim)
+
+    def assign(vs):
+        V = np.asarray(vs.tolist(), dtype=np.float64)    # (n, dim)
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(assign, "int")
 
 
 def kmeans_fit(df: DataFrame, k: int, vec_col: str = "embedding",
@@ -479,13 +510,51 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
               key_col: str = "vec_id") -> DataFrame:
     """(key, codes array<int>): each subvector's nearest-centroid index.
     Pure projection (argmin per subspace, same machinery as ivf_assign) —
-    no shuffle; write the result once, search the codes forever."""
+    no shuffle; write the result once, search the codes forever.
+
+    The codegen budget applies to the TOTAL m*k*sub term count, not per
+    subspace: m per-subspace trees that each fit the budget still sum to
+    a multi-thousand-node projection whose driver-side analysis + janino
+    compile dominated the whole query (16 s measured at m=8, k=16,
+    dim=64 on ~100k rows). Past the budget, ONE Arrow-vectorised pandas
+    UDF encodes all subspaces per batch."""
     v = F.col(vec_col).cast("array<double>")
     sub = len(codebooks[0][0])
-    codes = [
-        _argmin_cluster(F.slice(v, i * sub + 1, sub), book)
-        for i, book in enumerate(codebooks)]
-    return df.select(F.col(key_col), F.array(*codes).alias("codes"))
+    m = len(codebooks)
+    k = len(codebooks[0])
+    if m * k * sub <= _CODEGEN_TERM_BUDGET:
+        codes = [
+            _argmin_cluster(F.slice(v, i * sub + 1, sub), book)
+            for i, book in enumerate(codebooks)]
+        return df.select(F.col(key_col), F.array(*codes).alias("codes"))
+    return df.select(F.col(key_col),
+                     _pq_encode_pandas(codebooks)(v).alias("codes"))
+
+
+def _pq_encode_pandas(codebooks: list[list[list[float]]]):
+    """All-subspace PQ encode in one vectorised pass per Arrow batch.
+
+    Distances use the SAME subtract-square form as ``_sq_dist_unrolled``
+    ((v-c)^2 summed), not the expanded |v|^2-2vc+|c|^2 identity, so the
+    values differ from the expression path only by summation order (numpy
+    pairwise vs left-associated) — below any real assignment margin.
+    Ties keep the first minimum (np.argmin), matching both the expression
+    path and the DuckDB oracle's list_position."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    C = np.asarray(codebooks, dtype=np.float64)     # (m, k, sub)
+    m, _, sub = C.shape
+
+    def encode(vs):
+        V = np.asarray(vs.tolist(), dtype=np.float64)   # (n, m*sub)
+        Vs = V.reshape(len(V), m, 1, sub)               # (n, m, 1, sub)
+        d = ((Vs - C[None, :, :, :]) ** 2).sum(axis=3)  # (n, m, k)
+        codes = np.argmin(d, axis=2).astype(np.int32)   # (n, m)
+        return pd.Series(list(codes))
+
+    encode.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(encode, "array<int>")
 
 
 def pq_topk(codes_df: DataFrame, query: list[float],

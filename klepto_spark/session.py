@@ -41,6 +41,10 @@ _DEFAULTS = {
     # vectorized reader rejects; read as long and rebuild in the loader
     # (sources/catalog.py normalises back to TimestampType).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Event time is normalised to TIMESTAMP (ltz) for watermarking; pin the
+    # session zone so the NTZ->TIMESTAMP rebuild is deterministic on any
+    # host instead of inheriting the machine's local zone.
+    "spark.sql.session.timeZone": "UTC",
     # NOTE on string literals: Spark's default lexer backslash-escapes
     # inside '...' while DuckDB follows ANSI (backslash is plain). Portable
     # literal text therefore never embeds raw backslashes/control chars —
@@ -59,27 +63,42 @@ _DEFAULTS = {
 
 
 def ensure_nanos_conf(spark: SparkSession) -> None:
-    """Make nanosecond-timestamp parquet readable in ANY session.
+    """Make event-time parquet readable/watermarkable in ANY session.
 
     The driver (and any embedding application) constructs its own
-    SparkSession without our builder defaults, so the loaders set this
-    runtime-settable conf immediately before reading. Without it, Spark
-    rejects INT64 TIMESTAMP(NANOS) parquet columns outright
-    (PARQUET_TYPE_ILLEGAL)."""
+    SparkSession without our builder defaults, so the loaders set these
+    runtime-settable confs immediately before reading. Without nanosAsLong,
+    Spark rejects INT64 TIMESTAMP(NANOS) parquet columns outright
+    (PARQUET_TYPE_ILLEGAL); without a pinned zone, the NTZ->TIMESTAMP
+    rebuild in :func:`normalise_nanos_ts` would depend on the host zone."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def normalise_nanos_ts(df, column: str = "ts"):
-    """Rebuild a nanos-as-long column into a microsecond TimestampType.
+    """Rebuild the event-time column into a watermarkable TimestampType.
 
-    Integer division (`div`) keeps the arithmetic in BIGINT — float
-    division loses precision above 2^53, which rounds ~2024-era nano
-    epochs and lands the truncating cast 1µs low on ~2% of rows."""
+    Handles both on-disk shapes the testdata has shipped:
+
+    - INT64 TIMESTAMP(NANOS), surfaced as ``bigint`` under the nanosAsLong
+      conf: integer division (`div`) keeps the arithmetic in BIGINT — float
+      division loses precision above 2^53, which rounds ~2024-era nano
+      epochs and lands the truncating cast 1µs low on ~2% of rows.
+    - microsecond TIMESTAMP_NTZ (Spark 4's default read of
+      isAdjustedToUTC=false parquet): cast to TIMESTAMP under the pinned
+      UTC session zone (see :func:`ensure_nanos_conf`) — the wall clock is
+      preserved exactly and ``withWatermark`` accepts the column.
+    """
     from pyspark.sql import functions as F
     for field in df.schema.fields:
-        if field.name == column and field.dataType.simpleString() == "bigint":
+        if field.name != column:
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":
             df = df.withColumn(
                 column, F.timestamp_micros(F.expr(f"`{column}` div 1000")))
+        elif kind == "timestamp_ntz":
+            df = df.withColumn(column, F.col(column).cast("timestamp"))
     return df
 
 

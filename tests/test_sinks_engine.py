@@ -252,8 +252,8 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
                   output_mode="complete")
     got = spark.table("rollup_test")
 
-    batch = (spark.read.parquet(str(src))
-             .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    from klepto_spark.session import normalise_nanos_ts
+    batch = (normalise_nanos_ts(spark.read.parquet(str(src)))
              .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
              .agg(F.count(F.lit(1)).alias("n_events")))
     assert got.count() == batch.count() > 0
