@@ -491,6 +491,17 @@ def q_pq_topk(spark, sf_dir):
     return similarity.pq_topk(codes, PQ_QUERY, PQ_CODEBOOKS, k=10)
 
 
+def q_pq_rerank(spark, sf_dir):
+    """Two-stage ANN: ADC over PQ codes shortlists 50 candidates, exact
+    cosine reranks only those against the full vectors (broadcast semi-
+    filter — vectors never shuffle). similarity.pq_rerank_sql replays
+    both stages in DuckDB."""
+    emb = dedup.fan_out(_load(spark, sf_dir)("embeddings"), "vec_id")
+    codes = similarity.pq_encode(emb, PQ_CODEBOOKS)
+    return similarity.pq_topk_reranked(codes, emb, PQ_QUERY, PQ_CODEBOOKS,
+                                       k=10, n_candidates=50)
+
+
 def q_sessionize_batch(spark, sf_dir):
     """Gap-based sessionization (batch twin of the stateful streaming
     operator): 1-hour inactivity gap, decimal-exact value sums so the
@@ -612,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s02_ann_pairs_lsh": q_ann_pairs_lsh,
         "s03_ivf_topk": q_ivf_topk,
         "s04_pq_topk": q_pq_topk,
+        "s05_pq_rerank": q_pq_rerank,
         "a09_sessionize_batch": q_sessionize_batch,
         "p01_sample_split": q_sample_split,
         "p02_sample_stratified": q_sample_stratified,
@@ -864,6 +876,8 @@ GROUP BY d.doc_id""",
         "s03_ivf_topk": similarity.ivf_topk_sql(
             IVF_CENTROIDS[0], IVF_CENTROIDS, n_probe=2, k=10),
         "s04_pq_topk": similarity.pq_topk_sql(PQ_QUERY, PQ_CODEBOOKS, k=10),
+        "s05_pq_rerank": similarity.pq_rerank_sql(PQ_QUERY, PQ_CODEBOOKS,
+                                                  k=10, n_candidates=50),
         "a09_sessionize_batch": """
 WITH o AS (
   SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS value,

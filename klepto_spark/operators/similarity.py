@@ -633,6 +633,49 @@ FROM c ORDER BY sq_dist ASC, {key_col} LIMIT {k}
 """
 
 
+def pq_topk_reranked(codes_df: DataFrame, vectors_df: DataFrame,
+                     query: list[float],
+                     codebooks: list[list[list[float]]],
+                     vec_col: str = "embedding", key_col: str = "vec_id",
+                     k: int = 10, n_candidates: int = 50) -> DataFrame:
+    """Two-stage ANN, the standard production shape: ADC over the
+    compressed codes shortlists ``n_candidates`` rows (cheap O(m) byte
+    lookups across the whole corpus), then EXACT cosine reranks only the
+    shortlist against the full at-rest vectors.
+
+    The shortlist is tiny by construction, so it broadcast-joins into the
+    vector table — the full vectors are scanned once with a broadcast
+    hash semi-filter, never shuffled; per-row exact math happens on
+    n_candidates rows instead of the corpus. Recall is tunable by
+    ``n_candidates`` (quantisation error bounds how far a true top-k row
+    can fall in ADC order)."""
+    cand = (pq_topk(codes_df, query, codebooks, key_col, k=n_candidates)
+            .select(key_col))
+    subset = vectors_df.join(F.broadcast(cand), key_col)
+    return brute_force_topk(subset, query, vec_col, key_col, k)
+
+
+def pq_rerank_sql(query: list[float], codebooks: list[list[list[float]]],
+                  k: int = 10, n_candidates: int = 50,
+                  table: str = "embeddings", vec_col: str = "embedding",
+                  key_col: str = "vec_id") -> str:
+    """DuckDB oracle for :func:`pq_topk_reranked`: the ADC shortlist is
+    :func:`pq_topk_sql` verbatim (bit-identical codes + LUT scores, same
+    (sq_dist, key) tie-break), and the rerank replays brute_force_topk's
+    round-6 cosine with the same (score desc, key) ordering."""
+    adc = pq_topk_sql(query, codebooks, k=n_candidates, table=table,
+                      vec_col=vec_col, key_col=key_col)
+    qlit = "[" + ", ".join(repr(float(x)) for x in query) + "]"
+    return f"""
+WITH shortlist AS ({adc})
+SELECT t.{key_col},
+       round(list_cosine_similarity(CAST(t.{vec_col} AS DOUBLE[]), {qlit}), 6)
+         AS score
+FROM {table} t JOIN shortlist s ON t.{key_col} = s.{key_col}
+ORDER BY score DESC, t.{key_col} LIMIT {k}
+"""
+
+
 def topk_prenormalised(df: DataFrame, query: list[float],
                        vec_col: str = "embedding", key_col: str = "vec_id",
                        k: int = 10) -> DataFrame:

@@ -303,3 +303,23 @@ def test_pq_compression_and_adc_search(spark):
 
 def pq_train_wrap(df, m, k=16, max_iter=8, dim=None):
     return similarity.pq_train(df, m, k=k, max_iter=max_iter, dim=dim)
+
+
+def test_pq_rerank_recovers_exact_topk(spark, sf_dir):
+    """Two-stage ANN on the driver embeddings: ADC shortlist + exact
+    cosine rerank equals the brute-force top-10 once the shortlist is
+    wide enough for the query's quantisation error. Training, encode and
+    argmin are all deterministic, so these (query, n_candidates) pins
+    are stable."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    books = similarity.pq_train(emb, m=8, k=64, max_iter=4, dim=64)
+    codes = similarity.pq_encode(emb, books).cache()
+    for qid, nc in [(7, 50), (42, 50), (0, 150)]:
+        q = [float(x) for x in
+             emb.filter(f"vec_id = {qid}").first()["embedding"]]
+        exact = {(r["vec_id"], r["score"])
+                 for r in similarity.brute_force_topk(emb, q, k=10).collect()}
+        got = {(r["vec_id"], r["score"])
+               for r in similarity.pq_topk_reranked(
+                   codes, emb, q, books, k=10, n_candidates=nc).collect()}
+        assert got == exact, (qid, nc)
