@@ -16,6 +16,8 @@ bulk rows always move through the parallel DataFrame writer.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import SparkSession
 
 from klepto_spark.sources.dsn import DSN, jdbc_url
@@ -140,11 +142,13 @@ def native_ddl(spark: SparkSession, dsn: DSN, table: str) -> str:
     """CREATE TABLE with constraint fidelity, captured from the source.
 
     MySQL exposes its own full-fidelity DDL (SHOW CREATE TABLE — exactly
-    what the reference ships, reader.go:84-111); every other engine is
-    assembled from the standard DatabaseMetaData surface: column types +
-    sizes + NOT NULL + defaults, primary key, and foreign keys — the
-    referential integrity a restored copy must keep (VERDICT: columns-only
-    DDL silently loses it)."""
+    what the reference ships, reader.go:84-111, KEY clauses included);
+    every other engine is assembled from the standard DatabaseMetaData
+    surface: column types + sizes + NOT NULL + defaults, primary key,
+    foreign keys, and secondary/unique indexes (getIndexInfo — the
+    reference's pg_dump --schema-only emits these too,
+    pkg/reader/postgres/pg_dump.go:32-59; a restored copy without them
+    silently loses its query performance and uniqueness guarantees)."""
     if dsn.type == "mysql":
         rows = query_rows(spark, dsn, f"SHOW CREATE TABLE `{table}`")
         return rows[0][1] + ";"
@@ -184,26 +188,147 @@ def native_ddl(spark: SparkSession, dsn: DSN, table: str) -> str:
             names = ", ".join(c for _, c in sorted(pk_cols))
             cols.append(f"  PRIMARY KEY ({names})")
 
-        fks: dict[str, dict] = {}
-        rs = meta.getImportedKeys(None, None, stored)
-        while rs.next():
-            fk = fks.setdefault(rs.getString("FK_NAME") or "", {
-                "ref_table": rs.getString("PKTABLE_NAME"), "cols": []})
-            fk["cols"].append((rs.getInt("KEY_SEQ"),
-                               rs.getString("FKCOLUMN_NAME"),
-                               rs.getString("PKCOLUMN_NAME")))
-        rs.close()
-        for fk_name, fk in sorted(fks.items()):
-            pairs = sorted(fk["cols"])
-            local = ", ".join(c for _, c, _ in pairs)
-            remote = ", ".join(c for _, _, c in pairs)
-            clause = (f"  FOREIGN KEY ({local}) "
-                      f"REFERENCES {fk['ref_table']} ({remote})")
+        for fk_name, local, ref_table, remote in _foreign_keys_meta(
+                meta, stored):
+            clause = (f"  FOREIGN KEY ({', '.join(local)}) "
+                      f"REFERENCES {ref_table} ({', '.join(remote)})")
             if fk_name:
                 clause = f"  CONSTRAINT {fk_name}" + clause[1:]
             cols.append(clause)
 
         body = ",\n".join(cols)
-        return f"CREATE TABLE {stored} (\n{body}\n);"
+        ddl = f"CREATE TABLE {stored} (\n{body}\n);"
+        pk_names = [c for _, c in sorted(pk_cols)]
+        index_sql = _index_statements(meta, stored, pk_names)
+        if index_sql:
+            ddl += "\n" + "\n".join(index_sql)
+        return ddl
     finally:
         conn.close()
+
+
+# system-generated backing indexes (Derby names them SQL<digits> or
+# SQL<digits>-<uuid>): PK/FK/UNIQUE constraints recreate their own backing
+# index when the constraint DDL runs, so re-emitting these would fail or
+# duplicate.
+_SYSTEM_INDEX = re.compile(r"^SQL\d+(-|$)")
+
+
+def _index_statements(meta, stored: str, pk_names: list[str]) -> list[str]:
+    """CREATE [UNIQUE] INDEX statements for user-defined secondary and
+    unique indexes, via DatabaseMetaData.getIndexInfo. Skips statistics
+    rows, the PK's backing index (same column list, unique), and
+    system-named constraint-backing indexes.
+
+    Engines that SHARE a constraint's backing index with a same-column
+    user index (Derby does) report only the system-named physical index,
+    so such a user index is invisible here — recreating the constraint
+    restores the shared index, so the restored schema is equivalent."""
+    rs = meta.getIndexInfo(None, None, stored, False, False)
+    idx: dict[str, dict] = {}
+    while rs.next():
+        if rs.getShort("TYPE") == 0:  # tableIndexStatistic
+            continue
+        name = rs.getString("INDEX_NAME")
+        if not name:
+            continue
+        d = idx.setdefault(name, {"unique": not rs.getBoolean("NON_UNIQUE"),
+                                  "cols": []})
+        d["cols"].append((rs.getShort("ORDINAL_POSITION"),
+                          rs.getString("COLUMN_NAME")))
+    rs.close()
+    out = []
+    for name, d in sorted(idx.items()):
+        cols = [c for _, c in sorted(d["cols"])]
+        if d["unique"] and cols == pk_names:
+            continue  # the PK's backing index
+        if _SYSTEM_INDEX.match(name):
+            continue
+        unique = "UNIQUE " if d["unique"] else ""
+        out.append(f"CREATE {unique}INDEX {name} ON {stored} "
+                   f"({', '.join(cols)});")
+    return out
+
+
+def _foreign_keys_meta(meta, stored: str):
+    """(name, local_cols, ref_table, ref_cols) per FK, from
+    DatabaseMetaData.getImportedKeys (dialect-agnostic)."""
+    fks: dict[str, dict] = {}
+    rs = meta.getImportedKeys(None, None, stored)
+    while rs.next():
+        fk = fks.setdefault(rs.getString("FK_NAME") or "", {
+            "ref_table": rs.getString("PKTABLE_NAME"), "cols": []})
+        fk["cols"].append((rs.getInt("KEY_SEQ"),
+                           rs.getString("FKCOLUMN_NAME"),
+                           rs.getString("PKCOLUMN_NAME")))
+    rs.close()
+    out = []
+    for fk_name, fk in sorted(fks.items()):
+        pairs = sorted(fk["cols"])
+        out.append((fk_name,
+                    [c for _, c, _ in pairs],
+                    fk["ref_table"],
+                    [c for _, _, c in pairs]))
+    return out
+
+
+def foreign_keys(spark: SparkSession, dsn: DSN, table: str):
+    """Public FK introspection: (name, local_cols, ref_table, ref_cols)
+    tuples — what the RDS drop/re-add hook cycle saves and restores."""
+    conn = connect_raw(spark, dsn)
+    try:
+        meta = conn.getMetaData()
+        stored = _stored_name(meta, table) or table
+        return _foreign_keys_meta(meta, stored)
+    finally:
+        conn.close()
+
+
+def list_views(spark: SparkSession, dsn: DSN) -> list[str]:
+    """View names via DatabaseMetaData's VIEW type filter — the dual of
+    :func:`list_tables`: views are excluded from data dumps but their
+    DDL belongs in the structure dump (SURVEY §4.3.7)."""
+    conn = connect_raw(spark, dsn)
+    try:
+        gw = spark._sc._gateway
+        types = gw.new_array(gw.jvm.java.lang.String, 1)
+        types[0] = "VIEW"
+        rs = conn.getMetaData().getTables(None, None, "%", types)
+        out = []
+        while rs.next():
+            out.append(rs.getString("TABLE_NAME"))
+        rs.close()
+        return sorted(out)
+    finally:
+        conn.close()
+
+
+def view_ddl(spark: SparkSession, dsn: DSN, view: str) -> str:
+    """CREATE VIEW text, dialect-routed: SHOW CREATE VIEW on mysql,
+    pg_get_viewdef on postgres, SYS.SYSVIEWS on derby, and the standard
+    INFORMATION_SCHEMA.VIEWS definition column everywhere else."""
+    if dsn.type == "mysql":
+        rows = query_rows(spark, dsn, f"SHOW CREATE VIEW `{view}`")
+        return rows[0][1] + ";"
+    if dsn.type in ("postgres", "postgresql"):
+        rows = query_rows(
+            spark, dsn,
+            f"SELECT pg_get_viewdef('{view}'::regclass, true)")
+        return f"CREATE VIEW {view} AS {rows[0][0].rstrip(';')};"
+    if dsn.type == "derby":
+        rows = query_rows(
+            spark, dsn,
+            "SELECT V.VIEWDEFINITION FROM SYS.SYSVIEWS V "
+            "JOIN SYS.SYSTABLES T ON V.TABLEID = T.TABLEID "
+            f"WHERE T.TABLENAME = '{view.upper()}'")
+    else:
+        rows = query_rows(
+            spark, dsn,
+            "SELECT VIEW_DEFINITION FROM INFORMATION_SCHEMA.VIEWS "
+            f"WHERE TABLE_NAME = '{view}'")
+    if not rows:
+        raise ValueError(f"view {view!r} not found")
+    text = rows[0][0].strip().rstrip(";")
+    if text.upper().startswith("CREATE"):
+        return text + ";"
+    return f"CREATE VIEW {view} AS {text};"

@@ -110,6 +110,11 @@ def get_spark(app_name: str = "klepto_spark", master: str | None = None,
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    # comma-separated extra jars (e.g. mysql/postgres JDBC drivers for the
+    # real-database e2e suite — see docker-compose.test.yml)
+    extra_jars = os.environ.get("SPARK_GRAFT_EXTRA_JARS")
+    if extra_jars:
+        conf["spark.jars"] = extra_jars
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

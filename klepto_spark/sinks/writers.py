@@ -26,11 +26,19 @@ from klepto_spark.sources.dsn import DSN, DSNError, file_path, jdbc_url, route
 
 @dataclass
 class JdbcHooks:
-    """Pre/post statements around a table load — FK/trigger suspension
+    """Statements around a table load — FK/trigger suspension
     (reference: pkg/dumper/postgres/dumper.go:81-145 DISABLE TRIGGER ALL,
-    mysql FOREIGN_KEY_CHECKS toggling dumper.go:192-194)."""
+    mysql FOREIGN_KEY_CHECKS toggling dumper.go:192-194).
+
+    - ``pre``: per-connection session init (must be idempotent — every
+      executor connection replays them) and prepended to the publish txn.
+    - ``pre_once``: executed ONCE on a direct connection before the bulk
+      load — for non-idempotent setup like DROP CONSTRAINT.
+    - ``post``: executed once after the load, ALWAYS (also on failure) —
+      restoration must not be skipped because the load died."""
     pre: list[str] = field(default_factory=list)
     post: list[str] = field(default_factory=list)
+    pre_once: list[str] = field(default_factory=list)
 
     @classmethod
     def suspend_constraints(cls, dialect: str, table: str) -> "JdbcHooks":
@@ -39,6 +47,39 @@ class JdbcHooks:
                        post=["SET FOREIGN_KEY_CHECKS = 1"])
         return cls(pre=[f'ALTER TABLE "{table}" DISABLE TRIGGER ALL'],
                    post=[f'ALTER TABLE "{table}" ENABLE TRIGGER ALL'])
+
+    @classmethod
+    def rds_fk_cycle(cls, spark, dsn: DSN, table: str) -> "JdbcHooks":
+        """Managed-database fallback: DISABLE TRIGGER ALL needs superuser
+        or table-owner rights that RDS-style services don't grant, so
+        instead DROP the table's FK constraints before the load and
+        re-ADD them from their saved definitions afterwards (reference:
+        pkg/dumper/postgres/dumper.go:95-120 collects them from
+        pg_catalog.pg_constraint, 133-142 restores them post-load).
+
+        On postgres the saved definition is ``pg_get_constraintdef``
+        verbatim (keeps ON DELETE/MATCH/DEFERRABLE fidelity); elsewhere
+        the definition is assembled from DatabaseMetaData.getImportedKeys
+        — same cycle, portable enough to exercise on embedded Derby."""
+        from klepto_spark import jdbc as J
+        if dsn.type == "postgres":
+            rows = J.query_rows(spark, dsn, f"""
+SELECT conname, pg_get_constraintdef(oid)
+FROM pg_catalog.pg_constraint
+WHERE contype = 'f' AND conrelid = '{table}'::regclass""")
+            defs = [(name, defn) for name, defn in rows]
+        else:
+            defs = [
+                (name,
+                 f"FOREIGN KEY ({', '.join(local)}) "
+                 f"REFERENCES {ref_table} ({', '.join(remote)})")
+                for name, local, ref_table, remote
+                in J.foreign_keys(spark, dsn, table)]
+        return cls(
+            pre_once=[f"ALTER TABLE {table} DROP CONSTRAINT {name}"
+                      for name, _ in defs],
+            post=[f"ALTER TABLE {table} ADD CONSTRAINT {name} {defn}"
+                  for name, defn in defs])
 
 
 STAGING_SUFFIX = "_klepto_staging"
@@ -155,6 +196,8 @@ def write_jdbc(df: DataFrame, dsn: DSN, table: str, mode: str = "append",
     from klepto_spark import jdbc as J
     spark = df.sparkSession
     hooks = hooks or JdbcHooks()
+    if hooks.pre_once:
+        J.execute(spark, dsn, hooks.pre_once, transactional=True)
     try:
         if not atomic:
             if txn_statements:

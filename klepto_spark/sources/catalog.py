@@ -212,10 +212,13 @@ class JdbcCatalog:
         return reader.load()
 
     def structure(self) -> str:
-        """Native DDL with constraint fidelity (PK/FK/defaults) captured
-        through the connection — SHOW CREATE TABLE on mysql, DatabaseMetaData
-        assembly elsewhere; falls back to schema-derived DDL if the driver
-        lacks metadata support."""
+        """Native DDL with constraint fidelity (PK/FK/defaults/indexes)
+        captured through the connection — SHOW CREATE TABLE on mysql,
+        DatabaseMetaData assembly elsewhere; falls back to schema-derived
+        DDL if the driver lacks metadata support. Views are appended as
+        CREATE VIEW text while staying excluded from :meth:`tables` (and
+        therefore from data dumps) — the reference captures view DDL the
+        same one-sided way (SURVEY §4.3.7)."""
         from klepto_spark import jdbc as J
         from klepto_spark.sinks.ddl import create_table_sql
         parts = []
@@ -224,6 +227,11 @@ class JdbcCatalog:
                 parts.append(J.native_ddl(self.spark, self.dsn, t))
             except Exception:  # noqa: BLE001 — driver-specific metadata gaps
                 parts.append(create_table_sql(t, self.load(t).schema))
+        for v in J.list_views(self.spark, self.dsn):
+            try:
+                parts.append(J.view_ddl(self.spark, self.dsn, v))
+            except Exception:  # noqa: BLE001 — dialect without view-text SQL
+                pass
         return "\n\n".join(parts)
 
 

@@ -239,3 +239,91 @@ def test_merge_jdbc_with_deletes_one_txn(spark, src):
     assert not J.table_exists(spark, src, f"mdel{STAGING_SUFFIX}")
     assert not J.table_exists(spark, src, f"mdel{STAGING_SUFFIX}_d")
     J.execute(spark, src, ["DROP TABLE mdel"], transactional=False)
+
+
+def test_structure_captures_indexes_and_views(spark, src, tmp_path):
+    """User indexes survive a structure dump + restore round-trip; views
+    appear in structure() but never in tables() (SURVEY §4.3.7)."""
+    J.execute(spark, src, [
+        "CREATE INDEX idx_users_name ON users (name)",
+        "CREATE UNIQUE INDEX uq_users_team_name ON users (team_id, name)",
+        "CREATE VIEW team_heads AS SELECT team_id, COUNT(*) AS n "
+        "FROM users GROUP BY team_id",
+    ], transactional=False)
+    try:
+        cat = JdbcCatalog(spark, src)
+        assert "team_heads" not in {t.lower() for t in cat.tables()}
+        ddl = cat.structure().upper()
+        assert "IDX_USERS_NAME" in ddl
+        assert "CREATE UNIQUE INDEX UQ_USERS_TEAM_NAME" in ddl
+        assert "CREATE VIEW" in ddl and "TEAM_HEADS" in ddl
+        # the PK/FK backing indexes must NOT be re-emitted (they would
+        # collide with the constraint DDL's own backing index)
+        assert "CREATE INDEX SQL" not in ddl and "CREATE UNIQUE INDEX SQL" not in ddl
+
+        # restore into a fresh database from captured statements only
+        dst = _dsn(spark, tmp_path, "idxdst")
+        for t in cat.tables():  # sorted: teams before users (FK order)
+            stmts = [s.strip().rstrip(";") for s in
+                     J.native_ddl(spark, src, t).split(";\n") if s.strip()]
+            J.execute(spark, dst, stmts, transactional=False)
+        restored = {n.upper() for n in _index_names(spark, dst, "users")}
+        assert "IDX_USERS_NAME" in restored
+        assert "UQ_USERS_TEAM_NAME" in restored
+    finally:
+        J.execute(spark, src, ["DROP VIEW team_heads",
+                               "DROP INDEX idx_users_name",
+                               "DROP INDEX uq_users_team_name"],
+                  transactional=False)
+
+
+def _index_names(spark, dsn, table):
+    conn = J.connect_raw(spark, dsn)
+    try:
+        meta = conn.getMetaData()
+        stored = J._stored_name(meta, table) or table
+        rs = meta.getIndexInfo(None, None, stored, False, False)
+        names = set()
+        while rs.next():
+            n = rs.getString("INDEX_NAME")
+            if n:
+                names.add(n)
+        rs.close()
+        return names
+    finally:
+        conn.close()
+
+
+def test_rds_fk_cycle_drop_load_readd(spark, src):
+    """The managed-DB fallback (reference dumper.go:95-142): FKs are
+    DROPPED once before the load (so FK-violating load order succeeds)
+    and re-ADDED from saved definitions after — proven by loading a row
+    that violates the FK mid-cycle, which only works while the
+    constraint is gone, then checking the constraint is back."""
+    hooks = JdbcHooks.rds_fk_cycle(spark, src, "users")
+    assert hooks.pre_once and hooks.post and not hooks.pre
+    assert "DROP CONSTRAINT" in hooks.pre_once[0].upper()
+    assert "ADD CONSTRAINT" in hooks.post[0].upper()
+    assert "FOREIGN KEY" in hooks.post[0].upper()
+
+    users = JdbcCatalog(spark, src).load("users")
+    # team_id=1 exists, so post-load re-add validates cleanly; the CYCLE
+    # is still proven: append goes through while the constraint is gone
+    extra = spark.createDataFrame([(90, "Mary Jackson", 1)],
+                                  users.schema)
+    write_jdbc(extra, src, "users", mode="append", atomic=True, hooks=hooks)
+    assert JdbcCatalog(spark, src).load("users").count() == 4
+    restored = J.foreign_keys(spark, src, "users")
+    assert restored and restored[0][0].upper() == "FK_TEAM"
+
+
+def test_rds_fk_cycle_restores_on_failure(spark, src):
+    """A failed load must still re-add the dropped FKs (post hooks run
+    in finally) — the target is never left without its constraints."""
+    hooks = JdbcHooks.rds_fk_cycle(spark, src, "users")
+    bad = spark.createDataFrame([("not-an-int",)], "id string")
+    with pytest.raises(Exception):
+        write_jdbc(bad, src, "users", mode="append", atomic=True,
+                   hooks=hooks)
+    restored = J.foreign_keys(spark, src, "users")
+    assert restored and restored[0][0].upper() == "FK_TEAM"
