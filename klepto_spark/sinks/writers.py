@@ -268,6 +268,91 @@ def merge_files(df: DataFrame, directory: str, table: str, fmt: str,
     write_files(merged, directory, table, fmt, mode="overwrite", atomic=True)
 
 
+BUCKET_COL = "_kp"
+
+
+def bucket_expr(keys: list[str], n_buckets: int):
+    """Deterministic key-derived partition id: stable across runs and
+    engines' partitionings, so a key always lands in the same bucket."""
+    from pyspark.sql import functions as F
+    return F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+
+
+def merge_files_partitioned(df: DataFrame, directory: str, table: str,
+                            fmt: str, keys: list[str], n_buckets: int = 64,
+                            deletes: DataFrame | None = None) -> None:
+    """Keyed merge whose cost follows the TOUCHED PARTITIONS, not the
+    table: the layout hive-partitions on a key-derived bucket column, so
+    a merge (1) collects the delta's bucket ids (a tiny distinct), (2)
+    reads ONLY those buckets of the current table — partition pruning at
+    the scan, (3) rewrites just them, and (4) publishes each rewritten
+    bucket by directory swap. Untouched buckets' files are never read,
+    rewritten, or moved — at 100 TB a point-merge costs a few buckets'
+    IO instead of a full-table rewrite (the upgrade path
+    :func:`merge_files` documents).
+
+    Atomicity is PER BUCKET (each bucket directory is either fully old
+    or fully new); a crash mid-publish leaves a bucket-consistent mix,
+    re-running the same merge converges. For all-or-nothing semantics
+    over every bucket, fall back to :func:`merge_files`."""
+    from pyspark.sql import functions as F
+    spark = df.sparkSession
+    target = f"{directory.rstrip('/')}/{table}.{fmt}"
+    jvm, fs, tgt = _hadoop_fs(df, target)
+    delta = df.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
+    if deletes is not None:
+        deletes = deletes.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
+
+    def _write(out: DataFrame, path: str) -> None:
+        writer = out.write.format(fmt).mode("overwrite").partitionBy(BUCKET_COL)
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.save(path)
+
+    if not fs.exists(tgt):
+        if deletes is not None:
+            delta = delta.join(deletes.select(*keys).distinct(), on=keys,
+                               how="left_anti")
+        _write(delta, target)
+        return
+
+    touched = {r[0] for r in delta.select(BUCKET_COL).distinct().collect()}
+    if deletes is not None:
+        touched |= {r[0] for r in
+                    deletes.select(BUCKET_COL).distinct().collect()}
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    # the bucket filter is a partition predicate: the scan prunes every
+    # untouched bucket's files before any IO
+    current = reader.load(target).filter(
+        F.col(BUCKET_COL).isin(list(touched)))
+    gone = delta.select(*keys)
+    if deletes is not None:
+        gone = gone.unionByName(deletes.select(*keys))
+    kept = current.join(gone.distinct(), on=keys, how="left_anti")
+    merged = kept.unionByName(delta.select(*kept.columns))
+
+    staging = jvm.org.apache.hadoop.fs.Path(target + STAGING_SUFFIX)
+    if fs.exists(staging):
+        fs.delete(staging, True)
+    try:
+        _write(merged, str(staging))
+        for b in sorted(touched):
+            src_dir = jvm.org.apache.hadoop.fs.Path(
+                str(staging), f"{BUCKET_COL}={b}")
+            dst_dir = jvm.org.apache.hadoop.fs.Path(
+                str(tgt), f"{BUCKET_COL}={b}")
+            if fs.exists(dst_dir):
+                fs.delete(dst_dir, True)
+            if fs.exists(src_dir):  # bucket may be delete-only -> absent
+                if not fs.rename(src_dir, dst_dir):
+                    raise IOError(f"cannot publish bucket {b} of {target}")
+    finally:
+        if fs.exists(staging):
+            fs.delete(staging, True)
+
+
 def merge_jdbc(df: DataFrame, dsn: DSN, table: str, keys: list[str],
                batchsize: int = 10_000,
                deletes: DataFrame | None = None) -> None:
@@ -317,13 +402,23 @@ def merge_jdbc(df: DataFrame, dsn: DSN, table: str, keys: list[str],
 
 
 def merge_table(df: DataFrame, dsn_str: str, table: str,
-                keys: list[str], deletes: DataFrame | None = None) -> None:
+                keys: list[str], deletes: DataFrame | None = None,
+                partition_buckets: int | None = None) -> None:
     """Keyed-merge sink routed by DSN (the CDC counterpart of
     :func:`write_table`). ``deletes`` is an optional keys-only frame whose
-    keys are removed in the same atomic publish/transaction."""
+    keys are removed in the same atomic publish/transaction.
+    ``partition_buckets`` opts file sinks into the bucket-partitioned
+    layout whose merge cost follows touched partitions
+    (:func:`merge_files_partitioned`) — the 100 TB default."""
     kind, fmt, dsn = route(dsn_str)
     if kind == "files":
-        merge_files(df, file_path(dsn), table, fmt, keys, deletes=deletes)
+        if partition_buckets:
+            merge_files_partitioned(df, file_path(dsn), table, fmt, keys,
+                                    n_buckets=partition_buckets,
+                                    deletes=deletes)
+        else:
+            merge_files(df, file_path(dsn), table, fmt, keys,
+                        deletes=deletes)
         return
     if kind == "jdbc":
         merge_jdbc(df, dsn, table, keys, deletes=deletes)

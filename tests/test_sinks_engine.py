@@ -273,3 +273,67 @@ def test_streaming_anonymise(spark, sf_dir, tmp_path):
     run_to_memory(stream.select("event_id", "props"), "anon_stream")
     rows = spark.table("anon_stream").limit(5).collect()
     assert rows and all(r.props and r.props[0].isupper() for r in rows)
+
+
+def test_merge_files_partitioned_prunes_untouched(spark, tmp_path):
+    """Bucket-partitioned merge: only the delta's buckets are rewritten —
+    untouched buckets keep their exact files (path, mtime, size), the
+    partition filter prunes their IO, and content merges correctly."""
+    import os
+    import time as _time
+    from klepto_spark.sinks.writers import (
+        BUCKET_COL, bucket_expr, merge_files_partitioned)
+
+    base = spark.range(0, 200).selectExpr("id", "concat('v', id) AS tag")
+    d = str(tmp_path)
+    merge_files_partitioned(base, d, "t", "parquet", keys=["id"],
+                            n_buckets=8)
+    target = os.path.join(d, "t.parquet")
+    assert len(os.listdir(target)) >= 8  # hive layout _kp=<n>
+
+    def snap():
+        out = {}
+        for root, _, files in os.walk(target):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, f)
+                out[p] = (os.path.getmtime(p), os.path.getsize(p))
+        return out
+
+    before = snap()
+    delta = spark.createDataFrame([(5, "NEW5"), (17, "NEW17")],
+                                  "id long, tag string")
+    dels = spark.createDataFrame([(23,)], "id long")
+    touched = {r[0] for r in
+               delta.unionByName(dels.selectExpr("id", "'x' AS tag"))
+               .withColumn(BUCKET_COL, bucket_expr(["id"], 8))
+               .select(BUCKET_COL).distinct().collect()}
+    assert 0 < len(touched) < 8, touched
+    _time.sleep(1.1)  # ensure mtime resolution can distinguish rewrites
+    merge_files_partitioned(delta, d, "t", "parquet", keys=["id"],
+                            n_buckets=8, deletes=dels)
+    after = snap()
+
+    untouched = {p: v for p, v in before.items()
+                 if not any(f"{BUCKET_COL}={b}{os.sep}" in p
+                            for b in touched)}
+    assert untouched, "test needs untouched buckets"
+    for p, v in untouched.items():
+        assert after.get(p) == v, f"untouched file changed: {p}"
+    changed = [p for p in before if p not in after]
+    assert changed, "touched buckets must have been rewritten"
+
+    got = spark.read.parquet(target)
+    assert got.count() == 199  # 200 - 1 deleted
+    assert got.filter("id = 5").first()["tag"] == "NEW5"
+    assert got.filter("id = 17").first()["tag"] == "NEW17"
+    assert got.filter("id = 23").count() == 0
+    assert got.filter("id = 6").first()["tag"] == "v6"
+
+    # the merge scan prunes untouched buckets (partition filter)
+    from pyspark.sql import functions as F
+    pruned = (spark.read.parquet(target)
+              .filter(F.col(BUCKET_COL).isin(list(touched))))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
