@@ -134,11 +134,17 @@ class CdcTable:
       hard delete never bumps ``max(mark_col)``.
 
     Both delete paths land in the SAME atomic publish / transaction as
-    the upserts (:func:`klepto_spark.sinks.writers.merge_table`)."""
+    the upserts (:func:`klepto_spark.sinks.writers.merge_table`).
+
+    ``partition_buckets`` opts file sinks into the bucket-partitioned
+    layout (:func:`klepto_spark.sinks.writers.merge_files_partitioned`):
+    merge cost then follows the delta's buckets instead of rewriting the
+    whole table — the right default for large tables."""
     mark_col: str
     keys: list[str]
     tombstone: str | None = None
     sync_deletes: bool = False
+    partition_buckets: int | None = None
 
 
 def steal_cdc(spec: Spec, source, sink_dsn: str, *,
@@ -263,7 +269,8 @@ def steal_cdc(spec: Spec, source, sink_dsn: str, *,
             obs = Observation()
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             try:
-                merge_table(df, sink_dsn, table, cdc.keys, deletes=dels)
+                merge_table(df, sink_dsn, table, cdc.keys, deletes=dels,
+                            partition_buckets=cdc.partition_buckets)
             finally:
                 if dels is not None:
                     dels.unpersist()

@@ -258,3 +258,49 @@ def test_cdc_snapshot_diff_hard_deletes(spark, tmp_path):
                      tables=cdc)
     res2 = {t.table: t for t in rep2.tables}["t"]
     assert res2.deleted_rows == 0 and res2.skipped
+
+
+def test_cdc_partitioned_merge_layout(spark, tmp_path):
+    """CDC with partition_buckets: the sink lands bucket-partitioned,
+    merges rewrite only the delta's buckets, and untouched buckets keep
+    their exact files across a CDC run."""
+    import os
+    import time as _time
+    from klepto_spark.sinks.writers import BUCKET_COL
+
+    SCHEMA_V = "id long, name string, v double, ver long"
+    src = str(tmp_path / "src" / "t.parquet")
+    rows1 = [(i, f"n{i}", float(i), 1) for i in range(40)]
+    spark.createDataFrame(rows1, SCHEMA_V).write.parquet(src)
+    state = str(tmp_path / "marks.json")
+    out = f"parquet://{tmp_path}/out"
+    cdc = {"t": CdcTable(mark_col="ver", keys=["id"],
+                         partition_buckets=8)}
+    steal_cdc(Spec(), _cat(spark, tmp_path), out, state_path=state,
+              tables=cdc)
+    target = f"{tmp_path}/out/t.parquet"
+    buckets = [d for d in os.listdir(target)
+               if d.startswith(f"{BUCKET_COL}=")]
+    assert len(buckets) == 8
+
+    def snap():
+        found = {}
+        for root, _, files in os.walk(target):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    p = os.path.join(root, f)
+                    found[p] = os.path.getmtime(p)
+        return found
+
+    before = snap()
+    _time.sleep(1.1)
+    spark.createDataFrame([(3, "UPDATED", 3.5, 2)], SCHEMA_V) \
+        .write.mode("append").parquet(src)
+    steal_cdc(Spec(), _cat(spark, tmp_path), out, state_path=state,
+              tables=cdc)
+    after = snap()
+    stable = [p for p, m in before.items() if after.get(p) == m]
+    assert stable, "untouched buckets must keep their files"
+    got = spark.read.parquet(target)
+    assert got.count() == 40
+    assert got.filter("id = 3").first()["name"] == "UPDATED"
