@@ -676,6 +676,146 @@ ORDER BY score DESC, t.{key_col} LIMIT {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# OPQ: learned rotation before product quantisation
+# ---------------------------------------------------------------------------
+
+def opq_train(df: DataFrame, m: int, k: int = 16,
+              vec_col: str = "embedding", key_col: str = "vec_id",
+              sample_n: int = 10_000, iters: int = 5,
+              kmeans_iter: int = 4, dim: int | None = None):
+    """Train an OPQ rotation + PQ codebooks (Ge et al., "Optimized
+    Product Quantization", CVPR 2013 — non-parametric variant):
+    alternate (1) PQ codebooks on the rotated sample and (2) the
+    orthogonal Procrustes solve R = UVᵀ from the SVD of X̂ᵀX, which
+    minimises ‖XR − X̂‖ over rotations. Subspace decorrelation typically
+    cuts quantisation error vs plain PQ on correlated embeddings.
+
+    The optimisation runs DRIVER-SIDE on a bounded deterministic sample
+    (smallest ``sample_n`` keys — ≤ sample_n×dim doubles, ~5 MB at the
+    defaults): rotation learning is a small dense-linear-algebra problem;
+    the corpus-scale work (encode/search) stays distributed. Returns
+    ``(R, codebooks)`` where R is dim×dim (applied as v·R)."""
+    import numpy as np
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rows = (df.orderBy(key_col).limit(sample_n)
+            .select(F.col(vec_col).cast("array<double>").alias("v"))
+            .collect())
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    R = np.eye(dim)
+
+    def _fit_books(Z):
+        books = []
+        for i in range(m):
+            part = Z[:, i * sub:(i + 1) * sub]
+            # deterministic k-means: init from the first k sample rows
+            # (sample order is key order), Lloyd's with first-min ties
+            C = part[:k].copy()
+            for _ in range(kmeans_iter):
+                d = ((part[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(d, axis=1)
+                for c in range(k):
+                    mask = a == c
+                    if mask.any():
+                        C[c] = part[mask].mean(axis=0)
+            books.append(C)
+        return books
+
+    for _ in range(iters):
+        Z = X @ R
+        books = _fit_books(Z)
+        # reconstruct each rotated vector from its nearest codes
+        Xhat = np.empty_like(Z)
+        for i in range(m):
+            part = Z[:, i * sub:(i + 1) * sub]
+            C = books[i]
+            d = ((part[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            Xhat[:, i * sub:(i + 1) * sub] = C[np.argmin(d, axis=1)]
+        U, _, Vt = np.linalg.svd(X.T @ Xhat)
+        R = U @ Vt
+    books = _fit_books(X @ R)
+    return ([[float(x) for x in row] for row in R],
+            [[[float(x) for x in cent] for cent in C] for C in books])
+
+
+def opq_encode(df: DataFrame, rotation: list[list[float]],
+               codebooks: list[list[list[float]]],
+               vec_col: str = "embedding",
+               key_col: str = "vec_id") -> DataFrame:
+    """Rotate then PQ-encode, in ONE Arrow pass (the rotation is a dense
+    matmul per batch — fusing it with the encode avoids materialising a
+    rotated vector column). Same no-shuffle projection shape as
+    :func:`pq_encode`."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    Rm = np.asarray(rotation, dtype=np.float64)
+    C = np.asarray(codebooks, dtype=np.float64)
+    m, _, sub = C.shape
+
+    def encode(vs):
+        V = np.asarray(vs.tolist(), dtype=np.float64) @ Rm
+        Vs = V.reshape(len(V), m, 1, sub)
+        d = ((Vs - C[None, :, :, :]) ** 2).sum(axis=3)
+        return pd.Series(list(np.argmin(d, axis=2).astype(np.int32)))
+
+    encode.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(F.col(key_col), pandas_udf(encode, "array<int>")(v)
+                     .alias("codes"))
+
+
+def opq_topk(codes_df: DataFrame, query: list[float],
+             rotation: list[list[float]],
+             codebooks: list[list[list[float]]],
+             key_col: str = "vec_id", k: int = 10) -> DataFrame:
+    """ADC top-k in the rotated space: rotation preserves distances, so
+    rotating the QUERY driver-side (dim² flops, once) makes the stored
+    codes directly searchable — scan cost identical to :func:`pq_topk`."""
+    rq = _mat_vec(rotation, query, transpose=True)
+    return pq_topk(codes_df, rq, codebooks, key_col=key_col, k=k)
+
+
+def _mat_vec(rotation: list[list[float]], vec: list[float],
+             transpose: bool = False) -> list[float]:
+    n = len(rotation)
+    if transpose:  # v·R = (Rᵀ·v)ᵀ — match opq_encode's V @ R orientation
+        return [sum(rotation[i][j] * float(vec[i]) for i in range(n))
+                for j in range(n)]
+    return [sum(rotation[i][j] * float(vec[j]) for j in range(n))
+            for i in range(n)]
+
+
+def opq_quantisation_error(df: DataFrame, rotation, codebooks,
+                           vec_col: str = "embedding",
+                           key_col: str = "vec_id") -> float:
+    """Mean squared reconstruction error of the OPQ code assignment over
+    ``df`` — the training objective, exposed for drift monitoring and
+    for verifying OPQ ≤ plain-PQ error (tests). One distributed pass."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    Rm = np.asarray(rotation, dtype=np.float64)
+    C = np.asarray(codebooks, dtype=np.float64)
+    m, _, sub = C.shape
+
+    def err(vs):
+        V = np.asarray(vs.tolist(), dtype=np.float64) @ Rm
+        Vs = V.reshape(len(V), m, 1, sub)
+        d = ((Vs - C[None, :, :, :]) ** 2).sum(axis=3)
+        return pd.Series(d.min(axis=2).sum(axis=1))
+
+    err.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    v = F.col(vec_col).cast("array<double>")
+    row = (df.select(pandas_udf(err, "double")(v).alias("e"))
+           .agg(F.avg("e").alias("mse")).first())
+    return float(row["mse"])
+
+
 def topk_prenormalised(df: DataFrame, query: list[float],
                        vec_col: str = "embedding", key_col: str = "vec_id",
                        k: int = 10) -> DataFrame:

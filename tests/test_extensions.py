@@ -323,3 +323,26 @@ def test_pq_rerank_recovers_exact_topk(spark, sf_dir):
                for r in similarity.pq_topk_reranked(
                    codes, emb, q, books, k=10, n_candidates=nc).collect()}
         assert got == exact, (qid, nc)
+
+
+def test_opq_rotation_reduces_quantisation_error(spark, sf_dir):
+    """OPQ (learned rotation + PQ): the rotation is orthogonal and
+    deterministic, cuts quantisation MSE vs plain PQ (identity rotation,
+    same training pipeline), and ADC search in the rotated space keeps
+    the query's own vector in its shortlist."""
+    import numpy as np
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    R0, books0 = similarity.opq_train(emb, m=8, k=16, iters=0, dim=64)
+    R5, books5 = similarity.opq_train(emb, m=8, k=16, iters=5, dim=64)
+    assert R5 == similarity.opq_train(emb, m=8, k=16, iters=5, dim=64)[0]
+    Rm = np.asarray(R5)
+    assert np.allclose(Rm @ Rm.T, np.eye(64), atol=1e-8)
+    assert np.allclose(np.asarray(R0), np.eye(64))
+    e_pq = similarity.opq_quantisation_error(emb, R0, books0)
+    e_opq = similarity.opq_quantisation_error(emb, R5, books5)
+    assert e_opq < e_pq
+    q = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    codes = similarity.opq_encode(emb, R5, books5)
+    top = similarity.opq_topk(codes, q, R5, books5, k=10).collect()
+    assert len(top) == 10
+    assert any(r["vec_id"] == 7 for r in top)
