@@ -677,6 +677,140 @@ ORDER BY score DESC, t.{key_col} LIMIT {k}
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ: the combined at-rest index (coarse pruning + compressed scan)
+# ---------------------------------------------------------------------------
+
+def ivfpq_train(df: DataFrame, n_clusters: int, m: int, k: int = 16,
+                vec_col: str = "embedding", key_col: str = "vec_id",
+                sample_n: int = 10_000, kmeans_iter: int = 4,
+                dim: int | None = None):
+    """Train the two quantisers of an IVF-PQ index: coarse centroids
+    (distributed k-means over the corpus) and PQ codebooks over the
+    RESIDUALS v − centroid(v) (classic IVF-PQ: residuals are what the
+    codes must represent once the coarse id is known, which is why the
+    same code budget buys far more precision than encoding raw vectors).
+
+    Residual codebooks train driver-side on a bounded deterministic
+    sample (smallest keys), like :func:`opq_train` — small dense
+    problem; all corpus-scale passes stay distributed."""
+    import numpy as np
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cents = kmeans_fit(df, n_clusters, vec_col, key_col,
+                       max_iter=kmeans_iter, dim=dim)
+    C = np.asarray(cents, dtype=np.float64)
+    rows = (df.orderBy(key_col).limit(sample_n)
+            .select(F.col(vec_col).cast("array<double>").alias("v"))
+            .collect())
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    R = X - C[np.argmin(d, axis=1)]
+    books = []
+    for i in range(m):
+        part = R[:, i * sub:(i + 1) * sub]
+        B = part[:k].copy()
+        for _ in range(kmeans_iter):
+            dd = ((part[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(dd, axis=1)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    B[c] = part[mask].mean(axis=0)
+        books.append([[float(x) for x in row] for row in B])
+    return cents, books
+
+
+def _ivfpq_encode_pandas(centroids, codebooks):
+    """One Arrow pass: coarse-assign, then PQ-encode the residual.
+    Returns struct<cluster:int, codes:array<int>>."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    C = np.asarray(centroids, dtype=np.float64)
+    B = np.asarray(codebooks, dtype=np.float64)      # (m, k, sub)
+    m, _, sub = B.shape
+
+    def encode(vs):
+        V = np.asarray(vs.tolist(), dtype=np.float64)
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cl = np.argmin(d, axis=1)
+        Rs = (V - C[cl]).reshape(len(V), m, 1, sub)
+        dd = ((Rs - B[None, :, :, :]) ** 2).sum(axis=3)
+        codes = np.argmin(dd, axis=2).astype(np.int32)
+        return pd.DataFrame({"cluster": cl.astype(np.int32),
+                             "codes": list(codes)})
+
+    encode.__annotations__ = {"vs": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(encode, "cluster int, codes array<int>")
+
+
+def ivfpq_write_index(df: DataFrame, centroids, codebooks, path: str,
+                      vec_col: str = "embedding", key_col: str = "vec_id",
+                      mode: str = "overwrite") -> None:
+    """Materialise the IVF-PQ index: rows hive-partitioned by coarse
+    cluster, each carrying (key, full vector, residual PQ codes). A
+    search then (1) PRUNES partitions to the probed clusters, (2) scans
+    only the m-byte codes for ADC, (3) reranks the shortlist against the
+    full vectors ALREADY IN those rows — no joins anywhere. This is the
+    100 TB ANN shape: IO ∝ probed fraction, per-row cost ∝ m lookups."""
+    enc = _ivfpq_encode_pandas(centroids, codebooks)
+    v = F.col(vec_col).cast("array<double>")
+    out = (df.select(F.col(key_col), v.alias(vec_col))
+           .withColumn("_e", enc(F.col(vec_col)))
+           .select(key_col, vec_col,
+                   F.col("_e.cluster").alias("cluster"),
+                   F.col("_e.codes").alias("codes")))
+    (out.repartition(F.col("cluster"))
+        .write.mode(mode).partitionBy("cluster").parquet(path))
+
+
+def ivfpq_search(spark, path: str, query: list[float], centroids,
+                 codebooks, n_probe: int = 2, k: int = 10,
+                 n_candidates: int = 50, vec_col: str = "embedding",
+                 key_col: str = "vec_id") -> DataFrame:
+    """Search the at-rest IVF-PQ index. Per probed cluster the ADC
+    lookup tables are built from the RESIDUAL query (query − centroid),
+    embedded as plan-time literals over that cluster's pruned scan; the
+    per-cluster candidate streams union, the best ``n_candidates`` by
+    ADC survive (TakeOrderedAndProject — vectors ride along, no join),
+    and exact cosine reranks them."""
+    probed = _nearest_clusters(query, centroids, n_probe)
+    sub = len(codebooks[0][0])
+    m = len(codebooks)
+    parts = []
+    for c in probed:
+        rq = [float(q) - float(cc) for q, cc in zip(query, centroids[c])]
+        terms = []
+        for i, book in enumerate(codebooks):
+            q_i = rq[i * sub:(i + 1) * sub]
+            lut = F.array(*[
+                F.lit(sum((a - float(b)) ** 2 for a, b in zip(q_i, cent)))
+                for cent in book])
+            terms.append(F.element_at(
+                lut, F.element_at(F.col("codes"), i + 1) + 1))
+        adc = terms[0]
+        for t in terms[1:]:
+            adc = adc + t
+        scan = (spark.read.parquet(path)
+                .filter(F.col("cluster") == int(c))
+                .select(F.col(key_col), F.col(vec_col), adc.alias("adc")))
+        parts.append(scan)
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    shortlist = (cand.orderBy(F.asc("adc"), F.col(key_col))
+                 .limit(n_candidates))
+    score = cosine_const(F.col(vec_col).cast("array<double>"), query)
+    return (shortlist
+            .select(F.col(key_col), F.round(score, 6).alias("score"))
+            .orderBy(F.desc("score"), F.col(key_col))
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
 # OPQ: learned rotation before product quantisation
 # ---------------------------------------------------------------------------
 

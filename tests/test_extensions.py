@@ -346,3 +346,32 @@ def test_opq_rotation_reduces_quantisation_error(spark, sf_dir):
     top = similarity.opq_topk(codes, q, R5, books5, k=10).collect()
     assert len(top) == 10
     assert any(r["vec_id"] == 7 for r in top)
+
+
+def test_ivfpq_index_prunes_and_reranks_exact(spark, sf_dir, tmp_path):
+    """IVF-PQ at-rest index: the probe filter prunes partitions at the
+    scan, the query's own vector tops the result, and with every
+    cluster probed + a wide shortlist the residual-ADC + exact-rerank
+    pipeline recovers the brute-force top-10 exactly (scores included —
+    the rerank reads the full vectors riding in the index rows)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    cents, books = similarity.ivfpq_train(emb, n_clusters=4, m=8, k=16,
+                                          dim=64)
+    path = str(tmp_path / "ivfpq")
+    similarity.ivfpq_write_index(emb, cents, books, path)
+    q = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+
+    pruned = similarity.ivfpq_search(spark, path, q, cents, books,
+                                     n_probe=2, k=10, n_candidates=100)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    rows = pruned.collect()
+    assert len(rows) == 10 and rows[0]["vec_id"] == 7
+
+    exact = {(r["vec_id"], r["score"])
+             for r in similarity.brute_force_topk(emb, q, k=10).collect()}
+    full = {(r["vec_id"], r["score"])
+            for r in similarity.ivfpq_search(
+                spark, path, q, cents, books, n_probe=4, k=10,
+                n_candidates=200).collect()}
+    assert full == exact
