@@ -95,6 +95,66 @@ def _cmd_steal_incremental(args: argparse.Namespace) -> int:
     return 0 if report.ok else 1
 
 
+def _cmd_steal_cdc(args: argparse.Namespace) -> int:
+    from klepto_spark.config import Spec, load_spec
+    from klepto_spark.incremental import CdcTable, steal_cdc
+    from klepto_spark.session import get_spark
+    from klepto_spark.sources.catalog import connect
+
+    tables: dict[str, CdcTable] = {}
+    for item in args.cdc:
+        # TABLE=MARK_COL:KEY[,KEY...] — e.g. users=updated_at:id
+        try:
+            table, rest = item.split("=", 1)
+            mark_col, keys = rest.split(":", 1)
+            key_list = [k for k in keys.split(",") if k]
+            if not key_list:
+                raise ValueError
+        except ValueError:
+            print(f"bad --cdc {item!r} (want TABLE=MARK_COL:KEY[,KEY...])",
+                  file=sys.stderr)
+            return 2
+        tables[table] = CdcTable(
+            mark_col=mark_col, keys=key_list,
+            tombstone=args.tombstone.get(table) if args.tombstone else None,
+            sync_deletes=args.sync_deletes,
+            partition_buckets=args.partition_buckets)
+    spec = load_spec(args.config) if args.config else Spec()
+    spark = get_spark(app_name="klepto_spark_steal_cdc")
+    spark.sparkContext.setLogLevel("WARN")
+    source = connect(spark, getattr(args, "from"))
+    try:
+        report = steal_cdc(spec, source, args.to, state_path=args.state,
+                           tables=tables, strict=not args.permissive,
+                           join_strategy=args.join_strategy, seed=args.seed)
+    except RuntimeError as exc:
+        print(str(exc), file=sys.stderr)
+        return 1
+    print(json.dumps({
+        "tables": {t.table: {"rows": t.rows, "seconds": t.seconds,
+                             "skipped": t.skipped, "error": t.error,
+                             "deleted_rows": t.deleted_rows}
+                   for t in report.tables},
+        "total_seconds": report.seconds,
+        "ok": report.ok,
+    }))
+    return 0 if report.ok else 1
+
+
+class _TombstoneAction(argparse.Action):
+    """--tombstone TABLE=SQL_EXPR (repeatable) -> dict on the namespace."""
+
+    def __call__(self, parser, namespace, value, option_string=None):
+        d = getattr(namespace, self.dest, None) or {}
+        try:
+            table, expr = value.split("=", 1)
+        except ValueError:
+            parser.error(f"bad {option_string} {value!r} "
+                         "(want TABLE=SQL_EXPR)")
+        d[table] = expr
+        setattr(namespace, self.dest, d)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="klepto_spark",
                                 description="Steals and anonymises data, on Spark")
@@ -141,6 +201,34 @@ def build_parser() -> argparse.ArgumentParser:
     pinc.add_argument("--watermarked-only", action="store_true",
                       help="skip full copies of non-watermarked tables")
     pinc.set_defaults(fn=_cmd_steal_incremental)
+
+    pcdc = sub.add_parser(
+        "steal-cdc",
+        help="CDC copy: update-bumped watermark + keyed latest-wins merge")
+    pcdc.add_argument("--from", required=True, dest="from")
+    pcdc.add_argument("--to", required=True)
+    pcdc.add_argument("--state", required=True,
+                      help="JSON file holding per-table marks")
+    pcdc.add_argument("--cdc", action="append", required=True,
+                      metavar="TABLE=MARK_COL:KEY[,KEY...]",
+                      help="CDC capture config per table (repeatable), "
+                           "e.g. users=updated_at:id")
+    pcdc.add_argument("--tombstone", action=_TombstoneAction, default=None,
+                      metavar="TABLE=SQL_EXPR",
+                      help="soft-delete marker expression (repeatable), "
+                           "e.g. users='deleted_at IS NOT NULL'")
+    pcdc.add_argument("--sync-deletes", action="store_true",
+                      help="diff source/sink key sets to capture hard "
+                           "deletes (keys-only scans)")
+    pcdc.add_argument("--partition-buckets", type=int, default=None,
+                      help="file sinks: bucket-partitioned layout; merges "
+                           "rewrite only the delta's buckets")
+    pcdc.add_argument("--config", default=None)
+    pcdc.add_argument("--permissive", action="store_true")
+    pcdc.add_argument("--seed", default="klepto")
+    pcdc.add_argument("--join-strategy", choices=["semi", "inner"],
+                      default="semi")
+    pcdc.set_defaults(fn=_cmd_steal_cdc)
     return p
 
 

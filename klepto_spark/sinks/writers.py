@@ -299,9 +299,6 @@ def merge_files_partitioned(df: DataFrame, directory: str, table: str,
     spark = df.sparkSession
     target = f"{directory.rstrip('/')}/{table}.{fmt}"
     jvm, fs, tgt = _hadoop_fs(df, target)
-    delta = df.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
-    if deletes is not None:
-        deletes = deletes.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
 
     def _write(out: DataFrame, path: str) -> None:
         writer = out.write.format(fmt).mode("overwrite").partitionBy(BUCKET_COL)
@@ -310,19 +307,41 @@ def merge_files_partitioned(df: DataFrame, directory: str, table: str,
         writer.save(path)
 
     if not fs.exists(tgt):
+        delta = df.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
         if deletes is not None:
             delta = delta.join(deletes.select(*keys).distinct(), on=keys,
                                how="left_anti")
         _write(delta, target)
         return
 
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    # Align the delta to the TABLE's column types before anything else:
+    # xxhash64 is type-sensitive (int 3 and bigint 3 hash differently),
+    # so a drifted delta key type would route the same key to a DIFFERENT
+    # bucket, and mixed int/long partition files fail the later read
+    # outright. The at-rest schema is the contract.
+    table_types = {f.name: f.dataType
+                   for f in reader.load(target).schema.fields
+                   if f.name != BUCKET_COL}
+    drifted = set(df.columns) - set(table_types)
+    if drifted:
+        raise ValueError(
+            f"delta columns {sorted(drifted)} not in table {table!r}; "
+            "partitioned merge cannot add columns (rewrite with "
+            "merge_files to evolve the schema)")
+    delta = df.select(*[F.col(c).cast(table_types[c]) for c in df.columns])
+    delta = delta.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
+    if deletes is not None:
+        deletes = deletes.select(
+            *[F.col(c).cast(table_types[c]) for c in deletes.columns])
+        deletes = deletes.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
+
     touched = {r[0] for r in delta.select(BUCKET_COL).distinct().collect()}
     if deletes is not None:
         touched |= {r[0] for r in
                     deletes.select(BUCKET_COL).distinct().collect()}
-    reader = spark.read.format(fmt)
-    if fmt == "csv":
-        reader = reader.option("header", "true").option("inferSchema", "true")
     # the bucket filter is a partition predicate: the scan prunes every
     # untouched bucket's files before any IO
     current = reader.load(target).filter(

@@ -72,3 +72,30 @@ def test_steal_incremental_cli_roundtrip(spark, tmp_path, capsys):
     assert main(["steal-incremental", "--from", f"parquet://{src}",
                  "--to", "parquet:///tmp/x", "--state", "/tmp/s.json",
                  "--watermark", "nocolumn"]) == 2
+
+
+def test_steal_cdc_cli_roundtrip(spark, tmp_path, capsys):
+    src = tmp_path / "cdcsrc"
+    src.mkdir()
+    (spark.range(8).selectExpr("id", "concat('n', id) AS name", "1 AS ver")
+     .write.parquet(str(src / "t.parquet")))
+    args = ["steal-cdc", "--from", f"parquet://{src}",
+            "--to", f"parquet:///{str(tmp_path / 'out').lstrip('/')}",
+            "--state", str(tmp_path / "marks.json"),
+            "--cdc", "t=ver:id", "--partition-buckets", "4"]
+    assert main(args) == 0
+    capsys.readouterr()
+    # an UPDATE (same key, bumped ver) merges latest-wins
+    (spark.createDataFrame([(3, "CHANGED", 2)], "id long, name string, ver long")
+     .write.mode("append").parquet(str(src / "t.parquet")))
+    assert main(args) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["ok"] and report["tables"]["t"]["rows"] == 1
+    got = spark.read.parquet(str(tmp_path / "out" / "t.parquet"))
+    assert got.count() == 8
+    assert got.filter("id = 3").first()["name"] == "CHANGED"
+
+    # malformed --cdc spec is a usage error
+    assert main(["steal-cdc", "--from", f"parquet://{src}",
+                 "--to", "parquet:///tmp/x", "--state", "/tmp/s.json",
+                 "--cdc", "t=nokeys"]) == 2
