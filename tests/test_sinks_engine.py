@@ -337,3 +337,41 @@ def test_merge_files_partitioned_prunes_untouched(spark, tmp_path):
               .filter(F.col(BUCKET_COL).isin(list(touched))))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+@pytest.mark.parametrize("seed", [11, 29, 47])
+def test_merge_partitioned_equivalent_to_plain(spark, tmp_path, seed):
+    """The bucket-partitioned merge and the whole-table merge are the
+    same function of their inputs: same base, same sequence of
+    upsert+delete deltas -> identical final contents (modulo the layout
+    column)."""
+    import random
+    from klepto_spark.sinks.writers import (
+        BUCKET_COL, merge_files, merge_files_partitioned)
+
+    rng = random.Random(seed)
+    schema = "id long, tag string, v double"
+
+    def rows(n, tagp):
+        return [(i, f"{tagp}{i}", rng.random()) for i in rng.sample(range(60), n)]
+
+    base = spark.createDataFrame(rows(30, "b"), schema)
+    plain_dir, part_dir = str(tmp_path / "plain"), str(tmp_path / "part")
+    merge_files(base, plain_dir, "t", "parquet", keys=["id"])
+    merge_files_partitioned(base, part_dir, "t", "parquet", keys=["id"],
+                            n_buckets=7)
+    for step in range(3):
+        delta = spark.createDataFrame(rows(8, f"d{step}_"), schema)
+        dels = spark.createDataFrame([(i,) for i in rng.sample(range(60), 4)],
+                                     "id long")
+        merge_files(delta, plain_dir, "t", "parquet", keys=["id"],
+                    deletes=dels)
+        merge_files_partitioned(delta, part_dir, "t", "parquet",
+                                keys=["id"], n_buckets=7, deletes=dels)
+
+    want = sorted(tuple(r) for r in
+                  spark.read.parquet(f"{plain_dir}/t.parquet").collect())
+    got = sorted(tuple(r) for r in
+                 spark.read.parquet(f"{part_dir}/t.parquet")
+                 .drop(BUCKET_COL).collect())
+    assert got == want
