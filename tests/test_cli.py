@@ -77,7 +77,11 @@ def test_steal_incremental_cli_roundtrip(spark, tmp_path, capsys):
 def test_steal_cdc_cli_roundtrip(spark, tmp_path, capsys):
     src = tmp_path / "cdcsrc"
     src.mkdir()
-    (spark.range(8).selectExpr("id", "concat('n', id) AS name", "1 AS ver")
+    # ver must be LONG like the later delta file: a parquet directory with
+    # mixed int/long physical types reads nondeterministically (schema
+    # comes from one sampled footer)
+    (spark.range(8).selectExpr("id", "concat('n', id) AS name",
+                               "CAST(1 AS LONG) AS ver")
      .write.parquet(str(src / "t.parquet")))
     args = ["steal-cdc", "--from", f"parquet://{src}",
             "--to", f"parquet:///{str(tmp_path / 'out').lstrip('/')}",
