@@ -51,7 +51,8 @@ class FileCatalog:
     are."""
 
     def __init__(self, spark: SparkSession, directory: str, fmt: str = "parquet",
-                 row_mode: str = "strict", schemas: dict | None = None):
+                 row_mode: str = "strict", schemas: dict | None = None,
+                 merge_schema: bool = False):
         if row_mode not in ("strict", "permissive"):
             raise ValueError(f"unknown row_mode {row_mode!r}")
         self.spark = spark
@@ -59,6 +60,14 @@ class FileCatalog:
         self.fmt = fmt
         self.row_mode = row_mode
         self.schemas = schemas or {}
+        # Parquet directories that accumulate appends from different
+        # writers can mix physical types (int32 then int64 for the same
+        # column). The default read samples ONE footer, so the table's
+        # schema — and whether the read even succeeds — depends on file
+        # listing order. merge_schema=True reconciles all footers with
+        # type widening at the cost of reading every footer; opt-in
+        # because at large file counts that inference pass is real IO.
+        self.merge_schema = merge_schema
         self._columns_cache: dict[str, list[str]] = {}
         if row_mode == "permissive" and fmt == "csv":
             # With parser column pruning, arity-malformed rows are only
@@ -123,7 +132,20 @@ class FileCatalog:
             reader = self.spark.read.format(self.fmt)
             if self.row_mode == "permissive":
                 reader = reader.option("ignoreCorruptFiles", "true")
-            df = reader.load(self._path(table))
+            if self.merge_schema and self.fmt == "parquet":
+                # mergeSchema reconciles added/removed COLUMNS but
+                # refuses numeric promotions (int file + long file
+                # throws); fall back to an explicitly-widened schema —
+                # the parquet reader upcasts int32 under a long schema
+                reader = reader.option("mergeSchema", "true")
+                try:
+                    df = reader.load(self._path(table))
+                except Exception:  # noqa: BLE001 — incompatible footers
+                    df = (self.spark.read
+                          .schema(self._widened_schema(table))
+                          .parquet(self._path(table)))
+            else:
+                df = reader.load(self._path(table))
         # normalise nanosecond timestamps read as long (see session.py)
         return normalise_nanos_ts(df)
 
@@ -163,6 +185,49 @@ class FileCatalog:
               for i, c in enumerate(data_cols)],
         ).collect()[0]
         return int(row["skipped"] or 0)
+
+    _NUM_RANK = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4,
+                 "float": 5, "double": 6}
+
+    def _widened_schema(self, table: str):
+        """Union of every parquet file's schema with numeric widening:
+        integral chain promotes to the widest integral, fractional to
+        the widest fractional, mixed integral/fractional to double.
+        Non-numeric conflicts raise — silent coercion would corrupt."""
+        from pyspark.sql.types import DoubleType, StructField, StructType
+        root = Path(self._path(table))
+        files = ([root] if root.is_file() else
+                 sorted(p for p in root.rglob("*.parquet")
+                        if not p.name.startswith(("_", "."))))
+        if any("=" in p.parent.name for p in files):
+            raise ValueError(
+                f"{table!r}: schema widening does not support "
+                "hive-partitioned layouts (partition columns live in "
+                "directory names, not footers)")
+        merged: dict[str, StructField] = {}
+        order: list[str] = []
+        for f in files:
+            for fld in self.spark.read.parquet(str(f)).schema.fields:
+                if fld.name not in merged:
+                    merged[fld.name] = fld
+                    order.append(fld.name)
+                    continue
+                cur = merged[fld.name]
+                a, b = cur.dataType, fld.dataType
+                if a != b:
+                    ra = self._NUM_RANK.get(a.simpleString())
+                    rb = self._NUM_RANK.get(b.simpleString())
+                    if ra is None or rb is None:
+                        raise ValueError(
+                            f"{table!r}.{fld.name}: cannot widen "
+                            f"{a.simpleString()} vs {b.simpleString()}")
+                    integral = {r <= 4 for r in (ra, rb)}
+                    wide = (DoubleType() if integral == {True, False}
+                            else (a if ra >= rb else b))
+                    merged[fld.name] = StructField(fld.name, wide, True)
+                elif fld.nullable and not cur.nullable:
+                    merged[fld.name] = StructField(fld.name, a, True)
+        return StructType([merged[n] for n in order])
 
     def structure(self) -> str:
         """Whole-catalog DDL text (reference GetStructure)."""

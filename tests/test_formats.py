@@ -26,3 +26,33 @@ def test_csv_catalog_infers_schema(spark, sf_dir, tmp_path):
     df = cat.load("nation")
     types = dict(df.dtypes)
     assert types["n_nationkey"] == "int" and types["n_name"] == "string"
+
+
+def test_merge_schema_widens_drifted_parquet(spark, tmp_path):
+    """CDC-append sources mix physical types over time (int32 files then
+    int64). The default read samples one footer, so results depend on
+    file listing order; merge_schema=True reconciles added columns via
+    Spark's mergeSchema and falls back to explicit numeric widening
+    (integral chain, integral+fractional -> double) when footers are
+    type-incompatible."""
+    from klepto_spark.sources.catalog import FileCatalog
+    src = str(tmp_path)
+    (spark.range(3).selectExpr("CAST(id AS INT) AS id",
+                               "CAST(1 AS INT) AS ver")
+     .write.parquet(f"{src}/t.parquet"))
+    (spark.range(3, 5).selectExpr("id", "CAST(2.5 AS DOUBLE) AS ver",
+                                  "'x' AS extra")
+     .write.mode("append").parquet(f"{src}/t.parquet"))
+    cat = FileCatalog(spark, src, merge_schema=True)
+    df = cat.load("t")
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {"id": "bigint", "ver": "double", "extra": "string"}
+    rows = sorted((r["id"], r["ver"], r["extra"]) for r in df.collect())
+    assert rows[0] == (0, 1.0, None) and rows[-1] == (4, 2.5, "x")
+
+    # non-numeric conflicts refuse rather than corrupt
+    import pytest as _pytest
+    (spark.range(5, 6).selectExpr("id", "'nope' AS ver")
+     .write.mode("append").parquet(f"{src}/t.parquet"))
+    with _pytest.raises(Exception, match="widen|merge"):
+        FileCatalog(spark, src, merge_schema=True).load("t").collect()
