@@ -491,6 +491,28 @@ def q_pq_topk(spark, sf_dir):
     return similarity.pq_topk(codes, PQ_QUERY, PQ_CODEBOOKS, k=10)
 
 
+# IVF-PQ contract constants: residual codebooks (shared across clusters,
+# classic IVF-PQ) as deterministic plan-time sines. Measured margins on the
+# driver data (sf0.01 / sf0.1): coarse argmin 1.2e-2 / 6.6e-4, residual
+# code argmin 2.2e-6 / 2.1e-7 — all orders of magnitude above the ~1e-15
+# summation-order noise between numpy's pairwise sums and the oracle's
+# left-associated unrolls; ADC lookup values are identical Python doubles
+# in both engines, so the (adc, key) shortlist boundary is bit-exact.
+IVFPQ_BOOKS = [[[0.8 * math.sin(1.3 * (j + 1) + 0.57 * c + 2.03 * i)
+                for j in range(8)] for c in range(16)] for i in range(8)]
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """The flagship ANN shape, in-flight form: coarse-assign + residual
+    PQ encode in one Arrow pass, probe the 2 nearest clusters, ADC over
+    per-cluster residual lookup tables, shortlist 50, exact-cosine
+    rerank to top-10 (similarity.ivfpq_topk_sql replays every stage)."""
+    emb = _load(spark, sf_dir)("embeddings")
+    return similarity.ivfpq_topk(emb, IVF_CENTROIDS[0], IVF_CENTROIDS,
+                                 IVFPQ_BOOKS, n_probe=2, k=10,
+                                 n_candidates=50)
+
+
 def q_pq_rerank(spark, sf_dir):
     """Two-stage ANN: ADC over PQ codes shortlists 50 candidates, exact
     cosine reranks only those against the full vectors (broadcast semi-
@@ -624,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s03_ivf_topk": q_ivf_topk,
         "s04_pq_topk": q_pq_topk,
         "s05_pq_rerank": q_pq_rerank,
+        "s06_ivfpq_topk": q_ivfpq_topk,
         "a09_sessionize_batch": q_sessionize_batch,
         "p01_sample_split": q_sample_split,
         "p02_sample_stratified": q_sample_stratified,
@@ -878,6 +901,9 @@ GROUP BY d.doc_id""",
         "s04_pq_topk": similarity.pq_topk_sql(PQ_QUERY, PQ_CODEBOOKS, k=10),
         "s05_pq_rerank": similarity.pq_rerank_sql(PQ_QUERY, PQ_CODEBOOKS,
                                                   k=10, n_candidates=50),
+        "s06_ivfpq_topk": similarity.ivfpq_topk_sql(
+            IVF_CENTROIDS[0], IVF_CENTROIDS, IVFPQ_BOOKS,
+            n_probe=2, k=10, n_candidates=50),
         "a09_sessionize_batch": """
 WITH o AS (
   SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS value,

@@ -810,6 +810,131 @@ def ivfpq_search(spark, path: str, query: list[float], centroids,
             .limit(k))
 
 
+def ivfpq_topk(df: DataFrame, query: list[float], centroids,
+               codebooks, n_probe: int = 2, k: int = 10,
+               n_candidates: int = 50, vec_col: str = "embedding",
+               key_col: str = "vec_id") -> DataFrame:
+    """In-flight IVF-PQ (no at-rest index): ONE scan computes coarse
+    cluster + residual codes (Arrow pass), prunes to the probed
+    clusters, scores by ADC with per-cluster residual lookup tables
+    (a CASE over n_probe plan-time LUT arrays — cheap), shortlists
+    ``n_candidates`` with the vectors riding along (no joins), and
+    exact-cosine reranks. The at-rest :func:`ivfpq_write_index` /
+    :func:`ivfpq_search` pair is the production shape (partition
+    pruning); this form exists for ad-hoc queries and is fully
+    replayable in SQL (:func:`ivfpq_topk_sql`)."""
+    probed = _nearest_clusters(query, centroids, n_probe)
+    sub = len(codebooks[0][0])
+    m = len(codebooks)
+    v = F.col(vec_col).cast("array<double>")
+    enc = _ivfpq_encode_pandas(centroids, codebooks)
+    base = (df.select(F.col(key_col), v.alias(vec_col))
+            .withColumn("_e", enc(F.col(vec_col)))
+            .select(key_col, vec_col,
+                    F.col("_e.cluster").alias("cluster"),
+                    F.col("_e.codes").alias("codes"))
+            .filter(F.col("cluster").isin([int(c) for c in probed])))
+    terms = []
+    for i, book in enumerate(codebooks):
+        lut_branches = None
+        for c in probed:
+            rq_i = [float(q) - float(cc) for q, cc in zip(
+                query[i * sub:(i + 1) * sub],
+                centroids[c][i * sub:(i + 1) * sub])]
+            lut = F.array(*[
+                F.lit(sum((a - float(b)) ** 2 for a, b in zip(rq_i, cent)))
+                for cent in book])
+            hit = F.element_at(lut, F.element_at(F.col("codes"), i + 1) + 1)
+            lut_branches = (F.when(F.col("cluster") == int(c), hit)
+                            if lut_branches is None
+                            else lut_branches.when(
+                                F.col("cluster") == int(c), hit))
+        terms.append(lut_branches)
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    shortlist = (base.select(F.col(key_col), F.col(vec_col),
+                             adc.alias("adc"))
+                 .orderBy(F.asc("adc"), F.col(key_col))
+                 .limit(n_candidates))
+    score = cosine_const(F.col(vec_col).cast("array<double>"), query)
+    return (shortlist
+            .select(F.col(key_col), F.round(score, 6).alias("score"))
+            .orderBy(F.desc("score"), F.col(key_col))
+            .limit(k))
+
+
+def ivfpq_topk_sql(query: list[float], centroids, codebooks,
+                   n_probe: int = 2, k: int = 10, n_candidates: int = 50,
+                   table: str = "embeddings", vec_col: str = "embedding",
+                   key_col: str = "vec_id") -> str:
+    """DuckDB oracle for :func:`ivfpq_topk`. Every stage replays:
+
+    - coarse argmin: the same unrolled subtract-square distances as
+      :func:`ivf_topk_sql` (first-minimum ties both engines);
+    - residual encode: per (cluster, subspace) an unrolled distance
+      list over ``(v[j] - centroid_j) - codebook_j`` — TWO separate
+      subtractions in that order, matching the numpy encode's
+      ``(V - C[cluster]) - B`` evaluation, so the values differ only by
+      summation order (below the contract constants' margins, measured);
+    - ADC: per-cluster lookup tables are driver-side Python doubles
+      embedded as literals in BOTH engines; the (adc, key) shortlist
+      boundary is bit-identical;
+    - rerank: round-6 cosine with (score desc, key) ordering."""
+    probed = _nearest_clusters(query, centroids, n_probe)
+    sub = len(codebooks[0][0])
+    m = len(codebooks)
+    coarse = []
+    for cent in centroids:
+        t = " + ".join(
+            f"(v[{j + 1}] - {float(cent[j])!r}) * (v[{j + 1}] - {float(cent[j])!r})"
+            for j in range(len(cent)))
+        coarse.append(f"({t})")
+    ds = "[" + ", ".join(coarse) + "]"
+    code_cols, adc_terms = [], []
+    for i, book in enumerate(codebooks):
+        branches = []
+        for c in probed:
+            dists = []
+            for cent in book:
+                t = " + ".join(
+                    f"((v[{i * sub + j + 1}] - {float(centroids[c][i * sub + j])!r})"
+                    f" - {float(cent[j])!r})"
+                    f" * ((v[{i * sub + j + 1}] - {float(centroids[c][i * sub + j])!r})"
+                    f" - {float(cent[j])!r})"
+                    for j in range(sub))
+                dists.append(f"({t})")
+            dl = "[" + ", ".join(dists) + "]"
+            branches.append(
+                f"WHEN {c} THEN list_position({dl}, list_min({dl})) - 1")
+        code_cols.append(f"(CASE cluster {' '.join(branches)} END) AS c{i}")
+        lut_branches = []
+        for c in probed:
+            rq_i = [float(q) - float(cc) for q, cc in zip(
+                query[i * sub:(i + 1) * sub],
+                centroids[c][i * sub:(i + 1) * sub])]
+            table_i = [sum((a - float(b)) ** 2 for a, b in zip(rq_i, cent))
+                       for cent in book]
+            lut = ("CAST([" + ", ".join(repr(d) for d in table_i)
+                   + "] AS DOUBLE[])")
+            lut_branches.append(f"WHEN {c} THEN {lut}[c{i} + 1]")
+        adc_terms.append(f"(CASE cluster {' '.join(lut_branches)} END)")
+    qlit = "[" + ", ".join(repr(float(x)) for x in query) + "]"
+    probed_in = ", ".join(str(int(c)) for c in probed)
+    return f"""
+WITH e AS (SELECT {key_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
+a AS (SELECT {key_col}, v, {ds} AS ds FROM e),
+cl AS (SELECT {key_col}, v, list_position(ds, list_min(ds)) - 1 AS cluster
+       FROM a),
+pr AS (SELECT * FROM cl WHERE cluster IN ({probed_in})),
+co AS (SELECT {key_col}, v, cluster, {", ".join(code_cols)} FROM pr),
+sl AS (SELECT {key_col}, v, {" + ".join(adc_terms)} AS adc FROM co
+       ORDER BY adc ASC, {key_col} LIMIT {n_candidates})
+SELECT {key_col}, round(list_cosine_similarity(v, {qlit}), 6) AS score
+FROM sl ORDER BY score DESC, {key_col} LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # OPQ: learned rotation before product quantisation
 # ---------------------------------------------------------------------------
