@@ -421,6 +421,15 @@ def q_ngram_profile(spark, sf_dir):
             .filter(F.col("n") >= 200))
 
 
+def q_word_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: per-doc word counts,
+    distinct ratio, top-word share + deterministic top word
+    (operators.text.word_repetition; oracle replays the struct-max
+    tie-break)."""
+    docs = dedup.fan_out(_load(spark, sf_dir)("documents"), "doc_id")
+    return T.word_repetition(docs)
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (_load(spark, sf_dir)("embeddings")
            .filter(F.col("vec_id") == 0).select("embedding").first())
@@ -641,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t02_lang_profile": q_lang_profile,
         "t03_doc_fingerprints": q_doc_fingerprints,
         "t04_ngram_profile": q_ngram_profile,
+        "t05_word_repetition": q_word_repetition,
         "s01_ann_cosine": q_ann_cosine,
         "s02_ann_pairs_lsh": q_ann_pairs_lsh,
         "s03_ivf_topk": q_ivf_topk,
@@ -894,6 +904,7 @@ GROUP BY d.doc_id""",
                      FOR i IN range(1, greatest(length(text) - 2, 1) + 1)]) AS sh
               FROM documents)
             GROUP BY sh HAVING COUNT(*) >= 200""",
+        "t05_word_repetition": T.word_repetition_sql(),
         "s01_ann_cosine": _ann_oracle(),
         "s02_ann_pairs_lsh": similarity.similar_pairs_sql(**ANN_LSH),
         "s03_ivf_topk": similarity.ivf_topk_sql(

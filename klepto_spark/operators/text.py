@@ -126,3 +126,60 @@ def rolling_hash_fingerprint(col: Column | str, window: int = 8) -> Column:
     shingles = F.transform(F.sequence(F.lit(1), n),
                            lambda i: F.md5(F.substring(c, i, window)))
     return F.array_min(shingles)
+
+
+def word_repetition(df: DataFrame, text_col: str = "text",
+                    key_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals per document: word count,
+    distinct-word count and ratio, and the most frequent word's share
+    (high top-word share / low distinct ratio flag degenerate or
+    boilerplate text for corpus filtering).
+
+    Two hash-aggregations after an explode; both shuffles carry
+    (doc key, word) / (doc key) only — linear in corpus size, no joins.
+    ``top_word`` ties break to the lexicographically largest word via a
+    struct max, the same rule the SQL oracle replays, so output is
+    deterministic. Ratios are double divisions of identical integers in
+    both engines — bit-exact before the round."""
+    words = (df.select(F.col(key_col),
+                       F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                       .alias("w"))
+             .filter(F.col("w") != ""))
+    per_word = (words.groupBy(key_col, "w")
+                .agg(F.count(F.lit(1)).alias("c")))
+    return (per_word.groupBy(key_col)
+            .agg(F.sum("c").alias("n_words"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.max("c").alias("_top_c"),
+                 F.max(F.struct(F.col("c"), F.col("w"))).alias("_top"))
+            .select(F.col(key_col),
+                    F.col("n_words"),
+                    F.col("n_distinct"),
+                    F.round(F.col("n_distinct") / F.col("n_words"), 6)
+                    .alias("distinct_ratio"),
+                    F.round(F.col("_top_c") / F.col("n_words"), 6)
+                    .alias("top_word_ratio"),
+                    F.col("_top.w").alias("top_word")))
+
+
+def word_repetition_sql(table: str = "documents", text_col: str = "text",
+                        key_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`word_repetition` (same aggregation, same
+    struct-max tie-break: among max-count words, the lexicographically
+    largest)."""
+    return f"""
+WITH w AS (SELECT {key_col},
+                  unnest(string_split_regex(trim({text_col}), '\\s+')) AS w
+           FROM {table}),
+c AS (SELECT {key_col}, w, count(*) AS c FROM w WHERE w <> ''
+      GROUP BY {key_col}, w),
+m AS (SELECT {key_col}, max(c) AS top_c FROM c GROUP BY {key_col})
+SELECT c.{key_col},
+       sum(c.c) AS n_words,
+       count(*) AS n_distinct,
+       round(count(*) * 1.0 / sum(c.c), 6) AS distinct_ratio,
+       round(any_value(m.top_c) * 1.0 / sum(c.c), 6) AS top_word_ratio,
+       max(CASE WHEN c.c = m.top_c THEN c.w END) AS top_word
+FROM c JOIN m ON c.{key_col} = m.{key_col}
+GROUP BY c.{key_col}
+"""
