@@ -205,3 +205,20 @@ def test_real_db_mysql_view_ddl(spark):
     finally:
         J.execute(spark, dsn, ["DROP VIEW IF EXISTS big_spenders"],
                   transactional=False)
+
+
+def test_fixture_helpers_are_wellformed():
+    """The gated suite's helpers must not rot while the gate is closed:
+    dialect substitutions cover every placeholder, generated statements
+    parse-shape sanely, and the target-DSN rewrite keeps credentials."""
+    for dialect in ("mysql", "postgres"):
+        subst = _dialect_sql(dialect)
+        stmts = [_FIXTURE["members"].format(**subst),
+                 _FIXTURE["purchases"].format(**subst)]
+        stmts += [r.format(**subst) for r in _ROWS]
+        assert all("{" not in s for s in stmts), dialect
+        assert stmts[0].startswith("CREATE TABLE members")
+        assert "FOREIGN KEY" in stmts[1]
+        assert sum(s.startswith("INSERT") for s in stmts) == 6
+    out = _target_dsn_url("postgres://u:p@h:5432/test", "klepto_target")
+    assert out == "postgres://u:p@h:5432/klepto_target"
