@@ -175,7 +175,7 @@ c AS (SELECT {key_col}, w, count(*) AS c FROM w WHERE w <> ''
       GROUP BY {key_col}, w),
 m AS (SELECT {key_col}, max(c) AS top_c FROM c GROUP BY {key_col})
 SELECT c.{key_col},
-       sum(c.c) AS n_words,
+       CAST(sum(c.c) AS BIGINT) AS n_words,
        count(*) AS n_distinct,
        round(count(*) * 1.0 / sum(c.c), 6) AS distinct_ratio,
        round(any_value(m.top_c) * 1.0 / sum(c.c), 6) AS top_word_ratio,
