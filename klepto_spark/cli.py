@@ -119,6 +119,13 @@ def _cmd_steal_cdc(args: argparse.Namespace) -> int:
             tombstone=args.tombstone.get(table) if args.tombstone else None,
             sync_deletes=args.sync_deletes,
             partition_buckets=args.partition_buckets)
+    # a --tombstone naming a table not under --cdc is a silent no-op
+    # (soft deletes would merge as live rows forever) — fail loudly
+    orphaned = set(args.tombstone or {}) - set(tables)
+    if orphaned:
+        print(f"--tombstone names tables not in --cdc: {sorted(orphaned)}",
+              file=sys.stderr)
+        return 2
     spec = load_spec(args.config) if args.config else Spec()
     spark = get_spark(app_name="klepto_spark_steal_cdc")
     spark.sparkContext.setLogLevel("WARN")

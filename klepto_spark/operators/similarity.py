@@ -199,6 +199,47 @@ WHERE (s.n <= {max_bucket} OR l.{key_col} = s.mn)
 # interpreted mode (~100x slower, measured at k=8 x dim=64).
 _CODEGEN_TERM_BUDGET = 512
 
+# Cap on float64 elements a vectorised-UDF temporary may allocate per
+# chunk (~256 MB): the subtract-square distance forms build an
+# (n, k, dim) broadcast temporary, which at k=1024 x dim=768 x a 10k-row
+# Arrow batch would be ~63 GB in one allocation without row chunking.
+_BATCH_TEMP_ELEMS = 32 * 1024 * 1024
+
+
+def _row_chunks(n_rows: int, per_row_elems: int):
+    step = max(1, _BATCH_TEMP_ELEMS // max(1, per_row_elems))
+    for s in range(0, n_rows, step):
+        yield s, min(n_rows, s + step)
+
+
+def _valid_matrix(rows: list, dim: int):
+    """(V, mask): float64 matrix of the VALID rows and their positions.
+    NULL rows and wrong-dimension rows are masked out instead of
+    crashing the UDF — the expression paths these helpers replace
+    propagated NULL, so callers see the same drop-the-row semantics."""
+    import numpy as np
+    mask = np.fromiter((r is not None and len(r) == dim for r in rows),
+                       dtype=bool, count=len(rows))
+    valid = [rows[i] for i in np.nonzero(mask)[0]]
+    try:
+        V = (np.asarray(valid, dtype=np.float64) if valid
+             else np.empty((0, dim)))
+    except (TypeError, ValueError):  # NULL elements arriving as None
+        keep = [all(x is not None for x in r) for r in valid]
+        idx = np.nonzero(mask)[0]
+        mask[idx[~np.asarray(keep, dtype=bool)]] = False
+        valid = [v for v, k in zip(valid, keep) if k]
+        V = (np.asarray(valid, dtype=np.float64) if valid
+             else np.empty((0, dim)))
+    if len(V):
+        # NULL elements usually arrive as NaN through Arrow; a NaN (or
+        # inf) row would win/lose argmin arbitrarily — mask it instead
+        finite = np.isfinite(V).all(axis=1)
+        if not finite.all():
+            mask[np.nonzero(mask)[0][~finite]] = False
+            V = V[finite]
+    return V, mask
+
 
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding", key_col: str = "vec_id") -> DataFrame:
@@ -239,11 +280,17 @@ def _argmin_pandas(centroids: list[list[float]]):
     from pyspark.sql.functions import pandas_udf
     C = np.asarray(centroids, dtype=np.float64)
     c2 = (C * C).sum(axis=1)
+    dim = C.shape[1]
 
     def assign(vs):
-        V = np.asarray(vs.tolist(), dtype=np.float64)
+        rows = vs.tolist()
+        V, mask = _valid_matrix(rows, dim)
         d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
-        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+        codes = np.argmin(d, axis=1) if len(V) else np.empty(0, dtype=int)
+        out = [None] * len(rows)
+        for pos, c in zip(np.nonzero(mask)[0], codes):
+            out[pos] = int(c)
+        return pd.Series(out, dtype="object")
 
     assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     return pandas_udf(assign, "int")
@@ -292,11 +339,19 @@ def _argmin_sq_pandas(centroids: list[list[float]]):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     C = np.asarray(centroids, dtype=np.float64)          # (k, dim)
+    k, dim = C.shape
 
     def assign(vs):
-        V = np.asarray(vs.tolist(), dtype=np.float64)    # (n, dim)
-        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+        rows = vs.tolist()
+        V, mask = _valid_matrix(rows, dim)
+        codes = np.empty(len(V), dtype=np.int64)
+        for s, e in _row_chunks(len(V), k * dim):
+            d = ((V[s:e, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            codes[s:e] = np.argmin(d, axis=1)
+        out = [None] * len(rows)
+        for pos, c in zip(np.nonzero(mask)[0], codes):
+            out[pos] = int(c)
+        return pd.Series(out, dtype="object")
 
     assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     return pandas_udf(assign, "int")
@@ -544,14 +599,20 @@ def _pq_encode_pandas(codebooks: list[list[list[float]]]):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     C = np.asarray(codebooks, dtype=np.float64)     # (m, k, sub)
-    m, _, sub = C.shape
+    m, k, sub = C.shape
 
     def encode(vs):
-        V = np.asarray(vs.tolist(), dtype=np.float64)   # (n, m*sub)
-        Vs = V.reshape(len(V), m, 1, sub)               # (n, m, 1, sub)
-        d = ((Vs - C[None, :, :, :]) ** 2).sum(axis=3)  # (n, m, k)
-        codes = np.argmin(d, axis=2).astype(np.int32)   # (n, m)
-        return pd.Series(list(codes))
+        rows = vs.tolist()
+        V, mask = _valid_matrix(rows, m * sub)
+        codes = np.empty((len(V), m), dtype=np.int32)
+        for s, e in _row_chunks(len(V), m * k * sub):
+            Vs = V[s:e].reshape(e - s, m, 1, sub)
+            d = ((Vs - C[None, :, :, :]) ** 2).sum(axis=3)
+            codes[s:e] = np.argmin(d, axis=2)
+        out = [None] * len(rows)
+        for pos, row in zip(np.nonzero(mask)[0], codes):
+            out[pos] = row
+        return pd.Series(out, dtype="object")
 
     encode.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     return pandas_udf(encode, "array<int>")
@@ -731,17 +792,28 @@ def _ivfpq_encode_pandas(centroids, codebooks):
     from pyspark.sql.functions import pandas_udf
     C = np.asarray(centroids, dtype=np.float64)
     B = np.asarray(codebooks, dtype=np.float64)      # (m, k, sub)
-    m, _, sub = B.shape
+    m, k, sub = B.shape
+    n_cl, dim = C.shape
 
     def encode(vs):
-        V = np.asarray(vs.tolist(), dtype=np.float64)
-        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        cl = np.argmin(d, axis=1)
-        Rs = (V - C[cl]).reshape(len(V), m, 1, sub)
-        dd = ((Rs - B[None, :, :, :]) ** 2).sum(axis=3)
-        codes = np.argmin(dd, axis=2).astype(np.int32)
-        return pd.DataFrame({"cluster": cl.astype(np.int32),
-                             "codes": list(codes)})
+        rows = vs.tolist()
+        V, mask = _valid_matrix(rows, dim)
+        cl = np.empty(len(V), dtype=np.int64)
+        codes = np.empty((len(V), m), dtype=np.int32)
+        per_row = max(n_cl * dim, m * k * sub)
+        for s, e in _row_chunks(len(V), per_row):
+            d = ((V[s:e, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cl[s:e] = np.argmin(d, axis=1)
+            Rs = (V[s:e] - C[cl[s:e]]).reshape(e - s, m, 1, sub)
+            dd = ((Rs - B[None, :, :, :]) ** 2).sum(axis=3)
+            codes[s:e] = np.argmin(dd, axis=2)
+        out_cl = [None] * len(rows)
+        out_codes = [None] * len(rows)
+        for i, pos in enumerate(np.nonzero(mask)[0]):
+            out_cl[pos] = int(cl[i])
+            out_codes[pos] = codes[i]
+        return pd.DataFrame({"cluster": pd.Series(out_cl, dtype="object"),
+                             "codes": pd.Series(out_codes, dtype="object")})
 
     encode.__annotations__ = {"vs": pd.Series, "return": pd.DataFrame}
     return pandas_udf(encode, "cluster int, codes array<int>")
@@ -1014,13 +1086,21 @@ def opq_encode(df: DataFrame, rotation: list[list[float]],
     from pyspark.sql.functions import pandas_udf
     Rm = np.asarray(rotation, dtype=np.float64)
     C = np.asarray(codebooks, dtype=np.float64)
-    m, _, sub = C.shape
+    m, k, sub = C.shape
 
     def encode(vs):
-        V = np.asarray(vs.tolist(), dtype=np.float64) @ Rm
-        Vs = V.reshape(len(V), m, 1, sub)
-        d = ((Vs - C[None, :, :, :]) ** 2).sum(axis=3)
-        return pd.Series(list(np.argmin(d, axis=2).astype(np.int32)))
+        rows = vs.tolist()
+        V, mask = _valid_matrix(rows, m * sub)
+        V = V @ Rm
+        codes = np.empty((len(V), m), dtype=np.int32)
+        for s, e in _row_chunks(len(V), m * k * sub):
+            Vs = V[s:e].reshape(e - s, m, 1, sub)
+            d = ((Vs - C[None, :, :, :]) ** 2).sum(axis=3)
+            codes[s:e] = np.argmin(d, axis=2)
+        out = [None] * len(rows)
+        for pos, row in zip(np.nonzero(mask)[0], codes):
+            out[pos] = row
+        return pd.Series(out, dtype="object")
 
     encode.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     v = F.col(vec_col).cast("array<double>")
@@ -1060,16 +1140,25 @@ def opq_quantisation_error(df: DataFrame, rotation, codebooks,
     from pyspark.sql.functions import pandas_udf
     Rm = np.asarray(rotation, dtype=np.float64)
     C = np.asarray(codebooks, dtype=np.float64)
-    m, _, sub = C.shape
+    m, k, sub = C.shape
 
     def err(vs):
-        V = np.asarray(vs.tolist(), dtype=np.float64) @ Rm
-        Vs = V.reshape(len(V), m, 1, sub)
-        d = ((Vs - C[None, :, :, :]) ** 2).sum(axis=3)
-        return pd.Series(d.min(axis=2).sum(axis=1))
+        rows = vs.tolist()
+        V, mask = _valid_matrix(rows, m * sub)
+        V = V @ Rm
+        es = np.empty(len(V))
+        for s, e in _row_chunks(len(V), m * k * sub):
+            Vs = V[s:e].reshape(e - s, m, 1, sub)
+            d = ((Vs - C[None, :, :, :]) ** 2).sum(axis=3)
+            es[s:e] = d.min(axis=2).sum(axis=1)
+        out = [None] * len(rows)
+        for pos, val in zip(np.nonzero(mask)[0], es):
+            out[pos] = float(val)
+        return pd.Series(out, dtype="object")
 
     err.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     v = F.col(vec_col).cast("array<double>")
+    # avg() skips the NULLs masked rows produce -> error over valid rows
     row = (df.select(pandas_udf(err, "double")(v).alias("e"))
            .agg(F.avg("e").alias("mse")).first())
     return float(row["mse"])

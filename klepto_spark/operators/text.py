@@ -150,14 +150,14 @@ def word_repetition(df: DataFrame, text_col: str = "text",
     return (per_word.groupBy(key_col)
             .agg(F.sum("c").alias("n_words"),
                  F.count(F.lit(1)).alias("n_distinct"),
-                 F.max("c").alias("_top_c"),
+                 # one struct max carries BOTH the top count and its word
                  F.max(F.struct(F.col("c"), F.col("w"))).alias("_top"))
             .select(F.col(key_col),
                     F.col("n_words"),
                     F.col("n_distinct"),
                     F.round(F.col("n_distinct") / F.col("n_words"), 6)
                     .alias("distinct_ratio"),
-                    F.round(F.col("_top_c") / F.col("n_words"), 6)
+                    F.round(F.col("_top.c") / F.col("n_words"), 6)
                     .alias("top_word_ratio"),
                     F.col("_top.w").alias("top_word")))
 

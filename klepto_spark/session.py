@@ -70,7 +70,14 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
     runtime-settable confs immediately before reading. Without nanosAsLong,
     Spark rejects INT64 TIMESTAMP(NANOS) parquet columns outright
     (PARQUET_TYPE_ILLEGAL); without a pinned zone, the NTZ->TIMESTAMP
-    rebuild in :func:`normalise_nanos_ts` would depend on the host zone."""
+    rebuild in :func:`normalise_nanos_ts` would depend on the host zone.
+
+    NOTE: the zone pin is a GLOBAL session-conf mutation, deliberate and
+    visible — event-time columns this engine emits are UTC instants, and
+    collection/formatting of them must agree with the UTC-based oracles
+    regardless of the embedding session's previous zone. An application
+    that needs a different display zone for its own data should set
+    ``spark.sql.session.timeZone`` back after the load."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 

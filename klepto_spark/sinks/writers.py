@@ -196,9 +196,12 @@ def write_jdbc(df: DataFrame, dsn: DSN, table: str, mode: str = "append",
     from klepto_spark import jdbc as J
     spark = df.sparkSession
     hooks = hooks or JdbcHooks()
-    if hooks.pre_once:
-        J.execute(spark, dsn, hooks.pre_once, transactional=True)
     try:
+        # inside the try: if pre_once PARTIALLY applies (DDL auto-commits
+        # on most engines, so the transaction cannot undo it), the
+        # finally-block post hooks still run and restore what was dropped
+        if hooks.pre_once:
+            J.execute(spark, dsn, hooks.pre_once, transactional=True)
         if not atomic:
             if txn_statements:
                 raise ValueError("txn_statements require atomic=True "
@@ -270,6 +273,23 @@ def merge_files(df: DataFrame, directory: str, table: str, fmt: str,
 
 BUCKET_COL = "_kp"
 
+_INTEGRAL_RANK = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+
+
+def _lossless_widening(src: str, dst: str) -> bool:
+    """True when every ``src`` value is exactly representable as ``dst``:
+    integral -> wider integral, float -> double, and integral up to int32
+    -> double (the 53-bit mantissa holds it). bigint -> double and
+    int -> float LOSE precision and are refused."""
+    rs, rd = _INTEGRAL_RANK.get(src), _INTEGRAL_RANK.get(dst)
+    if rs is not None and rd is not None:
+        return rs <= rd
+    if src == "float" and dst == "double":
+        return True
+    if rs is not None and rs <= 3 and dst == "double":
+        return True
+    return False
+
 
 def bucket_expr(keys: list[str], n_buckets: int):
     """Deterministic key-derived partition id: stable across runs and
@@ -292,13 +312,18 @@ def merge_files_partitioned(df: DataFrame, directory: str, table: str,
     :func:`merge_files` documents).
 
     Atomicity is PER BUCKET (each bucket directory is either fully old
-    or fully new); a crash mid-publish leaves a bucket-consistent mix,
-    re-running the same merge converges. For all-or-nothing semantics
-    over every bucket, fall back to :func:`merge_files`."""
+    or fully new): the publish renames the live bucket aside to an
+    underscore-prefixed retirement dir (invisible to Spark's file
+    listing), renames the staged bucket in, then drops the retired one —
+    a failed rename rolls the old bucket back, and leftover retirement
+    dirs from a crash are restored at the start of the next merge, so
+    re-running converges. For all-or-nothing semantics over every
+    bucket, fall back to :func:`merge_files`."""
     from pyspark.sql import functions as F
     spark = df.sparkSession
     target = f"{directory.rstrip('/')}/{table}.{fmt}"
     jvm, fs, tgt = _hadoop_fs(df, target)
+    _recover_retired_buckets(jvm, fs, tgt)
 
     def _write(out: DataFrame, path: str) -> None:
         writer = out.write.format(fmt).mode("overwrite").partitionBy(BUCKET_COL)
@@ -331,6 +356,19 @@ def merge_files_partitioned(df: DataFrame, directory: str, table: str,
             f"delta columns {sorted(drifted)} not in table {table!r}; "
             "partitioned merge cannot add columns (rewrite with "
             "merge_files to evolve the schema)")
+    # only LOSSLESS-widening drift is aligned by cast: a narrowing cast
+    # (delta long -> table int) would turn unrepresentable values into
+    # NULLs under non-ANSI eval — silently corrupting keys — and
+    # precision-losing widenings (bigint -> double rounds above 2^53,
+    # int -> float above 2^24) corrupt just as silently, so both refuse
+    for f in df.schema.fields:
+        want = table_types[f.name]
+        if f.dataType != want and not _lossless_widening(
+                f.dataType.simpleString(), want.simpleString()):
+            raise ValueError(
+                f"delta column {f.name!r} is {f.dataType.simpleString()} "
+                f"but table {table!r} stores {want.simpleString()}: only "
+                "lossless numeric widening can be aligned safely")
     delta = df.select(*[F.col(c).cast(table_types[c]) for c in df.columns])
     delta = delta.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
     if deletes is not None:
@@ -362,14 +400,53 @@ def merge_files_partitioned(df: DataFrame, directory: str, table: str,
                 str(staging), f"{BUCKET_COL}={b}")
             dst_dir = jvm.org.apache.hadoop.fs.Path(
                 str(tgt), f"{BUCKET_COL}={b}")
-            if fs.exists(dst_dir):
-                fs.delete(dst_dir, True)
+            old_dir = jvm.org.apache.hadoop.fs.Path(
+                str(tgt), _retired_bucket(b))
+            if fs.exists(old_dir):
+                fs.delete(old_dir, True)
+            had_old = fs.exists(dst_dir)
+            if had_old and not fs.rename(dst_dir, old_dir):
+                raise IOError(f"cannot retire bucket {b} of {target}")
             if fs.exists(src_dir):  # bucket may be delete-only -> absent
                 if not fs.rename(src_dir, dst_dir):
+                    if had_old:  # roll the previous bucket back
+                        fs.rename(old_dir, dst_dir)
                     raise IOError(f"cannot publish bucket {b} of {target}")
+            if had_old:
+                fs.delete(old_dir, True)
     finally:
         if fs.exists(staging):
             fs.delete(staging, True)
+
+
+_RETIRED_PREFIX = "_retired."
+
+
+def _retired_bucket(b) -> str:
+    # underscore prefix: Spark's listing ignores the directory; the name
+    # must NOT contain '=' or partition discovery would parse it as a
+    # conflicting partition column
+    return f"{_RETIRED_PREFIX}{b}"
+
+
+def _recover_retired_buckets(jvm, fs, tgt) -> None:
+    """Crash recovery: a rename sequence interrupted between 'retire old'
+    and 'publish new' leaves the bucket only in its retirement dir —
+    restore it so the subsequent merge sees the pre-crash data; if the
+    publish DID land, the leftover retirement dir is just deleted."""
+    if not fs.exists(tgt):
+        return
+    for status in fs.listStatus(tgt):
+        name = status.getPath().getName()
+        if not name.startswith(_RETIRED_PREFIX):
+            continue
+        bucket = name[len(_RETIRED_PREFIX):]
+        live = jvm.org.apache.hadoop.fs.Path(
+            str(tgt), f"{BUCKET_COL}={bucket}")
+        if fs.exists(live):
+            fs.delete(status.getPath(), True)
+        elif not fs.rename(status.getPath(), live):
+            raise IOError(f"cannot recover retired bucket {name}")
 
 
 def merge_jdbc(df: DataFrame, dsn: DSN, table: str, keys: list[str],

@@ -190,10 +190,13 @@ class FileCatalog:
                  "float": 5, "double": 6}
 
     def _widened_schema(self, table: str):
-        """Union of every parquet file's schema with numeric widening:
-        integral chain promotes to the widest integral, fractional to
-        the widest fractional, mixed integral/fractional to double.
-        Non-numeric conflicts raise — silent coercion would corrupt."""
+        """Union of every parquet file's schema with LOSSLESS numeric
+        widening: integral chain promotes to the widest integral,
+        float+double to double, and integral-up-to-int32 + fractional to
+        double (exact in the 53-bit mantissa). bigint + fractional
+        raises — doubles round bigints above 2^53 (exactly the nano-
+        epoch / 64-bit-id hazard), and silent coercion would corrupt.
+        Non-numeric conflicts raise for the same reason."""
         from pyspark.sql.types import DoubleType, StructField, StructType
         root = Path(self._path(table))
         files = ([root] if root.is_file() else
@@ -217,12 +220,15 @@ class FileCatalog:
                 if a != b:
                     ra = self._NUM_RANK.get(a.simpleString())
                     rb = self._NUM_RANK.get(b.simpleString())
-                    if ra is None or rb is None:
+                    mixed = (ra is not None and rb is not None
+                             and (ra <= 4) != (rb <= 4))
+                    if ra is None or rb is None or (
+                            mixed and min(ra, rb) == 4):
                         raise ValueError(
-                            f"{table!r}.{fld.name}: cannot widen "
-                            f"{a.simpleString()} vs {b.simpleString()}")
-                    integral = {r <= 4 for r in (ra, rb)}
-                    wide = (DoubleType() if integral == {True, False}
+                            f"{table!r}.{fld.name}: cannot losslessly "
+                            f"widen {a.simpleString()} vs "
+                            f"{b.simpleString()}")
+                    wide = (DoubleType() if mixed
                             else (a if ra >= rb else b))
                     merged[fld.name] = StructField(fld.name, wide, True)
                 elif fld.nullable and not cur.nullable:

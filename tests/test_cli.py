@@ -103,3 +103,12 @@ def test_steal_cdc_cli_roundtrip(spark, tmp_path, capsys):
     assert main(["steal-cdc", "--from", f"parquet://{src}",
                  "--to", "parquet:///tmp/x", "--state", "/tmp/s.json",
                  "--cdc", "t=nokeys"]) == 2
+
+
+def test_steal_cdc_rejects_orphaned_tombstone(tmp_path):
+    """--tombstone naming a table not under --cdc would silently keep
+    soft-deleted rows alive forever; it must be a usage error."""
+    assert main(["steal-cdc", "--from", "parquet:///tmp/x",
+                 "--to", "parquet:///tmp/y", "--state", "/tmp/s.json",
+                 "--cdc", "users=ver:id",
+                 "--tombstone", "user=deleted IS NOT NULL"]) == 2

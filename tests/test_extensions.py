@@ -375,3 +375,37 @@ def test_ivfpq_index_prunes_and_reranks_exact(spark, sf_dir, tmp_path):
                 spark, path, q, cents, books, n_probe=4, k=10,
                 n_candidates=200).collect()}
     assert full == exact
+
+
+def test_vectorised_ann_paths_tolerate_null_embeddings(spark):
+    """NULL / wrong-dimension / NULL-element vectors must be DROPPED by
+    the vectorised argmin/encode paths (matching the expression paths'
+    NULL propagation), not crash the Arrow UDF."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, None),
+            (2, [0.0, 1.0]),  # wrong dimension
+            (3, [0.0, None, 0.0, 0.0]),  # NULL element
+            (4, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    got = similarity.ivf_topk(df, [1.0, 0.0, 0.0, 0.0], cents,
+                              n_probe=1, k=5).collect()
+    assert [r["vec_id"] for r in got] == [0]
+    codes = {r["vec_id"]: r["codes"]
+             for r in similarity.pq_encode(df, _wide_books()).collect()}
+    assert codes[1] is None and codes[2] is None and codes[3] is None
+    assert codes[0] is not None and len(codes[0]) == 2
+    enc = {r["vec_id"]: (r["cluster"], r["codes"]) for r in
+           (df.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+            .select("vec_id",
+                    similarity._ivfpq_encode_pandas(cents, _wide_books())(
+                        similarity.F.col("v")).alias("e"))
+            .select("vec_id", "e.cluster", "e.codes").collect())}
+    assert enc[0][0] == 0 and enc[1] == (None, None)
+
+
+def _wide_books():
+    # 2 subspaces x k codes over dim=4 vectors, k*sub big enough to
+    # force pq_encode onto the pandas path (total terms > budget)
+    import math
+    return [[[math.sin(1.1 * (j + 1) + 0.7 * c + i) for j in range(2)]
+             for c in range(130)] for i in range(2)]
