@@ -218,6 +218,17 @@ def _valid_matrix(rows: list, dim: int):
     crashing the UDF — the expression paths these helpers replace
     propagated NULL, so callers see the same drop-the-row semantics."""
     import numpy as np
+    # fast path: every row present with the right shape (the normal
+    # case) — one C-level conversion, no per-row Python
+    try:
+        V = np.asarray(rows, dtype=np.float64)
+        if V.ndim == 2 and V.shape[1] == dim:
+            finite = np.isfinite(V).all(axis=1)
+            if finite.all():
+                return V, finite
+            return V[finite], finite
+    except (TypeError, ValueError):
+        pass
     mask = np.fromiter((r is not None and len(r) == dim for r in rows),
                        dtype=bool, count=len(rows))
     valid = [rows[i] for i in np.nonzero(mask)[0]]
@@ -287,6 +298,8 @@ def _argmin_pandas(centroids: list[list[float]]):
         V, mask = _valid_matrix(rows, dim)
         d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
         codes = np.argmin(d, axis=1) if len(V) else np.empty(0, dtype=int)
+        if mask.all():
+            return pd.Series(codes.astype(np.int32))
         out = [None] * len(rows)
         for pos, c in zip(np.nonzero(mask)[0], codes):
             out[pos] = int(c)
@@ -348,6 +361,8 @@ def _argmin_sq_pandas(centroids: list[list[float]]):
         for s, e in _row_chunks(len(V), k * dim):
             d = ((V[s:e, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             codes[s:e] = np.argmin(d, axis=1)
+        if mask.all():
+            return pd.Series(codes.astype(np.int32))
         out = [None] * len(rows)
         for pos, c in zip(np.nonzero(mask)[0], codes):
             out[pos] = int(c)
@@ -609,6 +624,8 @@ def _pq_encode_pandas(codebooks: list[list[list[float]]]):
             Vs = V[s:e].reshape(e - s, m, 1, sub)
             d = ((Vs - C[None, :, :, :]) ** 2).sum(axis=3)
             codes[s:e] = np.argmin(d, axis=2)
+        if mask.all():
+            return pd.Series(list(codes))
         out = [None] * len(rows)
         for pos, row in zip(np.nonzero(mask)[0], codes):
             out[pos] = row
@@ -807,6 +824,9 @@ def _ivfpq_encode_pandas(centroids, codebooks):
             Rs = (V[s:e] - C[cl[s:e]]).reshape(e - s, m, 1, sub)
             dd = ((Rs - B[None, :, :, :]) ** 2).sum(axis=3)
             codes[s:e] = np.argmin(dd, axis=2)
+        if mask.all():
+            return pd.DataFrame({"cluster": cl.astype(np.int32),
+                                 "codes": list(codes)})
         out_cl = [None] * len(rows)
         out_codes = [None] * len(rows)
         for i, pos in enumerate(np.nonzero(mask)[0]):
@@ -1097,6 +1117,8 @@ def opq_encode(df: DataFrame, rotation: list[list[float]],
             Vs = V[s:e].reshape(e - s, m, 1, sub)
             d = ((Vs - C[None, :, :, :]) ** 2).sum(axis=3)
             codes[s:e] = np.argmin(d, axis=2)
+        if mask.all():
+            return pd.Series(list(codes))
         out = [None] * len(rows)
         for pos, row in zip(np.nonzero(mask)[0], codes):
             out[pos] = row
@@ -1151,6 +1173,8 @@ def opq_quantisation_error(df: DataFrame, rotation, codebooks,
             Vs = V[s:e].reshape(e - s, m, 1, sub)
             d = ((Vs - C[None, :, :, :]) ** 2).sum(axis=3)
             es[s:e] = d.min(axis=2).sum(axis=1)
+        if mask.all():
+            return pd.Series(es)
         out = [None] * len(rows)
         for pos, val in zip(np.nonzero(mask)[0], es):
             out[pos] = float(val)
