@@ -64,21 +64,23 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     total_median = round(sum(s["median"] for s in spread.values()), 3)
     medians = {name: s["median"] for name, s in spread.items()}
-    # stdout gets ONE compact line (the driver's tail capture truncated the
-    # full spread map in round 2 -> "parsed": null); best/stdev/max detail
-    # goes to stderr + a side file for human analysis.
-    print(json.dumps({"metric": "total_query_sec", "value": total_median,
-                      "unit": "sec", "queries": medians, "sf": sf,
-                      "runs": runs, "total_best_sec": total},
-                     separators=(",", ":")))
+    # All detail (best/stdev/max) goes to the side file ONLY: anything
+    # written after the compact line — even on stderr — lands *after* it in
+    # the driver's merged-stream tail and truncates the parse (that was the
+    # r2 AND r3 "parsed": null failure).  The compact stdout line below must
+    # be the final line this process emits.
     detail = {"best": timings, "spread": spread, "sf": sf, "runs": runs}
-    print(json.dumps(detail, separators=(",", ":")), file=sys.stderr)
     try:
         with open("BENCH_DETAIL.json", "w") as fh:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass
+    sys.stderr.flush()
     spark.stop()
+    print(json.dumps({"metric": "total_query_sec", "value": total_median,
+                      "unit": "sec", "queries": medians, "sf": sf,
+                      "runs": runs, "total_best_sec": total},
+                     separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

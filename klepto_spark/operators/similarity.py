@@ -660,9 +660,13 @@ def pq_topk(codes_df: DataFrame, query: list[float],
     dist = score_terms[0]
     for t in score_terms[1:]:
         dist = dist + t
-    return (codes_df.select(F.col(key_col),
-                            F.round(dist, 6).alias("sq_dist"))
-            .orderBy(F.asc("sq_dist"), F.col(key_col))
+    # NULL codes (the NULL-safe encoders' drop-the-row marker for
+    # NULL/wrong-dim/NaN vectors) must not rank: ascending sort is NULLS
+    # FIRST in Spark, so without the filter a NULL ADC score would occupy
+    # the top-k and displace real neighbours.
+    return (codes_df.filter(F.col("codes").isNotNull())
+            .select(F.col(key_col), F.round(dist, 6).alias("sq_dist"))
+            .orderBy(F.asc_nulls_last("sq_dist"), F.col(key_col))
             .limit(k))
 
 
@@ -784,6 +788,10 @@ def ivfpq_train(df: DataFrame, n_clusters: int, m: int, k: int = 16,
             .select(F.col(vec_col).cast("array<double>").alias("v"))
             .collect())
     X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(
+            f"training sample has {len(X)} rows < k={k} codebook entries; "
+            f"raise sample_n or lower k")
     d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     R = X - C[np.argmin(d, axis=1)]
     books = []
@@ -893,7 +901,9 @@ def ivfpq_search(spark, path: str, query: list[float], centroids,
     cand = parts[0]
     for p in parts[1:]:
         cand = cand.unionByName(p)
-    shortlist = (cand.orderBy(F.asc("adc"), F.col(key_col))
+    # rows with NULL codes carry a NULL cluster and never enter the probed
+    # partitions, but keep the ordering NULL-proof regardless
+    shortlist = (cand.orderBy(F.asc_nulls_last("adc"), F.col(key_col))
                  .limit(n_candidates))
     score = cosine_const(F.col(vec_col).cast("array<double>"), query)
     return (shortlist
@@ -947,7 +957,7 @@ def ivfpq_topk(df: DataFrame, query: list[float], centroids,
         adc = adc + t
     shortlist = (base.select(F.col(key_col), F.col(vec_col),
                              adc.alias("adc"))
-                 .orderBy(F.asc("adc"), F.col(key_col))
+                 .orderBy(F.asc_nulls_last("adc"), F.col(key_col))
                  .limit(n_candidates))
     score = cosine_const(F.col(vec_col).cast("array<double>"), query)
     return (shortlist
@@ -1057,6 +1067,10 @@ def opq_train(df: DataFrame, m: int, k: int = 16,
             .select(F.col(vec_col).cast("array<double>").alias("v"))
             .collect())
     X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(
+            f"training sample has {len(X)} rows < k={k} codebook entries; "
+            f"raise sample_n or lower k")
     R = np.eye(dim)
 
     def _fit_books(Z):

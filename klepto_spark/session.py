@@ -62,6 +62,10 @@ _DEFAULTS = {
 }
 
 
+# non-empty once the zone-override warning has fired (warn once, not per load)
+_WARNED_ZONE_OVERRIDE: list[str] = []
+
+
 def ensure_nanos_conf(spark: SparkSession) -> None:
     """Make event-time parquet readable/watermarkable in ANY session.
 
@@ -77,8 +81,20 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
     collection/formatting of them must agree with the UTC-based oracles
     regardless of the embedding session's previous zone. An application
     that needs a different display zone for its own data should set
-    ``spark.sql.session.timeZone`` back after the load."""
+    ``spark.sql.session.timeZone`` back after the load; a one-time warning
+    flags the overwrite so the change is never silent (restoring the zone
+    eagerly here would be wrong — the engine's DataFrames are lazy, and
+    collection/formatting happens after this call returns)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev = spark.conf.get("spark.sql.session.timeZone", None)
+    if prev not in (None, "UTC", "Etc/UTC") and not _WARNED_ZONE_OVERRIDE:
+        import warnings
+        warnings.warn(
+            f"klepto_spark pins spark.sql.session.timeZone=UTC for "
+            f"deterministic event-time handling (was {prev!r}); set it back "
+            f"after the load if your application needs {prev!r} for display",
+            stacklevel=2)
+        _WARNED_ZONE_OVERRIDE.append(prev)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 

@@ -291,6 +291,45 @@ def _lossless_widening(src: str, dst: str) -> bool:
     return False
 
 
+_SCHEMA_FILE = "_schema.json"
+
+
+def _schema_contract_path(jvm, tgt):
+    # underscore prefix: invisible to Spark's file listing, like _retired.*
+    return jvm.org.apache.hadoop.fs.Path(str(tgt), _SCHEMA_FILE)
+
+
+def _save_schema_contract(jvm, fs, tgt, schema) -> None:
+    """Persist the table's data-column types next to the data. The
+    bucketed layout's premise is 'the at-rest schema is the contract',
+    but csv is not self-describing — inferSchema can flip (int vs bigint
+    as values grow), and xxhash64 bucketing is type-sensitive, so an
+    inference flip would wedge a previously-working CDC pipeline. The
+    sidecar makes the contract explicit and stable for every format (and
+    saves parquet a footer pass / csv a full infer scan on merge)."""
+    from pyspark.sql.types import StructType
+    st = StructType([f for f in schema.fields if f.name != BUCKET_COL])
+    out = fs.create(_schema_contract_path(jvm, tgt), True)
+    out.write(bytearray(st.json().encode("utf-8")))
+    out.close()
+
+
+def _load_schema_contract(jvm, fs, tgt):
+    """Read the sidecar back as a StructType; None for layouts written
+    before the sidecar existed (the next merge heals them)."""
+    import json
+    from pyspark.sql.types import StructType
+    path = _schema_contract_path(jvm, tgt)
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return StructType.fromJson(json.loads(text))
+
+
 def bucket_expr(keys: list[str], n_buckets: int):
     """Deterministic key-derived partition id: stable across runs and
     engines' partitionings, so a key always lands in the same bucket."""
@@ -337,19 +376,31 @@ def merge_files_partitioned(df: DataFrame, directory: str, table: str,
             delta = delta.join(deletes.select(*keys).distinct(), on=keys,
                                how="left_anti")
         _write(delta, target)
+        _save_schema_contract(jvm, fs, tgt, df.schema)
         return
 
-    reader = spark.read.format(fmt)
-    if fmt == "csv":
-        reader = reader.option("header", "true").option("inferSchema", "true")
     # Align the delta to the TABLE's column types before anything else:
     # xxhash64 is type-sensitive (int 3 and bigint 3 hash differently),
     # so a drifted delta key type would route the same key to a DIFFERENT
     # bucket, and mixed int/long partition files fail the later read
-    # outright. The at-rest schema is the contract.
-    table_types = {f.name: f.dataType
-                   for f in reader.load(target).schema.fields
-                   if f.name != BUCKET_COL}
+    # outright. The contract is the _schema.json sidecar (stable even for
+    # csv, where inference could flip int->bigint as values grow); layouts
+    # predating the sidecar fall back to the at-rest schema once and are
+    # healed below.
+    contract = _load_schema_contract(jvm, fs, tgt)
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+        reader = (reader.schema(contract) if contract is not None
+                  else reader.option("inferSchema", "true"))
+    elif contract is not None:
+        reader = reader.schema(contract)
+    if contract is not None:
+        table_types = {f.name: f.dataType for f in contract.fields}
+    else:
+        table_types = {f.name: f.dataType
+                       for f in reader.load(target).schema.fields
+                       if f.name != BUCKET_COL}
     drifted = set(df.columns) - set(table_types)
     if drifted:
         raise ValueError(
@@ -417,6 +468,8 @@ def merge_files_partitioned(df: DataFrame, directory: str, table: str,
     finally:
         if fs.exists(staging):
             fs.delete(staging, True)
+    if contract is None:  # heal a pre-sidecar layout after a clean merge
+        _save_schema_contract(jvm, fs, tgt, delta.schema)
 
 
 _RETIRED_PREFIX = "_retired."

@@ -401,6 +401,24 @@ def test_vectorised_ann_paths_tolerate_null_embeddings(spark):
                         similarity.F.col("v")).alias("e"))
             .select("vec_id", "e.cluster", "e.codes").collect())}
     assert enc[0][0] == 0 and enc[1] == (None, None)
+    # pq_topk over the NULL codes: ascending sort is NULLS FIRST in Spark,
+    # so without the isNotNull filter the dropped rows would occupy the
+    # top-k with NULL ADC scores and displace real neighbours
+    topk = similarity.pq_topk(
+        similarity.pq_encode(df, _wide_books()), [1.0, 0.0, 0.0, 0.0],
+        _wide_books(), k=3).collect()
+    assert [r["vec_id"] for r in topk] == [0, 4]
+    assert all(r["sq_dist"] is not None for r in topk)
+
+
+def test_pq_train_refuses_sample_smaller_than_k(spark):
+    rows = [(i, [float(i), 0.0, 0.0, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="< k="):
+        similarity.ivfpq_train(df, n_clusters=2, m=2, k=16, dim=4,
+                               sample_n=5)
+    with pytest.raises(ValueError, match="< k="):
+        similarity.opq_train(df, m=2, k=16, dim=4, sample_n=5)
 
 
 def _wide_books():

@@ -65,3 +65,33 @@ def test_rocksdb_state_store_used_by_new_queries(spark, sf_dir, tmp_path):
         assert spark.sql("SELECT count(*) FROM rocks_rollup").first()[0] > 0
     finally:
         use_default_state(spark)
+
+
+def test_zone_pin_warns_once_when_overriding_non_utc(spark):
+    """ensure_nanos_conf pins the session zone to UTC; when that
+    overrides an application's non-UTC zone the change must be flagged
+    (once), never silent — and an already-UTC session stays quiet."""
+    import warnings
+    from klepto_spark import session as S
+    from klepto_spark.session import ensure_nanos_conf
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    saved = list(S._WARNED_ZONE_OVERRIDE)
+    try:
+        S._WARNED_ZONE_OVERRIDE.clear()
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # UTC -> UTC: no warning
+            ensure_nanos_conf(spark)
+        spark.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ensure_nanos_conf(spark)
+        assert len(w) == 1 and "Europe/Berlin" in str(w[0].message)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        spark.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # second override: warned already
+            ensure_nanos_conf(spark)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        S._WARNED_ZONE_OVERRIDE[:] = saved
+        spark.conf.set("spark.sql.session.timeZone", prev)
