@@ -792,3 +792,58 @@ def anonymise_expr(spec: str, column: str, table: str = "",
     from pyspark.sql import functions as F
     return F.expr(anonymise_sql(spec, column, table=table, seed=seed,
                                 locale=locale))
+
+
+# streams scanned by the factoring pass; every faker stays well below this
+_FACTOR_MAX_STREAM = 64
+
+
+def anonymise_factored(spec: str, column: str, table: str = "",
+                       seed: str = DEFAULT_SEED, locale: str = "en",
+                       prefix: str = "_ks_anon",
+                       avoid: set[str] | None = None
+                       ) -> tuple[str, dict[str, str]]:
+    """:func:`anonymise_sql` split into (expression, helper columns) by
+    textual common-subexpression factoring: every hash stream ``h(n)``
+    (and the raw-value text) that the compiled expression reuses is
+    hoisted out and referenced by column name instead of being spelled
+    inline each time.
+
+    This is the Spark execution twin of the portable inline text: the
+    position-keyed fakers (FormatPreserve/FormatPreserveLuhn) inline each
+    md5 stream up to ~16x per stream, which blows the expression past
+    janino's 64KB method limit — whole-stage codegen fails, every run
+    pays a doomed compile plus interpreted eval, and md5 is recomputed
+    per reference. Evaluating the helpers as a projection first keeps
+    both stages codegen-sized and computes each md5 ONCE per row.
+    Values are identical by construction (same subexpressions, same
+    arithmetic); the DuckDB oracle keeps replaying the inline text.
+
+    Returns ``(expr_sql, helpers)``: evaluate each ``helpers[name]``
+    as a column ``name`` over the SOURCE row (before replacing
+    ``column``), then evaluate ``expr_sql``. ``avoid`` lists column
+    names the helper names must not collide with."""
+    full = anonymise_sql(spec, column, table=table, seed=seed,
+                         locale=locale)
+    context = f"{table}.{column}" if table else column
+    ctx = _Ctx(f"coalesce(cast({column} as string), '<NULL>')", context,
+               seed, raw_sql=f"coalesce(cast({column} as string), '')")
+    taken = set(avoid or ())
+
+    def _name(base: str) -> str:
+        name = base
+        while name in taken:
+            name += "_"
+        taken.add(name)
+        return name
+
+    helpers: dict[str, str] = {}
+    candidates = [(f"{prefix}_h{n}", ctx.h(n))
+                  for n in range(_FACTOR_MAX_STREAM)]
+    candidates.append((f"{prefix}_raw", ctx.raw_sql))
+    for base, text in candidates:
+        if full.count(text) >= 2:
+            name = _name(base)
+            full = full.replace(text, name)
+            helpers[name] = text
+    return full, helpers

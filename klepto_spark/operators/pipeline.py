@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from klepto_spark.config import Spec, TableSpec
 from klepto_spark.functions.anonymise import (
-    DEFAULT_SEED, anonymise_sql, keep_type_sql)
+    DEFAULT_SEED, anonymise_factored, anonymise_sql, keep_type_sql)
 
 LoadFn = Callable[[str], DataFrame]
 
@@ -122,12 +122,24 @@ def build_table_df(table: TableSpec, load: LoadFn, *, spec: Spec | None = None,
         locale = spec.locale if spec else "en"
         types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         for col, faker_spec in table.anonymise.items():
-            sql = anonymise_sql(faker_spec, col, table=table.name,
-                                seed=seed, locale=locale)
+            # Factored twin of the portable inline text: reused md5
+            # streams become a pre-projection, so the final expression
+            # stays inside janino's method limit (whole-stage codegen
+            # holds) and each stream is computed once per row. The
+            # oracle replays the INLINE text — values are identical.
+            sql, helpers = anonymise_factored(
+                faker_spec, col, table=table.name, seed=seed,
+                locale=locale, avoid=set(df.columns))
             if table.cast_policy == "keep" and col in types:
                 sql = keep_type_sql(faker_spec, sql, types[col],
                                     context=f"{table.name}.{col}")
-            df = df.withColumn(col, F.expr(sql))
+            if helpers:
+                df = (df.select("*", *[F.expr(h).alias(n)
+                                       for n, h in helpers.items()])
+                      .withColumn(col, F.expr(sql))
+                      .drop(*helpers))
+            else:
+                df = df.withColumn(col, F.expr(sql))
     return df
 
 

@@ -324,3 +324,37 @@ def test_format_preserve_numeric_keep_cast(spark):
     vals = {r.id: r.bal for r in out.collect()}
     assert vals[2] < 0  # sign position survives masking
     assert all(v is not None for v in vals.values())
+
+
+@pytest.mark.parametrize("spec", [
+    "FormatPreserve", "FormatPreserveLuhn", "EmailAddress", "FullName",
+    "Paragraph", "IPv4", "CreditCardNum:visa", "Password:8:2:2:2:false",
+])
+def test_anonymise_factored_matches_inline(spark, spec):
+    """The factored execution twin (hash streams hoisted into helper
+    columns) must be value-identical to the inline portable text the
+    oracle replays — for every faker shape, including NULLs."""
+    from klepto_spark.functions.anonymise import (
+        anonymise_factored, anonymise_sql)
+    df = spark.createDataFrame(
+        [(1, "Abc-123 x"), (2, None), (3, "4556737586899855"),
+         (4, "UPPER lower 987"), (5, "")],
+        "id int, v string")
+    inline = anonymise_sql(spec, "v", table="t")
+    factored, helpers = anonymise_factored(spec, "v", table="t")
+    want = {r.id: r.out for r in
+            df.selectExpr("id", f"{inline} AS out").collect()}
+    stage = df.selectExpr("id", "v",
+                          *[f"{h} AS {n}" for n, h in helpers.items()])
+    got = {r.id: r.out for r in
+           stage.selectExpr("id", f"{factored} AS out").collect()}
+    assert got == want
+
+
+def test_anonymise_factored_helper_names_avoid_collisions():
+    from klepto_spark.functions.anonymise import anonymise_factored
+    factored, helpers = anonymise_factored(
+        "FormatPreserve", "v", table="t",
+        avoid={"_ks_anon_h10", "_ks_anon_raw"})
+    assert "_ks_anon_h10_" in helpers and "_ks_anon_raw_" in helpers
+    assert "_ks_anon_h10" not in helpers and "_ks_anon_raw" not in helpers
