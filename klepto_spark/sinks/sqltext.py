@@ -27,7 +27,7 @@ from klepto_spark.sinks.ddl import create_table_sql, quote_ident
 from klepto_spark.sources.dsn import DSNError, parse
 
 
-def _value_sql(field) -> F.Column:
+def _value_sql(field, dialect: str = "ansi") -> F.Column:
     """Render one column as a SQL literal, mirroring the reference's type
     switch (dumper.go:138-163): numbers/bools plain, NULL for nulls,
     strings quoted (escape doubling), timestamps quoted."""
@@ -41,7 +41,13 @@ def _value_sql(field) -> F.Column:
     elif isinstance(dt, (TimestampType, DateType)):
         rendered = F.concat(F.lit("'"), c.cast("string"), F.lit("'"))
     elif isinstance(dt, BinaryType):
-        rendered = F.concat(F.lit("X'"), F.hex(c), F.lit("'"))
+        # X'..' is a BIT-string literal to Postgres (rejected for bytea,
+        # caught by the real-server suite); bytea needs the \x hex form
+        if dialect == "postgres":
+            rendered = F.concat(F.lit("'\\x"), F.lower(F.hex(c)),
+                                F.lit("'::bytea"))
+        else:
+            rendered = F.concat(F.lit("X'"), F.hex(c), F.lit("'"))
     else:
         escaped = F.replace(c.cast("string"), F.lit("'"), F.lit("''"))
         rendered = F.concat(F.lit("'"), escaped, F.lit("'"))
@@ -57,7 +63,7 @@ def insert_statements(df: DataFrame, table: str,
     for i, fld in enumerate(df.schema.fields):
         if i:
             parts.append(F.lit(", "))
-        parts.append(_value_sql(fld))
+        parts.append(_value_sql(fld, dialect))
     parts.append(F.lit(");"))
     return df.select(F.concat(*parts).alias("stmt"))
 

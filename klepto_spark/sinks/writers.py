@@ -63,10 +63,7 @@ class JdbcHooks:
         — same cycle, portable enough to exercise on embedded Derby."""
         from klepto_spark import jdbc as J
         if dsn.type == "postgres":
-            rows = J.query_rows(spark, dsn, f"""
-SELECT conname, pg_get_constraintdef(oid)
-FROM pg_catalog.pg_constraint
-WHERE contype = 'f' AND conrelid = '{table}'::regclass""")
+            rows = J.query_rows(spark, dsn, pg_fk_defs_sql(table))
             defs = [(name, defn) for name, defn in rows]
         else:
             defs = [
@@ -75,11 +72,27 @@ WHERE contype = 'f' AND conrelid = '{table}'::regclass""")
                  f"REFERENCES {ref_table} ({', '.join(remote)})")
                 for name, local, ref_table, remote
                 in J.foreign_keys(spark, dsn, table)]
+        return cls.from_fk_defs(table, defs)
+
+    @classmethod
+    def from_fk_defs(cls, table: str,
+                     defs: list[tuple[str, str]]) -> "JdbcHooks":
+        """The drop/re-add statement pair for saved FK definitions —
+        split out so the real-database suite can execute the exact text
+        :meth:`rds_fk_cycle` sends."""
         return cls(
             pre_once=[f"ALTER TABLE {table} DROP CONSTRAINT {name}"
                       for name, _ in defs],
             post=[f"ALTER TABLE {table} ADD CONSTRAINT {name} {defn}"
                   for name, defn in defs])
+
+
+def pg_fk_defs_sql(table: str) -> str:
+    """The pg_catalog query :meth:`JdbcHooks.rds_fk_cycle` collects FK
+    definitions with (reference: pkg/dumper/postgres/dumper.go:95-120)."""
+    return ("SELECT conname, pg_get_constraintdef(oid)\n"
+            "FROM pg_catalog.pg_constraint\n"
+            f"WHERE contype = 'f' AND conrelid = '{table}'::regclass")
 
 
 STAGING_SUFFIX = "_klepto_staging"
