@@ -847,3 +847,136 @@ def anonymise_factored(spec: str, column: str, table: str = "",
             full = full.replace(text, name)
             helpers[name] = text
     return full, helpers
+
+
+# ---------------------------------------------------------------------------
+# Spark execution twins for the position-keyed fakers
+# ---------------------------------------------------------------------------
+# The portable inline text spells each of the 40 (FormatPreserve) / 19
+# (FormatPreserveLuhn) positions out as its own CASE branch — ~2s of fixed
+# Catalyst analysis per plan build (measured sf-independent; SCALE.md).
+# The DuckDB oracle must keep replaying that inline text, but the SPARK
+# side can evaluate the identical per-position arithmetic through
+# higher-order functions: one `transform` lambda is analysed ONCE and
+# executed per element, collapsing the expression tree ~40x while staying
+# entirely JVM-side (no Python). Values are identical by construction:
+# same md5 streams (pre-projected), same hex arithmetic, same picks.
+
+def _hof_hex1(h: str, pos: str, mod: int) -> str:
+    """hex_mod(h, pos, 1, mod) with a non-literal position expression."""
+    return f"((instr('{P.HEX}', substr({h}, {pos}, 1)) - 1) % {mod})"
+
+
+def _hof_hex2(h: str, pos: str, mod: int) -> str:
+    """hex_mod(h, pos, 2, mod) with a non-literal position expression."""
+    return (f"(((instr('{P.HEX}', substr({h}, {pos}, 1)) - 1) * 16 + "
+            f"(instr('{P.HEX}', substr({h}, ({pos}) + 1, 1)) - 1)) % {mod})")
+
+
+def _hof_stream(arr: str, i: str, base: int, per: int) -> str:
+    """element_at(arr, ...) selecting stream base + (i-1) div per, where
+    arr packs streams base, base+1, ... in order."""
+    return f"element_at({arr}, cast((({i}) - 1) div {per} as int) + 1)"
+
+
+def _format_preserve_hof(raw: str, digit_arr: str, upper_arr: str,
+                         lower_arr: str) -> str:
+    """HOF twin of :func:`_format_preserve` over pre-projected stream
+    arrays. Identical output for every input (pytest-pinned)."""
+    ch = "substr({raw}, i, 1)".format(raw=raw)
+    digit = _hof_hex1(_hof_stream(digit_arr, "i", 10, 16),
+                      "((i - 1) % 16) + 1", 10)
+    upper = (f"substr('{CHARS.upper()}', "
+             f"{_hof_hex2(_hof_stream(upper_arr, 'i', 14, 8), '2 * ((i - 1) % 8) + 1', 26)}"
+             f" + 1, 1)")
+    lower = (f"substr('{CHARS}', "
+             f"{_hof_hex2(_hof_stream(lower_arr, 'i', 20, 8), '2 * ((i - 1) % 8) + 1', 26)}"
+             f" + 1, 1)")
+    lam = (f"i -> case when {ch} between '0' and '9' then cast({digit} as string)"
+           f" when {ch} between 'A' and 'Z' then {upper}"
+           f" when {ch} between 'a' and 'z' then {lower}"
+           f" else {ch} end")
+    head = (f"case when length({raw}) = 0 then '' else "
+            f"array_join(transform(sequence(1, least(length({raw}), {_FPE_MAX})), "
+            f"{lam}), '') end")
+    tail = (f"coalesce(translate(substr({raw}, {_FPE_MAX + 1}), "
+            f"{s(_FPE_SRC)}, {s(_FPE_DST)}), '')")
+    return f"concat({head}, {tail})"
+
+
+def _format_preserve_luhn_hof(raw: str, digit_arr: str, upper_arr: str,
+                              lower_arr: str) -> str:
+    """HOF twin of :func:`_format_preserve_luhn`: keyed digits via one
+    `transform`, Luhn checksum via one `aggregate`, FormatPreserve HOF
+    fallback for non-card shapes."""
+    n = f"length({raw})"
+    d = _hof_hex1(_hof_stream(digit_arr, "i", 10, 16),
+                  "((i - 1) % 16) + 1", 10)
+    doubled = f"case when {d} >= 5 then {d} * 2 - 9 else {d} * 2 end"
+    contrib = (f"case when ({n} - i) % 2 = 1 then {doubled} else {d} end")
+    total = (f"aggregate(sequence(1, {n} - 1), cast(0 as bigint), "
+             f"(acc, i) -> acc + cast({contrib} as bigint))")
+    check = f"((10 - ({total} % 10)) % 10)"
+    payload = (f"array_join(transform(sequence(1, {n} - 1), "
+               f"i -> cast({d} as string)), '')")
+    is_card = f"({raw} rlike '^[0-9]{{2,{_LUHN_MAX}}}$')"
+    fallback = _format_preserve_hof(raw, digit_arr, upper_arr, lower_arr)
+    return (f"case when {is_card} then "
+            f"concat({payload}, cast({check} as string)) "
+            f"else {fallback} end")
+
+
+# stream ranges the position-keyed fakers draw from (see _format_preserve):
+# digits h(10..12), uppercase h(14..18), lowercase h(20..24)
+_FPE_DIGIT_STREAMS = list(range(10, 10 + (_FPE_MAX - 1) // 16 + 1))
+_FPE_UPPER_STREAMS = list(range(14, 14 + (_FPE_MAX - 1) // 8 + 1))
+_FPE_LOWER_STREAMS = list(range(20, 20 + (_FPE_MAX - 1) // 8 + 1))
+
+
+def anonymise_spark_factored(spec: str, column: str, table: str = "",
+                             seed: str = DEFAULT_SEED, locale: str = "en",
+                             prefix: str = "_ks_anon",
+                             avoid: set[str] | None = None
+                             ) -> tuple[str, dict[str, str]]:
+    """Spark-dialect twin of :func:`anonymise_factored`.
+
+    For FormatPreserve / FormatPreserveLuhn it compiles the higher-order
+    form (pre-projected md5 stream ARRAYS + transform/aggregate lambdas)
+    instead of the 40-way expanded portable text; every other faker
+    delegates unchanged. The portable inline text remains the oracle; the
+    HOF twin is value-identical (pinned by
+    tests/test_anonymise.py::test_hof_twins_match_portable)."""
+    name, _args = parse_spec(spec)
+    if name not in ("FormatPreserve", "FormatPreserveLuhn"):
+        return anonymise_factored(spec, column, table=table, seed=seed,
+                                  locale=locale, prefix=prefix, avoid=avoid)
+    context = f"{table}.{column}" if table else column
+    ctx = _Ctx(f"coalesce(cast({column} as string), '<NULL>')", context,
+               seed, raw_sql=f"coalesce(cast({column} as string), '')")
+    taken = set(avoid or ())
+
+    def _name(base: str) -> str:
+        nm = base
+        while nm in taken:
+            nm += "_"
+        taken.add(nm)
+        return nm
+
+    helpers: dict[str, str] = {}
+    raw_col = _name(f"{prefix}_raw")
+    helpers[raw_col] = ctx.raw_sql
+
+    def _stream_arr(streams: list[int], label: str) -> str:
+        nm = _name(f"{prefix}_{label}")
+        helpers[nm] = "array(" + ", ".join(ctx.h(st) for st in streams) + ")"
+        return nm
+
+    digit_arr = _stream_arr(_FPE_DIGIT_STREAMS, "hd")
+    upper_arr = _stream_arr(_FPE_UPPER_STREAMS, "hu")
+    lower_arr = _stream_arr(_FPE_LOWER_STREAMS, "hl")
+    if name == "FormatPreserve":
+        sql = _format_preserve_hof(raw_col, digit_arr, upper_arr, lower_arr)
+    else:
+        sql = _format_preserve_luhn_hof(raw_col, digit_arr, upper_arr,
+                                        lower_arr)
+    return sql, helpers

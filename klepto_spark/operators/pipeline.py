@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from klepto_spark.config import Spec, TableSpec
 from klepto_spark.functions.anonymise import (
-    DEFAULT_SEED, anonymise_factored, anonymise_sql, keep_type_sql)
+    DEFAULT_SEED, anonymise_spark_factored, anonymise_sql, keep_type_sql)
 
 LoadFn = Callable[[str], DataFrame]
 
@@ -122,12 +122,14 @@ def build_table_df(table: TableSpec, load: LoadFn, *, spec: Spec | None = None,
         locale = spec.locale if spec else "en"
         types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         for col, faker_spec in table.anonymise.items():
-            # Factored twin of the portable inline text: reused md5
-            # streams become a pre-projection, so the final expression
-            # stays inside janino's method limit (whole-stage codegen
-            # holds) and each stream is computed once per row. The
-            # oracle replays the INLINE text — values are identical.
-            sql, helpers = anonymise_factored(
+            # Spark execution twin of the portable inline text: reused
+            # md5 streams become a pre-projection (codegen stays inside
+            # janino's method limit, each stream computed once per row)
+            # and the position-keyed fakers compile to higher-order
+            # transform/aggregate lambdas analysed once instead of a
+            # 40-way expanded CASE tree. The oracle replays the INLINE
+            # text — values are identical (pytest-pinned).
+            sql, helpers = anonymise_spark_factored(
                 faker_spec, col, table=table.name, seed=seed,
                 locale=locale, avoid=set(df.columns))
             if table.cast_policy == "keep" and col in types:

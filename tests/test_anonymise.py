@@ -351,6 +351,43 @@ def test_anonymise_factored_matches_inline(spark, spec):
     assert got == want
 
 
+@pytest.mark.parametrize("spec", ["FormatPreserve", "FormatPreserveLuhn"])
+def test_hof_twins_match_portable(spark, spec):
+    """The higher-order Spark twins of the position-keyed fakers
+    (transform/aggregate lambdas over pre-projected stream arrays,
+    compiled by anonymise_spark_factored) must be value-identical to the
+    inline portable text the oracle replays — across every shape class:
+    empty, NULL, pure digits at each Luhn boundary (2/19/20 chars),
+    mixed case, separators, unicode passthrough, and >40-char tails."""
+    from klepto_spark.functions.anonymise import (
+        anonymise_spark_factored, anonymise_sql)
+    vals = ["", None, "a", "Z", "9", "42", "1234567890123456789",
+            "12345678901234567890", "Customer#000000042", "12-34",
+            "4111111111111111", "ü当ñ x9", "x" * 39 + "9", "y" * 45,
+            "0" * 19, "00",
+            "abcDEF123!@# spaces ümlaut 0123456789 ABCXYZ tail beyond "
+            "forty chars 99"]
+    df = spark.createDataFrame(list(enumerate(vals)), "id int, v string")
+    inline = anonymise_sql(spec, "v", table="t")
+    twin, helpers = anonymise_spark_factored(spec, "v", table="t")
+    assert "transform(" in twin  # really the HOF path, not the fallback
+    want = {r.id: r.out for r in
+            df.selectExpr("id", f"{inline} AS out").collect()}
+    stage = df.selectExpr("id", "v",
+                          *[f"{h} AS {n}" for n, h in helpers.items()])
+    got = {r.id: r.out for r in
+           stage.selectExpr("id", f"{twin} AS out").collect()}
+    assert got == want
+
+
+def test_anonymise_spark_factored_delegates_for_plain_fakers():
+    """Non-position-keyed fakers take the plain factored path unchanged."""
+    from klepto_spark.functions.anonymise import (
+        anonymise_factored, anonymise_spark_factored)
+    assert (anonymise_spark_factored("EmailAddress", "v", table="t")
+            == anonymise_factored("EmailAddress", "v", table="t"))
+
+
 def test_anonymise_factored_helper_names_avoid_collisions():
     from klepto_spark.functions.anonymise import anonymise_factored
     factored, helpers = anonymise_factored(
