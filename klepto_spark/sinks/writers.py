@@ -260,15 +260,28 @@ def merge_files(df: DataFrame, directory: str, table: str, fmt: str,
     together or not at all.
 
     The rewrite cost is the table, not the delta — the honest baseline
-    for keyed merge on immutable files. At scale, lay the table out
-    partitioned by a key-derived column and rewrite only affected
-    partitions (Spark's dynamic partitionOverwriteMode), or adopt a
-    deletion-vector table format; both preserve this function's contract."""
+    for keyed merge on immutable files. When the target is already a
+    bucket-partitioned layout (written by :func:`merge_files_partitioned`),
+    this DELEGATES to the partitioned merge with the layout's recorded
+    routing parameters, so the default path inherits touched-buckets-only
+    cost — and never flattens an existing layout into a whole-table dir."""
     target = f"{directory.rstrip('/')}/{table}.{fmt}"
     spark = df.sparkSession
-    _, fs, tgt = _hadoop_fs(df, target)
+    jvm, fs, tgt = _hadoop_fs(df, target)
     merged = df
     if fs.exists(tgt):
+        if _is_bucket_layout(fs, tgt):
+            layout = _load_layout(jvm, fs, tgt)
+            if layout is None:
+                raise ValueError(
+                    f"{target} is bucket-partitioned but has no "
+                    f"{_LAYOUT_FILE} sidecar (pre-sidecar layout): run "
+                    "merge_files_partitioned once with the ORIGINAL "
+                    "n_buckets to heal it — guessing the modulus here "
+                    "would misroute keys")
+            return merge_files_partitioned(
+                df, directory, table, fmt, keys,
+                n_buckets=layout["n_buckets"], deletes=deletes)
         reader = spark.read.format(fmt)
         if fmt == "csv":
             reader = reader.option("header", "true").option(
@@ -305,6 +318,49 @@ def _lossless_widening(src: str, dst: str) -> bool:
 
 
 _SCHEMA_FILE = "_schema.json"
+_LAYOUT_FILE = "_layout.json"
+
+
+def _layout_path(jvm, tgt):
+    return jvm.org.apache.hadoop.fs.Path(str(tgt), _LAYOUT_FILE)
+
+
+def _save_layout(jvm, fs, tgt, n_buckets: int, keys: list[str]) -> None:
+    """Persist the bucket routing parameters next to the data. n_buckets
+    is part of the at-rest contract: a merge routed with a different
+    modulus would send an existing key to a DIFFERENT bucket, leaving the
+    stale version alive in the old one — silent key duplication. The
+    sidecar makes the original choice discoverable, so later merges (and
+    the :func:`merge_files` auto-delegation) reuse it instead of trusting
+    the caller to remember."""
+    import json
+    out = fs.create(_layout_path(jvm, tgt), True)
+    out.write(bytearray(json.dumps(
+        {"n_buckets": int(n_buckets), "keys": list(keys)}).encode("utf-8")))
+    out.close()
+
+
+def _load_layout(jvm, fs, tgt) -> dict | None:
+    import json
+    path = _layout_path(jvm, tgt)
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _is_bucket_layout(fs, tgt) -> bool:
+    """True when the target directory is a bucket-partitioned table
+    (any BUCKET_COL= partition dir, or the layout sidecar)."""
+    for status in fs.listStatus(tgt):
+        name = status.getPath().getName()
+        if name == _LAYOUT_FILE or name.startswith(f"{BUCKET_COL}="):
+            return True
+    return False
 
 
 def _schema_contract_path(jvm, tgt):
@@ -390,7 +446,22 @@ def merge_files_partitioned(df: DataFrame, directory: str, table: str,
                                how="left_anti")
         _write(delta, target)
         _save_schema_contract(jvm, fs, tgt, df.schema)
+        _save_layout(jvm, fs, tgt, n_buckets, keys)
         return
+
+    # the at-rest routing parameters are the contract: a caller-supplied
+    # n_buckets that disagrees with the layout's recorded one would route
+    # existing keys to different buckets (stale versions left alive), so
+    # the sidecar wins; mismatched keys change routing identity outright
+    # and are refused
+    layout = _load_layout(jvm, fs, tgt)
+    if layout is not None:
+        if list(layout["keys"]) != list(keys):
+            raise ValueError(
+                f"table {table!r} was bucketed by keys {layout['keys']}, "
+                f"merge requested keys {list(keys)}: bucket routing is "
+                "key-derived, rewrite the layout to change keys")
+        n_buckets = layout["n_buckets"]
 
     # Align the delta to the TABLE's column types before anything else:
     # xxhash64 is type-sensitive (int 3 and bigint 3 hash differently),
@@ -483,6 +554,8 @@ def merge_files_partitioned(df: DataFrame, directory: str, table: str,
             fs.delete(staging, True)
     if contract is None:  # heal a pre-sidecar layout after a clean merge
         _save_schema_contract(jvm, fs, tgt, delta.schema)
+    if layout is None:  # record routing params for the default-path delegate
+        _save_layout(jvm, fs, tgt, n_buckets, keys)
 
 
 _RETIRED_PREFIX = "_retired."

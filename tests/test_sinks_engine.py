@@ -339,6 +339,90 @@ def test_merge_files_partitioned_prunes_untouched(spark, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_merge_files_default_path_delegates_to_bucketed(spark, tmp_path):
+    """VERDICT r3 #4: merging into a bucket-partitioned table via the
+    DEFAULT merge_files path must delegate to the partitioned merge with
+    the layout's recorded routing — untouched bucket files keep their
+    modification identity, the layout survives, and a caller-supplied
+    wrong n_buckets cannot misroute (the sidecar wins)."""
+    import os
+    import time as _time
+    from klepto_spark.sinks.writers import (
+        BUCKET_COL, bucket_expr, merge_files, merge_files_partitioned)
+
+    base = spark.range(0, 200).selectExpr("id", "concat('v', id) AS tag")
+    d = str(tmp_path)
+    merge_files_partitioned(base, d, "t", "parquet", keys=["id"],
+                            n_buckets=8)
+    target = os.path.join(d, "t.parquet")
+    assert os.path.exists(os.path.join(target, "_layout.json"))
+
+    def snap():
+        out = {}
+        for root, _, files in os.walk(target):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, f)
+                out[p] = (os.path.getmtime(p), os.path.getsize(p))
+        return out
+
+    before = snap()
+    delta = spark.createDataFrame([(5, "NEW5"), (17, "NEW17")],
+                                  "id long, tag string")
+    touched = {r[0] for r in
+               delta.withColumn(BUCKET_COL, bucket_expr(["id"], 8))
+               .select(BUCKET_COL).distinct().collect()}
+    assert 0 < len(touched) < 8
+    _time.sleep(1.1)
+    # DEFAULT path, no n_buckets anywhere — routing comes from the sidecar
+    merge_files(delta, d, "t", "parquet", keys=["id"])
+    after = snap()
+    for p, v in before.items():
+        in_touched = any(f"{BUCKET_COL}={b}{os.sep}" in p for b in touched)
+        if not in_touched:
+            assert after.get(p) == v, f"untouched file changed: {p}"
+    got = spark.read.parquet(target)
+    assert got.count() == 200
+    assert got.filter("id = 5").first()["tag"] == "NEW5"
+    assert got.filter("id = 6").first()["tag"] == "v6"
+    # layout is still hive-partitioned and re-mergeable
+    assert any(n.startswith(f"{BUCKET_COL}=") for n in os.listdir(target))
+
+    # key mismatch is refused: bucket routing is key-derived
+    with pytest.raises(ValueError, match="bucketed by keys"):
+        merge_files_partitioned(delta, d, "t", "parquet", keys=["tag"],
+                                n_buckets=8)
+    # a wrong caller n_buckets is overridden by the recorded layout
+    merge_files_partitioned(
+        spark.createDataFrame([(6, "NEW6")], "id long, tag string"),
+        d, "t", "parquet", keys=["id"], n_buckets=999)
+    got = spark.read.parquet(target)
+    assert got.count() == 200 and got.filter("id = 6").first()["tag"] == "NEW6"
+    buckets = {int(n.split("=")[1]) for n in os.listdir(target)
+               if n.startswith(f"{BUCKET_COL}=")}
+    assert max(buckets) < 8  # still routed mod 8, not mod 999
+
+
+def test_merge_files_refuses_presidecar_bucket_layout(spark, tmp_path):
+    """A bucketed layout written before the _layout.json sidecar existed
+    has no recorded modulus; the default path must fail loud instead of
+    guessing (misrouting duplicates keys silently)."""
+    import os
+    from klepto_spark.sinks.writers import merge_files, merge_files_partitioned
+
+    base = spark.range(0, 50).selectExpr("id", "concat('v', id) AS tag")
+    d = str(tmp_path)
+    merge_files_partitioned(base, d, "t", "parquet", keys=["id"], n_buckets=4)
+    os.remove(os.path.join(d, "t.parquet", "_layout.json"))
+    delta = spark.createDataFrame([(1, "NEW")], "id long, tag string")
+    with pytest.raises(ValueError, match="no _layout.json"):
+        merge_files(delta, d, "t", "parquet", keys=["id"])
+    # the direct partitioned call with the original modulus heals it
+    merge_files_partitioned(delta, d, "t", "parquet", keys=["id"], n_buckets=4)
+    assert os.path.exists(os.path.join(d, "t.parquet", "_layout.json"))
+
+
 @pytest.mark.parametrize("seed", [11, 29, 47])
 def test_merge_partitioned_equivalent_to_plain(spark, tmp_path, seed):
     """The bucket-partitioned merge and the whole-table merge are the
