@@ -427,3 +427,54 @@ def _wide_books():
     import math
     return [[[math.sin(1.1 * (j + 1) + 0.7 * c + i) for j in range(2)]
              for c in range(130)] for i in range(2)]
+
+
+def test_ann_recall_gate_default_params(spark):
+    """Retrieval-quality gate (VERDICT r3 #5): with the DEFAULT index
+    parameters (ivfpq n_probe=2, n_candidates=50; pq+rerank
+    n_candidates=50), recall@10 vs brute-force cosine must stay >= 0.9
+    averaged over seeded queries. The value-exact contract queries pin
+    specific constants; this pins the QUALITY surface, so a future index
+    change cannot silently trade recall away.
+
+    The gate runs on seeded CLUSTERED data (10 Gaussian clusters,
+    noise 0.15) — data with real neighbourhood structure, where an index
+    implementation regression shows directly. The near-uniform testdata
+    corpus is deliberately NOT the gate: at 500 points in 64-dim its
+    cosine neighbourhoods straddle any coarse partition (measured: 0.5
+    recall at defaults, 0.66 even probing every cell — a data-hardness
+    property, not an index defect; the full-sweep == brute-force
+    equivalence on that corpus is pinned separately by
+    test_ivfpq_index_prunes_and_reranks_exact)."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 64))
+    rows = [(i, [float(x) for x in
+                 centers[i % 10] + rng.normal(size=64) * 0.15])
+            for i in range(400)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").cache()
+    queries = {i: rows[i][1] for i in (0, 41, 102, 223, 384)}
+    truth = {qid: {r["vec_id"] for r in
+                   similarity.brute_force_topk(emb, q, k=10).collect()}
+             for qid, q in queries.items()}
+
+    cents, books = similarity.ivfpq_train(emb, n_clusters=8, m=8, dim=64)
+    hits = 0
+    for qid, q in queries.items():
+        got = {r["vec_id"] for r in
+               similarity.ivfpq_topk(emb, q, cents, books, k=10).collect()}
+        hits += len(got & truth[qid])
+    ivfpq_recall = hits / (10 * len(queries))
+
+    pq_books = similarity.pq_train(emb, m=8, dim=64)
+    codes = similarity.pq_encode(emb, pq_books)
+    hits = 0
+    for qid, q in queries.items():
+        got = {r["vec_id"] for r in similarity.pq_topk_reranked(
+            codes, emb, q, pq_books, k=10).collect()}
+        hits += len(got & truth[qid])
+    pq_recall = hits / (10 * len(queries))
+
+    assert ivfpq_recall >= 0.9, f"IVF-PQ recall@10 degraded: {ivfpq_recall}"
+    assert pq_recall >= 0.9, f"PQ+rerank recall@10 degraded: {pq_recall}"
