@@ -1,0 +1,129 @@
+"""Scale-rehearsal bench (opt-in; VERDICT r3 #7): run the heavy query
+family at sf1 — 10x the official sf0.1 bench — so nonlinear blowups the
+small bench hides (quadratic candidate growth, bucket explosions,
+iteration-count drift) are caught locally before a real cluster finds
+them.
+
+sf1 inputs are materialised deterministically from sf0.1 (documents and
+embeddings, the only tables the heavy family reads): 10 shifted copies
+with per-copy perturbation — a ' r<i>' text suffix / +i*1e-3 vector
+offset — so replicas are near- but not exact duplicates and the dedup /
+ANN workloads keep realistic selectivity instead of degenerating into
+10-way exact-dup cliques.
+
+Usage:  python bench_sf1.py            # writes BENCH_SF1.json
+Env:    SPARK_GRAFT_SF1_DIR  materialisation dir (default /tmp/klepto_sf1)
+        SPARK_GRAFT_BENCH_RUNS  samples per query (default 3, median kept)
+
+Output: ONE JSON line on stdout; detail (including the per-query scaling
+ratio vs 10x the sf0.1 medians from BENCH_DETAIL.json, where ~<=1.0
+means at-most-linear) persists to BENCH_SF1.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from klepto_spark.session import get_spark
+
+HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
+         "s01_ann_cosine", "s02_ann_pairs_lsh", "s03_ivf_topk",
+         "s04_pq_topk", "s05_pq_rerank", "s06_ivfpq_topk",
+         "t02_lang_profile"]
+COPIES = 10
+SRC = "/root/testdata/sf0.1"
+
+
+def materialise(spark, out_dir: str) -> None:
+    marker = os.path.join(out_dir, "_SF1_READY")
+    if os.path.exists(marker):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    n_docs = docs.count()
+    parts = []
+    for i in range(COPIES):
+        text = (F.col("text") if i == 0
+                else F.concat(F.col("text"), F.lit(f" r{i}")))
+        parts.append(docs.select(
+            (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
+            text.alias("text"), "lang", "source",
+            F.length(text).cast("long").alias("n_chars")))
+    sf1_docs = parts[0]
+    for p in parts[1:]:
+        sf1_docs = sf1_docs.unionByName(p)
+    (sf1_docs.repartition(32)
+     .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet"))
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    n_emb = emb.count()
+    parts = []
+    for i in range(COPIES):
+        vec = (F.col("embedding") if i == 0 else
+               F.transform(F.col("embedding"),
+                           lambda x: (x + F.lit(i * 1e-3)).cast("float")))
+        parts.append(emb.select(
+            (F.col("vec_id") + F.lit(i * n_emb)).alias("vec_id"),
+            vec.alias("embedding"), "label"))
+    sf1_emb = parts[0]
+    for p in parts[1:]:
+        sf1_emb = sf1_emb.unionByName(p)
+    (sf1_emb.repartition(32)
+     .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet"))
+    open(marker, "w").close()
+
+
+def main() -> None:
+    out_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/klepto_sf1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    spark = get_spark(app_name="klepto_spark_bench_sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    materialise(spark, out_dir)
+
+    qs = entry_mod.queries()
+    medians: dict[str, float] = {}
+    for name in HEAVY:
+        samples = []
+        for _ in range(max(1, runs)):
+            t0 = time.perf_counter()
+            qs[name](spark, out_dir).write.format("noop").mode(
+                "overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        n = len(samples)
+        medians[name] = round(
+            samples[n // 2] if n % 2
+            else (samples[n // 2 - 1] + samples[n // 2]) / 2, 3)
+        print(f"{name}: median={medians[name]}s "
+              f"(of {[round(s, 2) for s in samples]})", file=sys.stderr)
+
+    scaling = {}
+    try:
+        base = json.load(open("BENCH_DETAIL.json"))["spread"]
+        for name, med in medians.items():
+            b = base.get(name, {}).get("median")
+            if b:
+                # <= ~1.0 means the 10x input cost at most 10x the time
+                scaling[name] = round(med / (COPIES * b), 2)
+    except (OSError, KeyError, json.JSONDecodeError):
+        pass
+
+    result = {"metric": "sf1_heavy_total_sec",
+              "value": round(sum(medians.values()), 3), "unit": "sec",
+              "sf": 1.0, "runs": runs, "queries": medians,
+              "scaling_vs_10x_sf01": scaling}
+    with open("BENCH_SF1.json", "w") as fh:
+        json.dump(result, fh, indent=1)
+    sys.stderr.flush()
+    spark.stop()
+    print(json.dumps(result, separators=(",", ":")), flush=True)
+
+
+if __name__ == "__main__":
+    main()

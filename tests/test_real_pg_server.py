@@ -212,3 +212,24 @@ def test_staging_swap_rename_on_real_postgres(pg):
     pg(_rename_sql("postgres", f"swap_t{STAGING_SUFFIX}", "swap_t"))
     assert pg("SELECT id FROM swap_t") == "7"
     pg("DROP TABLE swap_t")
+
+
+def test_generated_create_table_ddl_on_real_postgres(spark, pg):
+    """create_table_sql's postgres dialect must be accepted by the real
+    parser for every mapped Spark type — including arrays (FLOAT[] for
+    embeddings), decimals, binary->bytea, and quoted identifiers — and
+    the created columns must round-trip a value of each type."""
+    from klepto_spark.sinks.ddl import create_table_sql
+    df = spark.createDataFrame(
+        [], "id bigint, name string, ok boolean, bal decimal(18,2), "
+            "f float, d double, blob binary, ts timestamp, "
+            "emb array<float>, tags array<string>, `select` int")
+    pg('DROP TABLE IF EXISTS "ddl_t"')
+    pg(create_table_sql("ddl_t", df.schema, dialect="postgres"))
+    pg('INSERT INTO "ddl_t" VALUES (1, '
+       "'n', TRUE, 12.34, 1.5, 2.5, '\\x00ff'::bytea, "
+       "'2024-02-29 12:34:56', ARRAY[0.1,0.2]::real[], "
+       "ARRAY['a','b'], 9)")
+    assert pg('SELECT id, ok, bal, emb[2], "select" FROM "ddl_t"') == \
+        "1|t|12.34|0.2|9"
+    pg('DROP TABLE "ddl_t"')
