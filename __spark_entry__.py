@@ -392,6 +392,19 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, dedup.minhash_lsh_pairs(docs))
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """Embedding-cosine near-dup removal (the sixth dedup family): documents
+    whose embedding (doc_id = vec_id) is cosine-similar to a lower-id
+    document beyond the s02 threshold are dropped. Reuses the s02 constants,
+    whose threshold sits in a measured gap of the candidate cosine
+    distribution (0.397/0.403 at sf0.01), so membership is engine-stable;
+    oracle replays the hyperplane pair arithmetic then anti-joins."""
+    docs = _load(spark, sf_dir)("documents")
+    emb = _load(spark, sf_dir)("embeddings")
+    return dedup.semantic_dedup(
+        docs, emb, **ANN_LSH).select("doc_id", "lang", "source", "n_chars")
+
+
 def q_text_stats(spark, sf_dir):
     docs = dedup.fan_out(_load(spark, sf_dir)("documents"), "doc_id")
     return T.quality_features(docs)
@@ -646,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d03_dedup_simhash": q_dedup_simhash,
         "d04_dedup_jaccard_verified": q_dedup_jaccard_verified,
         "d05_dedup_clusters": q_dedup_clusters,
+        "d06_dedup_semantic": q_dedup_semantic,
         "t01_text_stats": q_text_stats,
         "t02_lang_profile": q_lang_profile,
         "t03_doc_fingerprints": q_doc_fingerprints,
@@ -890,6 +904,7 @@ SELECT d.doc_id,
        least(d.doc_id, coalesce(min(r.dst), d.doc_id)) != d.doc_id AS is_duplicate
 FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
 GROUP BY d.doc_id""",
+        "d06_dedup_semantic": dedup.semantic_dedup_sql(**ANN_LSH),
         "t01_text_stats": _text_stats_oracle(),
         "t02_lang_profile": f"""
             SELECT {_lang_id_sql()} AS lang_pred, COUNT(*) AS n_docs

@@ -288,3 +288,50 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     jac = inter / F.greatest(union, F.lit(1))
     return (joined.select("a", "b", F.round(jac, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def semantic_dedup(docs: DataFrame, emb: DataFrame, threshold: float,
+                   bits: int = 16, dim: int | None = None,
+                   doc_key: str = "doc_id", vec_key: str = "vec_id",
+                   vec_col: str = "embedding",
+                   max_bucket: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate removal over a document corpus.
+
+    The sixth dedup family: documents whose embeddings are cosine-similar
+    beyond ``threshold`` are duplicates; of each similar pair the larger-id
+    document is dropped (the standard greedy keep-first rule — deterministic
+    and order-free). Pairs come from :func:`similarity.cosine_similar_pairs`
+    (random-hyperplane LSH buckets -> bucket-local candidates -> exact
+    cosine verify), so no all-pairs join exists anywhere.
+
+    Scale shape: the pair set is tiny relative to the corpus, so the final
+    anti-join broadcasts the duplicate-id list — the corpus itself is
+    touched by exactly one scan with no shuffle.  Documents without an
+    embedding row survive by construction (they can't appear in a pair).
+    """
+    from klepto_spark.operators.similarity import cosine_similar_pairs
+    pairs = cosine_similar_pairs(emb, threshold, vec_col=vec_col,
+                                 key_col=vec_key, bits=bits, dim=dim,
+                                 max_bucket=max_bucket)
+    dups = pairs.select(F.col("b").alias(doc_key)).distinct()
+    return docs.join(F.broadcast(dups), doc_key, "left_anti")
+
+
+def semantic_dedup_sql(threshold: float, bits: int, dim: int,
+                       doc_table: str = "documents",
+                       emb_table: str = "embeddings",
+                       doc_key: str = "doc_id", vec_key: str = "vec_id",
+                       vec_col: str = "embedding",
+                       max_bucket: int = 64,
+                       cols: str = "doc_id, lang, source, n_chars") -> str:
+    """DuckDB oracle for :func:`semantic_dedup`: replays the exact
+    hyperplane-signature pair generation (similarity.similar_pairs_sql),
+    then anti-joins the larger-id side of each pair out of the corpus."""
+    from klepto_spark.operators.similarity import similar_pairs_sql
+    pairs = similar_pairs_sql(threshold, bits, dim, table=emb_table,
+                              vec_col=vec_col, key_col=vec_key,
+                              max_bucket=max_bucket)
+    return f"""
+SELECT {cols} FROM {doc_table} d
+WHERE d.{doc_key} NOT IN (SELECT b FROM ({pairs}) pq)
+"""

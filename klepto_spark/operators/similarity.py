@@ -335,11 +335,24 @@ def ivf_topk(df: DataFrame, query: list[float], centroids: list[list[float]],
     # 64KB method limit — the stage silently drops to interpreted mode
     # (measured: 8.6 s vs 1.4 s on 100k rows). The UDF splits the stage,
     # so the scoring side keeps codegen.
-    subset = (df.withColumn("__ivf_cluster",
-                            _argmin_sq_pandas(centroids)(c))
-              .filter(F.col("__ivf_cluster").isin(probed))
-              .drop("__ivf_cluster"))
-    return brute_force_topk(subset, query, vec_col, key_col, k)
+    # No filter on the assignment: a filter over the UDF-derived column
+    # collapses through the projection and re-evaluates the Arrow UDF in
+    # a second ArrowEvalPython node (measured 2x). Instead the score is
+    # guarded in the SAME projection — rows outside the probed clusters
+    # (and invalid vectors, whose assignment is NULL) get a NULL score,
+    # sort after every real score, and are dropped above the limit, which
+    # is a pushdown barrier. Identical result to filter-first. fan_out
+    # runs BEFORE the UDF so the assignment itself is spread too.
+    from klepto_spark.operators.dedup import fan_out
+    cluster = _argmin_sq_pandas(centroids)(c)
+    score = cosine_const(c, query)
+    guarded = F.when(cluster.isin([int(p) for p in probed]),
+                     F.round(score, 6))
+    return (fan_out(df, key_col)
+            .select(F.col(key_col), guarded.alias("score"))
+            .orderBy(F.desc_nulls_last("score"), F.col(key_col))
+            .limit(k)
+            .filter(F.col("score").isNotNull()))
 
 
 def _argmin_sq_pandas(centroids: list[list[float]]):
@@ -596,7 +609,16 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
         codes = [
             _argmin_cluster(F.slice(v, i * sub + 1, sub), book)
             for i, book in enumerate(codebooks)]
-        return df.select(F.col(key_col), F.array(*codes).alias("codes"))
+        # Invalid vectors (NULL / wrong dim / non-finite) must yield a NULL
+        # CODES ARRAY, matching the pandas path — an array OF nulls is not
+        # itself NULL, and under ANSI mode element_at(lut, NULL) does not
+        # propagate NULL, so downstream ADC would score garbage instead of
+        # dropping the row.
+        valid = (v.isNotNull() & (F.size(v) == m * sub)
+                 & ~F.exists(v, lambda x: x.isNull() | F.isnan(x)
+                             | (F.abs(x) == F.lit(float("inf")))))
+        return df.select(F.col(key_col),
+                         F.when(valid, F.array(*codes)).alias("codes"))
     return df.select(F.col(key_col),
                      _pq_encode_pandas(codebooks)(v).alias("codes"))
 
@@ -661,13 +683,21 @@ def pq_topk(codes_df: DataFrame, query: list[float],
     for t in score_terms[1:]:
         dist = dist + t
     # NULL codes (the NULL-safe encoders' drop-the-row marker for
-    # NULL/wrong-dim/NaN vectors) must not rank: ascending sort is NULLS
-    # FIRST in Spark, so without the filter a NULL ADC score would occupy
-    # the top-k and displace real neighbours.
-    return (codes_df.filter(F.col("codes").isNotNull())
+    # NULL/wrong-dim/NaN vectors) must not rank. Two traps: (a) a pre-sort
+    # filter(codes IS NOT NULL) collapses through the projection and
+    # re-evaluates the Arrow encode UDF in a second ArrowEvalPython node
+    # (measured 2x on s05); (b) under ANSI mode element_at(lut, NULL) does
+    # NOT propagate NULL, so the raw ADC sum scores garbage for NULL codes.
+    # So: guard the score in the SAME projection (no extra UDF eval), sort
+    # NULLs after every valid row, and drop them above the limit — the
+    # limit is a pushdown barrier, so the filter touches <= k rows and the
+    # result is identical to filter-first.
+    dist = F.when(F.col("codes").isNotNull(), dist)
+    return (codes_df
             .select(F.col(key_col), F.round(dist, 6).alias("sq_dist"))
             .orderBy(F.asc_nulls_last("sq_dist"), F.col(key_col))
-            .limit(k))
+            .limit(k)
+            .filter(F.col("sq_dist").isNotNull()))
 
 
 def pq_topk_sql(query: list[float], codebooks: list[list[list[float]]],
@@ -930,12 +960,17 @@ def ivfpq_topk(df: DataFrame, query: list[float], centroids,
     m = len(codebooks)
     v = F.col(vec_col).cast("array<double>")
     enc = _ivfpq_encode_pandas(centroids, codebooks)
+    # No filter on the probed clusters here: a filter over a UDF-derived
+    # column collapses through the projection and re-evaluates the Arrow
+    # encode UDF in a second ArrowEvalPython node (measured 2x on s06).
+    # Instead, rows outside the probed clusters fall through the no-ELSE
+    # CASE below to a NULL ADC, sort after every valid row, and are
+    # dropped above the limit — identical to filter-first pruning.
     base = (df.select(F.col(key_col), v.alias(vec_col))
             .withColumn("_e", enc(F.col(vec_col)))
             .select(key_col, vec_col,
                     F.col("_e.cluster").alias("cluster"),
-                    F.col("_e.codes").alias("codes"))
-            .filter(F.col("cluster").isin([int(c) for c in probed])))
+                    F.col("_e.codes").alias("codes")))
     terms = []
     for i, book in enumerate(codebooks):
         lut_branches = None
@@ -958,7 +993,8 @@ def ivfpq_topk(df: DataFrame, query: list[float], centroids,
     shortlist = (base.select(F.col(key_col), F.col(vec_col),
                              adc.alias("adc"))
                  .orderBy(F.asc_nulls_last("adc"), F.col(key_col))
-                 .limit(n_candidates))
+                 .limit(n_candidates)
+                 .filter(F.col("adc").isNotNull()))
     score = cosine_const(F.col(vec_col).cast("array<double>"), query)
     return (shortlist
             .select(F.col(key_col), F.round(score, 6).alias("score"))

@@ -478,3 +478,42 @@ def test_ann_recall_gate_default_params(spark):
 
     assert ivfpq_recall >= 0.9, f"IVF-PQ recall@10 degraded: {ivfpq_recall}"
     assert pq_recall >= 0.9, f"PQ+rerank recall@10 degraded: {pq_recall}"
+
+
+def test_semantic_dedup_drops_larger_id_of_each_similar_pair(spark):
+    """Embedding-cosine near-dup removal: of each pair over the threshold
+    the larger-id document is dropped; documents without an embedding
+    survive; chains drop every non-minimal member reachable by a pair."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]),
+         (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+         (2, [0.0, 1.0, 0.0, 0.0]),
+         (3, [0.0, 0.999, 0.02, 0.0]),   # near-dup of 2
+         (4, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id int, embedding array<double>")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(5)] + [(9, "no embedding")],
+        "doc_id int, text string")
+    out = dedup.semantic_dedup(docs, emb, threshold=0.98, bits=2, dim=4)
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 2, 4, 9]
+
+
+def test_pq_expression_path_nulls_invalid_vectors(spark):
+    """The codegen'd pq_encode path must emit a NULL codes ARRAY (not an
+    array of NULL elements) for NULL / wrong-dim / non-finite vectors —
+    under ANSI mode element_at(lut, NULL) does not propagate NULL, so a
+    non-NULL codes array with NULL elements would score garbage ADC."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, None),
+            (2, [0.0, 1.0]), (3, [0.0, None, 0.0, 0.0]),
+            (4, [0.0, float("nan"), 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    books = [[[1.0, 0.0], [0.0, 1.0]], [[1.0, 0.0], [0.0, 1.0]]]  # m*k*sub=8
+    codes = {r["vec_id"]: r["codes"]
+             for r in similarity.pq_encode(df, books).collect()}
+    assert codes[0] is not None
+    assert codes[1] is None and codes[2] is None
+    assert codes[3] is None and codes[4] is None
+    top = similarity.pq_topk(similarity.pq_encode(df, books),
+                             [1.0, 0.0, 0.0, 0.0], books, k=5).collect()
+    assert [r["vec_id"] for r in top] == [0]
+    assert all(r["sq_dist"] is not None for r in top)

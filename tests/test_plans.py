@@ -157,3 +157,22 @@ def test_audit_plan_parsing():
     assert got["codegen_spans"] == 3     # spans 1,2,3 (cached 9 stripped)
     assert got["partition_filters"] is True
     assert got["pushed_filters"] is False  # cached subtree's filter stripped
+
+
+def test_arrow_udf_ann_paths_evaluate_encode_once(spark, sf_dir):
+    """A filter (or guard) over an Arrow-UDF-derived column must not
+    collapse into a second ArrowEvalPython node: the encode UDF is the
+    dominant per-row cost, and Catalyst happily duplicates it when a
+    Filter and a Project both reference the collapsed expression
+    (measured 2x wall-clock on the PQ-rerank and IVF-PQ queries)."""
+    for q in ("s03_ivf_topk", "s05_pq_rerank", "s06_ivfpq_topk"):
+        df = entry.queries()[q](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("ArrowEvalPython")
+        assert n <= 1, f"{q}: {n} ArrowEvalPython nodes (UDF re-evaluated)"
+
+
+def test_semantic_dedup_broadcasts_duplicate_ids(spark, sf_dir):
+    df = entry.queries()["d06_dedup_semantic"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
