@@ -118,7 +118,8 @@ def _cmd_steal_cdc(args: argparse.Namespace) -> int:
             mark_col=mark_col, keys=key_list,
             tombstone=args.tombstone.get(table) if args.tombstone else None,
             sync_deletes=args.sync_deletes,
-            partition_buckets=args.partition_buckets)
+            partition_buckets=args.partition_buckets,
+            merge_on_read=args.merge_on_read)
     # a --tombstone naming a table not under --cdc is a silent no-op
     # (soft deletes would merge as live rows forever) — fail loudly
     orphaned = set(args.tombstone or {}) - set(tables)
@@ -230,6 +231,10 @@ def build_parser() -> argparse.ArgumentParser:
     pcdc.add_argument("--partition-buckets", type=int, default=None,
                       help="file sinks: bucket-partitioned layout; merges "
                            "rewrite only the delta's buckets")
+    pcdc.add_argument("--merge-on-read", action="store_true",
+                      help="file sinks: O(delta) merges via deletion-"
+                           "vector epochs; reads resolve latest-wins and "
+                           "compaction folds epochs into the base")
     pcdc.add_argument("--config", default=None)
     pcdc.add_argument("--permissive", action="store_true")
     pcdc.add_argument("--seed", default="klepto")

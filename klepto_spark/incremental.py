@@ -139,12 +139,21 @@ class CdcTable:
     ``partition_buckets`` opts file sinks into the bucket-partitioned
     layout (:func:`klepto_spark.sinks.writers.merge_files_partitioned`):
     merge cost then follows the delta's buckets instead of rewriting the
-    whole table — the right default for large tables."""
+    whole table — the right default for large tables.
+
+    ``merge_on_read`` makes file-sink merges O(delta) appends: each
+    window publishes as a deletion-vector epoch, the base files are never
+    rewritten, reads resolve latest-wins, and compaction folds epochs
+    back in (:mod:`klepto_spark.sinks.deletion_vectors`) — the right
+    shape when windows are frequent and small relative to the table.
+    Combine with ``partition_buckets`` so compaction inherits
+    touched-buckets-only cost."""
     mark_col: str
     keys: list[str]
     tombstone: str | None = None
     sync_deletes: bool = False
     partition_buckets: int | None = None
+    merge_on_read: bool = False
 
 
 def steal_cdc(spec: Spec, source, sink_dsn: str, *,
@@ -270,7 +279,8 @@ def steal_cdc(spec: Spec, source, sink_dsn: str, *,
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             try:
                 merge_table(df, sink_dsn, table, cdc.keys, deletes=dels,
-                            partition_buckets=cdc.partition_buckets)
+                            partition_buckets=cdc.partition_buckets,
+                            merge_on_read=cdc.merge_on_read)
             finally:
                 if dels is not None:
                     dels.unpersist()

@@ -399,6 +399,32 @@ def _load_schema_contract(jvm, fs, tgt):
     return StructType.fromJson(json.loads(text))
 
 
+def align_to_contract(df: DataFrame, table_types: dict, table: str) -> DataFrame:
+    """Cast a delta frame to the table's recorded column types, refusing
+    anything but lossless numeric widening. A narrowing cast (delta long
+    -> table int) would turn unrepresentable values into NULLs under
+    non-ANSI eval — silently corrupting keys — and precision-losing
+    widenings (bigint -> double rounds above 2^53, int -> float above
+    2^24) corrupt just as silently, so both refuse. New columns are
+    refused too: keyed merges cannot evolve the schema in place."""
+    from pyspark.sql import functions as F
+    drifted = set(df.columns) - set(table_types)
+    if drifted:
+        raise ValueError(
+            f"delta columns {sorted(drifted)} not in table {table!r}; "
+            "keyed merge cannot add columns (rewrite with "
+            "merge_files to evolve the schema)")
+    for f in df.schema.fields:
+        want = table_types[f.name]
+        if f.dataType != want and not _lossless_widening(
+                f.dataType.simpleString(), want.simpleString()):
+            raise ValueError(
+                f"delta column {f.name!r} is {f.dataType.simpleString()} "
+                f"but table {table!r} stores {want.simpleString()}: only "
+                "lossless numeric widening can be aligned safely")
+    return df.select(*[F.col(c).cast(table_types[c]) for c in df.columns])
+
+
 def bucket_expr(keys: list[str], n_buckets: int):
     """Deterministic key-derived partition id: stable across runs and
     engines' partitionings, so a key always lands in the same bucket."""
@@ -485,26 +511,7 @@ def merge_files_partitioned(df: DataFrame, directory: str, table: str,
         table_types = {f.name: f.dataType
                        for f in reader.load(target).schema.fields
                        if f.name != BUCKET_COL}
-    drifted = set(df.columns) - set(table_types)
-    if drifted:
-        raise ValueError(
-            f"delta columns {sorted(drifted)} not in table {table!r}; "
-            "partitioned merge cannot add columns (rewrite with "
-            "merge_files to evolve the schema)")
-    # only LOSSLESS-widening drift is aligned by cast: a narrowing cast
-    # (delta long -> table int) would turn unrepresentable values into
-    # NULLs under non-ANSI eval — silently corrupting keys — and
-    # precision-losing widenings (bigint -> double rounds above 2^53,
-    # int -> float above 2^24) corrupt just as silently, so both refuse
-    for f in df.schema.fields:
-        want = table_types[f.name]
-        if f.dataType != want and not _lossless_widening(
-                f.dataType.simpleString(), want.simpleString()):
-            raise ValueError(
-                f"delta column {f.name!r} is {f.dataType.simpleString()} "
-                f"but table {table!r} stores {want.simpleString()}: only "
-                "lossless numeric widening can be aligned safely")
-    delta = df.select(*[F.col(c).cast(table_types[c]) for c in df.columns])
+    delta = align_to_contract(df, table_types, table)
     delta = delta.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
     if deletes is not None:
         deletes = deletes.select(
@@ -638,15 +645,26 @@ def merge_jdbc(df: DataFrame, dsn: DSN, table: str, keys: list[str],
 
 def merge_table(df: DataFrame, dsn_str: str, table: str,
                 keys: list[str], deletes: DataFrame | None = None,
-                partition_buckets: int | None = None) -> None:
+                partition_buckets: int | None = None,
+                merge_on_read: bool = False) -> None:
     """Keyed-merge sink routed by DSN (the CDC counterpart of
     :func:`write_table`). ``deletes`` is an optional keys-only frame whose
     keys are removed in the same atomic publish/transaction.
     ``partition_buckets`` opts file sinks into the bucket-partitioned
     layout whose merge cost follows touched partitions
-    (:func:`merge_files_partitioned`) — the 100 TB default."""
+    (:func:`merge_files_partitioned`) — the 100 TB default.
+    ``merge_on_read`` makes file-sink merges O(delta) appends (deletion
+    vectors + delta epochs, folded by compaction —
+    :mod:`klepto_spark.sinks.deletion_vectors`); with both set, the base
+    is created bucket-partitioned so compaction rewrites only touched
+    buckets."""
     kind, fmt, dsn = route(dsn_str)
     if kind == "files":
+        if merge_on_read:
+            from klepto_spark.sinks.deletion_vectors import merge_files_dv
+            merge_files_dv(df, file_path(dsn), table, fmt, keys,
+                           deletes=deletes, n_buckets=partition_buckets)
+            return
         if partition_buckets:
             merge_files_partitioned(df, file_path(dsn), table, fmt, keys,
                                     n_buckets=partition_buckets,

@@ -146,6 +146,14 @@ class FileCatalog:
                           .parquet(self._path(table)))
             else:
                 df = reader.load(self._path(table))
+        # a deletion-vector table (merge-on-read CDC sink) resolves its
+        # committed epochs at read time, so every catalog consumer —
+        # including sync_deletes' sink-key diff — sees the merged view
+        dv_log = Path(self._path(table)) / "_dvlog"
+        if dv_log.is_dir() and any(dv_log.glob("e*.json")):
+            from klepto_spark.sinks.deletion_vectors import read_files_dv
+            df = read_files_dv(self.spark, str(self.directory), table,
+                               self.fmt, base=df)
         # normalise nanosecond timestamps read as long (see session.py)
         return normalise_nanos_ts(df)
 

@@ -1,0 +1,231 @@
+"""Merge-on-read CDC: deletion-vector epochs over a file table.
+
+The invariants under test: merges never touch base files, reads resolve
+latest-wins exactly like the eager merge would have, uncommitted epochs
+are invisible, compaction folds-and-retires idempotently, and the
+catalog/CDC integration sees the merged view end-to-end."""
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from klepto_spark.sinks import deletion_vectors as dv
+from klepto_spark.sinks.writers import BUCKET_COL, merge_files
+from klepto_spark.sources.catalog import FileCatalog
+
+SCHEMA = "id long, name string, v double"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def _view(spark, d):
+    return {r["id"]: (r["name"], r["v"])
+            for r in dv.read_files_dv(spark, str(d), "t", "parquet").collect()}
+
+
+def _base_files(d):
+    root = Path(d, "t.parquet")
+    return sorted((str(p.relative_to(root)), p.stat().st_mtime_ns)
+                  for p in root.rglob("part-*")
+                  if "_delta" not in p.parts and "_dv" not in p.parts)
+
+
+def test_dv_merge_appends_epochs_without_touching_base(spark, tmp_path):
+    dv.merge_files_dv(_df(spark, [(1, "a", 1.0), (2, "b", 2.0),
+                                  (3, "c", 3.0)]),
+                      str(tmp_path), "t", "parquet", ["id"])
+    before = _base_files(tmp_path)
+
+    dv.merge_files_dv(_df(spark, [(2, "B", 20.0), (4, "d", 4.0)]),
+                      str(tmp_path), "t", "parquet", ["id"],
+                      auto_compact=None)
+    dv.merge_files_dv(_df(spark, [(5, "e", 5.0)]),
+                      str(tmp_path), "t", "parquet", ["id"],
+                      deletes=_keys(spark, [1]), auto_compact=None)
+
+    assert _base_files(tmp_path) == before  # zero base rewrite
+    assert len(dv.pending_epochs(spark, str(tmp_path), "t", "parquet")) == 2
+    assert _view(spark, tmp_path) == {2: ("B", 20.0), 3: ("c", 3.0),
+                                      4: ("d", 4.0), 5: ("e", 5.0)}
+
+
+def test_dv_matches_eager_merge_on_same_history(spark, tmp_path):
+    """The merged view must equal what the eager keyed merge produces for
+    the same sequence of windows — including delete-then-reinsert."""
+    history = [
+        ([(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], None),
+        ([(2, "B", 20.0)], [3]),
+        ([(3, "C", 30.0), (4, "d", 4.0)], [1]),   # reinsert 3 after delete
+        ([], [4]),                                 # delete-only window
+    ]
+    for i, (rows, dels) in enumerate(history):
+        delta = _df(spark, rows)
+        gone = _keys(spark, dels) if dels else None
+        dv.merge_files_dv(delta, str(tmp_path / "mor"), "t", "parquet",
+                          ["id"], deletes=gone, auto_compact=None)
+        merge_files(delta, str(tmp_path / "eager"), "t", "parquet",
+                    ["id"], deletes=gone)
+    eager = {r["id"]: (r["name"], r["v"]) for r in
+             spark.read.parquet(f"{tmp_path}/eager/t.parquet").collect()}
+    assert _view(spark, tmp_path / "mor") == eager
+
+
+def test_dv_uncommitted_epoch_is_invisible_and_cleaned(spark, tmp_path):
+    dv.merge_files_dv(_df(spark, [(1, "a", 1.0)]), str(tmp_path), "t",
+                      "parquet", ["id"])
+    dv.merge_files_dv(_df(spark, [(2, "b", 2.0)]), str(tmp_path), "t",
+                      "parquet", ["id"], auto_compact=None)
+    # simulate a crash between the data write and the commit: epoch data
+    # exists, log file does not
+    tdir = tmp_path / "t.parquet"
+    orphan = tdir / "_delta" / "e000099"
+    (_df(spark, [(9, "never", 9.9)]).withColumn(dv.EPOCH_COL, F.lit(99))
+     .write.parquet(str(orphan)))
+    assert 9 not in _view(spark, tmp_path)          # not committed -> unread
+    dv.merge_files_dv(_df(spark, [(3, "c", 3.0)]), str(tmp_path), "t",
+                      "parquet", ["id"], auto_compact=None)
+    assert not orphan.exists()                       # next merge cleans it
+    assert sorted(_view(spark, tmp_path)) == [1, 2, 3]
+
+
+def test_dv_compaction_folds_and_retires(spark, tmp_path):
+    dv.merge_files_dv(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]),
+                      str(tmp_path), "t", "parquet", ["id"])
+    dv.merge_files_dv(_df(spark, [(2, "B", 20.0), (3, "c", 3.0)]),
+                      str(tmp_path), "t", "parquet", ["id"],
+                      deletes=_keys(spark, [1]), auto_compact=None)
+    before = _view(spark, tmp_path)
+    folded = dv.compact_files_dv(spark, str(tmp_path), "t", "parquet")
+    assert folded == 1
+    assert dv.pending_epochs(spark, str(tmp_path), "t", "parquet") == []
+    assert _view(spark, tmp_path) == before          # view unchanged
+    # post-compaction the base alone carries the state
+    flat = {r["id"] for r in
+            spark.read.parquet(f"{tmp_path}/t.parquet").collect()}
+    assert flat == {2, 3}
+
+
+def test_dv_compaction_is_idempotent_after_crash(spark, tmp_path):
+    """A crash between the fold and the epoch retirement replays the same
+    events onto the already-folded base and converges."""
+    dv.merge_files_dv(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]),
+                      str(tmp_path), "t", "parquet", ["id"])
+    dv.merge_files_dv(_df(spark, [(2, "B", 20.0)]), str(tmp_path), "t",
+                      "parquet", ["id"], deletes=_keys(spark, [1]),
+                      auto_compact=None)
+    tdir = tmp_path / "t.parquet"
+    saved = tmp_path / "saved"
+    for part in ("_dvlog", "_delta", "_dv"):
+        if (tdir / part).exists():
+            shutil.copytree(tdir / part, saved / part)
+    dv.compact_files_dv(spark, str(tmp_path), "t", "parquet")
+    want = _view(spark, tmp_path)
+    # "crash": the retirement never happened — epochs reappear
+    for part in ("_dvlog", "_delta", "_dv"):
+        if (saved / part).exists():
+            shutil.copytree(saved / part, tdir / part, dirs_exist_ok=True)
+    assert _view(spark, tmp_path) == want            # replayed view converges
+    dv.compact_files_dv(spark, str(tmp_path), "t", "parquet")
+    assert _view(spark, tmp_path) == want
+
+
+def test_dv_over_bucketed_base_compacts_touched_buckets_only(spark, tmp_path):
+    dv.merge_files_dv(
+        _df(spark, [(i, f"n{i}", float(i)) for i in range(40)]),
+        str(tmp_path), "t", "parquet", ["id"], n_buckets=8)
+    tdir = tmp_path / "t.parquet"
+    assert any(p.name.startswith(f"{BUCKET_COL}=") for p in tdir.iterdir())
+    dv.merge_files_dv(_df(spark, [(7, "N7", 70.0)]), str(tmp_path), "t",
+                      "parquet", ["id"], auto_compact=None)
+    files_before = _base_files(tmp_path)
+    assert _view(spark, tmp_path)[7] == ("N7", 70.0)
+    dv.compact_files_dv(spark, str(tmp_path), "t", "parquet")
+    files_after = _base_files(tmp_path)
+    assert files_after != files_before               # something rewrote
+    # only key 7's bucket may change: every other bucket's files keep
+    # name+mtime identity through the fold
+    changed_dirs = {Path(n).parts[0] for n, _ in
+                    set(files_before) ^ set(files_after)}
+    assert len(changed_dirs) == 1
+    assert next(iter(changed_dirs)).startswith(BUCKET_COL)
+    assert _view(spark, tmp_path)[7] == ("N7", 70.0)
+
+
+def test_dv_auto_compact_threshold(spark, tmp_path):
+    dv.merge_files_dv(_df(spark, [(i, f"n{i}", float(i))
+                                  for i in range(10)]),
+                      str(tmp_path), "t", "parquet", ["id"])
+    # 1 pending row over 10 base rows = 0.1 < 0.5 -> stays pending
+    dv.merge_files_dv(_df(spark, [(1, "x", -1.0)]), str(tmp_path), "t",
+                      "parquet", ["id"], auto_compact=0.5)
+    assert len(dv.pending_epochs(spark, str(tmp_path), "t", "parquet")) == 1
+    # 6 pending rows over 10 -> 0.6 >= 0.5 -> folds automatically
+    dv.merge_files_dv(_df(spark, [(i, "y", 0.0) for i in range(2, 7)]),
+                      str(tmp_path), "t", "parquet", ["id"],
+                      auto_compact=0.5)
+    assert dv.pending_epochs(spark, str(tmp_path), "t", "parquet") == []
+    assert _view(spark, tmp_path)[1] == ("x", -1.0)
+
+
+def test_dv_key_mismatch_refused(spark, tmp_path):
+    dv.merge_files_dv(_df(spark, [(1, "a", 1.0)]), str(tmp_path), "t",
+                      "parquet", ["id"])
+    with pytest.raises(ValueError, match="key identity"):
+        dv.merge_files_dv(_df(spark, [(1, "a", 1.0)]), str(tmp_path), "t",
+                          "parquet", ["name"])
+
+
+def test_file_catalog_serves_the_merged_view(spark, tmp_path):
+    dv.merge_files_dv(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]),
+                      str(tmp_path), "t", "parquet", ["id"])
+    dv.merge_files_dv(_df(spark, [(2, "B", 20.0)]), str(tmp_path), "t",
+                      "parquet", ["id"], deletes=_keys(spark, [1]),
+                      auto_compact=None)
+    cat = FileCatalog(spark, str(tmp_path))
+    got = {r["id"]: r["name"] for r in cat.load("t").collect()}
+    assert got == {2: "B"}
+
+
+def test_cdc_merge_on_read_end_to_end(spark, tmp_path):
+    """steal_cdc with merge_on_read: windows append epochs, the sink view
+    stays latest-wins, deletes land, and compaction folds."""
+    from klepto_spark.config import Spec
+    from klepto_spark.incremental import CdcTable, steal_cdc
+
+    src = tmp_path / "src"
+    out = f"parquet://{tmp_path}/out"
+    rows = [(1, "a", 1.0, 100), (2, "b", 2.0, 100)]
+    schema = "id long, name string, v double, ver long"
+    (spark.createDataFrame(rows, schema)
+     .write.mode("overwrite").parquet(str(src / "t.parquet")))
+    cdc = {"t": CdcTable(mark_col="ver", keys=["id"], merge_on_read=True)}
+    state = str(tmp_path / "marks.json")
+    spec = Spec(tables=[])
+    rep = steal_cdc(spec, FileCatalog(spark, str(src)), out,
+                    state_path=state, tables=cdc)
+    assert rep.ok
+
+    # window 2: update row 1, insert row 3
+    (spark.createDataFrame([(1, "A", 10.0, 200), (3, "c", 3.0, 200)], schema)
+     .write.mode("append").parquet(str(src / "t.parquet")))
+    rep = steal_cdc(spec, FileCatalog(spark, str(src)), out,
+                    state_path=state, tables=cdc)
+    assert rep.ok
+    sink = FileCatalog(spark, str(tmp_path / "out"))
+    got = {r["id"]: r["name"] for r in sink.load("t").collect()}
+    assert got == {1: "A", 2: "b", 3: "c"}
+    # the delta was 2/3 of the base, over the default 0.2 auto-compact
+    # threshold -> the run folded it; the flat base alone carries the state
+    assert dv.pending_epochs(spark, str(tmp_path / "out"), "t",
+                             "parquet") == []
+    flat = {r["id"] for r in
+            spark.read.parquet(f"{tmp_path}/out/t.parquet").collect()}
+    assert flat == {1, 2, 3}
