@@ -152,3 +152,55 @@ def test_zone_pin_warns_once_when_overriding_non_utc(spark):
     finally:
         S._WARNED_ZONE_OVERRIDE[:] = saved
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_simhash_col_matches_batch_fingerprint(spark, sf_dir):
+    """The stateless per-row simhash must be bit-identical to the batch
+    explode+aggregate fingerprint (same shingles, votes, majority rule)."""
+    from klepto_spark.operators import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    batch = {r["doc_id"]: r["simhash"]
+             for r in dedup.simhash_df(docs, hash_fn="xxhash64").collect()}
+    inline = {r["doc_id"]: r["sh"]
+              for r in docs.select(
+                  "doc_id",
+                  dedup.simhash_col("text").alias("sh")).collect()}
+    assert batch == inline
+
+
+def test_streaming_dedup_keeps_first_arrival(spark, tmp_path):
+    """Exact and near-dup streaming dedup: duplicates within the watermark
+    collapse to one surviving row per fingerprint."""
+    from klepto_spark.streaming.dedup import (
+        dedup_exact_stream, dedup_simhash_stream)
+
+    src = str(tmp_path / "docs_stream")
+    rows = [
+        (1, "the quick brown fox", "2024-01-01 10:00:00"),
+        (2, "the quick brown fox", "2024-01-01 10:05:00"),   # exact dup
+        (3, "a completely different document", "2024-01-01 10:10:00"),
+        (4, "the quick brown fox", "2024-01-01 10:20:00"),   # exact dup
+    ]
+    (spark.createDataFrame(rows, "doc_id int, text string, ts_s string")
+     .selectExpr("doc_id", "text", "CAST(ts_s AS TIMESTAMP) AS ts")
+     .write.mode("overwrite").parquet(src))
+
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    q = (dedup_exact_stream(stream).writeStream.format("memory")
+         .queryName("dd_exact").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck1"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT text FROM dd_exact").collect()
+    assert sorted(r["text"] for r in got) == [
+        "a completely different document", "the quick brown fox"]
+
+    q2 = (dedup_simhash_stream(stream).writeStream.format("memory")
+          .queryName("dd_near").outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ck2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    near = spark.sql("SELECT doc_id, simhash FROM dd_near").collect()
+    assert len(near) == 2                       # dups collapsed
+    assert len({r["simhash"] for r in near}) == 2
