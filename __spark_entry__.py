@@ -607,6 +607,45 @@ def q_sample_exact_n(spark, sf_dir):
             .select("doc_id", "source", "rn"))
 
 
+WEIGHT_EXPR_SQL = "least(CAST(n_chars AS DOUBLE) / 400.0, 1.0)"
+
+
+def q_sample_weighted(spark, sf_dir):
+    """Length-weighted Bernoulli sample (keep probability proportional to
+    doc length, capped at 1) — the corpus-mixing primitive; integer-exact
+    draw arithmetic makes it replayable in SQL to the bit."""
+    from klepto_spark.operators import sampling as P
+    docs = _load(spark, sf_dir)("documents")
+    w = F.least(F.col("n_chars").cast("double") / F.lit(400.0), F.lit(1.0))
+    return (P.sample_weighted(docs.withColumn("w", w), "doc_id", "w",
+                              rate=0.9, salt=SEED)
+            .select("doc_id", "lang", "n_chars"))
+
+
+def q_events_pivot(spark, sf_dir):
+    """Daily activity matrix: pivot event_type into columns (explicit
+    value list keeps the schema deterministic); decimal sums for exact
+    cross-engine doubles. Oracle is portable conditional aggregation."""
+    events = _load(spark, sf_dir)("events")
+    return (events
+            .groupBy(F.to_date("ts").alias("day"))
+            .pivot("event_type", EVENT_TYPES)
+            .agg(F.sum(_dec("value")).cast("double")))
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Approximate distinct users per event type via DataSketches HLL —
+    the shuffle carries fixed-size sketches, not the value universe. No
+    SQL oracle (DuckDB's approx_count_distinct is a different sketch);
+    the error bound and sketch mergeability are pinned by pytest."""
+    from klepto_spark.operators.sketches import hll_distinct
+    events = _load(spark, sf_dir)("events")
+    return hll_distinct(events, "user_id", ["event_type"])
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> mapInPandas feature extraction.
     The stub features are pure byte math, so the DuckDB oracle recomputes
@@ -675,6 +714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p01_sample_split": q_sample_split,
         "p02_sample_stratified": q_sample_stratified,
         "p03_sample_exact_n": q_sample_exact_n,
+        "p04_sample_weighted": q_sample_weighted,
+        "a11_events_pivot": q_events_pivot,
+        "t06_hll_distinct": q_hll_distinct,
         "m01_media_features": q_media_features,
         "m02_frame_plan": q_frame_plan,
     }
@@ -955,6 +997,17 @@ FROM s GROUP BY user_id, sid""",
         "p03_sample_exact_n": sampling.sample_exact_n_sql(
             "documents", "source", "doc_id", 10, salt=SEED,
             columns="doc_id, source"),
+        "p04_sample_weighted": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE {sampling.sample_weighted_sql(
+                "doc_id", WEIGHT_EXPR_SQL, rate=0.9, salt=SEED)}""",
+        "a11_events_pivot": f"""
+            SELECT CAST(ts AS DATE) AS day,
+                   {", ".join(
+                       f"CAST(sum(CASE WHEN event_type = '{t}' THEN "
+                       f"CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) "
+                       f"AS {t}" for t in EVENT_TYPES)}
+            FROM events GROUP BY 1""",
         "d03_dedup_simhash": dedup.simhash_dedup_sql(),
         "m01_media_features": multimodal.media_features_sql(),
         "m02_frame_plan": """

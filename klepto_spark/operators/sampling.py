@@ -200,3 +200,57 @@ SELECT {sel} FROM (
             ORDER BY {h}, {key_col}) AS {out_col}
   FROM {table_sql})
 WHERE {out_col} <= {n}"""
+
+
+def _hex_value(h: Column) -> Column:
+    """The 8-hex-char draw as an exact integer in [0, 2^32): an unrolled
+    8-term positional sum — the identical arithmetic is expressible in
+    DuckDB (instr/strpos over the same alphabet), so weighted thresholds
+    can compare NUMERICALLY across engines (the string compare the flat
+    samplers use cannot carry a per-row threshold)."""
+    out = None
+    for i in range(8):
+        digit = (F.instr(F.lit("0123456789abcdef"),
+                         F.substring(h, i + 1, 1)) - 1).cast("long")
+        term = digit * F.lit(16 ** (7 - i)).cast("long")
+        out = term if out is None else out + term
+    return out
+
+
+def _hex_value_sql(h: str) -> str:
+    terms = [(f"(CAST(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) "
+              f"AS BIGINT) - 1) * {16 ** (7 - i)}")
+             for i in range(8)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def sample_weighted(df: DataFrame, key_col: str, weight_col: str,
+                    rate: float = 1.0, salt: str = "") -> DataFrame:
+    """Deterministic weighted Bernoulli sample: per-row keep probability
+    ``clamp(rate * weight, 0, 1)`` — the corpus-mixing primitive (favor
+    long/high-quality documents, downweight boilerplate sources) with the
+    same portability contract as :func:`sample_uniform`: membership
+    depends only on (salt, key, weight), so it is repartition-stable,
+    incremental-growth-stable, and exactly replayable in SQL.
+
+    Still a pure filter — no shuffle, no state, map-side only at any
+    scale. NULL weights drop the row (NULL comparison), same as SQL.
+
+    Exactness across engines: the draw is integer arithmetic; the
+    threshold ``p * 2^32`` is one double multiply chain with pinned
+    association, bit-identical in IEEE between Spark and DuckDB."""
+    if rate < 0.0:
+        raise ValueError(f"rate must be >= 0, got {rate}")
+    hx = _hex_value(hash_prefix(key_col, salt))
+    p = F.least(F.greatest(F.col(weight_col).cast("double") * F.lit(float(rate)),
+                           F.lit(0.0)), F.lit(1.0))
+    return df.filter(hx.cast("double") < p * F.lit(float(_HEX_SPACE)))
+
+
+def sample_weighted_sql(key_col: str, weight_col: str, rate: float = 1.0,
+                        salt: str = "") -> str:
+    """WHERE-clause twin of :func:`sample_weighted` (DuckDB)."""
+    hx = _hex_value_sql(_hash_prefix_sql(key_col, salt))
+    p = (f"least(greatest(CAST({weight_col} AS DOUBLE) * {float(rate)!r}, "
+         f"0.0), 1.0)")
+    return f"CAST({hx} AS DOUBLE) < {p} * {float(_HEX_SPACE)!r}"

@@ -517,3 +517,18 @@ def test_pq_expression_path_nulls_invalid_vectors(spark):
                              [1.0, 0.0, 0.0, 0.0], books, k=5).collect()
     assert [r["vec_id"] for r in top] == [0]
     assert all(r["sq_dist"] is not None for r in top)
+
+
+def test_hll_sketches_error_bound_and_mergeability(spark, sf_dir):
+    """HLL distinct: estimate within the standard error of exact, and
+    per-group sketches union to the same estimate as sketching the whole
+    corpus — the property that makes stored sketches roll-uppable."""
+    from klepto_spark.operators import sketches as S
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = events.select("user_id").distinct().count()
+    est = S.hll_distinct(events, "user_id").first()["approx_distinct"]
+    assert abs(est - exact) / exact < 0.05  # ~3x sigma at lgk=12
+    per_type = S.hll_sketch_by(events, "user_id", ["event_type"])
+    rolled = S.hll_rollup(per_type).first()["approx_distinct"]
+    direct = S.hll_distinct(events, "user_id").first()["approx_distinct"]
+    assert rolled == direct  # union is lossless

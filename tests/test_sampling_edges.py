@@ -161,3 +161,45 @@ def test_prop_sample_stratified_matches_sql_twin(spark, keys, salt,
         f"{P.sample_stratified_sql('lang', 'k', rates, default_rate=default, salt=salt)}"
     ).fetchall())
     assert got == want
+
+
+def test_weighted_sample_agrees_with_duckdb_including_edges(spark, tmp_path):
+    """Weighted Bernoulli: the integer draw + double threshold agree with
+    the SQL twin bit-for-bit, incl. weight 0 (never), >=1 (always, even
+    for the 'ffffffff' tail), negative (clamped to never), and NULL
+    (dropped by both engines)."""
+    path = str(tmp_path / "w.parquet")
+    (spark.range(500)
+     .selectExpr("id",
+                 "CASE WHEN id % 11 = 0 THEN NULL "
+                 "     WHEN id % 7 = 0 THEN -0.5 "
+                 "     WHEN id % 5 = 0 THEN 2.0 "
+                 "     WHEN id % 3 = 0 THEN 0.0 "
+                 "     ELSE id / 500.0 END AS w")
+     .coalesce(1).write.parquet(path))
+    df = spark.read.parquet(path)
+    got = sorted(r["id"] for r in
+                 P.sample_weighted(df, "id", "w", rate=0.9,
+                                   salt="s").collect())
+    con = duckdb.connect()
+    want = sorted(r[0] for r in con.execute(
+        f"SELECT id FROM read_parquet('{path}/*.parquet') "
+        f"WHERE {P.sample_weighted_sql('id', 'w', rate=0.9, salt='s')}"
+    ).fetchall())
+    assert got == want
+    ids = set(got)
+    assert not {i for i in range(500) if i % 11 == 0} & ids   # NULL w
+    assert not {i for i in range(500) if i % 7 == 0} & ids    # negative
+    assert not {i for i in range(500) if i % 3 == 0
+                and i % 5 and i % 7 and i % 11} & ids         # zero
+    always = {i for i in range(500)
+              if i % 5 == 0 and i % 11 and i % 7 and i % 3}
+    assert always <= ids                                      # clamped to 1
+
+
+def test_weighted_sample_rate_scales_keep_probability(spark):
+    df = spark.range(4000).selectExpr("id", "1.0 AS w")
+    n_half = P.sample_weighted(df, "id", "w", rate=0.5, salt="a").count()
+    n_full = P.sample_weighted(df, "id", "w", rate=1.0, salt="a").count()
+    assert n_full == 4000
+    assert abs(n_half - 2000) < 200
