@@ -33,6 +33,7 @@ import __spark_entry__ as entry_mod
 from klepto_spark.session import get_spark
 
 HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
+         "d06_dedup_semantic",
          "s01_ann_cosine", "s02_ann_pairs_lsh", "s03_ivf_topk",
          "s04_pq_topk", "s05_pq_rerank", "s06_ivfpq_topk",
          "t02_lang_profile"]
