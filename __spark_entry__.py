@@ -546,6 +546,28 @@ def q_pq_rerank(spark, sf_dir):
                                        k=10, n_candidates=50)
 
 
+OPQ_ROTATION = None  # built lazily (64x64 literal list)
+
+
+def _opq_rotation():
+    global OPQ_ROTATION
+    if OPQ_ROTATION is None:
+        OPQ_ROTATION = similarity.givens_rotation(64)
+    return OPQ_ROTATION
+
+
+def q_opq_topk(spark, sf_dir):
+    """OPQ ANN: rotate (deterministic block-diagonal Givens — orthogonal,
+    and 2-term-per-element so DuckDB replays the exact arithmetic), PQ-
+    encode in the rotated space, ADC top-k with the driver-rotated query.
+    k-boundary gaps measured: 0.0067 at sf0.01, 0.0016 at sf0.1 — far
+    above round-6 float noise."""
+    emb = dedup.fan_out(_load(spark, sf_dir)("embeddings"), "vec_id")
+    codes = similarity.opq_encode(emb, _opq_rotation(), PQ_CODEBOOKS)
+    return similarity.opq_topk(codes, PQ_QUERY, _opq_rotation(),
+                               PQ_CODEBOOKS, k=10)
+
+
 def q_sessionize_batch(spark, sf_dir):
     """Gap-based sessionization (batch twin of the stateful streaming
     operator): 1-hour inactivity gap, decimal-exact value sums so the
@@ -710,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s04_pq_topk": q_pq_topk,
         "s05_pq_rerank": q_pq_rerank,
         "s06_ivfpq_topk": q_ivfpq_topk,
+        "s07_opq_topk": q_opq_topk,
         "a09_sessionize_batch": q_sessionize_batch,
         "p01_sample_split": q_sample_split,
         "p02_sample_stratified": q_sample_stratified,
@@ -972,6 +995,8 @@ GROUP BY d.doc_id""",
         "s06_ivfpq_topk": similarity.ivfpq_topk_sql(
             IVF_CENTROIDS[0], IVF_CENTROIDS, IVFPQ_BOOKS,
             n_probe=2, k=10, n_candidates=50),
+        "s07_opq_topk": similarity.opq_topk_sql(
+            PQ_QUERY, _opq_rotation(), PQ_CODEBOOKS, k=10),
         "a09_sessionize_batch": """
 WITH o AS (
   SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS value,

@@ -1251,3 +1251,65 @@ def topk_prenormalised(df: DataFrame, query: list[float],
                       F.round(dot_const(v, unit_q), 6).alias("score"))
             .orderBy(F.desc("score"), F.col(key_col))
             .limit(k))
+
+
+def givens_rotation(dim: int, angle_fn=None) -> list[list[float]]:
+    """Deterministic block-diagonal Givens rotation: independent 2x2
+    rotations over coordinate pairs (2b, 2b+1). Orthogonal by
+    construction, and — the property the OPQ contract query needs — each
+    rotated element is a TWO-term expression, so the DuckDB oracle
+    replays it as literal arithmetic (a dense rotation would be a
+    64-term sum per element whose summation order couldn't be pinned
+    against BLAS). ``angle_fn(b)`` maps block index to angle; the default
+    is a mild deterministic sinusoid."""
+    if dim % 2:
+        raise ValueError(f"dim {dim} must be even for paired blocks")
+    if angle_fn is None:
+        angle_fn = lambda b: 0.3 * math.sin(1.3 * (b + 1))  # noqa: E731
+    R = [[0.0] * dim for _ in range(dim)]
+    for b in range(dim // 2):
+        c, s = math.cos(angle_fn(b)), math.sin(angle_fn(b))
+        i, j = 2 * b, 2 * b + 1
+        R[i][i], R[i][j] = c, s
+        R[j][i], R[j][j] = -s, c
+    return R
+
+
+def opq_topk_sql(query: list[float], rotation: list[list[float]],
+                 codebooks: list[list[list[float]]], k: int = 10,
+                 table: str = "embeddings", vec_col: str = "embedding",
+                 key_col: str = "vec_id") -> str:
+    """DuckDB oracle for :func:`opq_encode` + :func:`opq_topk` with a
+    BLOCK-DIAGONAL rotation (:func:`givens_rotation`).
+
+    The rotated vector is spliced into :func:`pq_topk_sql` as a list
+    expression — per element exactly two products and one add/subtract,
+    the same arithmetic the numpy ``V @ R`` path performs (the block's
+    off-pair coefficients are exact zeros, so numpy's summation order
+    cannot change the rounded result; the one FMA-vs-separate-rounding
+    ulp lives far below the contract constants' assignment margins).
+    The query is rotated driver-side in Python, matching
+    :func:`opq_topk`'s ``_mat_vec``."""
+    dim = len(rotation)
+    for b in range(dim // 2):
+        i, j = 2 * b, 2 * b + 1
+        for x in range(dim):
+            if x not in (i, j) and (rotation[i][x] or rotation[x][i]):
+                raise ValueError("opq_topk_sql needs a block-diagonal "
+                                 "rotation (givens_rotation)")
+    elems = []
+    for x in range(dim):
+        b = x // 2
+        i, j = 2 * b, 2 * b + 1
+        vi = f"CAST({vec_col}[{i + 1}] AS DOUBLE)"
+        vj = f"CAST({vec_col}[{j + 1}] AS DOUBLE)"
+        if x == i:  # (V @ R)[i] = v_i * R[i][i] + v_j * R[j][i]
+            elems.append(f"({vi} * {rotation[i][i]!r} + "
+                         f"{vj} * {rotation[j][i]!r})")
+        else:       # (V @ R)[j] = v_i * R[i][j] + v_j * R[j][j]
+            elems.append(f"({vi} * {rotation[i][j]!r} + "
+                         f"{vj} * {rotation[j][j]!r})")
+    rotated = "[" + ", ".join(elems) + "]"
+    rq = _mat_vec(rotation, query, transpose=True)
+    return pq_topk_sql(rq, codebooks, k=k, table=table,
+                       vec_col=rotated, key_col=key_col)
