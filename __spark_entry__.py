@@ -658,6 +658,29 @@ def q_events_pivot(spark, sf_dir):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_range_join(spark, sf_dir):
+    """Interval containment without a nested loop: events against derived
+    overlapping 3-day windows (one per active day) via the banding decomposition
+    (operators/rangejoin.py) — explode intervals to week buckets,
+    hash-join on bucket, refine. Epoch-second banding is exact across
+    engines because the window boundaries are integral seconds. Oracle is
+    DuckDB's native inequality join."""
+    from klepto_spark.operators.rangejoin import range_join
+    events = _load(spark, sf_dir)("events")
+    days = (events.select(F.date_trunc("day", "ts").alias("w_start"))
+            .distinct())
+    windows = (days
+               .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 3 DAYS"))
+               .withColumn("_s", F.unix_timestamp("w_start"))
+               .withColumn("_e", F.unix_timestamp("w_end")))
+    ev = events.withColumn("_p", F.unix_timestamp("ts"))
+    joined = range_join(ev, windows, point="_p", start="_s", end="_e",
+                        bucket_width=2 * 86400)
+    return (joined.groupBy("w_start")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(_dec("value")).cast("double").alias("sum_value")))
+
+
 def q_hll_distinct(spark, sf_dir):
     """Approximate distinct users per event type via DataSketches HLL —
     the shuffle carries fixed-size sketches, not the value universe. No
@@ -739,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p03_sample_exact_n": q_sample_exact_n,
         "p04_sample_weighted": q_sample_weighted,
         "a11_events_pivot": q_events_pivot,
+        "a12_range_join": q_range_join,
         "t06_hll_distinct": q_hll_distinct,
         "m01_media_features": q_media_features,
         "m02_frame_plan": q_frame_plan,
@@ -1033,6 +1057,15 @@ FROM s GROUP BY user_id, sid""",
                        f"CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) "
                        f"AS {t}" for t in EVENT_TYPES)}
             FROM events GROUP BY 1""",
+        "a12_range_join": """
+            WITH w AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                           AS w_start FROM events),
+            w2 AS (SELECT w_start, w_start + INTERVAL 3 DAY AS w_end FROM w)
+            SELECT w2.w_start, COUNT(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_value
+            FROM events e JOIN w2 ON e.ts >= w2.w_start AND e.ts < w2.w_end
+            GROUP BY 1""",
         "d03_dedup_simhash": dedup.simhash_dedup_sql(),
         "m01_media_features": multimodal.media_features_sql(),
         "m02_frame_plan": """

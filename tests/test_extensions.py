@@ -532,3 +532,41 @@ def test_hll_sketches_error_bound_and_mergeability(spark, sf_dir):
     rolled = S.hll_rollup(per_type).first()["approx_distinct"]
     direct = S.hll_distinct(events, "user_id").first()["approx_distinct"]
     assert rolled == direct  # union is lossless
+
+
+def test_range_join_matches_naive_and_avoids_nested_loop(spark):
+    """Banded range join == naive cross-filter on boundary-heavy data
+    (half-open + closed ends, degenerate intervals, equi keys), and the
+    plan contains no nested-loop/cartesian node — the operator's point."""
+    from klepto_spark.operators.rangejoin import range_join
+    pts = spark.createDataFrame(
+        [(i, k, float(p)) for i, (k, p) in enumerate(
+            [("a", 0), ("a", 5), ("a", 10), ("a", 15), ("b", 5),
+             ("a", 9.999), ("a", 10.001), ("b", 20)])],
+        "pid long, k string, p double")
+    ivs = spark.createDataFrame(
+        [(0, "a", 0.0, 10.0), (1, "a", 10.0, 20.0), (2, "b", 0.0, 30.0),
+         (3, "a", 50.0, 40.0),   # degenerate: end < start, matches nothing
+         (4, "b", 5.0, 5.0)],    # zero-width: only closed='both' at p=5
+        "iid long, k string, s double, e double")
+    for closed in ("left", "both"):
+        got = sorted(
+            (r["pid"], r["iid"]) for r in range_join(
+                pts, ivs.withColumnRenamed("k", "k2"), point="p", start="s",
+                end="e", bucket_width=7, closed=closed).collect())
+        upper = "p <= e" if closed == "both" else "p < e"
+        want = sorted(
+            (r["pid"], r["iid"]) for r in pts.crossJoin(ivs.drop("k"))
+            .filter(f"s <= p AND {upper}").collect())
+        assert got == want, closed
+    # keyed variant restricts to matching keys
+    keyed = sorted((r["pid"], r["iid"]) for r in range_join(
+        pts, ivs, point="p", start="s", end="e", bucket_width=7,
+        keys=["k"]).collect())
+    want_k = sorted((r["pid"], r["iid"]) for r in
+                    pts.join(ivs, "k").filter("s <= p AND p < e").collect())
+    assert keyed == want_k
+    plan = range_join(pts, ivs, point="p", start="s", end="e",
+                      bucket_width=7)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
