@@ -681,6 +681,20 @@ def q_range_join(spark, sf_dir):
                  F.sum(_dec("value")).cast("double").alias("sum_value")))
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per segment: Spark's percentile()
+    and DuckDB's quantile_cont share the linear-interpolation definition,
+    so the values hash-match to the bit. (At 100 TB swap in
+    approx_percentile / t-digest — exact percentile shuffles the value
+    multiset; this query pins the exact semantics the sketch
+    approximates.)"""
+    cust = _load(spark, sf_dir)("customer")
+    return (cust.groupBy("c_mktsegment")
+            .agg(F.expr("percentile(c_acctbal, 0.25)").alias("p25"),
+                 F.expr("percentile(c_acctbal, 0.5)").alias("p50"),
+                 F.expr("percentile(c_acctbal, 0.9)").alias("p90")))
+
+
 def q_hll_distinct(spark, sf_dir):
     """Approximate distinct users per event type via DataSketches HLL —
     the shuffle carries fixed-size sketches, not the value universe. No
@@ -763,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p04_sample_weighted": q_sample_weighted,
         "a11_events_pivot": q_events_pivot,
         "a12_range_join": q_range_join,
+        "a13_percentiles": q_percentiles,
         "t06_hll_distinct": q_hll_distinct,
         "m01_media_features": q_media_features,
         "m02_frame_plan": q_frame_plan,
@@ -1066,6 +1081,12 @@ FROM s GROUP BY user_id, sid""",
                        AS sum_value
             FROM events e JOIN w2 ON e.ts >= w2.w_start AND e.ts < w2.w_end
             GROUP BY 1""",
+        "a13_percentiles": """
+            SELECT c_mktsegment,
+                   quantile_cont(c_acctbal, 0.25) AS p25,
+                   quantile_cont(c_acctbal, 0.5) AS p50,
+                   quantile_cont(c_acctbal, 0.9) AS p90
+            FROM customer GROUP BY 1""",
         "d03_dedup_simhash": dedup.simhash_dedup_sql(),
         "m01_media_features": multimodal.media_features_sql(),
         "m02_frame_plan": """
