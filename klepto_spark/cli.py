@@ -149,6 +149,32 @@ def _cmd_steal_cdc(args: argparse.Namespace) -> int:
     return 0 if report.ok else 1
 
 
+def _cmd_compact(args: argparse.Namespace) -> int:
+    """Fold a merge-on-read table's pending deletion-vector epochs into
+    its base files (the operational knob behind
+    ``steal-cdc --merge-on-read``'s auto-compaction)."""
+    from klepto_spark.session import get_spark
+    from klepto_spark.sinks import deletion_vectors as dv
+    from klepto_spark.sources.dsn import file_path, route
+
+    kind, fmt, dsn = route(getattr(args, "target"))
+    if kind != "files":
+        print(f"compact needs a file-sink dsn, got {args.target!r}",
+              file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="klepto_spark_compact")
+    spark.sparkContext.setLogLevel("WARN")
+    directory = file_path(dsn)
+    out = {}
+    for table in args.table:
+        pending = dv.pending_epochs(spark, directory, table, fmt)
+        folded = (dv.compact_files_dv(spark, directory, table, fmt)
+                  if pending else 0)
+        out[table] = {"pending_epochs": len(pending), "folded": folded}
+    print(json.dumps({"tables": out, "ok": True}))
+    return 0
+
+
 class _TombstoneAction(argparse.Action):
     """--tombstone TABLE=SQL_EXPR (repeatable) -> dict on the namespace."""
 
@@ -241,6 +267,16 @@ def build_parser() -> argparse.ArgumentParser:
     pcdc.add_argument("--join-strategy", choices=["semi", "inner"],
                       default="semi")
     pcdc.set_defaults(fn=_cmd_steal_cdc)
+
+    pc = sub.add_parser(
+        "compact",
+        help="fold a merge-on-read table's deletion-vector epochs into "
+             "its base files")
+    pc.add_argument("--target", required=True,
+                    help="file-sink dsn, e.g. parquet:///data/out")
+    pc.add_argument("--table", action="append", required=True,
+                    help="table name (repeatable)")
+    pc.set_defaults(fn=_cmd_compact)
     return p
 
 

@@ -112,3 +112,29 @@ def test_steal_cdc_rejects_orphaned_tombstone(tmp_path):
                  "--to", "parquet:///tmp/y", "--state", "/tmp/s.json",
                  "--cdc", "users=ver:id",
                  "--tombstone", "user=deleted IS NOT NULL"]) == 2
+
+
+def test_cli_compact_folds_pending_epochs(spark, tmp_path, capsys):
+    """compact: pending deletion-vector epochs fold into the base, the
+    JSON report counts them, and a second run is a no-op."""
+    import json
+    from klepto_spark.cli import main
+    from klepto_spark.sinks import deletion_vectors as dv
+
+    d = str(tmp_path / "out")
+    dv.merge_files_dv(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        d, "t", "parquet", ["id"])
+    dv.merge_files_dv(
+        spark.createDataFrame([(2, "B")], "id long, v string"),
+        d, "t", "parquet", ["id"], auto_compact=None)
+    assert main(["compact", "--target", f"parquet://{d}", "--table", "t"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["tables"]["t"] == {"pending_epochs": 1, "folded": 1}
+    assert dv.pending_epochs(spark, d, "t", "parquet") == []
+    got = {r["id"]: r["v"] for r in
+           spark.read.parquet(f"{d}/t.parquet").collect()}
+    assert got == {1: "a", 2: "B"}
+    assert main(["compact", "--target", f"parquet://{d}", "--table", "t"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["tables"]["t"] == {"pending_epochs": 0, "folded": 0}
