@@ -389,7 +389,8 @@ def q_dedup_clusters(spark, sf_dir):
     DuckDB recursive CTE computing the same transitive closure."""
     from klepto_spark.operators.components import dedup_clusters
     docs = _load(spark, sf_dir)("documents")
-    return dedup_clusters(docs, dedup.minhash_lsh_pairs(docs))
+    return dedup_clusters(docs, dedup.minhash_lsh_pairs(docs),
+                          algorithm="auto")
 
 
 def q_dedup_semantic(spark, sf_dir):

@@ -73,3 +73,34 @@ def test_end_to_end_lsh_to_clusters(spark):
     # 1,2,3 are near-dups (transitively) -> one canonical; 4 stands alone
     assert got[1] == got[2] == got[3] == 1
     assert got[4] == 4
+
+
+def test_local_union_find_matches_distributed(spark):
+    """Driver-side union-find labels == propagation labels on a graph
+    with chains, cliques, singeltons-by-absence, and reversed edges;
+    the edge-budget guard raises past the limit."""
+    from klepto_spark.operators.components import (
+        connected_components, connected_components_local)
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 1), (10, 11), (11, 12), (12, 10), (20, 21),
+         (2, 1), (40, 30)], "a long, b long")
+    local = {(r["node"], r["comp"])
+             for r in connected_components_local(pairs).collect()}
+    dist = {(r["node"], r["comp"])
+            for r in connected_components(pairs).collect()}
+    assert local == dist
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="edge budget|driver budget"):
+        connected_components_local(pairs, limit=3)
+
+
+def test_dedup_clusters_auto_matches_propagation(spark, sf_dir):
+    from klepto_spark.operators import dedup
+    from klepto_spark.operators.components import dedup_clusters
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    auto = {tuple(r) for r in
+            dedup_clusters(docs, pairs, algorithm="auto").collect()}
+    prop = {tuple(r) for r in
+            dedup_clusters(docs, pairs, algorithm="propagation").collect()}
+    assert auto == prop
