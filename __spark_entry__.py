@@ -444,6 +444,16 @@ def q_word_repetition(spark, sf_dir):
     return T.word_repetition(docs)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/Gopher n-gram rule, n=4 for the
+    short synthetic docs): documents sharing any word 4-gram with the
+    benchmark set (doc_id < 5) are flagged for removal. Benchmark grams
+    broadcast; the corpus never shuffles."""
+    docs = _load(spark, sf_dir)("documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    return T.contaminated_ids(docs, bench, n=4)
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (_load(spark, sf_dir)("embeddings")
            .filter(F.col("vec_id") == 0).select("embedding").first())
@@ -780,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_range_join": q_range_join,
         "a13_percentiles": q_percentiles,
         "t06_hll_distinct": q_hll_distinct,
+        "t07_decontaminate": q_decontaminate,
         "m01_media_features": q_media_features,
         "m02_frame_plan": q_frame_plan,
     }
@@ -1025,6 +1036,7 @@ GROUP BY d.doc_id""",
               FROM documents)
             GROUP BY sh HAVING COUNT(*) >= 200""",
         "t05_word_repetition": T.word_repetition_sql(),
+        "t07_decontaminate": T.contamination_sql("doc_id < 5", n=4),
         "s01_ann_cosine": _ann_oracle(),
         "s02_ann_pairs_lsh": similarity.similar_pairs_sql(**ANN_LSH),
         "s03_ivf_topk": similarity.ivf_topk_sql(

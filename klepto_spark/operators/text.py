@@ -183,3 +183,57 @@ SELECT c.{key_col},
 FROM c JOIN m ON c.{key_col} = m.{key_col}
 GROUP BY c.{key_col}
 """
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Word-level n-grams (lowercased, whitespace-split) as an array of
+    space-joined strings; shorter documents yield an empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    idx = F.when(F.size(words) >= n,
+                 F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+
+
+def contaminated_ids(docs: "DataFrame", bench: "DataFrame",
+                     text_col: str = "text", key_col: str = "doc_id",
+                     n: int = 8) -> "DataFrame":
+    """Benchmark decontamination: documents sharing ANY word n-gram with
+    the benchmark set (the GPT-3/Gopher 13-gram rule; ``n`` is a knob
+    because synthetic corpora have shorter documents).
+
+    Scale shape: the benchmark side is tiny by definition, so its
+    distinct n-grams BROADCAST; the corpus explodes to (doc, gram) pairs
+    that are immediately semi-joined against the broadcast set — no
+    shuffle touches the corpus, and the explode prunes to the matched
+    docs before the distinct. Returns the distinct contaminated keys;
+    anti-join it to clean the corpus."""
+    from klepto_spark.operators.dedup import fan_out
+    bench_grams = (bench
+                   .select(F.explode(word_ngrams(text_col, n)).alias("g"))
+                   .distinct())
+    doc_grams = (fan_out(docs, key_col)
+                 .select(F.col(key_col),
+                         F.explode(word_ngrams(text_col, n)).alias("g")))
+    return (doc_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+            .select(key_col).distinct())
+
+
+def contamination_sql(bench_pred: str, text_col: str = "text",
+                      key_col: str = "doc_id", n: int = 8,
+                      table: str = "documents") -> str:
+    """DuckDB oracle for :func:`contaminated_ids` where the benchmark set
+    is ``table`` rows matching ``bench_pred`` (self-decontamination, the
+    common leak check)."""
+    grams = (f"[array_to_string(w[i:i+{n - 1}], ' ') "
+             f"FOR i IN range(1, greatest(len(w) - {n - 1}, 0) + 1)]")
+    return f"""
+WITH words AS (SELECT {key_col},
+                      string_split_regex(lower(trim({text_col})), '\\s+') AS w
+               FROM {table}),
+bg AS (SELECT DISTINCT unnest({grams}) AS g FROM words
+       WHERE {key_col} IN (SELECT {key_col} FROM {table} WHERE {bench_pred})),
+dg AS (SELECT {key_col}, unnest({grams}) AS g FROM words)
+SELECT DISTINCT dg.{key_col} FROM dg JOIN bg USING (g)
+"""

@@ -570,3 +570,22 @@ def test_range_join_matches_naive_and_avoids_nested_loop(spark):
                       bucket_width=7)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_decontamination_flags_ngram_overlap(spark):
+    """Docs sharing any word n-gram with the benchmark set are flagged
+    (including the benchmark docs themselves); clean docs are not; the
+    benchmark gram set broadcasts."""
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps high"),
+         (1, "completely unrelated words here today"),
+         (2, "we saw the quick brown fox yesterday"),   # shares a 3-gram
+         (3, "quick brown dog runs far away")],          # only a 2-gram
+        "doc_id int, text string")
+    bench = docs.filter("doc_id = 0")
+    got = sorted(r["doc_id"] for r in
+                 T.contaminated_ids(docs, bench, n=3).collect())
+    assert got == [0, 2]
+    plan = T.contaminated_ids(docs, bench, n=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
