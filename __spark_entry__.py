@@ -393,6 +393,17 @@ def q_dedup_clusters(spark, sf_dir):
                           algorithm="auto")
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup decision: per near-dup cluster keep the
+    LONGEST document (ties -> min id) instead of the min id — what
+    production pipelines actually retain. Oracle: the d05 recursive-CTE
+    closure plus a window replaying the same keeper rule."""
+    from klepto_spark.operators.components import dedup_keep_best
+    docs = _load(spark, sf_dir)("documents")
+    return dedup_keep_best(docs, dedup.minhash_lsh_pairs(docs),
+                           score_col="n_chars", algorithm="auto")
+
+
 def q_dedup_semantic(spark, sf_dir):
     """Embedding-cosine near-dup removal (the sixth dedup family): documents
     whose embedding (doc_id = vec_id) is cosine-similar to a lower-id
@@ -769,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d04_dedup_jaccard_verified": q_dedup_jaccard_verified,
         "d05_dedup_clusters": q_dedup_clusters,
         "d06_dedup_semantic": q_dedup_semantic,
+        "d07_dedup_keep_best": q_dedup_keep_best,
         "t01_text_stats": q_text_stats,
         "t02_lang_profile": q_lang_profile,
         "t03_doc_fingerprints": q_doc_fingerprints,
@@ -1021,6 +1033,25 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
 GROUP BY d.doc_id""",
         "d06_dedup_semantic": dedup.semantic_dedup_sql(**ANN_LSH),
+        "d07_dedup_keep_best": f"""
+WITH RECURSIVE pairs AS ({_lsh_oracle()}),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (SELECT d.doc_id, d.n_chars,
+                least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS comp
+         FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         GROUP BY d.doc_id, d.n_chars),
+keep AS (SELECT comp, doc_id AS canonical FROM (
+           SELECT comp, doc_id,
+                  row_number() OVER (PARTITION BY comp
+                                     ORDER BY n_chars DESC, doc_id ASC) AS rn
+           FROM comp) WHERE rn = 1)
+SELECT c.doc_id, k.canonical, c.doc_id != k.canonical AS is_duplicate
+FROM comp c JOIN keep k ON k.comp = c.comp""",
         "t01_text_stats": _text_stats_oracle(),
         "t02_lang_profile": f"""
             SELECT {_lang_id_sql()} AS lang_pred, COUNT(*) AS n_docs

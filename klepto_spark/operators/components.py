@@ -233,3 +233,46 @@ def connected_components_local(pairs: DataFrame, *, a: str = "a",
     schema = StructType([StructField("node", field.dataType, True),
                          StructField("comp", field.dataType, True)])
     return spark.createDataFrame(out, schema)
+
+
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, *,
+                    score_col: str, key_col: str = "doc_id",
+                    algorithm: str = "auto") -> DataFrame:
+    """Quality-aware dedup decision: like :func:`dedup_clusters`, but the
+    cluster survivor is the HIGHEST-``score_col`` document (ties break on
+    min key) instead of the minimum id — what production pipelines
+    actually keep (the longest / highest-quality copy), min-id being
+    merely the cheapest deterministic rule.
+
+    Output: (key, canonical, is_duplicate) — same shape as
+    dedup_clusters, so the two rules are drop-in swaps. One extra
+    window over the LABELLED rows only (component cardinality, not the
+    corpus: singletons skip the window via the left-join coalesce)."""
+    from pyspark.sql.window import Window
+    if algorithm == "auto":
+        pairs = pairs.persist()
+        try:
+            try:
+                comp = F.broadcast(connected_components_local(pairs))
+            except ValueError:
+                comp = connected_components(pairs)
+        finally:
+            pairs.unpersist()
+    else:
+        cc = (connected_components_star if algorithm == "star"
+              else connected_components)
+        comp = cc(pairs)
+    comp = comp.withColumnRenamed("node", key_col)
+    labelled = (df.select(F.col(key_col), F.col(score_col).alias("_q"))
+                .join(comp, key_col, "left")
+                .withColumn("comp", F.coalesce(F.col("comp"),
+                                               F.col(key_col))))
+    w = Window.partitionBy("comp").orderBy(F.desc("_q"), F.asc(key_col))
+    keeper = (labelled.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
+              .select(F.col("comp"), F.col(key_col).alias("canonical")))
+    return (labelled.join(keeper, "comp")
+            .select(F.col(key_col),
+                    F.col("canonical"),
+                    (F.col(key_col) != F.col("canonical"))
+                    .alias("is_duplicate")))

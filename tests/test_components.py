@@ -104,3 +104,19 @@ def test_dedup_clusters_auto_matches_propagation(spark, sf_dir):
     prop = {tuple(r) for r in
             dedup_clusters(docs, pairs, algorithm="propagation").collect()}
     assert auto == prop
+
+
+def test_dedup_keep_best_keeps_highest_score(spark):
+    """Cluster survivor = argmax(score, tie min id); singletons keep
+    themselves; every member maps to the survivor."""
+    from klepto_spark.operators.components import dedup_keep_best
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7), (9, 99)],
+        "doc_id long, quality long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    got = {r["doc_id"]: (r["canonical"], r["is_duplicate"])
+           for r in dedup_keep_best(docs, pairs,
+                                    score_col="quality").collect()}
+    # cluster {1,2,3}: 2 and 3 tie at 50 -> min id 2 wins
+    assert got == {1: (2, True), 2: (2, False), 3: (2, True),
+                   4: (4, False), 9: (9, False)}
