@@ -28,6 +28,7 @@ from klepto_spark.functions.anonymise import anonymise_sql
 from klepto_spark.operators import dedup, multimodal, sampling, similarity
 from klepto_spark.operators import text as T
 from klepto_spark.operators.asof import asof_join
+from klepto_spark.operators.funnel import funnel_sql
 from klepto_spark.operators.pipeline import (
     build_table_df,
     build_table_sql,
@@ -727,6 +728,80 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct(events, "user_id", ["event_type"])
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _pii_oracle() -> str:
+    """DuckDB twin of q_pii_redact: identical contact-string derivation,
+    then the shared-rule redaction/count expressions (operators/pii.py)."""
+    from klepto_spark.operators import pii
+    contact = ("c_name || ' <user' || CAST(c_custkey AS VARCHAR)"
+               " || '@example.com> from 10.0.'"
+               " || CAST(c_custkey % 256 AS VARCHAR) || '.'"
+               " || CAST(c_custkey % 100 AS VARCHAR)")
+    counts = ", ".join(
+        f"{pii.match_count_sql('contact', r)} AS n_{r.name}"
+        for r in pii.DEFAULT_RULES)
+    return (f"WITH c AS (SELECT c_custkey, {contact} AS contact "
+            f"FROM customer) "
+            f"SELECT c_custkey, contact, "
+            f"{pii.redact_sql('contact')} AS contact_redacted, {counts} "
+            f"FROM c")
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase, strictly increasing ts)
+    per user: one window pass + one keyed aggregate — one shuffle total
+    (operators/funnel.py). Strict comparisons make same-timestamp rows
+    order-insensitive, so the oracle replays exactly."""
+    from klepto_spark.operators.funnel import funnel
+    events = _load(spark, sf_dir)("events")
+    return funnel(events, FUNNEL_STEPS)
+
+
+def q_json_props(spark, sf_dir):
+    """Semi-structured payloads: parse the JSON props column JVM-side with
+    an explicit schema (from_json — no inference pass) and aggregate the
+    extracted field per event type. Sum pinned to BIGINT and the mean an
+    explicit exact double division, so the oracle hash-matches."""
+    events = _load(spark, sf_dir)("events")
+    k = F.from_json("props", "k BIGINT")["k"]
+    return (events.withColumn("k", k).filter(F.col("k").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").cast("long").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"))
+            .withColumn("avg_k", F.col("sum_k").cast("double")
+                        / F.col("n").cast("double")))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scan/redact inside free text (operators/pii.py): emails, IPv4
+    addresses, long digit runs — detected and masked JVM-side with
+    dialect-shared regexes. The contact string is derived from customer
+    fields identically in both engines (the synthetic tables carry no raw
+    PII columns), so detection and masking are value-exact."""
+    from klepto_spark.operators import pii
+    cust = _load(spark, sf_dir)("customer")
+    contact = F.concat(
+        F.col("c_name"), F.lit(" <user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com> from 10.0."),
+        (F.col("c_custkey") % 256).cast("string"), F.lit("."),
+        (F.col("c_custkey") % 100).cast("string"))
+    return pii.pii_scan(
+        cust.select("c_custkey", contact.alias("contact")), "contact")
+
+
+def q_tfidf(spark, sf_dir):
+    """Top-3 characteristic terms per document by TF-IDF with IEEE-exact
+    scoring (tf * N / df, pinned association) and a (score desc, term asc)
+    tie-break — the oracle hash-matches to the bit."""
+    docs = _load(spark, sf_dir)("documents")
+    return T.tfidf_top_terms(docs, k=3)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> mapInPandas feature extraction.
     The stub features are pure byte math, so the DuckDB oracle recomputes
@@ -803,6 +878,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a13_percentiles": q_percentiles,
         "t06_hll_distinct": q_hll_distinct,
         "t07_decontaminate": q_decontaminate,
+        "t08_pii_redact": q_pii_redact,
+        "t09_tfidf": q_tfidf,
+        "a14_funnel": q_funnel,
+        "a15_json_props": q_json_props,
         "m01_media_features": q_media_features,
         "m02_frame_plan": q_frame_plan,
     }
@@ -1068,6 +1147,18 @@ FROM comp c JOIN keep k ON k.comp = c.comp""",
             GROUP BY sh HAVING COUNT(*) >= 200""",
         "t05_word_repetition": T.word_repetition_sql(),
         "t07_decontaminate": T.contamination_sql("doc_id < 5", n=4),
+        "t08_pii_redact": _pii_oracle(),
+        "t09_tfidf": T.tfidf_sql(k=3),
+        "a14_funnel": funnel_sql("events", FUNNEL_STEPS),
+        "a15_json_props": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   MIN(k) AS min_k, MAX(k) AS max_k,
+                   CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS avg_k
+            FROM (SELECT event_type,
+                         CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+            WHERE k IS NOT NULL GROUP BY 1""",
         "s01_ann_cosine": _ann_oracle(),
         "s02_ann_pairs_lsh": similarity.similar_pairs_sql(**ANN_LSH),
         "s03_ivf_topk": similarity.ivf_topk_sql(

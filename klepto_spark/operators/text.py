@@ -237,3 +237,66 @@ bg AS (SELECT DISTINCT unnest({grams}) AS g FROM words
 dg AS (SELECT {key_col}, unnest({grams}) AS g FROM words)
 SELECT DISTINCT dg.{key_col} FROM dg JOIN bg USING (g)
 """
+
+
+def tfidf_top_terms(df: "DataFrame", text_col: str = "text",
+                    key_col: str = "doc_id", k: int = 3) -> "DataFrame":
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Term weight is ``tf * (N / df)`` — the raw inverse-document-frequency
+    odds rather than its logarithm, deliberately: every factor is integer-
+    valued, so one multiply + one divide in a pinned association order is
+    IEEE-exact and the DuckDB oracle hash-matches to the bit (``ln`` is
+    engine-libm territory). Rankings agree with log-idf whenever tf ties
+    break on idf alone; the tie-break contract is (score desc, term asc).
+
+    Scale shape: explode -> per-(doc, term) count (one shuffle with map-side
+    combine), doc-frequency from the *already aggregated* (doc, term) pairs
+    (second shuffle, carries one row per distinct pair, not per token),
+    stats joined back keyed on term, then one per-doc window for the top-k.
+    N is a driver-side scalar (an O(1) count, not a collect of rows)."""
+    from klepto_spark.operators.dedup import fan_out
+    n_docs = df.select(key_col).distinct().count()
+    words = (fan_out(df, key_col)
+             .select(F.col(key_col),
+                     F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                       r"\s+")).alias("term"))
+             .filter(F.col("term") != ""))
+    tf = words.groupBy(key_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    score = ((F.col("tf").cast("double") * F.lit(float(n_docs)))
+             / F.col("df_docs").cast("double"))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(key_col).orderBy(F.desc("score"), F.asc("term"))
+    return (tf.join(dfreq, "term")
+            .withColumn("score", score)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(key_col, "term", "tf", "df_docs", "score", "rank"))
+
+
+def tfidf_sql(text_col: str = "text", key_col: str = "doc_id", k: int = 3,
+              table: str = "documents") -> str:
+    """DuckDB oracle for :func:`tfidf_top_terms` (same association order:
+    ``(tf * N) / df`` in doubles, same (score desc, term asc) tie-break)."""
+    return f"""
+WITH words AS (
+  SELECT {key_col},
+         unnest(string_split_regex(lower(trim({text_col})), '\\s+')) AS term
+  FROM {table}),
+tf AS (SELECT {key_col}, term, COUNT(*) AS tf FROM words
+       WHERE term != '' GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(DISTINCT {key_col}) AS DOUBLE) AS n_docs
+      FROM {table}),
+scored AS (
+  SELECT tf.{key_col}, tf.term, tf.tf, dfreq.df_docs,
+         (CAST(tf.tf AS DOUBLE) * n.n_docs) / CAST(dfreq.df_docs AS DOUBLE)
+             AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT {key_col}, term, tf, df_docs, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY {key_col}
+                ORDER BY score DESC, term ASC) AS INT) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
