@@ -802,6 +802,18 @@ def q_tfidf(spark, sf_dir):
     return T.tfidf_top_terms(docs, k=3)
 
 
+def q_tdigest(spark, sf_dir):
+    """Approximate twin of a13_percentiles via the mergeable t-digest
+    sketch (operators/tdigest.py): per-partition partial digests with no
+    raw-value shuffle, one digest-only exchange, midpoint-rank estimation.
+    No SQL oracle (DuckDB has no t-digest); rank-error vs the exact
+    percentiles and rollup mergeability are pinned by pytest."""
+    from klepto_spark.operators.tdigest import tdigest_quantiles
+    cust = _load(spark, sf_dir)("customer")
+    return tdigest_quantiles(cust, "c_acctbal", [0.25, 0.5, 0.9],
+                             ["c_mktsegment"])
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> mapInPandas feature extraction.
     The stub features are pure byte math, so the DuckDB oracle recomputes
@@ -882,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t09_tfidf": q_tfidf,
         "a14_funnel": q_funnel,
         "a15_json_props": q_json_props,
+        "a16_tdigest": q_tdigest,
         "m01_media_features": q_media_features,
         "m02_frame_plan": q_frame_plan,
     }
