@@ -1,0 +1,178 @@
+"""Sort- and Z-order-clustered file layouts with min/max file skipping.
+
+Partition pruning only helps predicates on the partition columns. For the
+other selective columns of a 100 TB table, the lever is LAYOUT: cluster
+rows so each file covers a narrow value range, then skip whole files whose
+[min, max] envelope can't match the predicate — the same footer-stats idea
+parquet applies per row group, hoisted to file granularity where the
+scheduler can prune BEFORE listing splits (row-group skipping still reads
+every footer; file skipping doesn't even open the file).
+
+Two clusterings:
+
+- :func:`write_sorted` — global range-partition + sort on one column
+  chain. Perfect envelopes for the leading column.
+- :func:`write_zordered` — interleave the bit representations of 2+
+  columns (Morton curve) and range-cluster on that. Each file then covers
+  a small HYPER-RECTANGLE, so predicates on ANY of the z-columns prune
+  (a single-column sort gives the non-leading columns full-range
+  envelopes — no pruning).
+
+The manifest (``_minmax.json``, one entry per data file) is written from
+the parquet footers after commit — a bounded driver-side pass over file
+metadata, the same at-rest-index pattern as the IVF index and the CDC
+bucket layout. :func:`pruned_read` consults it and hands Spark only the
+surviving files; the predicate is still applied in full afterwards, so
+pruning is a pure optimisation, never a semantics change (asserted by
+equivalence tests).
+
+Z-value math uses unsigned bit-interleaving of the per-column RANK within
+a fixed quantile grid (not raw values), so skewed distributions still
+spread evenly across files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+MANIFEST = "_minmax.json"
+_GRID_BITS = 16  # 65536 quantile cells per z-column
+
+
+def _zvalue(cols: Sequence[str], bounds: dict[str, tuple[float, float]]
+            ) -> Column:
+    """Morton code: scale each column to a _GRID_BITS-bit cell index within
+    its observed [min, max], then interleave bits. NULLs map to cell 0 so
+    they cluster together at the curve's origin."""
+    cells = []
+    for c in cols:
+        lo, hi = bounds[c]
+        span = (hi - lo) or 1.0
+        scaled = ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+                  * F.lit(float((1 << _GRID_BITS) - 1)))
+        cell = F.least(F.greatest(F.round(scaled).cast("long"), F.lit(0)),
+                       F.lit((1 << _GRID_BITS) - 1))
+        cells.append(F.coalesce(cell, F.lit(0)))
+    z = F.lit(0).cast("long")
+    for bit in range(_GRID_BITS - 1, -1, -1):
+        for cell in cells:
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(cell, bit).bitwiseAND(F.lit(1).cast("long")))
+    return z
+
+
+def _write_manifest(path: str, stat_cols: Sequence[str]) -> int:
+    """Read back the committed files' parquet footers (driver-side, file
+    COUNT-bounded metadata only) and persist one [min, max] envelope per
+    file per stat column. Returns the number of files indexed."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        env: dict[str, list] = {}
+        for c in stat_cols:
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                env[c] = [min(mins), max(maxs)]
+        entries.append({"file": name, "stats": env})
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"files": entries, "columns": list(stat_cols)}, f,
+                  default=str)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+    return len(entries)
+
+
+def write_sorted(df: DataFrame, path: str, sort_cols: Sequence[str],
+                 n_files: int = 32,
+                 stat_cols: Sequence[str] | None = None) -> int:
+    """Range-partition + sort by ``sort_cols`` into ``n_files`` files and
+    index their envelopes. Predicates on the LEADING sort column prune
+    near-perfectly; use :func:`write_zordered` for multi-column pruning."""
+    (df.repartitionByRange(n_files, *sort_cols)
+       .sortWithinPartitions(*sort_cols)
+       .write.mode("overwrite").parquet(path))
+    return _write_manifest(path, stat_cols or sort_cols)
+
+
+def write_zordered(df: DataFrame, path: str, z_cols: Sequence[str],
+                   n_files: int = 32,
+                   stat_cols: Sequence[str] | None = None) -> int:
+    """Z-order-cluster by ``z_cols`` into ``n_files`` files and index the
+    envelopes. The min/max bounds for the quantile grid come from one
+    cheap agg pass (2 scalars per column, driver-side)."""
+    agg = []
+    for c in z_cols:
+        agg += [F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_hi_{c}")]
+    row = df.agg(*agg).first()
+    bounds = {c: (float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"]))
+              for c in z_cols}
+    (df.withColumn("_z", _zvalue(z_cols, bounds))
+       .repartitionByRange(n_files, "_z")
+       .sortWithinPartitions("_z")
+       .drop("_z")
+       .write.mode("overwrite").parquet(path))
+    return _write_manifest(path, stat_cols or z_cols)
+
+
+def _overlaps(env: list, lo, hi) -> bool:
+    fmin, fmax = env
+    type_ = type(fmin)
+    try:
+        lo_t = type_(lo) if lo is not None else None
+        hi_t = type_(hi) if hi is not None else None
+    except (TypeError, ValueError):
+        return True  # incomparable -> keep the file (never prune unsafely)
+    if hi_t is not None and fmin > hi_t:
+        return False
+    if lo_t is not None and fmax < lo_t:
+        return False
+    return True
+
+
+def prune_files(path: str, col: str, lo=None, hi=None) -> list[str]:
+    """Files whose [min, max] envelope intersects [lo, hi] (either bound
+    may be open). Files with no recorded envelope for ``col`` are KEPT —
+    pruning must never drop a potential match."""
+    with open(os.path.join(path, MANIFEST)) as f:
+        manifest = json.load(f)
+    keep = []
+    for e in manifest["files"]:
+        env = e["stats"].get(col)
+        if env is None or _overlaps(env, lo, hi):
+            keep.append(os.path.join(path, e["file"]))
+    return keep
+
+
+def pruned_read(spark: SparkSession, path: str, col: str,
+                lo=None, hi=None) -> DataFrame:
+    """Read only the files that can contain ``col`` in [lo, hi], then apply
+    the range predicate in full — identical results to a full scan + filter
+    (equivalence-tested), touching a fraction of the files."""
+    files = prune_files(path, col, lo, hi)
+    if not files:
+        df = spark.read.parquet(path).limit(0)
+    else:
+        df = spark.read.parquet(*files)
+    c = F.col(col)
+    if lo is not None:
+        df = df.filter(c >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(c <= F.lit(hi))
+    return df

@@ -1,0 +1,88 @@
+"""Clustered layouts + min/max file skipping: pruning must be a pure
+optimisation (result-identical to full scan + filter) and must actually
+skip files — including on the SECOND z-order column, where a plain sort
+cannot prune at all."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from klepto_spark.sinks import layout
+
+
+@pytest.fixture(scope="module")
+def grid_df(spark):
+    # x and y independent: a sort by x gives y full-range file envelopes
+    return spark.range(0, 40_000).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 7919) % 40_000).alias("y"),
+        (F.col("id") % 97).alias("payload"))
+
+
+def _n_files(path):
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+
+def test_sorted_layout_prunes_leading_column(spark, grid_df, tmp_path):
+    p = str(tmp_path / "sorted")
+    n = layout.write_sorted(grid_df, p, ["x"], n_files=16)
+    assert n == _n_files(p) == 16
+    df = layout.pruned_read(spark, p, "x", lo=1000, hi=3000)
+    # ~2 of 16 file ranges cover [1000, 3000]
+    assert len(df.inputFiles()) <= 3
+    expect = sorted(r["x"] for r in grid_df.filter(
+        (F.col("x") >= 1000) & (F.col("x") <= 3000)).collect())
+    got = sorted(r["x"] for r in df.collect())
+    assert got == expect
+
+
+def test_sorted_layout_cannot_prune_second_column(spark, grid_df, tmp_path):
+    p = str(tmp_path / "sorted2")
+    layout.write_sorted(grid_df, p, ["x"], n_files=16, stat_cols=["x", "y"])
+    # y is uncorrelated with x -> every file's y-envelope spans ~everything
+    assert len(layout.prune_files(p, "y", lo=1000, hi=3000)) == 16
+
+
+def test_zorder_prunes_both_columns(spark, grid_df, tmp_path):
+    p = str(tmp_path / "zorder")
+    n = layout.write_zordered(grid_df, p, ["x", "y"], n_files=16)
+    assert n == 16
+    for col in ("x", "y"):
+        kept = layout.prune_files(p, col, lo=1000, hi=3000)
+        # a 5%-selective predicate on EITHER dimension must skip most files
+        assert len(kept) <= 8, (col, len(kept))
+        df = layout.pruned_read(spark, p, col, lo=1000, hi=3000)
+        expect = sorted((r["x"], r["y"]) for r in grid_df.filter(
+            (F.col(col) >= 1000) & (F.col(col) <= 3000)).collect())
+        got = sorted((r["x"], r["y"]) for r in df.select("x", "y").collect())
+        assert got == expect
+
+
+def test_pruned_read_open_bounds_and_empty_result(spark, grid_df, tmp_path):
+    p = str(tmp_path / "open")
+    layout.write_sorted(grid_df, p, ["x"], n_files=8)
+    hi_only = layout.pruned_read(spark, p, "x", hi=99)
+    assert sorted(r["x"] for r in hi_only.collect()) == list(range(100))
+    nothing = layout.pruned_read(spark, p, "x", lo=10**9)
+    assert nothing.count() == 0
+
+
+def test_missing_envelope_keeps_file(spark, grid_df, tmp_path):
+    # a column absent from the manifest must never be pruned on
+    p = str(tmp_path / "missing")
+    layout.write_sorted(grid_df, p, ["x"], n_files=4)
+    kept = layout.prune_files(p, "payload", lo=5, hi=6)
+    assert len(kept) == 4
+
+
+def test_nulls_cluster_and_survive_pruning(spark, tmp_path):
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") % 100 == 0, None).otherwise(F.col("id"))
+         .alias("x"),
+        F.col("id").alias("y"))
+    p = str(tmp_path / "nulls")
+    layout.write_zordered(df, p, ["x", "y"], n_files=4)
+    out = layout.pruned_read(spark, p, "x", lo=500, hi=600)
+    expect = [x for x in range(500, 601) if x % 100 != 0]
+    assert sorted(r["x"] for r in out.collect()) == expect
