@@ -204,3 +204,94 @@ def test_streaming_dedup_keeps_first_arrival(spark, tmp_path):
     near = spark.sql("SELECT doc_id, simhash FROM dd_near").collect()
     assert len(near) == 2                       # dups collapsed
     assert len({r["simhash"] for r in near}) == 2
+
+
+def test_streaming_funnel_matches_batch_on_ordered_arrival(spark, tmp_path):
+    """Two in-order micro-batches: the streaming funnel's final row per
+    user equals the batch funnel over the union; users who advance in both
+    batches emit twice and latest-wins."""
+    from klepto_spark.operators.funnel import funnel
+    from klepto_spark.streaming.funnel import funnel_stream
+
+    steps = ["view", "click", "purchase"]
+    batch1 = [(1, "2024-01-01 10:00:00", "view"),
+              (1, "2024-01-01 10:01:00", "click"),
+              (2, "2024-01-01 10:00:00", "click"),   # click before any view
+              (3, "2024-01-01 10:00:00", "view")]
+    batch2 = [(1, "2024-01-01 10:05:00", "purchase"),
+              (2, "2024-01-01 10:06:00", "view"),
+              (3, "2024-01-01 10:07:00", "other"),   # non-step type ignored
+              (3, "2024-01-01 10:08:00", "click")]
+    src = str(tmp_path / "fun_src")
+    schema = "user_id bigint, ts_s string, event_type string"
+
+    def write(rows, name):
+        (spark.createDataFrame(rows, schema)
+         .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+         .write.mode("append").parquet(src))
+
+    # two sequential availableNow runs over one checkpoint pin the batch
+    # order (a single run may list same-mtime files in either order);
+    # the file sink supports checkpoint recovery, memory does not
+    sink = str(tmp_path / "fun_sink")
+    for i, batch in enumerate((batch1, batch2)):
+        write(batch, f"b{i}")
+        stream = (spark.readStream
+                  .schema("user_id bigint, ts timestamp, event_type string")
+                  .parquet(src))
+        q = (funnel_stream(stream, steps).writeStream.format("parquet")
+             .option("path", sink).outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "fun_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    rows = spark.read.parquet(sink).collect()
+    # latest row per user wins (the CDC convention); batches may be
+    # combined by availableNow, so take the deepest row per user
+    latest = {}
+    for r in rows:
+        if r["user_id"] not in latest or r["depth"] > latest[r["user_id"]]["depth"]:
+            latest[r["user_id"]] = r
+    all_events = (spark.createDataFrame(batch1 + batch2, schema)
+                  .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts",
+                              "event_type"))
+    expect = {r["user_id"]: r for r in funnel(all_events, steps).collect()}
+    assert set(latest) == set(expect)
+    for uid, er in expect.items():
+        gr = latest[uid]
+        assert gr["depth"] == er["depth"], uid
+        for s in steps:
+            assert gr[f"t_{s}"] == er[f"t_{s}"], (uid, s)
+
+
+def test_streaming_funnel_out_of_order_trade_is_documented(spark, tmp_path):
+    """Across-batch out-of-order arrival: a click seen before its user's
+    (late) view is not revived — the documented O(1)-state trade. The
+    batch funnel over the union DOES count it; assert the divergence so
+    the contract stays explicit."""
+    from klepto_spark.operators.funnel import funnel
+    from klepto_spark.streaming.funnel import funnel_stream
+
+    steps = ["view", "click"]
+    src = str(tmp_path / "ooo_src")
+    schema = "user_id bigint, ts timestamp, event_type string"
+    b1 = [(1, "2024-01-01 10:05:00", "click")]
+    b2 = [(1, "2024-01-01 10:00:00", "view")]     # late-arriving earlier view
+    for rows in (b1, b2):
+        (spark.createDataFrame(rows, "user_id bigint, ts_s string, event_type string")
+         .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (spark.readStream.option("maxFilesPerTrigger", "1")
+              .schema(schema).parquet(src))
+    q = (funnel_stream(stream, steps).writeStream.format("memory")
+         .queryName("ooo_out").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ooo_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ooo_out").collect()
+    deepest = max((r["depth"] for r in rows), default=0)
+    union = (spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", "click"), (1, "2024-01-01 10:00:00", "view")],
+        "user_id bigint, ts_s string, event_type string")
+        .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type"))
+    assert funnel(union, steps).collect()[0]["depth"] == 2  # batch: full chain
+    assert deepest == 1  # stream: click not revived (documented trade)
