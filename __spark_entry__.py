@@ -802,6 +802,22 @@ def q_tfidf(spark, sf_dir):
     return T.tfidf_top_terms(docs, k=3)
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Misra-Gries frequent terms over the document corpus. k=256 exceeds
+    the corpus vocabulary, so no trim ever fires and the summary is EXACT
+    (count_lo == count_hi == true count) — which makes this approximate-
+    family operator value-checkable against a plain GROUP BY oracle. The
+    general approximate bounds/guarantees are pinned by pytest on Zipf
+    data where k << distinct."""
+    from klepto_spark.operators.sketches import heavy_hitters
+    docs = _load(spark, sf_dir)("documents")
+    words = (dedup.fan_out(docs, "doc_id")
+             .select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                       r"\s+")).alias("term"))
+             .filter(F.col("term") != ""))
+    return heavy_hitters(words, "term", k=256)
+
+
 def q_tdigest(spark, sf_dir):
     """Approximate twin of a13_percentiles via the mergeable t-digest
     sketch (operators/tdigest.py): per-partition partial digests with no
@@ -895,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_funnel": q_funnel,
         "a15_json_props": q_json_props,
         "a16_tdigest": q_tdigest,
+        "t10_heavy_hitters": q_heavy_hitters,
         "m01_media_features": q_media_features,
         "m02_frame_plan": q_frame_plan,
     }
@@ -1161,6 +1178,12 @@ FROM comp c JOIN keep k ON k.comp = c.comp""",
         "t05_word_repetition": T.word_repetition_sql(),
         "t07_decontaminate": T.contamination_sql("doc_id < 5", n=4),
         "t08_pii_redact": _pii_oracle(),
+        "t10_heavy_hitters": """
+            SELECT term, COUNT(*) AS count_lo, COUNT(*) AS count_hi
+            FROM (SELECT unnest(string_split_regex(lower(trim(text)),
+                                                   '\\s+')) AS term
+                  FROM documents)
+            WHERE term != '' GROUP BY term""",
         "t09_tfidf": T.tfidf_sql(k=3),
         "a14_funnel": funnel_sql("events", FUNNEL_STEPS),
         "a15_json_props": """

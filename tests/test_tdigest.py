@@ -88,3 +88,58 @@ def test_tdigest_extremes_clamped_to_min_max(spark):
     assert 1.0 <= r["p25"] <= 100.0
     assert r["p50"] == pytest.approx(50.5, abs=1.0)
     assert r["p90"] == pytest.approx(90.5, abs=1.5)
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters (same mergeable-sketch family)
+# --------------------------------------------------------------------------
+
+def _zipf_df(spark, n=50_000, seed=3):
+    rng = np.random.default_rng(seed)
+    vals = rng.zipf(1.5, size=n)
+    vals = np.clip(vals, 1, 10_000)
+    return (spark.createDataFrame(
+        [(int(i), ["g1", "g2"][i % 2], f"v{v}") for i, v in enumerate(vals)],
+        "id bigint, g string, item string").repartition(8), vals)
+
+
+def test_heavy_hitters_bounds_contain_exact_counts(spark):
+    from klepto_spark.operators.sketches import heavy_hitters
+    df, vals = _zipf_df(spark)
+    got = heavy_hitters(df, "item", ["g"], k=64).collect()
+    exact = (df.groupBy("g", "item").count().collect())
+    ex = {(r["g"], r["item"]): r["count"] for r in exact}
+    totals = {}
+    for (g, _), c in ex.items():
+        totals[g] = totals.get(g, 0) + c
+    seen = {(r["g"], r["item"]) for r in got}
+    for r in got:
+        t = ex[(r["g"], r["item"])]
+        assert r["count_lo"] <= t <= r["count_hi"], (r, t)
+    # MG guarantee: anything above totals/k is present
+    for key, c in ex.items():
+        if c > totals[key[0]] / 64:
+            assert key in seen, (key, c)
+
+
+def test_heavy_hitters_exact_when_k_exceeds_distinct(spark):
+    from klepto_spark.operators.sketches import heavy_hitters
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7}") for i in range(700)], "id bigint, item string")
+    got = {r["item"]: r for r in
+           heavy_hitters(df, "item", k=64).collect()}
+    assert len(got) == 7
+    for i in range(7):
+        r = got[f"w{i}"]
+        assert r["count_lo"] == r["count_hi"] == 100  # err == 0: exact
+
+
+def test_heavy_hitters_summary_only_shuffle(spark):
+    from klepto_spark.operators.sketches import heavy_hitters
+    df, _ = _zipf_df(spark, n=2000)
+    q = heavy_hitters(df, "item", ["g"], k=16)
+    q.collect()
+    plan = (q._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "mg_values" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
