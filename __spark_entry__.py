@@ -802,6 +802,39 @@ def q_tfidf(spark, sf_dir):
     return T.tfidf_top_terms(docs, k=3)
 
 
+def q_window_distribution(spark, sf_dir):
+    """Distribution window functions (ntile/percent_rank/cume_dist) over
+    per-segment balance order. The ORDER BY carries the unique key as a
+    tie-break so ntile bucket assignment is deterministic; percent_rank
+    and cume_dist are exact rationals both engines compute identically."""
+    cust = _load(spark, sf_dir)("customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey"))
+    return (cust.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume")))
+
+
+def q_cube(spark, sf_dir):
+    """CUBE grouping sets over (region, order status): all four
+    aggregation granularities in one pass (the ROLLUP twin of a06 with
+    the full lattice). Decimal-exact sums cast to double."""
+    orders = _load(spark, sf_dir)("orders")
+    cust = _load(spark, sf_dir)("customer")
+    nation = _load(spark, sf_dir)("nation")
+    region = _load(spark, sf_dir)("region")
+    j = (orders
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(nation, cust.c_nationkey == nation.n_nationkey)
+         .join(region, nation.n_regionkey == region.r_regionkey))
+    return (j.cube("r_name", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(_dec("o_totalprice")).cast("double")
+                 .alias("sum_price")))
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Misra-Gries frequent terms over the document corpus. k=256 exceeds
     the corpus vocabulary, so no trim ever fires and the summary is EXACT
@@ -912,6 +945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_json_props": q_json_props,
         "a16_tdigest": q_tdigest,
         "t10_heavy_hitters": q_heavy_hitters,
+        "a17_window_distribution": q_window_distribution,
+        "a18_cube": q_cube,
         "m01_media_features": q_media_features,
         "m02_frame_plan": q_frame_plan,
     }
@@ -1186,6 +1221,23 @@ FROM comp c JOIN keep k ON k.comp = c.comp""",
             WHERE term != '' GROUP BY term""",
         "t09_tfidf": T.tfidf_sql(k=3),
         "a14_funnel": funnel_sql("events", FUNNEL_STEPS),
+        "a17_window_distribution": """
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal ASC, c_custkey ASC)""",
+        "a18_cube": """
+            SELECT r_name, o_orderstatus, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY CUBE (r_name, o_orderstatus)""",
         "a15_json_props": """
             SELECT event_type, COUNT(*) AS n,
                    CAST(SUM(k) AS BIGINT) AS sum_k,

@@ -7,7 +7,7 @@ pkg/dumper/driver.go:15-40). Spark mapping: the scheme selects a
 ``spark.read``/``df.write`` format + options.
 
 Supported schemes:
-- ``parquet|csv|json://<directory>`` — file catalogs over a table-per-file
+- ``parquet|orc|csv|json://<directory>`` — file catalogs over a table-per-file
   layout (the engine's native path)
 - ``mysql|postgres://…``             — JDBC (gated: needs driver jars)
 - ``os://stdout|stderr`` / ``file://<path>`` — SQL-text sink targets
@@ -65,6 +65,7 @@ def parse(s: str) -> DSN:
 # scheme -> (kind, spark format); kind: 'files' | 'jdbc' | 'text'
 SCHEMES: dict[str, tuple[str, str]] = {
     "parquet": ("files", "parquet"),
+    "orc": ("files", "orc"),
     "csv": ("files", "csv"),
     "json": ("files", "json"),
     "mysql": ("jdbc", "jdbc"),

@@ -56,3 +56,26 @@ def test_merge_schema_widens_drifted_parquet(spark, tmp_path):
      .write.mode("append").parquet(f"{src}/t.parquet"))
     with _pytest.raises(Exception, match="widen|merge"):
         FileCatalog(spark, src, merge_schema=True).load("t").collect()
+
+
+def test_orc_roundtrip_and_dsn(spark, sf_dir, tmp_path):
+    """ORC is a first-class columnar at-rest format: write/read through the
+    same generic fmt paths as parquet (predicate pushdown included)."""
+    from klepto_spark.sources.catalog import FileCatalog
+    from klepto_spark.sinks.writers import write_files
+    src = FileCatalog(spark, sf_dir)
+    nation = src.load("nation")
+    write_files(nation, str(tmp_path), "nation", "orc")
+    cat = FileCatalog(spark, str(tmp_path), fmt="orc")
+    assert cat.tables() == ["nation"]
+    back = cat.load("nation")
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, nation.collect()))
+    # pushdown reaches the ORC scan like parquet
+    plan = (back.filter(back.n_nationkey == 3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [" in plan and "n_nationkey" in plan
+
+    from klepto_spark.sources.dsn import route
+    kind, fmt, _ = route(f"orc:///{str(tmp_path).lstrip('/')}")
+    assert (kind, fmt) == ("files", "orc")
