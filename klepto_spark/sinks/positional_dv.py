@@ -1,0 +1,321 @@
+"""Positional deletion vectors: file-granular deletes for parquet tables.
+
+The key-tombstone merge-on-read layer (``deletion_vectors.py``) resolves
+deletes with a keyed anti-join against every pending event key on every
+read, and its compaction delegates to the keyed merge (whole table or
+touched buckets). For DELETE-heavy workloads there is a cheaper shape,
+the one Delta Lake/Iceberg positional DVs use: record the deleted rows'
+physical addresses — ``(file, row_index)`` — once at delete time, then
+
+- **read** drops them with a join on the (tiny, broadcastable) position
+  set attached via the parquet reader's ``_metadata.file_path`` /
+  ``_metadata.row_index`` columns — no key columns involved, so it works
+  even when no key identity exists;
+- **compact** rewrites ONLY the files that contain deleted positions —
+  files without deletions are never read, rewritten, or moved (asserted
+  byte-identical in tests), and no keyed anti-join happens at all.
+
+The cost moves to delete time (one pruned base scan to resolve keys or a
+predicate into positions) — the classic write-vs-read trade against the
+key-tombstone layer, chosen per table. Positional deletes compose with
+key epochs: they only ever address BASE rows, so they commute with
+upsert resolution (an upsert of a positionally-deleted key simply
+supersedes; the base row is gone either way).
+
+Parquet-only by design: ``row_index`` is a physical address, and parquet
+is the only format here whose reader exposes it stably.
+
+Crash-safety follows the package's retirement idiom: replacements are
+staged invisibly, a plan journal is written, then each file is published
+by rename (retire old -> move new). Recovery at the start of the next
+operation replays or rolls back half-applied plans; positional epochs are
+retired only after every file published. Single-writer per table, like
+every file-sink merge in this package. Positions for a file that no
+longer exists are no-ops (they addressed a row that a later rewrite
+already dropped), which is what makes replay idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from klepto_spark.sinks.writers import _hadoop_fs
+
+_PDV_DIR = "_pdv"
+_PDV_LOG = "_pdvlog"
+_PDV_STAGE = "_pdvstage"
+_PDV_PLAN = "_pdvplan.json"
+_FILE_COL = "_pdv_file"
+_POS_COL = "_pdv_pos"
+
+
+def _target(directory: str, table: str, fmt: str) -> str:
+    return f"{directory.rstrip('/')}/{table}.{fmt}"
+
+
+def _sub(jvm, base, *parts):
+    p = base
+    for part in parts:
+        p = jvm.org.apache.hadoop.fs.Path(p, part)
+    return p
+
+
+def _read_json(jvm, fs, path) -> dict:
+    stream = fs.open(path)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _write_json(fs, path, payload: dict) -> None:
+    out = fs.create(path, True)
+    out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    out.close()
+
+
+def _epoch_name(n: int) -> str:
+    return f"e{n:06d}"
+
+
+def committed_pdv_epochs(jvm, fs, tgt) -> list[dict]:
+    log_dir = _sub(jvm, tgt, _PDV_LOG)
+    if not fs.exists(log_dir):
+        return []
+    out = []
+    for status in fs.listStatus(log_dir):
+        name = status.getPath().getName()
+        if name.startswith("e") and name.endswith(".json"):
+            out.append(_read_json(jvm, fs, status.getPath()))
+    return sorted(out, key=lambda e: e["id"])
+
+
+def _epoch_paths(jvm, tgt, epochs) -> list[str]:
+    return [str(_sub(jvm, tgt, _PDV_DIR, _epoch_name(e["id"])))
+            for e in epochs if e["n_positions"]]
+
+
+def _base_with_address(spark: SparkSession, target: str) -> DataFrame:
+    """The base files with each row's physical address attached. Reads
+    recursively so bucket-partitioned layouts work; underscore-prefixed
+    state dirs are invisible to Spark's listing by convention."""
+    return (spark.read.option("recursiveFileLookup", "false")
+            .parquet(target)
+            .select("*",
+                    F.col("_metadata.file_path").alias(_FILE_COL),
+                    F.col("_metadata.row_index").alias(_POS_COL)))
+
+
+def positional_delete(spark: SparkSession, directory: str, table: str,
+                      fmt: str = "parquet", *,
+                      predicate=None, keys_df: DataFrame | None = None,
+                      keys: list[str] | None = None) -> int:
+    """Record the base rows matching ``predicate`` (a Column / SQL string)
+    or the keys in ``keys_df`` (joined on ``keys``) as positionally
+    deleted. One base scan resolves addresses (Catalyst prunes it to the
+    key/predicate columns plus metadata); the positions land as one
+    immutable epoch committed by a single log-file create. Returns the
+    number of positions recorded."""
+    if fmt != "parquet":
+        raise ValueError("positional deletion vectors require parquet "
+                         "(row_index is a physical parquet address)")
+    if (predicate is None) == (keys_df is None):
+        raise ValueError("pass exactly one of predicate / keys_df")
+    target = _target(directory, table, fmt)
+    jvm, fs, tgt = _hadoop_fs(spark.range(0), target)
+    _recover_plan(spark, jvm, fs, tgt)
+
+    base = _base_with_address(spark, target)
+    if predicate is not None:
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        hit = base.filter(cond)
+    else:
+        if not keys:
+            raise ValueError("keys_df needs the join column names in keys=")
+        hit = base.join(keys_df.select(*keys).distinct(), on=keys,
+                        how="left_semi")
+    epochs = committed_pdv_epochs(jvm, fs, tgt)
+    # already-deleted positions must not be re-recorded (idempotent deletes)
+    paths = _epoch_paths(jvm, tgt, epochs)
+    if paths:
+        seen = spark.read.parquet(*paths).select(_FILE_COL, _POS_COL)
+        hit = hit.join(seen, on=[_FILE_COL, _POS_COL], how="left_anti")
+    next_id = (epochs[-1]["id"] + 1) if epochs else 1
+    name = _epoch_name(next_id)
+    out = str(_sub(jvm, tgt, _PDV_DIR, name))
+    hit.select(_FILE_COL, _POS_COL).write.mode("overwrite").parquet(out)
+    n = spark.read.parquet(out).count()
+    if n == 0:
+        fs.delete(_sub(jvm, tgt, _PDV_DIR, name), True)
+        return 0
+    log_dir = _sub(jvm, tgt, _PDV_LOG)
+    if not fs.exists(log_dir):
+        fs.mkdirs(log_dir)
+    _write_json(fs, _sub(jvm, tgt, _PDV_LOG, f"{name}.json"),
+                {"id": next_id, "n_positions": n})
+    return n
+
+
+def apply_positional(spark: SparkSession, target: str,
+                     base: DataFrame | None = None) -> DataFrame:
+    """The base view with every committed positional delete applied. The
+    position set is the pending delete volume — small by compaction
+    contract — so AQE broadcasts the anti-join."""
+    jvm, fs, tgt = _hadoop_fs(spark.range(0), target)
+    _recover_plan(spark, jvm, fs, tgt)
+    epochs = committed_pdv_epochs(jvm, fs, tgt)
+    if base is None:
+        base = spark.read.parquet(target)
+    if not epochs:
+        return base
+    pos = spark.read.parquet(*_epoch_paths(jvm, tgt, epochs)) \
+        .select(_FILE_COL, _POS_COL).distinct()
+    addressed = (base.select(
+        "*", F.col("_metadata.file_path").alias(_FILE_COL),
+        F.col("_metadata.row_index").alias(_POS_COL)))
+    return (addressed.join(pos, on=[_FILE_COL, _POS_COL], how="left_anti")
+            .drop(_FILE_COL, _POS_COL))
+
+
+def has_pending_pdv(spark: SparkSession, directory: str, table: str,
+                    fmt: str = "parquet") -> bool:
+    target = _target(directory, table, fmt)
+    jvm, fs, tgt = _hadoop_fs(spark.range(0), target)
+    if not fs.exists(tgt):
+        return False
+    return bool(committed_pdv_epochs(jvm, fs, tgt))
+
+
+# --------------------------------------------------------------------------
+# Compaction: rewrite ONLY the files that carry deleted positions
+# --------------------------------------------------------------------------
+
+def _recover_plan(spark: SparkSession, jvm, fs, tgt) -> None:
+    """Finish or roll back a half-applied publish plan. For each planned
+    file: all replacements landed -> drop the retired original; otherwise
+    restore the original and drop partial replacements. Then clear the
+    staging dir and (only if every entry published) retire the epochs."""
+    plan_path = _sub(jvm, tgt, _PDV_PLAN)
+    if not fs.exists(plan_path):
+        stage = _sub(jvm, tgt, _PDV_STAGE)
+        if fs.exists(stage):
+            fs.delete(stage, True)  # crash before the plan: nothing visible
+        return
+    plan = _read_json(jvm, fs, plan_path)
+    all_ok = True
+    for entry in plan["files"]:
+        parent = jvm.org.apache.hadoop.fs.Path(entry["dir"])
+        retired = _sub(jvm, parent, entry["retired"])
+        finals = [_sub(jvm, parent, f) for f in entry["finals"]]
+        staged = [jvm.org.apache.hadoop.fs.Path(p) for p in entry["staged"]]
+        if all(fs.exists(f) for f in finals):
+            if fs.exists(retired):
+                fs.delete(retired, False)
+            continue
+        # replacements incomplete: move the ones that landed out of the
+        # way, restore the original
+        for f in finals:
+            if fs.exists(f):
+                fs.delete(f, False)
+        for s in staged:
+            if fs.exists(s):
+                fs.delete(s, False)
+        if fs.exists(retired):
+            original = _sub(jvm, parent, entry["name"])
+            fs.rename(retired, original)
+        all_ok = False
+    stage = _sub(jvm, tgt, _PDV_STAGE)
+    if fs.exists(stage):
+        fs.delete(stage, True)
+    if all_ok:
+        for eid in plan["epochs"]:
+            fs.delete(_sub(jvm, tgt, _PDV_LOG, f"{_epoch_name(eid)}.json"),
+                      False)
+            fs.delete(_sub(jvm, tgt, _PDV_DIR, _epoch_name(eid)), True)
+    fs.delete(plan_path, False)
+
+
+def compact_files_pdv(spark: SparkSession, directory: str, table: str,
+                      fmt: str = "parquet") -> int:
+    """Fold the positional epochs into the base by rewriting ONLY the
+    affected files; untouched files are never read or moved. One Spark
+    job filters all affected files at once (grouped back to their source
+    file), then each file publishes by the retire->move rename pair under
+    a journaled plan (see :func:`_recover_plan`). Returns the number of
+    files rewritten."""
+    target = _target(directory, table, fmt)
+    jvm, fs, tgt = _hadoop_fs(spark.range(0), target)
+    _recover_plan(spark, jvm, fs, tgt)
+    epochs = committed_pdv_epochs(jvm, fs, tgt)
+    if not epochs:
+        return 0
+    pos = spark.read.parquet(*_epoch_paths(jvm, tgt, epochs)) \
+        .select(_FILE_COL, _POS_COL).distinct()
+    affected = [r[0] for r in pos.select(_FILE_COL).distinct().collect()]
+    # existing files only: positions addressing already-rewritten (gone)
+    # files are no-ops
+    live = [p for p in affected
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(p))]
+    if not live:
+        _write_json(fs, _sub(jvm, tgt, _PDV_PLAN),
+                    {"files": [], "epochs": [e["id"] for e in epochs]})
+        _recover_plan(spark, jvm, fs, tgt)
+        return 0
+
+    stage_dir = _sub(jvm, tgt, _PDV_STAGE)
+    if fs.exists(stage_dir):
+        fs.delete(stage_dir, True)
+
+    # one job: read affected files, drop deleted positions, write one
+    # staged replacement per source file (file-id partitioning keeps the
+    # 1:1 correspondence the per-file publish needs)
+    file_id = {p: i for i, p in enumerate(sorted(live))}
+    src = (spark.read.parquet(*sorted(live))
+           .select("*", F.col("_metadata.file_path").alias(_FILE_COL),
+                   F.col("_metadata.row_index").alias(_POS_COL)))
+    kept = src.join(pos, on=[_FILE_COL, _POS_COL], how="left_anti")
+    mapping = F.create_map(*[x for p, i in file_id.items()
+                             for x in (F.lit(p), F.lit(i))])
+    (kept.withColumn("_pdv_fid", mapping[F.col(_FILE_COL)])
+         .drop(_FILE_COL, _POS_COL)
+         .repartition("_pdv_fid")
+         .write.partitionBy("_pdv_fid").mode("overwrite")
+         .parquet(str(stage_dir)))
+
+    plan_files = []
+    for path, fid in file_id.items():
+        src_path = jvm.org.apache.hadoop.fs.Path(path)
+        parent = src_path.getParent()
+        name = src_path.getName()
+        staged_dir = _sub(jvm, stage_dir, f"_pdv_fid={fid}")
+        staged, finals = [], []
+        if fs.exists(staged_dir):
+            k = 0
+            for status in fs.listStatus(staged_dir):
+                part = status.getPath().getName()
+                if not part.endswith(".parquet"):
+                    continue
+                staged.append(str(status.getPath()))
+                finals.append(f"pdvc-{fid}-{k}-{name}")
+                k += 1
+        plan_files.append({"dir": str(parent), "name": name,
+                           "retired": f"_retired.{name}",
+                           "staged": staged, "finals": finals})
+    _write_json(fs, _sub(jvm, tgt, _PDV_PLAN),
+                {"files": plan_files, "epochs": [e["id"] for e in epochs]})
+
+    for entry in plan_files:
+        parent = jvm.org.apache.hadoop.fs.Path(entry["dir"])
+        original = _sub(jvm, parent, entry["name"])
+        retired = _sub(jvm, parent, entry["retired"])
+        fs.rename(original, retired)
+        for s, f in zip(entry["staged"], entry["finals"]):
+            fs.rename(jvm.org.apache.hadoop.fs.Path(s),
+                      _sub(jvm, parent, f))
+        fs.delete(retired, False)
+    # publish complete: recovery path retires the epochs + clears staging
+    _recover_plan(spark, jvm, fs, tgt)
+    return len(plan_files)

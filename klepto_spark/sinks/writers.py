@@ -270,6 +270,7 @@ def merge_files(df: DataFrame, directory: str, table: str, fmt: str,
     jvm, fs, tgt = _hadoop_fs(df, target)
     merged = df
     if fs.exists(tgt):
+        _fold_pending_positional(spark, directory, table, fmt, jvm, fs, tgt)
         if _is_bucket_layout(fs, tgt):
             layout = _load_layout(jvm, fs, tgt)
             if layout is None:
@@ -295,6 +296,19 @@ def merge_files(df: DataFrame, directory: str, table: str, fmt: str,
     # the staged write reads the live directory lazily BEFORE the rename
     # publishes, so read-rewrite-swap is safe in one pass
     write_files(merged, directory, table, fmt, mode="overwrite", atomic=True)
+
+
+def _fold_pending_positional(spark, directory, table, fmt, jvm, fs, tgt
+                             ) -> None:
+    """Keyed merges rewrite base files, which would invalidate pending
+    positional deletion vectors' (file, row) addresses — so any pending
+    positional epochs are folded into the base FIRST. Cheap no-op check
+    when the table has no positional state."""
+    log_dir = jvm.org.apache.hadoop.fs.Path(str(tgt), "_pdvlog")
+    if not fs.exists(log_dir):
+        return
+    from klepto_spark.sinks.positional_dv import compact_files_pdv
+    compact_files_pdv(spark, directory, table, fmt)
 
 
 BUCKET_COL = "_kp"
@@ -458,6 +472,8 @@ def merge_files_partitioned(df: DataFrame, directory: str, table: str,
     target = f"{directory.rstrip('/')}/{table}.{fmt}"
     jvm, fs, tgt = _hadoop_fs(df, target)
     _recover_retired_buckets(jvm, fs, tgt)
+    if fs.exists(tgt):
+        _fold_pending_positional(spark, directory, table, fmt, jvm, fs, tgt)
 
     def _write(out: DataFrame, path: str) -> None:
         writer = out.write.format(fmt).mode("overwrite").partitionBy(BUCKET_COL)

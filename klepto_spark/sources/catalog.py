@@ -149,6 +149,13 @@ class FileCatalog:
         # a deletion-vector table (merge-on-read CDC sink) resolves its
         # committed epochs at read time, so every catalog consumer —
         # including sync_deletes' sink-key diff — sees the merged view
+        # positional deletes first (they address base rows only, so they
+        # commute with key-epoch resolution either way; applying them on
+        # the raw scan keeps _metadata addressable)
+        pdv_log = Path(self._path(table)) / "_pdvlog"
+        if pdv_log.is_dir() and any(pdv_log.glob("e*.json")):
+            from klepto_spark.sinks.positional_dv import apply_positional
+            df = apply_positional(self.spark, self._path(table), base=df)
         dv_log = Path(self._path(table)) / "_dvlog"
         if dv_log.is_dir() and any(dv_log.glob("e*.json")):
             from klepto_spark.sinks.deletion_vectors import read_files_dv
