@@ -165,12 +165,23 @@ def _cmd_compact(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="klepto_spark_compact")
     spark.sparkContext.setLogLevel("WARN")
     directory = file_path(dsn)
+    from klepto_spark.sinks import positional_dv as pdv
     out = {}
     for table in args.table:
+        entry = {}
+        if getattr(args, "delete_where", None):
+            # DELETE WHERE as a physical op: record positions, then the
+            # positional compaction below rewrites just the hit files
+            entry["positions_recorded"] = pdv.positional_delete(
+                spark, directory, table, fmt, predicate=args.delete_where)
+        entry["files_rewritten"] = (
+            pdv.compact_files_pdv(spark, directory, table, fmt)
+            if pdv.has_pending_pdv(spark, directory, table, fmt) else 0)
         pending = dv.pending_epochs(spark, directory, table, fmt)
         folded = (dv.compact_files_dv(spark, directory, table, fmt)
                   if pending else 0)
-        out[table] = {"pending_epochs": len(pending), "folded": folded}
+        entry.update({"pending_epochs": len(pending), "folded": folded})
+        out[table] = entry
     print(json.dumps({"tables": out, "ok": True}))
     return 0
 
@@ -276,6 +287,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="file-sink dsn, e.g. parquet:///data/out")
     pc.add_argument("--table", action="append", required=True,
                     help="table name (repeatable)")
+    pc.add_argument("--delete-where", dest="delete_where",
+                    help="physical DELETE: record matching rows as "
+                         "positional deletions, then rewrite only the "
+                         "files that contain them (parquet tables)")
     pc.set_defaults(fn=_cmd_compact)
     return p
 

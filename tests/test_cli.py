@@ -130,11 +130,33 @@ def test_cli_compact_folds_pending_epochs(spark, tmp_path, capsys):
         d, "t", "parquet", ["id"], auto_compact=None)
     assert main(["compact", "--target", f"parquet://{d}", "--table", "t"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rep["tables"]["t"] == {"pending_epochs": 1, "folded": 1}
+    assert rep["tables"]["t"] == {"pending_epochs": 1, "folded": 1,
+                                      "files_rewritten": 0}
     assert dv.pending_epochs(spark, d, "t", "parquet") == []
     got = {r["id"]: r["v"] for r in
            spark.read.parquet(f"{d}/t.parquet").collect()}
     assert got == {1: "a", 2: "B"}
     assert main(["compact", "--target", f"parquet://{d}", "--table", "t"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rep["tables"]["t"] == {"pending_epochs": 0, "folded": 0}
+    assert rep["tables"]["t"] == {"pending_epochs": 0, "folded": 0,
+                                      "files_rewritten": 0}
+
+
+def test_cli_compact_delete_where_rewrites_hit_files(spark, tmp_path, capsys):
+    """compact --delete-where: physical delete — positions recorded, only
+    the files containing matches rewritten, result visible to plain
+    readers immediately."""
+    from pyspark.sql import functions as F
+    d = str(tmp_path)
+    (spark.range(0, 400)
+     .select(F.col("id").alias("k"), (F.col("id") % 3).alias("v"))
+     .repartitionByRange(4, "k")
+     .write.mode("overwrite").parquet(f"{d}/t.parquet"))
+    assert main(["compact", "--target", f"parquet://{d}", "--table", "t",
+                 "--delete-where", "k >= 350"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    t = out["tables"]["t"]
+    assert t["positions_recorded"] == 50
+    assert t["files_rewritten"] == 1
+    got = sorted(r["k"] for r in spark.read.parquet(f"{d}/t.parquet").collect())
+    assert got == list(range(350))
