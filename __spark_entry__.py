@@ -749,6 +749,11 @@ def _pii_oracle() -> str:
             f"FROM c")
 
 
+def _validate_oracle() -> str:
+    from klepto_spark.operators import validate as V
+    return V.validate_sql("orders", _validation_checks())
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel (view -> click -> purchase, strictly increasing ts)
     per user: one window pass + one keyed aggregate — one shuffle total
@@ -833,6 +838,26 @@ def q_cube(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(_dec("o_totalprice")).cast("double")
                  .alias("sum_price")))
+
+
+def _validation_checks():
+    from klepto_spark.operators import validate as V
+    return [V.not_null("o_custkey"),
+            V.in_range("o_totalprice", 0, 1_000_000),
+            V.accepted("o_orderstatus", ["F", "O", "P"]),
+            V.matches("o_orderpriority", r"[1-5]-[A-Z ]+"),
+            V.expression("o_orderkey >= 0", "nonneg_key"),
+            V.unique("o_orderkey")]
+
+
+def q_validate(spark, sf_dir):
+    """Data-quality expectations audit over orders: six checks, one scan —
+    every row-local check is a conditional aggregate in the SAME pass
+    (operators/validate.py); uniqueness adds one keyed aggregate. Exact
+    violation counts, gate = all(pass)."""
+    from klepto_spark.operators import validate as V
+    orders = _load(spark, sf_dir)("orders")
+    return V.validate(orders, _validation_checks())
 
 
 def q_heavy_hitters(spark, sf_dir):
@@ -947,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_heavy_hitters": q_heavy_hitters,
         "a17_window_distribution": q_window_distribution,
         "a18_cube": q_cube,
+        "v01_validate": q_validate,
         "m01_media_features": q_media_features,
         "m02_frame_plan": q_frame_plan,
     }
@@ -1221,6 +1247,7 @@ FROM comp c JOIN keep k ON k.comp = c.comp""",
             WHERE term != '' GROUP BY term""",
         "t09_tfidf": T.tfidf_sql(k=3),
         "a14_funnel": funnel_sql("events", FUNNEL_STEPS),
+        "v01_validate": _validate_oracle(),
         "a17_window_distribution": """
             SELECT c_custkey, c_mktsegment, c_acctbal,
                    CAST(ntile(4) OVER w AS INT) AS quartile,

@@ -1,0 +1,176 @@
+"""Declarative data-quality validation — N expectations, ONE scan.
+
+A 100 TB table cannot afford one scan per quality check. Every expectation
+here compiles to a conditional aggregate over the same pass, so the whole
+suite costs exactly one scan + one partial-aggregate shuffle regardless of
+how many checks run (plan-asserted). Uniqueness — the one check a row-local
+aggregate can't express — rides a single groupBy on the key, and
+referential integrity a single anti-join per foreign key; both are opt-in
+per call because they add their own (keyed, AQE-managed) exchanges.
+
+Checks:
+- ``not_null(col)`` — NULL count
+- ``unique(cols)`` — duplicate-key row count (rows beyond the first of
+  each key)
+- ``in_range(col, lo, hi)`` — values outside [lo, hi] (NULLs don't count;
+  pair with not_null)
+- ``matches(col, regex)`` — non-matching values
+- ``accepted(col, values)`` — values outside the accepted set
+- ``expression(sql)`` — rows where an arbitrary boolean SQL predicate is
+  FALSE (the escape hatch)
+- ``references(cols, other, other_cols)`` — foreign keys with no parent
+  (orphan count)
+
+``validate`` returns one row per check: (check, target, violations, pass).
+All counting is exact; a pipeline gate is ``all(pass)``.
+
+Reference scope note: hellofresh/klepto validates nothing (a copy tool);
+this is engine-extension territory, the operational guardrail in front of
+the dedup/sampling stages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    kind: str
+    target: str
+    params: tuple = field(default=())
+
+
+def not_null(col: str) -> Check:
+    return Check("not_null", col)
+
+
+def unique(*cols: str) -> Check:
+    return Check("unique", ",".join(cols), tuple(cols))
+
+
+def in_range(col: str, lo, hi) -> Check:
+    return Check("in_range", col, (lo, hi))
+
+
+def matches(col: str, regex: str) -> Check:
+    return Check("matches", col, (regex,))
+
+
+def accepted(col: str, values: list) -> Check:
+    return Check("accepted", col, tuple(values))
+
+
+def expression(sql: str, name: str | None = None) -> Check:
+    return Check("expression", name or sql, (sql,))
+
+
+def references(cols: list[str], other: DataFrame,
+               other_cols: list[str]) -> Check:
+    return Check("references", ",".join(cols),
+                 (tuple(cols), other, tuple(other_cols)))
+
+
+def _violation_expr(c: Check) -> F.Column:
+    """The per-row 'is this row a violation' condition for the row-local
+    check kinds (everything but unique/references)."""
+    col = F.col(c.target.split(",")[0]) if c.kind != "expression" else None
+    if c.kind == "not_null":
+        return col.isNull()
+    if c.kind == "in_range":
+        lo, hi = c.params
+        return col.isNotNull() & ((col < F.lit(lo)) | (col > F.lit(hi)))
+    if c.kind == "matches":
+        # FULL-match semantics (the expectation convention, and DuckDB's
+        # regexp_full_match); the pattern must not carry its own anchors
+        return col.isNotNull() & ~col.rlike(f"^(?:{c.params[0]})$")
+    if c.kind == "accepted":
+        return col.isNotNull() & ~col.isin(list(c.params))
+    if c.kind == "expression":
+        return ~F.coalesce(F.expr(c.params[0]), F.lit(False))
+    raise ValueError(f"unknown row-local check {c.kind!r}")
+
+
+def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Run every check; returns (check, target, violations, pass) rows.
+    Row-local checks share ONE aggregate pass over one scan."""
+    spark = df.sparkSession
+    row_local = [c for c in checks
+                 if c.kind not in ("unique", "references")]
+    results = []
+
+    if row_local:
+        aggs = [F.sum(F.when(_violation_expr(c), 1).otherwise(0))
+                .cast("long").alias(f"_v{i}")
+                for i, c in enumerate(row_local)]
+        row = df.agg(*aggs).first()
+        for i, c in enumerate(row_local):
+            results.append((c.kind, c.target, int(row[f"_v{i}"] or 0)))
+
+    for c in checks:
+        if c.kind == "unique":
+            cols = list(c.params)
+            dups = (df.groupBy(*cols)
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .filter(F.col("_n") > 1)
+                    .agg(F.coalesce(F.sum(F.col("_n") - 1), F.lit(0))
+                         .cast("long").alias("_d"))
+                    .first()["_d"])
+            results.append((c.kind, c.target, int(dups)))
+        elif c.kind == "references":
+            cols, other, other_cols = c.params
+            parents = (other.select(*[F.col(oc).alias(cc) for cc, oc
+                                      in zip(cols, other_cols)])
+                       .distinct())
+            orphans = (df.select(*cols).na.drop()
+                       .join(parents, on=list(cols), how="left_anti")
+                       .count())
+            results.append((c.kind, c.target, int(orphans)))
+
+    out = spark.createDataFrame(
+        [(k, t, v, v == 0) for k, t, v in results],
+        "check string, target string, violations bigint, pass boolean")
+    return out
+
+
+def validate_sql(table: str, checks: list[Check]) -> str:
+    """Portable-SQL twin (DuckDB oracle) for the row-local + unique
+    check kinds; references needs the other table's name passed via
+    ``expression`` instead."""
+    selects = []
+    for c in checks:
+        if c.kind == "not_null":
+            v = f"SUM(CASE WHEN {c.target} IS NULL THEN 1 ELSE 0 END)"
+        elif c.kind == "in_range":
+            lo, hi = c.params
+            v = (f"SUM(CASE WHEN {c.target} IS NOT NULL AND "
+                 f"({c.target} < {lo} OR {c.target} > {hi}) "
+                 f"THEN 1 ELSE 0 END)")
+        elif c.kind == "accepted":
+            vals = ", ".join(f"'{x}'" for x in c.params)
+            v = (f"SUM(CASE WHEN {c.target} IS NOT NULL AND {c.target} "
+                 f"NOT IN ({vals}) THEN 1 ELSE 0 END)")
+        elif c.kind == "matches":
+            v = (f"SUM(CASE WHEN {c.target} IS NOT NULL AND NOT "
+                 f"regexp_full_match({c.target}, '{c.params[0]}') "
+                 f"THEN 1 ELSE 0 END)")
+        elif c.kind == "expression":
+            v = (f"SUM(CASE WHEN NOT COALESCE({c.params[0]}, FALSE) "
+                 f"THEN 1 ELSE 0 END)")
+        elif c.kind == "unique":
+            cols = ", ".join(c.params)
+            v = (f"(SELECT COALESCE(SUM(n - 1), 0) FROM (SELECT COUNT(*) "
+                 f"AS n FROM {table} GROUP BY {cols}) WHERE n > 1)")
+        else:
+            raise ValueError(f"no SQL twin for {c.kind!r}")
+        selects.append(
+            f"SELECT '{c.kind}' AS \"check\", '{c.target}' AS target, "
+            f"CAST({v} AS BIGINT) AS violations FROM {table}"
+            if c.kind != "unique" else
+            f"SELECT '{c.kind}' AS \"check\", '{c.target}' AS target, "
+            f"CAST({v} AS BIGINT) AS violations")
+    union = " UNION ALL ".join(f"({s})" for s in selects)
+    return (f"SELECT \"check\", target, violations, "
+            f"violations = 0 AS \"pass\" FROM ({union})")
