@@ -295,3 +295,40 @@ def test_streaming_funnel_out_of_order_trade_is_documented(spark, tmp_path):
         .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type"))
     assert funnel(union, steps).collect()[0]["depth"] == 2  # batch: full chain
     assert deepest == 1  # stream: click not revived (documented trade)
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join: clicks matched to
+    purchases within 1 hour; streaming output equals the batch interval
+    join over the same inputs."""
+    from klepto_spark.streaming.joins import interval_join_stream
+
+    clicks = [(1, "2024-01-01 10:00:00"),
+              (1, "2024-01-01 12:00:00"),
+              (2, "2024-01-01 10:30:00")]
+    buys = [(1, "2024-01-01 10:40:00"),   # joins click@10:00
+            (1, "2024-01-01 12:10:00"),   # joins click@12:00
+            (1, "2024-01-01 13:30:00"),   # no click within the hour
+            (2, "2024-01-01 10:20:00")]   # before the click: no match
+    cdir, bdir = str(tmp_path / "c"), str(tmp_path / "b")
+    schema = "user_id bigint, ts timestamp"
+    for rows, d in ((clicks, cdir), (buys, bdir)):
+        (spark.createDataFrame(rows, "user_id bigint, ts_s string")
+         .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+         .write.mode("overwrite").parquet(d))
+
+    cb, bb = spark.read.parquet(cdir), spark.read.parquet(bdir)
+    expect = sorted(map(tuple, interval_join_stream(
+        cb, bb, "user_id", within="1 hour").collect()))
+
+    cs = spark.readStream.schema(schema).parquet(cdir)
+    bs = spark.readStream.schema(schema).parquet(bdir)
+    q = (interval_join_stream(cs, bs, "user_id", within="1 hour")
+         .writeStream.format("memory").queryName("ivj")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ivj").collect()))
+    assert got == expect
+    assert len(got) == 2
