@@ -876,6 +876,15 @@ def q_heavy_hitters(spark, sf_dir):
     return heavy_hitters(words, "term", k=256)
 
 
+def q_boilerplate(spark, sf_dir):
+    """Corpus-frequency boilerplate stripping: tokens present in > 60% of
+    documents are removed and each document reassembled in original token
+    order (operators/text.py strip_boilerplate). The frequency table is
+    vocabulary-sized and broadcasts; reassembly is one keyed aggregate."""
+    docs = _load(spark, sf_dir)("documents")
+    return T.strip_boilerplate(docs, max_df_ratio=0.6)
+
+
 def q_tdigest(spark, sf_dir):
     """Approximate twin of a13_percentiles via the mergeable t-digest
     sketch (operators/tdigest.py): per-partition partial digests with no
@@ -973,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a17_window_distribution": q_window_distribution,
         "a18_cube": q_cube,
         "v01_validate": q_validate,
+        "t11_boilerplate": q_boilerplate,
         "m01_media_features": q_media_features,
         "m02_frame_plan": q_frame_plan,
     }
@@ -1248,6 +1258,7 @@ FROM comp c JOIN keep k ON k.comp = c.comp""",
         "t09_tfidf": T.tfidf_sql(k=3),
         "a14_funnel": funnel_sql("events", FUNNEL_STEPS),
         "v01_validate": _validate_oracle(),
+        "t11_boilerplate": T.strip_boilerplate_sql(max_df_ratio=0.6),
         "a17_window_distribution": """
             SELECT c_custkey, c_mktsegment, c_acctbal,
                    CAST(ntile(4) OVER w AS INT) AS quartile,

@@ -300,3 +300,73 @@ SELECT {key_col}, term, tf, df_docs, score, rank FROM (
                 ORDER BY score DESC, term ASC) AS INT) AS rank
   FROM scored) WHERE rank <= {k}
 """
+
+
+def strip_boilerplate(df: "DataFrame", text_col: str = "text",
+                      key_col: str = "doc_id",
+                      max_df_ratio: float = 0.9) -> "DataFrame":
+    """Corpus-frequency token stripping (the C4/RefinedWeb boilerplate
+    rule, applied at token granularity): drop every token that appears in
+    more than ``max_df_ratio`` of documents, and reassemble each document
+    with its surviving tokens in original order.
+
+    Scale shape: one explode -> (token, doc) distinct-aggregate builds the
+    document-frequency table (tiny: one row per vocabulary entry), which
+    BROADCASTS back onto the exploded stream as a semi-filter; reassembly
+    is one keyed aggregate whose ``sort_array(struct(pos, token))`` keeps
+    order without a window. Documents whose every token is boilerplate
+    survive with empty text (left join, not dropped)."""
+    from klepto_spark.operators.dedup import fan_out
+    n_docs = df.select(key_col).distinct().count()
+    limit = max_df_ratio * n_docs
+    words = (fan_out(df, key_col)
+             .select(F.col(key_col),
+                     F.posexplode(F.split(F.lower(F.trim(F.col(text_col))),
+                                          r"\s+"))
+                     .alias("pos", "tok"))
+             .filter(F.col("tok") != ""))
+    dfreq = (words.groupBy("tok")
+             .agg(F.count_distinct(F.col(key_col)).alias("df_docs")))
+    keep = dfreq.filter(F.col("df_docs") <= F.lit(limit)).select("tok")
+    kept = words.join(F.broadcast(keep), "tok", "left_semi")
+    rebuilt = (kept.groupBy(key_col)
+               .agg(F.concat_ws(
+                   " ",
+                   F.transform(
+                       F.sort_array(F.collect_list(
+                           F.struct(F.col("pos"), F.col("tok")))),
+                       lambda s: s["tok"])).alias("clean_text")))
+    return (df.select(key_col)
+            .join(rebuilt, key_col, "left")
+            .select(F.col(key_col),
+                    F.coalesce(F.col("clean_text"), F.lit(""))
+                    .alias("clean_text")))
+
+
+def strip_boilerplate_sql(text_col: str = "text", key_col: str = "doc_id",
+                          max_df_ratio: float = 0.9,
+                          table: str = "documents") -> str:
+    """DuckDB oracle for :func:`strip_boilerplate` (same threshold math,
+    ``string_agg ORDER BY pos`` mirrors the sort_array reassembly)."""
+    return f"""
+WITH n AS (SELECT COUNT(DISTINCT {key_col}) AS n_docs FROM {table}),
+words AS (
+  SELECT * FROM (
+    SELECT {key_col},
+           unnest(range(0, len(w))) AS pos,
+           unnest(w) AS tok
+    FROM (SELECT {key_col},
+                 string_split_regex(lower(trim({text_col})), '\\s+') AS w
+          FROM {table}))
+  WHERE tok != ''),
+dfreq AS (SELECT tok, COUNT(DISTINCT {key_col}) AS df_docs FROM words
+          GROUP BY tok),
+keep AS (SELECT tok FROM dfreq, n WHERE df_docs <= {max_df_ratio} * n_docs),
+rebuilt AS (
+  SELECT {key_col},
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM words SEMI JOIN keep USING (tok)
+  GROUP BY {key_col})
+SELECT d.{key_col}, COALESCE(r.clean_text, '') AS clean_text
+FROM {table} d LEFT JOIN rebuilt r ON d.{key_col} = r.{key_col}
+"""

@@ -177,3 +177,26 @@ def test_tfidf_empty_and_whitespace_docs_drop_out(spark):
     # N counts ALL docs (3), not just non-empty ones: alpha df=1 tf=1
     alpha = [r for r in out if r["term"] == "alpha"][0]
     assert alpha["score"] == pytest.approx(3.0)
+
+
+def test_strip_boilerplate_preserves_order_and_empty_docs(spark):
+    from klepto_spark.operators.text import strip_boilerplate
+    df = spark.createDataFrame(
+        [(1, "the quick the brown the fox"),
+         (2, "the lazy the dog"),
+         (3, "the the the")],          # all boilerplate -> empty
+        "doc_id bigint, text string")
+    # 'the' appears in 3/3 docs -> stripped at ratio 0.9; rest df=1 kept
+    out = {r["doc_id"]: r["clean_text"]
+           for r in strip_boilerplate(df, max_df_ratio=0.9).collect()}
+    assert out == {1: "quick brown fox", 2: "lazy dog", 3: ""}
+
+
+def test_strip_boilerplate_threshold_boundary(spark):
+    from klepto_spark.operators.text import strip_boilerplate
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], "doc_id bigint, text string")
+    # df('a')=2 = 1.0*N > 0.5*N -> stripped; b/c df=1 = 0.5*N kept (<=)
+    out = {r["doc_id"]: r["clean_text"]
+           for r in strip_boilerplate(df, max_df_ratio=0.5).collect()}
+    assert out == {1: "b", 2: "c"}
