@@ -533,6 +533,20 @@ def ivf_retrain(spark, path: str, k: int, out_path: str,
     return cents
 
 
+def ivf_append(df: DataFrame, centroids: list[list[float]], path: str,
+               vec_col: str = "embedding", key_col: str = "vec_id") -> None:
+    """Incremental index ingest: assign ONLY the new vectors to their
+    nearest existing centroid and append them to the matching cluster
+    partitions — the steady-state write path between retrains. Existing
+    partition files are never read or rewritten (dynamic partition
+    append touches only the clusters the batch lands in); probes see the
+    new vectors immediately because pruning is directory-based. Pair
+    with :func:`ivf_stats` + :func:`ivf_retrain` when drift accumulates
+    (appends never move old vectors, so centroid quality decays with
+    distribution shift — the standard IVF maintenance contract)."""
+    ivf_write_index(df, centroids, path, vec_col, key_col, mode="append")
+
+
 # ---------------------------------------------------------------------------
 # Pre-normalised embeddings at rest
 # ---------------------------------------------------------------------------

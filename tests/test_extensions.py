@@ -589,3 +589,43 @@ def test_decontamination_flags_ngram_overlap(spark):
     plan = T.contaminated_ids(docs, bench, n=3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_ivf_append_ingests_without_touching_existing_partitions(
+        spark, tmp_path):
+    """ivf_append: new vectors land in their nearest clusters; files of
+    untouched clusters keep byte-identity; probes find appended vectors
+    through the same pruned scan."""
+    import os
+    import numpy as np
+    from pyspark.sql import functions as F
+    from klepto_spark.operators.similarity import (
+        ivf_append, ivf_probe_index, ivf_stats, ivf_write_index)
+
+    cents = [[10.0, 0.0], [0.0, 10.0], [-10.0, -10.0]]
+    rng = np.random.default_rng(5)
+    base = [(i, [float(cents[i % 3][0] + rng.normal(0, 0.5)),
+                 float(cents[i % 3][1] + rng.normal(0, 0.5))])
+            for i in range(90)]
+    df = spark.createDataFrame(base, "vec_id bigint, embedding array<float>")
+    p = str(tmp_path / "ivf")
+    ivf_write_index(df, cents, p)
+
+    def sig(cluster):
+        d = f"{p}/cluster={cluster}"
+        return {f: os.stat(os.path.join(d, f)).st_mtime_ns
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    before = {c: sig(c) for c in range(3)}
+    # a batch that lands ONLY in cluster 0's region
+    newv = [(1000 + i, [10.0 + i * 0.01, 0.2]) for i in range(5)]
+    ivf_append(spark.createDataFrame(
+        newv, "vec_id bigint, embedding array<float>"), cents, p)
+    after = {c: sig(c) for c in range(3)}
+    assert before[1] == after[1] and before[2] == after[2]  # untouched
+    assert set(before[0]) <= set(after[0])  # cluster 0 gained files only
+    sizes = {r["cluster"]: r["n_vectors"]
+             for r in ivf_stats(spark, p).collect()}
+    assert sizes[0] == 35 and sizes[1] == 30 and sizes[2] == 30
+    got = ivf_probe_index(spark, p, [10.0, 0.2], cents, n_probe=1, k=5)
+    assert any(r["vec_id"] >= 1000 for r in got.collect())
