@@ -62,3 +62,30 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     assert I.shuffle_count(agg) == 0
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Spark's runtime bloom-filter join pruning (on by default in the
+    tuned session) injects a might_contain filter on the big probe side
+    when a selective build side warrants it. Local data sits below the
+    default application-side threshold (10 GB — exactly right at 100 TB),
+    so the test lowers it to observe the injection; the assertion is that
+    our session config leaves the machinery ON and working."""
+    assert (spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true")
+    prev_b = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                       "applicationSideScanSizeThreshold", "0")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .filter("o_orderpriority = '1-URGENT'"))
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_b)
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter."
+                         "applicationSideScanSizeThreshold")
