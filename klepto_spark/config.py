@@ -59,6 +59,10 @@ class TableSpec:
     anonymise: dict[str, str] = field(default_factory=dict)  # column -> faker spec
     relationships: list[Relationship] = field(default_factory=list)
     cast_policy: str = "string"
+    # free-text PII masking (engine extension): columns listed here run
+    # the operators.pii rule set AFTER anonymise — emails/IPs/long digit
+    # runs inside text bodies, where column-level fakers can't reach
+    pii_redact: list[str] = field(default_factory=list)
 
     def __post_init__(self) -> None:
         if self.cast_policy not in ("string", "keep"):
@@ -113,6 +117,7 @@ def _parse_table(raw: dict) -> TableSpec:
         anonymise=dict(raw.get("Anonymise", {})),
         relationships=rels,
         cast_policy=str(raw.get("CastPolicy", "string")),
+        pii_redact=list(raw.get("PiiRedact", [])),
     )
 
 

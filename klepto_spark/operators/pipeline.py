@@ -142,6 +142,14 @@ def build_table_df(table: TableSpec, load: LoadFn, *, spec: Spec | None = None,
                       .drop(*helpers))
             else:
                 df = df.withColumn(col, F.expr(sql))
+
+    if anonymise and table.pii_redact:
+        # free-text masking stage (engine extension): declarative regex
+        # rules (operators/pii.py), applied after the column fakers so a
+        # faked value that still carries PII shapes gets masked too
+        from klepto_spark.operators.pii import redact
+        for col in table.pii_redact:
+            df = df.withColumn(col, redact(col))
     return df
 
 
@@ -208,6 +216,12 @@ def build_table_sql(table: TableSpec, *, spec: Spec | None = None,
     if table.filter.limit > 0:
         sql += f" LIMIT {table.filter.limit}"
     if not (anonymise and table.anonymise):
+        if anonymise and table.pii_redact:
+            from klepto_spark.operators.pii import redact_sql
+            outer0 = ", ".join(
+                f"{redact_sql(c)} AS {c}" if c in table.pii_redact else c
+                for c in columns)
+            return f"SELECT {outer0} FROM ({sql}) AS {t}"
         return sql
     locale = spec.locale if spec else "en"
 
@@ -221,4 +235,11 @@ def build_table_sql(table: TableSpec, *, spec: Spec | None = None,
 
     outer = ", ".join(
         _anon(c) if c in table.anonymise else c for c in columns)
-    return f"SELECT {outer} FROM ({sql}) AS {t}"
+    sql = f"SELECT {outer} FROM ({sql}) AS {t}"
+    if table.pii_redact:
+        from klepto_spark.operators.pii import redact_sql
+        outer2 = ", ".join(
+            f"{redact_sql(c)} AS {c}" if c in table.pii_redact else c
+            for c in columns)
+        sql = f"SELECT {outer2} FROM ({sql}) AS {t}"
+    return sql

@@ -133,3 +133,25 @@ def test_anonymise_applied_after_filter(spark, duck, sf_dir):
     rows = df.collect()
     assert len(rows) > 0  # filter matched original names
     assert all(not r.c_name.startswith("Customer#") for r in rows)
+
+
+def test_pii_redact_pipeline_stage_matches_sql_twin(spark, sf_dir):
+    """PiiRedact spec columns run the free-text masking rules after the
+    fakers, in BOTH the Spark pipeline and the generated SQL."""
+    import duckdb
+    from klepto_spark.config import TableSpec
+    from klepto_spark.operators.pipeline import (
+        build_table_df, build_table_sql, parquet_loader)
+    spec = TableSpec(name="customer", pii_redact=["c_name"])
+    df = build_table_df(spec, parquet_loader(spark, sf_dir))
+    rows = {r["c_custkey"]: r["c_name"] for r in df.collect()}
+    # 'Customer#000000007' -> digit run masked
+    assert all(v.startswith("Customer#<NUM>") for v in rows.values())
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"]
+    sql = build_table_sql(spec, columns=cols)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/customer.parquet')")
+    oracle = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert oracle == rows
