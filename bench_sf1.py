@@ -36,7 +36,9 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          "d06_dedup_semantic",
          "s01_ann_cosine", "s02_ann_pairs_lsh", "s03_ivf_topk",
          "s04_pq_topk", "s05_pq_rerank", "s06_ivfpq_topk",
-         "t02_lang_profile"]
+         "t02_lang_profile",
+         # round-4 token-explode + sketch additions: corpus-scale-sensitive
+         "t09_tfidf", "t10_heavy_hitters"]
 COPIES = 10
 SRC = "/root/testdata/sf0.1"
 
