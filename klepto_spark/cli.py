@@ -186,6 +186,34 @@ def _cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_optimize(args: argparse.Namespace) -> int:
+    """OPTIMIZE: cluster a table's files so range predicates skip whole
+    files (sinks/layout.py); atomic-swap publish."""
+    from klepto_spark.session import get_spark
+    from klepto_spark.sinks.layout import optimize_table
+    from klepto_spark.sources.dsn import file_path, route
+
+    kind, fmt, dsn = route(getattr(args, "target"))
+    if kind != "files":
+        print(f"optimize needs a file-sink dsn, got {args.target!r}",
+              file=sys.stderr)
+        return 2
+    zcols = args.zorder_by.split(",") if args.zorder_by else None
+    scols = args.sort_by.split(",") if args.sort_by else None
+    spark = get_spark(app_name="klepto_spark_optimize")
+    spark.sparkContext.setLogLevel("WARN")
+    directory = file_path(dsn)
+    out = {}
+    for table in args.table:
+        n = optimize_table(spark, directory, table, fmt,
+                           zorder_by=zcols, sort_by=scols,
+                           n_files=args.files)
+        out[table] = {"files": n,
+                      "clustered_by": ",".join(zcols or scols)}
+    print(json.dumps({"tables": out, "ok": True}))
+    return 0
+
+
 class _TombstoneAction(argparse.Action):
     """--tombstone TABLE=SQL_EXPR (repeatable) -> dict on the namespace."""
 
@@ -292,6 +320,21 @@ def build_parser() -> argparse.ArgumentParser:
                          "positional deletions, then rewrite only the "
                          "files that contain them (parquet tables)")
     pc.set_defaults(fn=_cmd_compact)
+
+    po = sub.add_parser(
+        "optimize",
+        help="rewrite a table clustered (z-order or sort) with a min/max "
+             "file-skipping manifest, published by atomic swap")
+    po.add_argument("--target", required=True,
+                    help="file-sink dsn, e.g. parquet:///data/out")
+    po.add_argument("--table", action="append", required=True)
+    po.add_argument("--zorder-by", dest="zorder_by",
+                    help="comma-separated columns for z-order clustering")
+    po.add_argument("--sort-by", dest="sort_by",
+                    help="comma-separated columns for sort clustering")
+    po.add_argument("--files", type=int, default=32,
+                    help="target file count (default 32)")
+    po.set_defaults(fn=_cmd_optimize)
     return p
 
 

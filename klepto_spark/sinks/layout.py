@@ -176,3 +176,49 @@ def pruned_read(spark: SparkSession, path: str, col: str,
     if hi is not None:
         df = df.filter(c <= F.lit(hi))
     return df
+
+
+def optimize_table(spark: SparkSession, directory: str, table: str,
+                   fmt: str = "parquet", *,
+                   zorder_by: Sequence[str] | None = None,
+                   sort_by: Sequence[str] | None = None,
+                   n_files: int = 32) -> int:
+    """OPTIMIZE for a catalog table: rewrite it clustered (z-order or
+    sort) with the min/max manifest, published by atomic directory swap
+    (the file-sink staging discipline — readers see old or new, never
+    half). Parquet-only (the manifest reads parquet footers). Refuses
+    tables with pending merge-on-read or positional epochs: compact
+    first, clustering rewrites every file and would strand their state.
+    Returns the number of files written."""
+    if fmt != "parquet":
+        raise ValueError("optimize_table requires parquet (footer manifest)")
+    if (zorder_by is None) == (sort_by is None):
+        raise ValueError("pass exactly one of zorder_by / sort_by")
+    from klepto_spark.sinks.writers import _hadoop_fs
+    target = f"{directory.rstrip('/')}/{table}.{fmt}"
+    jvm, fs, tgt = _hadoop_fs(spark.range(0), target)
+    for pending in ("_dvlog", "_pdvlog"):
+        d = jvm.org.apache.hadoop.fs.Path(str(tgt), pending)
+        if fs.exists(d) and fs.listStatus(d):
+            raise ValueError(
+                f"table {table!r} has pending {pending} epochs: run "
+                "compaction before optimize (clustering rewrites every "
+                "file and would strand merge-on-read state)")
+    staging = jvm.org.apache.hadoop.fs.Path(target + "._optstage")
+    old = jvm.org.apache.hadoop.fs.Path(target + "._optold")
+    for leftover in (staging, old):
+        if fs.exists(leftover):
+            fs.delete(leftover, True)
+    df = spark.read.parquet(target)
+    if zorder_by is not None:
+        n = write_zordered(df, str(staging), list(zorder_by),
+                           n_files=n_files)
+    else:
+        n = write_sorted(df, str(staging), list(sort_by), n_files=n_files)
+    if not fs.rename(tgt, old):
+        raise IOError(f"cannot retire {target}")
+    if not fs.rename(staging, tgt):
+        fs.rename(old, tgt)  # roll back
+        raise IOError(f"cannot publish optimized {target}")
+    fs.delete(old, True)
+    return n

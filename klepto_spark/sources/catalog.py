@@ -164,6 +164,28 @@ class FileCatalog:
         # normalise nanosecond timestamps read as long (see session.py)
         return normalise_nanos_ts(df)
 
+    def load_range(self, table: str, col: str, lo=None, hi=None
+                   ) -> DataFrame:
+        """Range read that exploits a clustered layout's min/max manifest
+        when one exists (``optimize`` CLI / sinks.layout): only the files
+        whose envelope can contain [lo, hi] are opened. Falls back to a
+        plain load + filter — same results either way (the layout module's
+        equivalence contract)."""
+        from pyspark.sql import functions as F
+        from klepto_spark.session import normalise_nanos_ts
+        manifest = Path(self._path(table)) / "_minmax.json"
+        if self.fmt == "parquet" and manifest.is_file():
+            from klepto_spark.sinks.layout import pruned_read
+            return normalise_nanos_ts(
+                pruned_read(self.spark, self._path(table), col, lo, hi))
+        df = self.load(table)
+        c = F.col(col)
+        if lo is not None:
+            df = df.filter(c >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(c <= F.lit(hi))
+        return df
+
     def quarantine(self, table: str) -> DataFrame:
         """The malformed rows a permissive read skips, with whatever
         columns DID parse plus the raw line in ``_corrupt_record`` — write

@@ -86,3 +86,48 @@ def test_nulls_cluster_and_survive_pruning(spark, tmp_path):
     out = layout.pruned_read(spark, p, "x", lo=500, hi=600)
     expect = [x for x in range(500, 601) if x % 100 != 0]
     assert sorted(r["x"] for r in out.collect()) == expect
+
+
+def test_optimize_table_swaps_atomically_and_catalog_prunes(spark, tmp_path):
+    from klepto_spark.sinks.layout import optimize_table
+    from klepto_spark.sources.catalog import FileCatalog
+    from pyspark.sql import functions as F
+    d = str(tmp_path)
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("x"), ((F.col("id") * 7919) % 20_000).alias("y"))
+    df.write.parquet(f"{d}/t.parquet")
+    n = optimize_table(spark, d, "t", zorder_by=["x", "y"], n_files=8)
+    assert n == 8
+    cat = FileCatalog(spark, d)
+    pr = cat.load_range("t", "y", 100, 400)
+    assert len(pr.inputFiles()) < 8
+    expect = sorted(r["x"] for r in df.filter(
+        (F.col("y") >= 100) & (F.col("y") <= 400)).collect())
+    assert sorted(r["x"] for r in pr.collect()) == expect
+    # full reads still see every row after the swap
+    assert cat.load("t").count() == 20_000
+
+
+def test_optimize_refuses_pending_epochs(spark, tmp_path):
+    from klepto_spark.sinks.layout import optimize_table
+    from klepto_spark.sinks.deletion_vectors import merge_files_dv
+    from pyspark.sql import functions as F
+    d = str(tmp_path)
+    base = spark.range(0, 100).select(F.col("id").alias("k"),
+                                      F.col("id").alias("v"))
+    merge_files_dv(base, d, "t", "parquet", ["k"], auto_compact=None)
+    merge_files_dv(spark.createDataFrame([(1, 99)], "k bigint, v bigint"),
+                   d, "t", "parquet", ["k"], auto_compact=None)
+    with pytest.raises(ValueError, match="pending"):
+        optimize_table(spark, d, "t", sort_by=["k"])
+
+
+def test_load_range_without_manifest_falls_back(spark, tmp_path):
+    from klepto_spark.sources.catalog import FileCatalog
+    from pyspark.sql import functions as F
+    d = str(tmp_path)
+    spark.range(0, 100).select(F.col("id").alias("x")) \
+        .write.parquet(f"{d}/t.parquet")
+    cat = FileCatalog(spark, d)
+    got = sorted(r["x"] for r in cat.load_range("t", "x", 10, 20).collect())
+    assert got == list(range(10, 21))
