@@ -74,6 +74,15 @@ SPEC_ANON_SALTED = TableSpec(
     filter=FilterSpec(match="customer.c_custkey <= 1000"),
     anonymise={"c_name": "EmailAddress", "c_mktsegment": "UserName"})
 
+# PiiRedact pipeline stage (engine extension): free-text masking after
+# the fakers — digit runs inside customer names get masked while the
+# segment column is anonymised by the registry
+SPEC_PII_PIPELINE = TableSpec(
+    name="customer",
+    filter=FilterSpec(match="customer.c_acctbal > 8000"),
+    anonymise={"c_mktsegment": "City"},
+    pii_redact=["c_name"])
+
 SPEC_ANON_GEO = TableSpec(
     name="supplier",
     anonymise={"s_name": "Latitude", "s_acctbal": "literal:0.0"})
@@ -799,6 +808,15 @@ def q_pii_redact(spark, sf_dir):
         cust.select("c_custkey", contact.alias("contact")), "contact")
 
 
+def q_pii_pipeline(spark, sf_dir):
+    """P3+A1+PII composed: filter -> faker anonymise -> free-text PII
+    masking, the full pipeline with the PiiRedact stage (TOML
+    `PiiRedact = ["c_name"]`). Oracle replays the identical generated
+    SQL (build_table_sql wraps the redaction projection outermost)."""
+    return build_table_df(SPEC_PII_PIPELINE, _load(spark, sf_dir),
+                          seed=SEED)
+
+
 def q_tfidf(spark, sf_dir):
     """Top-3 characteristic terms per document by TF-IDF with IEEE-exact
     scoring (tf * N / df, pinned association) and a (score desc, term asc)
@@ -974,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t06_hll_distinct": q_hll_distinct,
         "t07_decontaminate": q_decontaminate,
         "t08_pii_redact": q_pii_redact,
+        "k15_pii_pipeline": q_pii_pipeline,
         "t09_tfidf": q_tfidf,
         "a14_funnel": q_funnel,
         "a15_json_props": q_json_props,
@@ -1249,6 +1268,8 @@ FROM comp c JOIN keep k ON k.comp = c.comp""",
         "t05_word_repetition": T.word_repetition_sql(),
         "t07_decontaminate": T.contamination_sql("doc_id < 5", n=4),
         "t08_pii_redact": _pii_oracle(),
+        "k15_pii_pipeline": _pipeline_oracle(SPEC_PII_PIPELINE,
+                                             CUSTOMER_COLS),
         "t10_heavy_hitters": """
             SELECT term, COUNT(*) AS count_lo, COUNT(*) AS count_hi
             FROM (SELECT unnest(string_split_regex(lower(trim(text)),
