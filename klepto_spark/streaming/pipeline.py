@@ -31,12 +31,19 @@ def read_events_stream(spark: SparkSession, directory: str,
 
 
 def anonymise_stream(df: DataFrame, anonymise: dict[str, str],
-                     table: str = "", seed: str = "klepto") -> DataFrame:
+                     table: str = "", seed: str = "klepto",
+                     pii_redact: list[str] | None = None) -> DataFrame:
     """The anonymise projection is stateless — identical expression code
-    works on stream and batch (same registry, same determinism)."""
+    works on stream and batch (same registry, same determinism). Free-text
+    ``pii_redact`` columns run the regex masking rules after the fakers,
+    matching the batch pipeline's PiiRedact stage."""
     for col, spec in anonymise.items():
         df = df.withColumn(col, F.expr(anonymise_sql(spec, col, table=table,
                                                      seed=seed)))
+    if pii_redact:
+        from klepto_spark.operators.pii import redact
+        for col in pii_redact:
+            df = df.withColumn(col, redact(col))
     return df
 
 

@@ -275,6 +275,25 @@ def test_streaming_anonymise(spark, sf_dir, tmp_path):
     assert rows and all(r.props and r.props[0].isupper() for r in rows)
 
 
+def test_streaming_anonymise_pii_redact_stage(spark, tmp_path):
+    """pii_redact on a stream mirrors the batch PiiRedact stage: text
+    bodies are masked after the fakers with the same rule set."""
+    from pyspark.sql import functions as F
+    from klepto_spark.streaming.pipeline import (
+        anonymise_stream, run_to_memory)
+    src = tmp_path / "pii_src"
+    (spark.createDataFrame(
+        [(1, "mail a@b.io acct 123456789"), (2, "clean")],
+        "id bigint, body string")
+     .write.parquet(str(src)))
+    stream = (spark.readStream.schema("id bigint, body string")
+              .parquet(str(src)))
+    out = anonymise_stream(stream, {}, pii_redact=["body"])
+    run_to_memory(out, "pii_stream")
+    got = {r["id"]: r["body"] for r in spark.table("pii_stream").collect()}
+    assert got == {1: "mail <EMAIL> acct <NUM>", 2: "clean"}
+
+
 def test_merge_files_partitioned_prunes_untouched(spark, tmp_path):
     """Bucket-partitioned merge: only the delta's buckets are rewritten —
     untouched buckets keep their exact files (path, mtime, size), the
