@@ -915,6 +915,42 @@ def q_tdigest(spark, sf_dir):
                              ["c_mktsegment"])
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """The capstone composition a training-data pipeline runs end-to-end:
+    repetition-quality filter (Gopher signals) -> exact dedup (min-id
+    survivor per fingerprint) -> deterministic train/valid/test split.
+    Every stage reuses an already-verified operator; the oracle chains
+    their SQL twins through CTEs. Thresholds compare round(x,6) doubles
+    both engines compute identically (t05 pins that)."""
+    from klepto_spark.operators import sampling as P
+    docs = _load(spark, sf_dir)("documents")
+    wr = T.word_repetition(dedup.fan_out(docs, "doc_id"))
+    keep = (wr.filter((F.col("n_words") >= 30)
+                      & (F.col("distinct_ratio") > 0.45))
+            .select("doc_id"))
+    kept = docs.join(keep, "doc_id", "left_semi")
+    canon = (kept.groupBy(F.md5("text").alias("fp"))
+             .agg(F.min("doc_id").alias("doc_id")))
+    surv = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+    return P.split_assign(surv.select("doc_id", "lang", "n_chars"),
+                          "doc_id", SPLIT_WEIGHTS, salt=SEED)
+
+
+def _corpus_pipeline_oracle() -> str:
+    return f"""
+WITH wr AS ({T.word_repetition_sql()}),
+keep AS (SELECT doc_id FROM wr
+         WHERE n_words >= 30 AND distinct_ratio > 0.45),
+kd AS (SELECT d.* FROM documents d SEMI JOIN keep USING (doc_id)),
+canon AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id
+          FROM kd GROUP BY 1),
+surv AS (SELECT kd.* FROM kd
+         SEMI JOIN (SELECT doc_id FROM canon) USING (doc_id))
+SELECT doc_id, lang, n_chars,
+       {sampling.split_assign_sql('doc_id', SPLIT_WEIGHTS, salt=SEED)}
+FROM surv"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> mapInPandas feature extraction.
     The stub features are pure byte math, so the DuckDB oracle recomputes
@@ -1002,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a18_cube": q_cube,
         "v01_validate": q_validate,
         "t11_boilerplate": q_boilerplate,
+        "c01_corpus_pipeline": q_corpus_pipeline,
         "m01_media_features": q_media_features,
         "m02_frame_plan": q_frame_plan,
     }
@@ -1280,6 +1317,7 @@ FROM comp c JOIN keep k ON k.comp = c.comp""",
         "a14_funnel": funnel_sql("events", FUNNEL_STEPS),
         "v01_validate": _validate_oracle(),
         "t11_boilerplate": T.strip_boilerplate_sql(max_df_ratio=0.6),
+        "c01_corpus_pipeline": _corpus_pipeline_oracle(),
         "a17_window_distribution": """
             SELECT c_custkey, c_mktsegment, c_acctbal,
                    CAST(ntile(4) OVER w AS INT) AS quartile,
