@@ -209,9 +209,15 @@ def _recover_plan(spark: SparkSession, jvm, fs, tgt) -> None:
     for entry in plan["files"]:
         parent = jvm.org.apache.hadoop.fs.Path(entry["dir"])
         retired = _sub(jvm, parent, entry["retired"])
+        original = _sub(jvm, parent, entry["name"])
         finals = [_sub(jvm, parent, f) for f in entry["finals"]]
         staged = [jvm.org.apache.hadoop.fs.Path(p) for p in entry["staged"]]
-        if all(fs.exists(f) for f in finals):
+        # published = every replacement landed AND the original is gone;
+        # the original-gone clause matters for fully-deleted files (empty
+        # finals): a crash BEFORE their retire rename must not read as
+        # done, or the epochs would retire with the delete unapplied
+        if (all(fs.exists(f) for f in finals)
+                and not fs.exists(original)):
             if fs.exists(retired):
                 fs.delete(retired, False)
             continue

@@ -143,3 +143,34 @@ def test_positional_refuses_non_parquet(spark, tmp_path):
     with pytest.raises(ValueError, match="parquet"):
         P.positional_delete(spark, str(tmp_path), "t", fmt="csv",
                             predicate="1=1")
+
+
+def test_crash_before_publish_does_not_lose_fully_deleted_file(
+        spark, tmp_path):
+    """A fully-deleted file plans an EMPTY finals list; a crash after the
+    plan write but before its retire rename must NOT count as published —
+    the epochs stay pending and the next compaction applies the delete."""
+    d = _mk_table(spark, tmp_path, n=100, files=4)
+    tdir = f"{d}/t.parquet"
+    P.positional_delete(spark, d, "t", predicate="k < 25")  # file 1 fully
+    jvm, fs, tgt = __import__(
+        "klepto_spark.sinks.writers", fromlist=["_hadoop_fs"]
+    )._hadoop_fs(spark.range(0), tdir)
+    epochs = P.committed_pdv_epochs(jvm, fs, tgt)
+    pos = spark.read.parquet(*P._epoch_paths(jvm, tgt, epochs))
+    affected = sorted(r[0] for r in
+                      pos.select(P._FILE_COL).distinct().collect())
+    name = affected[0].rsplit("/", 1)[1]
+    parent = affected[0].rsplit("/", 1)[0]
+    # the crash: plan exists, NOTHING was renamed yet
+    plan = {"files": [{"dir": parent, "name": name,
+                       "retired": f"_retired.{name}",
+                       "staged": [], "finals": []}],
+            "epochs": [e["id"] for e in epochs]}
+    P._write_json(fs, P._sub(jvm, tgt, P._PDV_PLAN), plan)
+    # recovery runs at the start of the next op: epochs must survive
+    assert P.has_pending_pdv(spark, d, "t")
+    assert P.compact_files_pdv(spark, d, "t") >= 1
+    got = sorted(r["k"] for r in spark.read.parquet(tdir).collect())
+    assert got == list(range(25, 100))
+    assert not P.has_pending_pdv(spark, d, "t")
