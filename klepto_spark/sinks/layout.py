@@ -204,6 +204,13 @@ def optimize_table(spark: SparkSession, directory: str, table: str,
                 f"table {table!r} has pending {pending} epochs: run "
                 "compaction before optimize (clustering rewrites every "
                 "file and would strand merge-on-read state)")
+    from klepto_spark.sinks.writers import _is_bucket_layout
+    if _is_bucket_layout(fs, tgt):
+        raise ValueError(
+            f"table {table!r} is bucket-partitioned (CDC merge layout): "
+            "optimize would flatten the key-routed directories the merge "
+            "depends on — the two layouts are alternatives, not "
+            "composable")
     staging = jvm.org.apache.hadoop.fs.Path(target + "._optstage")
     old = jvm.org.apache.hadoop.fs.Path(target + "._optold")
     for leftover in (staging, old):

@@ -131,3 +131,16 @@ def test_load_range_without_manifest_falls_back(spark, tmp_path):
     cat = FileCatalog(spark, d)
     got = sorted(r["x"] for r in cat.load_range("t", "x", 10, 20).collect())
     assert got == list(range(10, 21))
+
+
+def test_optimize_refuses_bucket_partitioned_layout(spark, tmp_path):
+    from klepto_spark.sinks.layout import optimize_table
+    from klepto_spark.sinks.writers import merge_files_partitioned
+    from pyspark.sql import functions as F
+    d = str(tmp_path)
+    base = spark.range(0, 100).select(F.col("id").alias("k"),
+                                      F.col("id").alias("v"))
+    merge_files_partitioned(base, d, "t", "parquet", keys=["k"],
+                            n_buckets=4)
+    with pytest.raises(ValueError, match="bucket-partitioned"):
+        optimize_table(spark, d, "t", sort_by=["k"])
