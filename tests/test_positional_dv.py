@@ -174,3 +174,16 @@ def test_crash_before_publish_does_not_lose_fully_deleted_file(
     got = sorted(r["k"] for r in spark.read.parquet(tdir).collect())
     assert got == list(range(25, 100))
     assert not P.has_pending_pdv(spark, d, "t")
+
+
+def test_positional_auto_compact_threshold(spark, tmp_path):
+    d = _mk_table(spark, tmp_path, n=100, files=4)
+    # 10% threshold: 5 positions of 100 rows -> no fold; +20 more -> fold
+    P.positional_delete(spark, d, "t", predicate="k < 5", auto_compact=0.1)
+    assert P.has_pending_pdv(spark, d, "t")
+    P.positional_delete(spark, d, "t", predicate="k < 25",
+                        auto_compact=0.1)
+    assert not P.has_pending_pdv(spark, d, "t")
+    got = sorted(r["k"] for r in
+                 spark.read.parquet(f"{d}/t.parquet").collect())
+    assert got == list(range(25, 100))
