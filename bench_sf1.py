@@ -38,7 +38,10 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          "s04_pq_topk", "s05_pq_rerank", "s06_ivfpq_topk",
          "t02_lang_profile",
          # round-4 token-explode + sketch additions: corpus-scale-sensitive
-         "t09_tfidf", "t10_heavy_hitters"]
+         "t09_tfidf", "t10_heavy_hitters",
+         # round-4 continuation: reassembly + composed-pipeline shapes
+         "t11_boilerplate", "c01_corpus_pipeline", "d04_dedup_jaccard_verified",
+         "d07_dedup_keep_best"]
 COPIES = 10
 SRC = "/root/testdata/sf0.1"
 

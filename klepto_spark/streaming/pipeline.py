@@ -137,3 +137,24 @@ def run_to_jdbc(stream_df: DataFrame, dsn_str: str, table: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_distinct_rollup(df: DataFrame, value_col: str = "user_id",
+                             window: str = "1 hour",
+                             watermark: str = "2 hours",
+                             lgk: int = 12) -> DataFrame:
+    """Approximate distinct values per event-time window via the HLL
+    sketch aggregate — the streaming twin of the batch sketch family.
+    State per window is the fixed-size sketch (2^lgk buckets), not the
+    value universe, and the watermark retires windows — so an unbounded
+    stream holds O(active windows) KB of state where exact
+    COUNT(DISTINCT) would hold every identity seen."""
+    return (df
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"))
+            .agg(F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col(value_col), F.lit(lgk)))
+                .alias("approx_distinct"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "approx_distinct"))
