@@ -369,3 +369,49 @@ def test_streaming_hll_distinct_rollup_matches_batch_estimate(
     last = max(expect)
     assert got == {k: v for k, v in expect.items() if k != last}
     assert len(got) == len(expect) - 1 > 0
+
+
+def test_interval_join_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer streaming interval join: a click with no purchase in its
+    hour emits with NULLs once the watermark passes its join window."""
+    from klepto_spark.streaming.joins import interval_join_stream
+    clicks = [(1, "2024-01-01 10:00:00"),
+              (2, "2024-01-01 10:00:00")]       # user 2 never buys
+    buys1 = [(1, "2024-01-01 10:30:00")]
+    buys2 = [(9, "2024-01-02 09:00:00")]         # late row drives watermark
+    cdir, bdir = str(tmp_path / "c"), str(tmp_path / "b")
+    sink = str(tmp_path / "ivj_lo_sink")
+
+    def write(rows, d):
+        (spark.createDataFrame(rows, "user_id bigint, ts_s string")
+         .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+         .write.mode("append").parquet(d))
+
+    write(clicks, cdir)
+    write(buys1, bdir)
+    # two availableNow runs over one checkpoint: outer-join NULLs emit in
+    # a batch AFTER the watermark advance (documented streaming behavior)
+    buys3 = [(9, "2024-01-02 10:00:00")]     # batch 3: post-advance eviction
+    for i, extra in enumerate((None, buys2, buys3)):
+        if extra:
+            write(extra, bdir)
+            # the global watermark is the MIN across sources: the clicks
+            # side must advance too or no left row ever expires
+            write([(9, extra[0][1])], cdir)
+        cs = (spark.readStream.schema("user_id bigint, ts timestamp")
+              .parquet(cdir))
+        bs = (spark.readStream.schema("user_id bigint, ts timestamp")
+              .parquet(bdir))
+        q = (interval_join_stream(cs, bs, "user_id", within="1 hour",
+                                  late="1 minute", how="left_outer")
+             .writeStream.format("parquet").option("path", sink)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    rows = spark.read.parquet(sink).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user[1][0]["r_ts"] is not None      # matched
+    assert by_user[2][0]["r_ts"] is None          # unmatched, NULL-padded
