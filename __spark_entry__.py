@@ -1120,17 +1120,17 @@ def _text_stats_oracle() -> str:
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-        / greatest(length(text), 1), 6) AS punct_ratio,
-  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-        / greatest(length(text), 1), 6) AS alpha_ratio,
-  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-        / greatest(CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1), 6) AS mean_word_len,
-  round({en_hits} / greatest(CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1), 6) AS stopword_ratio,
-  round(least(1.0, CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) / 100.0) * 0.25
-      + least(1.0, round({en_hits} / greatest(CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1), 6) * 5) * 0.25
-      + round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1), 6) * 0.25
-      + (1 - least(1.0, round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1), 6) * 10)) * 0.25, 6) AS quality_score
+  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        / greatest(length(text), 1) AS punct_ratio,
+  length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        / greatest(length(text), 1) AS alpha_ratio,
+  length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        / greatest(CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1) AS mean_word_len,
+  {en_hits} / greatest(CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1) AS stopword_ratio,
+  least(1.0, CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) / 100.0) * 0.25
+      + least(1.0, ({en_hits} / greatest(CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1)) * 5) * 0.25
+      + (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1)) * 0.25
+      + (1 - least(1.0, (length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1)) * 10)) * 0.25 AS quality_score
 FROM documents
 """
 

@@ -85,15 +85,21 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = token_count(c)
     n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
-    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
-    mean_word_len = F.round(n_alpha / F.greatest(n_tokens, F.lit(1)), 6)
-    stop_ratio = F.round(stopword_hits(c, "en") / F.greatest(n_tokens, F.lit(1)), 6)
-    score = F.round(
+    # NO rounding anywhere: every ratio is an IEEE division of exact
+    # integers and every combination keeps one fixed association order,
+    # so the raw doubles are bit-identical across engines. round() is the
+    # trap here, not the safety net — Spark (BigDecimal HALF_UP) and
+    # DuckDB disagree by one ulp on exact .5-at-the-6th-digit sums
+    # (surfaced at sf0.1: ~20 of 5000 docs hit a halfway quality_score).
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    mean_word_len = n_alpha / F.greatest(n_tokens, F.lit(1))
+    stop_ratio = stopword_hits(c, "en") / F.greatest(n_tokens, F.lit(1))
+    score = (
         F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.25
         + F.least(F.lit(1.0), stop_ratio * 5) * 0.25
         + alpha_ratio * 0.25
-        + (1 - F.least(F.lit(1.0), punct_ratio * 10)) * 0.25, 6)
+        + (1 - F.least(F.lit(1.0), punct_ratio * 10)) * 0.25)
     return df.select(
         "doc_id",
         n_chars.alias("n_chars"),
@@ -155,9 +161,13 @@ def word_repetition(df: DataFrame, text_col: str = "text",
             .select(F.col(key_col),
                     F.col("n_words"),
                     F.col("n_distinct"),
-                    F.round(F.col("n_distinct") / F.col("n_words"), 6)
+                    # unrounded: identical exact-int divisions are
+                    # bit-identical across engines; round() itself is the
+                    # cross-engine hazard at halfway points (see
+                    # quality_features)
+                    (F.col("n_distinct") / F.col("n_words"))
                     .alias("distinct_ratio"),
-                    F.round(F.col("_top.c") / F.col("n_words"), 6)
+                    (F.col("_top.c") / F.col("n_words"))
                     .alias("top_word_ratio"),
                     F.col("_top.w").alias("top_word")))
 
@@ -177,8 +187,8 @@ m AS (SELECT {key_col}, max(c) AS top_c FROM c GROUP BY {key_col})
 SELECT c.{key_col},
        CAST(sum(c.c) AS BIGINT) AS n_words,
        count(*) AS n_distinct,
-       round(count(*) * 1.0 / sum(c.c), 6) AS distinct_ratio,
-       round(any_value(m.top_c) * 1.0 / sum(c.c), 6) AS top_word_ratio,
+       count(*) * 1.0 / sum(c.c) AS distinct_ratio,
+       any_value(m.top_c) * 1.0 / sum(c.c) AS top_word_ratio,
        max(CASE WHEN c.c = m.top_c THEN c.w END) AS top_word
 FROM c JOIN m ON c.{key_col} = m.{key_col}
 GROUP BY c.{key_col}
