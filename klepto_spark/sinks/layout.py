@@ -229,3 +229,107 @@ def optimize_table(spark: SparkSession, directory: str, table: str,
         raise IOError(f"cannot publish optimized {target}")
     fs.delete(old, True)
     return n
+
+
+_BINPACK_PLAN = "_binpack.json"
+
+
+def _recover_binpack(jvm, fs, tgt) -> None:
+    """Finish or roll back a half-applied bin-pack publish. Old files are
+    deleted only AFTER every replacement landed, so recovery is simple:
+    all news present -> finish deleting olds; otherwise drop partial news
+    and keep the olds (nothing was lost either way)."""
+    plan_path = _sub_path(jvm, tgt, _BINPACK_PLAN)
+    if not fs.exists(plan_path):
+        stage = _sub_path(jvm, tgt, "_bpstage")
+        if fs.exists(stage):
+            fs.delete(stage, True)
+        return
+    import json as _json
+    stream = fs.open(plan_path)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    plan = _json.loads(text)
+    news = [jvm.org.apache.hadoop.fs.Path(p) for p in plan["news"]]
+    olds = [jvm.org.apache.hadoop.fs.Path(p) for p in plan["olds"]]
+    if all(fs.exists(p) for p in news):
+        for p in olds:
+            if fs.exists(p):
+                fs.delete(p, False)
+    else:
+        for p in news:
+            if fs.exists(p):
+                fs.delete(p, False)
+    stage = _sub_path(jvm, tgt, "_bpstage")
+    if fs.exists(stage):
+        fs.delete(stage, True)
+    fs.delete(plan_path, False)
+
+
+def _sub_path(jvm, base, name: str):
+    return jvm.org.apache.hadoop.fs.Path(str(base), name)
+
+
+def compact_small_files(spark: SparkSession, directory: str, table: str,
+                        fmt: str = "parquet",
+                        target_mb: int = 128) -> int:
+    """Bin-pack compaction: merge the table's SMALL files (< target/2)
+    into ~target_mb outputs; files already at a healthy size are never
+    read, rewritten, or moved. At 100 TB the small-files tail is what
+    murders scan scheduling (one task per tiny file) — this trims it for
+    exactly the IO of the tail itself. Publish order makes crashes safe
+    without renames of live files: stage merged outputs, journal the
+    plan, move the news in, only then delete the olds (see
+    :func:`_recover_binpack`). Returns the number of small files folded.
+
+    Not for bucket-partitioned layouts (their files are key-routed) or
+    tables with pending merge-on-read epochs — same guards as
+    :func:`optimize_table`."""
+    if fmt != "parquet":
+        raise ValueError("compact_small_files requires parquet")
+    from klepto_spark.sinks.writers import _hadoop_fs, _is_bucket_layout
+    target = f"{directory.rstrip('/')}/{table}.{fmt}"
+    jvm, fs, tgt = _hadoop_fs(spark.range(0), target)
+    _recover_binpack(jvm, fs, tgt)
+    for pending in ("_dvlog", "_pdvlog"):
+        d = _sub_path(jvm, tgt, pending)
+        if fs.exists(d) and fs.listStatus(d):
+            raise ValueError(f"table {table!r} has pending {pending} "
+                             "epochs: compact those first")
+    if _is_bucket_layout(fs, tgt):
+        raise ValueError(f"table {table!r} is bucket-partitioned: its "
+                         "file routing is the layout; bin-packing would "
+                         "break it")
+    limit = target_mb * 1024 * 1024 // 2
+    small = []
+    for status in fs.listStatus(tgt):
+        name = status.getPath().getName()
+        if (name.endswith(".parquet") and not name.startswith("_")
+                and status.getLen() < limit):
+            small.append(str(status.getPath()))
+    if len(small) < 2:
+        return 0
+    stage = _sub_path(jvm, tgt, "_bpstage")
+    if fs.exists(stage):
+        fs.delete(stage, True)
+    merged = spark.read.parquet(*small)
+    total_bytes = sum(fs.getFileStatus(
+        jvm.org.apache.hadoop.fs.Path(p)).getLen() for p in small)
+    n_out = max(1, int(total_bytes // (target_mb * 1024 * 1024)) + 1)
+    merged.repartition(n_out).write.mode("overwrite").parquet(str(stage))
+    staged = [str(st.getPath()) for st in fs.listStatus(stage)
+              if st.getPath().getName().endswith(".parquet")]
+    news = [f"{target}/bp-{i}-{p.rsplit('/', 1)[1]}"
+            for i, p in enumerate(staged)]
+    import json as _json
+    out = fs.create(_sub_path(jvm, tgt, _BINPACK_PLAN), True)
+    out.write(bytearray(_json.dumps(
+        {"olds": small, "news": news}).encode("utf-8")))
+    out.close()
+    for s, n in zip(staged, news):
+        fs.rename(jvm.org.apache.hadoop.fs.Path(s),
+                  jvm.org.apache.hadoop.fs.Path(n))
+    _recover_binpack(jvm, fs, tgt)  # deletes olds + plan + staging
+    return len(small)

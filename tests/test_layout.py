@@ -144,3 +144,62 @@ def test_optimize_refuses_bucket_partitioned_layout(spark, tmp_path):
                             n_buckets=4)
     with pytest.raises(ValueError, match="bucket-partitioned"):
         optimize_table(spark, d, "t", sort_by=["k"])
+
+
+def test_compact_small_files_folds_tail_only(spark, tmp_path):
+    from klepto_spark.sinks.layout import compact_small_files
+    from pyspark.sql import functions as F
+    import os
+    d = str(tmp_path)
+    tdir = f"{d}/t.parquet"
+    # one healthy file (incompressible payload keeps it over the
+    # small-file threshold) + a tail of tiny ones
+    pay = F.sha2(F.col("id").cast("string"), 256)
+    spark.range(0, 60_000).select(
+        F.col("id").alias("x"),
+        F.concat(pay, pay, pay, pay).alias("pay")) \
+        .coalesce(1).write.parquet(tdir)
+    for i in range(6):
+        spark.range(i * 10, i * 10 + 10).select(
+            F.col("id").alias("x"), F.lit("p").alias("pay")) \
+            .coalesce(1).write.mode("append").parquet(tdir)
+    files = [f for f in os.listdir(tdir) if f.endswith(".parquet")]
+    big = max(files, key=lambda f: os.path.getsize(os.path.join(tdir, f)))
+    big_sig = os.stat(os.path.join(tdir, big)).st_mtime_ns
+    total_before = spark.read.parquet(tdir).count()
+
+    folded = compact_small_files(spark, d, "t", target_mb=1)
+    assert folded == 6
+    after = [f for f in os.listdir(tdir) if f.endswith(".parquet")]
+    assert big in after
+    assert os.stat(os.path.join(tdir, big)).st_mtime_ns == big_sig
+    assert len(after) < len(files)
+    assert spark.read.parquet(tdir).count() == total_before
+    # idempotent: nothing left to fold at this threshold with few files
+    assert compact_small_files(spark, d, "t", target_mb=1) in (0, 1, 2)
+
+
+def test_compact_small_files_crash_recovery_keeps_data(spark, tmp_path):
+    from klepto_spark.sinks import layout as L
+    from klepto_spark.sinks.writers import _hadoop_fs
+    from pyspark.sql import functions as F
+    import json as _json
+    import os
+    d = str(tmp_path)
+    tdir = f"{d}/t.parquet"
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("x")) \
+            .coalesce(1).write.mode("append").parquet(tdir)
+    jvm, fs, tgt = _hadoop_fs(spark.range(0), tdir)
+    olds = [str(s.getPath()) for s in fs.listStatus(tgt)
+            if s.getPath().getName().endswith(".parquet")]
+    # crash: plan written, news never landed
+    out = fs.create(L._sub_path(jvm, tgt, L._BINPACK_PLAN), True)
+    out.write(bytearray(_json.dumps(
+        {"olds": olds, "news": [f"{tdir}/bp-0-missing.parquet"]})
+        .encode("utf-8")))
+    out.close()
+    assert L.compact_small_files(spark, d, "t", target_mb=1) == 3
+    got = sorted(r["x"] for r in spark.read.parquet(tdir).collect())
+    assert got == sorted(list(range(10)) + list(range(10, 20))
+                         + list(range(20, 30)))
