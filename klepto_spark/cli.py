@@ -200,16 +200,26 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
         return 2
     zcols = args.zorder_by.split(",") if args.zorder_by else None
     scols = args.sort_by.split(",") if args.sort_by else None
+    if args.bin_pack and (zcols or scols):
+        print("--bin-pack and --zorder-by/--sort-by are exclusive",
+              file=sys.stderr)
+        return 2
     spark = get_spark(app_name="klepto_spark_optimize")
     spark.sparkContext.setLogLevel("WARN")
     directory = file_path(dsn)
     out = {}
     for table in args.table:
-        n = optimize_table(spark, directory, table, fmt,
-                           zorder_by=zcols, sort_by=scols,
-                           n_files=args.files)
-        out[table] = {"files": n,
-                      "clustered_by": ",".join(zcols or scols)}
+        if args.bin_pack:
+            from klepto_spark.sinks.layout import compact_small_files
+            folded = compact_small_files(spark, directory, table, fmt,
+                                         target_mb=args.target_mb)
+            out[table] = {"small_files_folded": folded}
+        else:
+            n = optimize_table(spark, directory, table, fmt,
+                               zorder_by=zcols, sort_by=scols,
+                               n_files=args.files)
+            out[table] = {"files": n,
+                          "clustered_by": ",".join(zcols or scols)}
     print(json.dumps({"tables": out, "ok": True}))
     return 0
 
@@ -334,6 +344,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated columns for sort clustering")
     po.add_argument("--files", type=int, default=32,
                     help="target file count (default 32)")
+    po.add_argument("--bin-pack", dest="bin_pack", action="store_true",
+                    help="fold the small-files tail instead of "
+                         "re-clustering (healthy files untouched)")
+    po.add_argument("--target-mb", dest="target_mb", type=int, default=128,
+                    help="bin-pack target file size (default 128)")
     po.set_defaults(fn=_cmd_optimize)
     return p
 
