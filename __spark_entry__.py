@@ -915,6 +915,29 @@ def q_tdigest(spark, sf_dir):
                              ["c_mktsegment"])
 
 
+def q_small_order_parts(spark, sf_dir):
+    """TPC-H Q17 shape: parts whose lineitems fall below 50% of that
+    part's average quantity — the classic correlated scalar subquery,
+    decorrelated by Catalyst into one aggregate + one keyed join (no
+    per-row subquery execution). Decimal-exact revenue sum."""
+    li = _load(spark, sf_dir)("lineitem")
+    part = _load(spark, sf_dir)("part")
+    # avg in exact double math (sum of decimals is exact, the cast and
+    # the division are single IEEE ops): Spark's decimal division would
+    # round at a different scale than DuckDB's
+    avg_q = (li.groupBy("l_partkey")
+             .agg((F.sum(_dec("l_quantity")).cast("double")
+                   / F.count(F.lit(1))).alias("avg_qty")))
+    j = (li.join(avg_q, "l_partkey")
+         .join(part.filter(F.col("p_brand") == "Brand#4"),
+               F.col("l_partkey") == F.col("p_partkey"))
+         .filter(_dec("l_quantity").cast("double")
+                 < F.lit(0.5) * F.col("avg_qty")))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"))
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """The capstone composition a training-data pipeline runs end-to-end:
     repetition-quality filter (Gopher signals) -> exact dedup (min-id
@@ -1039,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v01_validate": q_validate,
         "t11_boilerplate": q_boilerplate,
         "c01_corpus_pipeline": q_corpus_pipeline,
+        "a19_small_order_parts": q_small_order_parts,
         "m01_media_features": q_media_features,
         "m02_frame_plan": q_frame_plan,
     }
@@ -1318,6 +1342,20 @@ FROM comp c JOIN keep k ON k.comp = c.comp""",
         "v01_validate": _validate_oracle(),
         "t11_boilerplate": T.strip_boilerplate_sql(max_df_ratio=0.6),
         "c01_corpus_pipeline": _corpus_pipeline_oracle(),
+        "a19_small_order_parts": """
+            WITH avg_q AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                         / COUNT(*) AS avg_qty
+              FROM lineitem GROUP BY 1)
+            SELECT COUNT(*) AS n_lines,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN avg_q USING (l_partkey)
+            JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#4'
+            WHERE CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)
+                  < 0.5 * avg_qty""",
         "a17_window_distribution": """
             SELECT c_custkey, c_mktsegment, c_acctbal,
                    CAST(ntile(4) OVER w AS INT) AS quartile,
