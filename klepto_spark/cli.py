@@ -169,17 +169,29 @@ def _cmd_compact(args: argparse.Namespace) -> int:
     out = {}
     for table in args.table:
         entry = {}
-        if getattr(args, "delete_where", None):
-            # DELETE WHERE as a physical op: record positions, then the
-            # positional compaction below rewrites just the hit files
-            entry["positions_recorded"] = pdv.positional_delete(
-                spark, directory, table, fmt, predicate=args.delete_where)
-        entry["files_rewritten"] = (
-            pdv.compact_files_pdv(spark, directory, table, fmt)
-            if pdv.has_pending_pdv(spark, directory, table, fmt) else 0)
         pending = dv.pending_epochs(spark, directory, table, fmt)
+        # positional epochs fold FIRST in every path: the key-epoch fold
+        # rewrites base files, which would turn pending positional
+        # addresses into silent no-ops (lost deletes)
+        rewritten = (pdv.compact_files_pdv(spark, directory, table, fmt)
+                     if pdv.has_pending_pdv(spark, directory, table, fmt)
+                     else 0)
+        # then key epochs, so after this point every live row IS a base
+        # row — required before --delete-where runs, whose predicate only
+        # addresses base rows (a row living in a pending epoch would
+        # escape the delete and be folded back in as live)
         folded = (dv.compact_files_dv(spark, directory, table, fmt)
                   if pending else 0)
+        if getattr(args, "delete_where", None):
+            # DELETE WHERE as a physical op: record positions against the
+            # settled base, then rewrite just the hit files
+            entry["positions_recorded"] = pdv.positional_delete(
+                spark, directory, table, fmt, predicate=args.delete_where)
+            rewritten += (
+                pdv.compact_files_pdv(spark, directory, table, fmt)
+                if pdv.has_pending_pdv(spark, directory, table, fmt)
+                else 0)
+        entry["files_rewritten"] = rewritten
         entry.update({"pending_epochs": len(pending), "folded": folded})
         out[table] = entry
     print(json.dumps({"tables": out, "ok": True}))

@@ -236,6 +236,13 @@ def merge_files_dv(df: DataFrame, directory: str, table: str, fmt: str,
                  "dv_rows": dv_rows})
     if meta is None:
         _write_json(fs, _meta_path(jvm, tgt), {"keys": list(keys)})
+    if not epochs:
+        # first epoch on an optimized table: the min/max manifest only
+        # describes the base files, so a pruned read would skip every
+        # epoch row — retire it (optimize refuses pending epochs anyway,
+        # so it can only be rebuilt after compaction)
+        from klepto_spark.sinks.layout import invalidate_manifest
+        invalidate_manifest(jvm, fs, tgt)
 
     if auto_compact is not None:
         pending = sum(e["delta_rows"] + e["dv_rows"] for e in epochs)
@@ -393,4 +400,8 @@ def compact_files_dv(spark: SparkSession, directory: str, table: str,
         _save_schema_contract(jvm, fs, tgt, contract)
     if not fs.exists(_meta_path(jvm, tgt)):
         _write_json(fs, _meta_path(jvm, tgt), {"keys": keys})
+    # the fold rewrote base files: any surviving min/max manifest now
+    # names gone files and must not serve pruned reads
+    from klepto_spark.sinks.layout import invalidate_manifest
+    invalidate_manifest(jvm, fs, tgt)
     return len(epochs)

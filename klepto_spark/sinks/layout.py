@@ -82,7 +82,23 @@ def _write_manifest(path: str, stat_cols: Sequence[str]) -> int:
             mins, maxs = [], []
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx[c]).statistics
-                if st is None or not st.has_min_max:
+                # writers TRUNCATE long binary/string stats: the stored
+                # max can be a strict prefix BELOW the true max, so an
+                # envelope built from it would prune a file that holds
+                # matches. Record an envelope only when it's exact:
+                # pyarrow >= 17 reports exactness flags; under older
+                # pyarrow trust fixed-width types always and strings only
+                # when shorter than any real truncation threshold (the
+                # smallest in the parquet ecosystem is 64 bytes).
+                if st is not None and hasattr(st, "is_min_value_exact"):
+                    exact = bool(st.is_min_value_exact
+                                 and st.is_max_value_exact)
+                elif st is not None and st.has_min_max and isinstance(
+                        st.min, (str, bytes)):
+                    exact = len(st.min) < 48 and len(st.max) < 48
+                else:
+                    exact = st is not None
+                if st is None or not st.has_min_max or not exact:
                     mins, maxs = [], []
                     break
                 mins.append(st.min)
@@ -231,6 +247,17 @@ def optimize_table(spark: SparkSession, directory: str, table: str,
     return n
 
 
+def invalidate_manifest(jvm, fs, tgt) -> None:
+    """Drop a table's ``_minmax.json`` after a mutation that rewrites or
+    supersedes files — a stale manifest must never serve a pruned read
+    (it would name gone files, or skip files whose contents changed).
+    Called by every layout-mutating operation: positional/key-epoch
+    compaction, bin-pack, and the first merge-on-read epoch commit."""
+    p = _sub_path(jvm, tgt, MANIFEST)
+    if fs.exists(p):
+        fs.delete(p, False)
+
+
 _BINPACK_PLAN = "_binpack.json"
 
 
@@ -265,6 +292,9 @@ def _recover_binpack(jvm, fs, tgt) -> None:
     stage = _sub_path(jvm, tgt, "_bpstage")
     if fs.exists(stage):
         fs.delete(stage, True)
+    # either branch changed the table's file set (news moved in, or olds
+    # survived a rollback the manifest may predate) — stand the index down
+    invalidate_manifest(jvm, fs, tgt)
     fs.delete(plan_path, False)
 
 

@@ -99,9 +99,12 @@ def _epoch_paths(jvm, tgt, epochs) -> list[str]:
 
 
 def _base_with_address(spark: SparkSession, target: str) -> DataFrame:
-    """The base files with each row's physical address attached. Reads
-    recursively so bucket-partitioned layouts work; underscore-prefixed
-    state dirs are invisible to Spark's listing by convention."""
+    """The base files with each row's physical address attached.
+    Bucket-partitioned layouts work NOT via recursive lookup (it is off)
+    but because ``_kp=N`` bucket dirs contain ``=`` and are treated as
+    partition directories by Spark's discovery, which bypasses the
+    underscore path filter; nested non-partition layouts would need a
+    different listing strategy."""
     return (spark.read.option("recursiveFileLookup", "false")
             .parquet(target)
             .select("*",
@@ -252,6 +255,13 @@ def _recover_plan(spark: SparkSession, jvm, fs, tgt) -> None:
             fs.delete(_sub(jvm, tgt, _PDV_LOG, f"{_epoch_name(eid)}.json"),
                       False)
             fs.delete(_sub(jvm, tgt, _PDV_DIR, _epoch_name(eid)), True)
+    # files were replaced (or rolled back under a manifest that may
+    # postdate them): the min/max index no longer describes the layout,
+    # so it must not serve pruned reads. (An empty plan — all positions
+    # addressed already-gone files — touched nothing and keeps it.)
+    if plan["files"]:
+        from klepto_spark.sinks.layout import invalidate_manifest
+        invalidate_manifest(jvm, fs, tgt)
     fs.delete(plan_path, False)
 
 

@@ -120,6 +120,19 @@ class FileCatalog:
 
         from klepto_spark.session import ensure_nanos_conf, normalise_nanos_ts
         ensure_nanos_conf(self.spark)
+        # a crash mid bin-pack publish leaves transient duplicates (news
+        # moved in before olds deleted); replay/roll back the journaled
+        # plan on the read path — same discipline as apply_positional's
+        # _recover_plan — so every catalog read sees a settled file set.
+        # Driver-side existence checks only; the jvm hop is paid only when
+        # a half-applied plan is actually present.
+        root = Path(self._path(table))
+        if ((root / "_binpack.json").exists()
+                or (root / "_bpstage").exists()):
+            from klepto_spark.sinks.layout import _recover_binpack
+            from klepto_spark.sinks.writers import _hadoop_fs
+            jvm, fs, tgt = _hadoop_fs(self.spark.range(0), str(root))
+            _recover_binpack(jvm, fs, tgt)
         if self.fmt in ("csv", "json"):
             if self.row_mode == "permissive":
                 df = (self._raw_permissive(table)
@@ -174,7 +187,8 @@ class FileCatalog:
         from pyspark.sql import functions as F
         from klepto_spark.session import normalise_nanos_ts
         manifest = Path(self._path(table)) / "_minmax.json"
-        if self.fmt == "parquet" and manifest.is_file():
+        if (self.fmt == "parquet" and manifest.is_file()
+                and self._manifest_usable(table)):
             from klepto_spark.sinks.layout import pruned_read
             return normalise_nanos_ts(
                 pruned_read(self.spark, self._path(table), col, lo, hi))
@@ -185,6 +199,38 @@ class FileCatalog:
         if hi is not None:
             df = df.filter(c <= F.lit(hi))
         return df
+
+    def _manifest_usable(self, table: str) -> bool:
+        """Whether ``_minmax.json`` still describes the table's merged view.
+
+        The manifest is written by ``optimize`` against a settled base; it
+        knows nothing about later mutations, so the pruned read must stand
+        down — never silently return deleted/superseded rows — when:
+
+        - ``_pdvlog`` / ``_dvlog`` hold pending epochs (positional deletes
+          or merge-on-read upserts the manifest files don't reflect), or
+        - any file the manifest names is gone (a compaction/bin-pack
+          rewrote the layout out from under it — in that case the stale
+          manifest is deleted here so the next ``optimize`` starts clean).
+
+        Driver-side file checks only — file-count-bounded metadata, the
+        same cost class as reading the manifest itself."""
+        import json as _json
+        root = Path(self._path(table))
+        for log in ("_pdvlog", "_dvlog"):
+            d = root / log
+            if d.is_dir() and any(d.glob("e*.json")):
+                return False
+        manifest = root / "_minmax.json"
+        try:
+            with open(manifest) as f:
+                files = [e["file"] for e in _json.load(f)["files"]]
+        except (OSError, KeyError, ValueError):
+            return False
+        if all((root / name).is_file() for name in files):
+            return True
+        manifest.unlink(missing_ok=True)  # stale: files were rewritten
+        return False
 
     def quarantine(self, table: str) -> DataFrame:
         """The malformed rows a permissive read skips, with whatever
