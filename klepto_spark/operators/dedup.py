@@ -277,10 +277,29 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     ids = (pairs.select(F.explode(F.array("a", "b")).alias(key_col))
            .distinct())
     pruned = fan_out(df.join(ids, key_col, "left_semi"), key_col)
+    # consumed three times below (size prune + both pair-join sides);
+    # persisted so shingling+aggregation runs once (MEMORY_AND_DISK —
+    # spills instead of failing when the candidate set is large)
     sh = (exploded_shingles(pruned, text_col, key_col, k)
           .groupBy(key_col)
-          .agg(F.collect_set("sh").alias("sh")))
-    joined = (pairs
+          .agg(F.collect_set("sh").alias("sh"))).persist()
+    # EXACT set-size prune before any shingle array ships into the pair
+    # join: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a pair whose size
+    # ratio is under the threshold can never verify. Candidate-pair count
+    # grows super-linearly with corpus size (the only super-linear trend
+    # in the sf1 rehearsal), and this caps the expensive term — array
+    # shipping + intersect — at the surviving pairs while the size join
+    # carries one int per doc. The 1e-6 slack mirrors the round(., 6)
+    # below: a pair whose true Jaccard rounds up to the threshold must
+    # not be pruned by a bound that is a hair under it.
+    sizes = sh.select(F.col(key_col), F.size("sh").alias("n"))
+    survivors = (pairs
+                 .join(sizes.toDF("a", "n_a"), "a")
+                 .join(sizes.toDF("b", "n_b"), "b")
+                 .filter(F.least("n_a", "n_b")
+                         >= (threshold - 1e-6) * F.greatest("n_a", "n_b"))
+                 .select("a", "b"))
+    joined = (survivors
               .join(sh.withColumnRenamed(key_col, "a").withColumnRenamed("sh", "sh_a"), "a")
               .join(sh.withColumnRenamed(key_col, "b").withColumnRenamed("sh", "sh_b"), "b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
