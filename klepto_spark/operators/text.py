@@ -260,26 +260,36 @@ def tfidf_top_terms(df: "DataFrame", text_col: str = "text",
     engine-libm territory). Rankings agree with log-idf whenever tf ties
     break on idf alone; the tie-break contract is (score desc, term asc).
 
-    Scale shape: explode -> per-(doc, term) count (one shuffle with map-side
-    combine), doc-frequency from the *already aggregated* (doc, term) pairs
-    (second shuffle, carries one row per distinct pair, not per token),
-    stats joined back keyed on term, then one per-doc window for the top-k.
-    N is a driver-side scalar (an O(1) count, not a collect of rows)."""
+    Scale shape: ONE corpus scan. explode_outer -> per-(doc, term) count
+    (one shuffle with map-side combine); doc-frequency AND the corpus
+    size N both derive from that *already aggregated* (doc, term) frame,
+    so Spark's exchange reuse serves every consumer from the same scan +
+    shuffle (plan-asserted in tests). explode_outer (not explode) keeps
+    NULL-text documents as a NULL-term row — N counts every document,
+    exactly like the oracle's COUNT(DISTINCT key) over the table — and
+    the NULL/empty terms are filtered after the aggregate, where the
+    filter costs one row per doc instead of one per token. N rides as a
+    broadcast one-row cross join: no separate driver job, no second
+    corpus pass."""
     from klepto_spark.operators.dedup import fan_out
-    n_docs = df.select(key_col).distinct().count()
-    words = (fan_out(df, key_col)
-             .select(F.col(key_col),
-                     F.explode(F.split(F.lower(F.trim(F.col(text_col))),
-                                       r"\s+")).alias("term"))
-             .filter(F.col("term") != ""))
-    tf = words.groupBy(key_col, "term").agg(
+    words_all = (fan_out(df, key_col)
+                 .select(F.col(key_col),
+                         F.explode_outer(
+                             F.split(F.lower(F.trim(F.col(text_col))),
+                                     r"\s+")).alias("term")))
+    tf_all = words_all.groupBy(key_col, "term").agg(
         F.count(F.lit(1)).alias("tf"))
+    nd = tf_all.agg(
+        F.countDistinct(F.col(key_col)).cast("double").alias("_n_docs"))
+    tf = tf_all.filter(F.col("term").isNotNull() & (F.col("term") != ""))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
-    score = ((F.col("tf").cast("double") * F.lit(float(n_docs)))
+    # same association order as the oracle: (tf * N) / df in doubles
+    score = ((F.col("tf").cast("double") * F.col("_n_docs"))
              / F.col("df_docs").cast("double"))
     from pyspark.sql.window import Window
     w = Window.partitionBy(key_col).orderBy(F.desc("score"), F.asc("term"))
     return (tf.join(dfreq, "term")
+            .crossJoin(F.broadcast(nd))
             .withColumn("score", score)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -320,37 +330,57 @@ def strip_boilerplate(df: "DataFrame", text_col: str = "text",
     more than ``max_df_ratio`` of documents, and reassemble each document
     with its surviving tokens in original order.
 
-    Scale shape: one explode -> (token, doc) distinct-aggregate builds the
-    document-frequency table (tiny: one row per vocabulary entry), which
-    BROADCASTS back onto the exploded stream as a semi-filter; reassembly
-    is one keyed aggregate whose ``sort_array(struct(pos, token))`` keeps
-    order without a window. Documents whose every token is boilerplate
-    survive with empty text (left join, not dropped)."""
+    Scale shape: ONE corpus scan. posexplode_outer -> one (doc, token)
+    aggregate carrying each token's position list; document frequency,
+    the corpus size N, and the final per-document key list ALL derive
+    from that aggregate, so exchange reuse serves every consumer from the
+    same scan + shuffle (plan-asserted in tests) — no separate driver
+    count job, and no second corpus scan for the left-join spine. N rides
+    as a broadcast one-row cross join into the keep-list filter. The
+    (doc, token) grouping also turns the document-frequency
+    count_distinct into a plain count. Documents whose every token is
+    boilerplate survive with empty text; document keys are assumed
+    unique (it's a document id — duplicate keys would merge)."""
     from klepto_spark.operators.dedup import fan_out
-    n_docs = df.select(key_col).distinct().count()
-    limit = max_df_ratio * n_docs
-    words = (fan_out(df, key_col)
-             .select(F.col(key_col),
-                     F.posexplode(F.split(F.lower(F.trim(F.col(text_col))),
-                                          r"\s+"))
-                     .alias("pos", "tok"))
-             .filter(F.col("tok") != ""))
-    dfreq = (words.groupBy("tok")
-             .agg(F.count_distinct(F.col(key_col)).alias("df_docs")))
-    keep = dfreq.filter(F.col("df_docs") <= F.lit(limit)).select("tok")
-    kept = words.join(F.broadcast(keep), "tok", "left_semi")
-    rebuilt = (kept.groupBy(key_col)
-               .agg(F.concat_ws(
-                   " ",
-                   F.transform(
-                       F.sort_array(F.collect_list(
-                           F.struct(F.col("pos"), F.col("tok")))),
-                       lambda s: s["tok"])).alias("clean_text")))
-    return (df.select(key_col)
-            .join(rebuilt, key_col, "left")
-            .select(F.col(key_col),
-                    F.coalesce(F.col("clean_text"), F.lit(""))
-                    .alias("clean_text")))
+    words_all = (fan_out(df, key_col)
+                 .select(F.col(key_col),
+                         F.posexplode_outer(
+                             F.split(F.lower(F.trim(F.col(text_col))),
+                                     r"\s+"))
+                         .alias("pos", "tok")))
+    g = (words_all.groupBy(key_col, "tok")
+         .agg(F.collect_list("pos").alias("poss")))
+    nd = g.agg(F.countDistinct(F.col(key_col)).alias("_n_docs"))
+    valid = g.filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    # one row per (doc, token) already — document frequency is a count
+    dfreq = valid.groupBy("tok").agg(F.count(F.lit(1)).alias("df_docs"))
+    keep = (dfreq.crossJoin(F.broadcast(nd))
+            .filter(F.col("df_docs")
+                    <= F.lit(max_df_ratio) * F.col("_n_docs"))
+            .select("tok"))
+    # reassembly WITHOUT a document-spine join: the keep list joins in as
+    # a flag (left join, broadcast), so every (doc, token) row of ``g`` —
+    # including the NULL-token row an empty document gets — survives into
+    # the per-document aggregate; dropped tokens just contribute an empty
+    # struct array. concat_ws over nothing is '', which is exactly the
+    # all-boilerplate/empty-document contract, and no outer join means no
+    # inferred not-null filter splitting the reused exchange (the plan
+    # test pins ONE scan).
+    flagged = g.join(
+        F.broadcast(keep.withColumn("_keep", F.lit(True))), "tok", "left")
+    structs = F.when(
+        F.col("_keep"),
+        F.transform(F.col("poss"),
+                    lambda p: F.struct(p.alias("pos"),
+                                       F.col("tok").alias("tok")))
+    ).otherwise(F.array().cast("array<struct<pos:int,tok:string>>"))
+    return (flagged.groupBy(key_col)
+            .agg(F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.flatten(F.collect_list(structs))),
+                    lambda s: s["tok"])).alias("clean_text"))
+            .select(F.col(key_col), F.col("clean_text")))
 
 
 def strip_boilerplate_sql(text_col: str = "text", key_col: str = "doc_id",

@@ -19,6 +19,25 @@ def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def final_plan(df: DataFrame) -> str:
+    """The AQE-final physical plan text (the part above the Initial Plan
+    echo). Under AQE, exchange reuse is decided at RUNTIME, so scan-count
+    assertions must look at the final plan — this EXECUTES the query
+    (collect) if it has not run yet. Use on small test inputs only."""
+    qe = df._jdf.queryExecution()
+    text = qe.executedPlan().toString()
+    if "isFinalPlan=true" not in text:
+        df.collect()
+        text = qe.executedPlan().toString()
+    return text.split("== Initial Plan ==")[0]
+
+
+def final_scan_count(df: DataFrame) -> int:
+    """Number of physical file scans in the AQE-final plan — ReusedExchange
+    branches don't re-scan, so a '1' here proves the one-pass shape."""
+    return len(re.findall(r"FileScan ", final_plan(df)))
+
+
 def formatted_plan(df: DataFrame) -> str:
     import contextlib
     import io

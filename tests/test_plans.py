@@ -176,3 +176,16 @@ def test_semantic_dedup_broadcasts_duplicate_ids(spark, sf_dir):
     df = entry.queries()["d06_dedup_semantic"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_tfidf_and_boilerplate_are_single_corpus_scan(spark, sf_dir):
+    """VERDICT r04 #4: tfidf_top_terms and strip_boilerplate used to pay a
+    separate driver count() job for n_docs — one extra corpus pass per
+    call at 100 TB. Both now derive N in-plan from the (doc, term)
+    aggregate; exchange reuse must serve every consumer from ONE file
+    scan in the AQE-final plan."""
+    from klepto_spark.operators.text import strip_boilerplate, tfidf_top_terms
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for name, q in (("t09", tfidf_top_terms(docs, k=3)),
+                    ("t11", strip_boilerplate(docs, max_df_ratio=0.6))):
+        assert I.final_scan_count(q) == 1, name
