@@ -402,35 +402,45 @@ def kmeans_fit(df: DataFrame, k: int, vec_col: str = "embedding",
     Empty clusters keep their previous centroid. Stops early when the max
     centroid shift drops below ``tol``."""
     v = F.col(vec_col).cast("array<double>")
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    init = (df.orderBy(key_col).limit(k)
-            .select(v.alias("v")).collect())
-    cents = [list(r["v"]) for r in init]
-    if len(cents) < k:
-        raise ValueError(f"need at least k={k} vectors, got {len(cents)}")
+    # training reads the corpus ONCE: the projected (key, vector) frame
+    # persists across Lloyd rounds (MEMORY_AND_DISK — spills rather than
+    # fails), so init, dim probe, and every iteration hit the cache
+    # instead of re-running the scan + projection max_iter times
+    proj = df.select(F.col(key_col).alias("_k"), v.alias("v")).persist()
+    try:
+        if dim is None:
+            dim = len(proj.select("v").first()[0])
+        init = (proj.orderBy("_k").limit(k).select("v").collect())
+        cents = [list(r["v"]) for r in init]
+        if len(cents) < k:
+            raise ValueError(
+                f"need at least k={k} vectors, got {len(cents)}")
 
-    base = df.select(v.alias("v"))
-    for _ in range(max_iter):
-        # always the pandas path: every iteration re-plans with fresh
-        # centroid constants, so the expression form pays a multi-second
-        # codegen COMPILE per round — the opaque UDF doesn't
-        cluster = _argmin_pandas(cents)(F.col("v"))
-        agg = (base.select(cluster.alias("cluster"), "v")
-               .groupBy("cluster")
-               .agg(*[F.avg(F.element_at("v", j + 1)).alias(f"c{j}")
-                      for j in range(dim)])
-               .collect())
-        new_cents = list(cents)  # empty clusters keep previous centroid
-        for row in agg:
-            new_cents[row["cluster"]] = [row[f"c{j}"] for j in range(dim)]
-        shift = max(
-            max(abs(a - b) for a, b in zip(old, new))
-            for old, new in zip(cents, new_cents))
-        cents = new_cents
-        if shift < tol:
-            break
-    return cents
+        base = proj.select("v")
+        for _ in range(max_iter):
+            # always the pandas path: every iteration re-plans with fresh
+            # centroid constants, so the expression form pays a
+            # multi-second codegen COMPILE per round — the opaque UDF
+            # doesn't
+            cluster = _argmin_pandas(cents)(F.col("v"))
+            agg = (base.select(cluster.alias("cluster"), "v")
+                   .groupBy("cluster")
+                   .agg(*[F.avg(F.element_at("v", j + 1)).alias(f"c{j}")
+                          for j in range(dim)])
+                   .collect())
+            new_cents = list(cents)  # empty clusters keep prev centroid
+            for row in agg:
+                new_cents[row["cluster"]] = [row[f"c{j}"]
+                                             for j in range(dim)]
+            shift = max(
+                max(abs(a - b) for a, b in zip(old, new))
+                for old, new in zip(cents, new_cents))
+            cents = new_cents
+            if shift < tol:
+                break
+        return cents
+    finally:
+        proj.unpersist()
 
 
 def _sq_dist_unrolled(v: Column, cent: list[float], dim: int) -> Column:
