@@ -93,8 +93,15 @@ def steal(spec: Spec, source, sink_dsn: str, *, concurrency: int | None = None,
             from pyspark.sql import Observation, functions as F
             obs = Observation()
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-            write_table(df, sink_dsn, table_name, mode=mode)
-            res.rows = obs.get["rows"]
+            written = write_table(df, sink_dsn, table_name, mode=mode)
+            if written is not None:
+                # sql-text sinks count rows themselves while streaming
+                # statements out; their toLocalIterator never completes
+                # the observed query execution, so obs.get would BLOCK
+                # forever (found by the pass-through e2e test)
+                res.rows = written
+            else:
+                res.rows = obs.get["rows"]
             # row-level permissive metric (X5 row granularity — reference
             # skips unscannable rows and keeps going, engine.go:202-205)
             counter = getattr(source, "corrupt_count", None)

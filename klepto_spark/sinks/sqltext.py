@@ -20,7 +20,8 @@ from typing import IO
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    BinaryType, BooleanType, DateType, NumericType, TimestampType,
+    ArrayType, BinaryType, BooleanType, DateType, MapType, NumericType,
+    StringType, StructType, TimestampType,
 )
 
 from klepto_spark.sinks.ddl import create_table_sql, quote_ident
@@ -48,6 +49,41 @@ def _value_sql(field, dialect: str = "ansi") -> F.Column:
                                 F.lit("'::bytea"))
         else:
             rendered = F.concat(F.lit("X'"), F.hex(c), F.lit("'"))
+    elif isinstance(dt, (ArrayType, MapType, StructType)):
+        # nested pass-through (types the reference cannot handle,
+        # SURVEY §1.3): the sink DDL maps these to JSON (ddl.sql_type),
+        # so the literal policy is JSON text — except postgres arrays of
+        # primitive elements, whose DDL is a NATIVE elem[] column and
+        # whose literal is the exact ARRAY[..] constructor
+        if (dialect == "postgres" and isinstance(dt, ArrayType)
+                and isinstance(dt.elementType,
+                               (NumericType, BooleanType, StringType))):
+            el = dt.elementType
+            if isinstance(el, StringType):
+                items = F.transform(
+                    c, lambda x: F.concat(
+                        F.lit("'"),
+                        F.replace(x, F.lit("'"), F.lit("''")),
+                        F.lit("'")))
+            elif isinstance(el, BooleanType):
+                items = F.transform(
+                    c, lambda x: F.when(x, "true").when(~x, "false"))
+            else:
+                items = F.transform(c, lambda x: x.cast("string"))
+            from klepto_spark.sinks.ddl import sql_type
+            rendered = F.concat(
+                F.lit("ARRAY["),
+                # NULL elements must render as literal NULLs, not vanish
+                F.array_join(items, ",", "NULL"),
+                # the cast keeps empty arrays typed (pg rejects bare
+                # ARRAY[] without one)
+                F.lit("]::" + sql_type(dt, "postgres")))
+        else:
+            js = F.to_json(c)
+            rendered = F.concat(
+                F.lit("'"),
+                F.replace(js, F.lit("'"), F.lit("''")),
+                F.lit("'"))
     else:
         escaped = F.replace(c.cast("string"), F.lit("'"), F.lit("''"))
         rendered = F.concat(F.lit("'"), escaped, F.lit("'"))

@@ -170,6 +170,18 @@ def write_files(df: DataFrame, directory: str, table: str, fmt: str,
 
 def _jdbc_writer(df: DataFrame, dsn: DSN, table: str, mode: str,
                  batchsize: int, pre: list[str]):
+    # nested pass-through at the JDBC boundary (SURVEY §1.3): maps and
+    # structs serialise as JSON text (no JDBC type exists for them —
+    # same policy as the sqltext sink and the JSON DDL fallback); arrays
+    # too, EXCEPT on postgres where Spark's dialect writes native arrays
+    # into the elem[] columns the DDL sink declares
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (MapType, StructType)) or (
+                isinstance(f.dataType, ArrayType)
+                and dsn.type != "postgres"):
+            df = df.withColumn(f.name, F.to_json(F.col(f.name)))
     writer = (df.write.format("jdbc")
               .option("url", jdbc_url(dsn))
               .option("dbtable", table)
