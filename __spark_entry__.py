@@ -986,6 +986,66 @@ def q_media_features(spark, sf_dir):
     return M.extract_features(media)
 
 
+def q_length_outliers(spark, sf_dir):
+    """v02: per-language length outliers by the k-sigma rule (k=1.5 —
+    the synthetic lengths are near-uniform, so 3-sigma would be empty;
+    1.5-sigma flags the real tails), decided with the exact-integer
+    variance identity instead of stddev():
+
+      |x - mean| > k*sd  <=>  (x*n - s)^2 * (n-1) > k^2 * n * (n*ss - s^2)
+
+    where n/s/ss are COUNT/SUM/SUM-of-squares — exact BIGINTs. stddev_samp
+    itself is a cross-engine hazard (Welford vs naive accumulation round
+    differently); here every factor is an exact integer cast to double and
+    combined in one pinned left-associative order, so both engines compute
+    bit-identical doubles and the strict > decides identically. One
+    aggregate + one broadcast join back — two scans of a 3-column
+    projection, no window."""
+    docs = _load(spark, sf_dir)("documents")
+    stats = (docs.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("n_chars").alias("s"),
+                  F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss")))
+    j = docs.select("doc_id", "lang", "n_chars") \
+        .join(F.broadcast(stats), "lang")
+    d = (F.col("n_chars").cast("double") * F.col("n").cast("double")
+         - F.col("s").cast("double"))
+    lhs = d * d * (F.col("n") - 1).cast("double")
+    rhs = (F.lit(2.25) * F.col("n").cast("double")
+           * (F.col("n").cast("double") * F.col("ss").cast("double")
+              - F.col("s").cast("double") * F.col("s").cast("double")))
+    return (j.filter((F.col("n") > 1) & (lhs > rhs))
+            .select("doc_id", "lang", "n_chars"))
+
+
+#: s08 top-k per label; 3 stays well inside every label's >= 0.25 member
+#: count at the graded scales so the k-boundary is never degenerate
+S08_K = 3
+
+
+def q_filtered_ann(spark, sf_dir):
+    """s08: label-FILTERED ANN — top-k cosine neighbours of the s01 query
+    vector within every label partition (the metadata-constrained search
+    every production vector store serves: "nearest docs in MY tenant").
+    Scores reuse s01's proven-stable constants (threshold 0.25 sits in a
+    measured score gap; round-6 values hash-match DuckDB), so per-label
+    ordering by (rounded score desc, vec_id) is engine-stable. One scan,
+    no shuffle of vectors beyond the per-label window sort; at rest the
+    IVF layout (s03) composes with a label partition column for the same
+    query shape at 100 TB."""
+    from pyspark.sql.window import Window
+    emb = dedup.fan_out(_load(spark, sf_dir)("embeddings"), "vec_id")
+    q = _query_vec(spark, sf_dir)
+    c = F.col("embedding").cast("array<double>")
+    score = F.round(similarity.cosine_const(c, q), 6)
+    w = Window.partitionBy("label").orderBy(F.desc("score"),
+                                            F.asc("vec_id"))
+    return (emb.select("vec_id", "label", score.alias("score"))
+            .filter(F.col("score") >= 0.25)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= S08_K))
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -1065,6 +1125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a19_small_order_parts": q_small_order_parts,
         "m01_media_features": q_media_features,
         "m02_frame_plan": q_frame_plan,
+        "v02_length_outliers": q_length_outliers,
+        "s08_filtered_ann": q_filtered_ann,
     }
 
 
@@ -1452,6 +1514,36 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
        unnest(range(0, greatest((CAST(doc_id AS BIGINT) % 30) * 1000 + 500
                                 - 1, 0) + 1, 1000)) AS frame_ts
 FROM documents""",
+        "v02_length_outliers": """
+            WITH st AS (SELECT lang, COUNT(*) AS n,
+                               CAST(SUM(n_chars) AS BIGINT) AS s,
+                               CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+                        FROM documents GROUP BY 1)
+            SELECT doc_id, d.lang, n_chars
+            FROM documents d JOIN st ON d.lang = st.lang
+            WHERE n > 1
+              AND (CAST(n_chars AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(s AS DOUBLE))
+                  * (CAST(n_chars AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(s AS DOUBLE))
+                  * CAST(n - 1 AS DOUBLE)
+                  > 2.25 * CAST(n AS DOUBLE)
+                    * (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))""",
+        "s08_filtered_ann": f"""
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            sc AS (SELECT e.vec_id, e.label,
+                          round(list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                              AS score
+                   FROM embeddings e, q),
+            f AS (SELECT * FROM sc WHERE score >= 0.25)
+            SELECT vec_id, label, score, rnk FROM (
+              SELECT *, CAST(row_number() OVER (
+                  PARTITION BY label
+                  ORDER BY score DESC, vec_id ASC) AS INT) AS rnk
+              FROM f) WHERE rnk <= {S08_K}""",
         # d03_dedup_simhash: no SQL oracle (DuckDB lacks xxhash64) ->
         # rows-only check plus a hamming-locality pytest, by design.
     }
