@@ -1,0 +1,73 @@
+"""Cross-engine float-margin evidence for the s02/d06 contract (VERDICT r04 #1).
+
+``cosine_similar_pairs`` emits ``round(cosine, 6) >= 0.4``. Two distinct
+hazards could flip a pair between Spark and the DuckDB oracle:
+
+1. **Rounding divergence** — if a raw cosine lands exactly on a
+   ``.5``-at-the-6th-digit boundary, Spark's HALF_UP BigDecimal rounding
+   and DuckDB's rounding can disagree by 1 ulp of the 6th digit (this bit
+   t01/t05 in round 4). Safe iff every candidate's ``frac(c * 1e6)`` sits
+   far from 0.5 relative to the ~1e-15 summation-order noise between the
+   engines' raw cosines.
+2. **Threshold flip** — if a rounded score equals-or-nearly-equals the
+   0.4 cut, a 1-ulp rounding disagreement changes the result SET, not
+   just a value.
+
+These tests re-measure both margins over EVERY LSH-candidate pair (not
+just the above-threshold survivors) at the driver's grading scale,
+independently of the module under test (duckdb + numpy replay of the
+plan-time hyperplanes from ``similarity._hyperplane``). Measured at
+sf0.01: rounding margin 3.65e-05, threshold margin 1.487e-03 — ten and
+twelve orders above the noise floor respectively.
+"""
+
+import math
+from collections import defaultdict
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+SF_DIR = "/root/testdata/sf0.01"
+DIM, BITS, TAU = 64, 4, 0.4  # must track __spark_entry__.ANN_LSH
+
+
+@pytest.fixture(scope="module")
+def candidate_cosines():
+    import duckdb
+    rows = duckdb.sql(
+        f"select vec_id, embedding from '{SF_DIR}/embeddings.parquet' "
+        "order by vec_id").fetchall()
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    planes = []
+    for b in range(BITS):
+        vals = [math.sin((j + 1) * (17.23 + 7.61 * b) + 0.9 * b)
+                for j in range(DIM)]
+        n = math.sqrt(sum(v * v for v in vals)) or 1.0
+        planes.append([v / n for v in vals])
+    sig = V @ np.array(planes).T >= 0
+    buckets = defaultdict(list)
+    for i, s in enumerate(map(tuple, sig)):
+        buckets[s].append(i)
+    norms = np.linalg.norm(V, axis=1)
+    cosines = []
+    for idxs in buckets.values():
+        for ai in range(len(idxs)):
+            for bi in range(ai + 1, len(idxs)):
+                i, j = idxs[ai], idxs[bi]
+                cosines.append(float(V[i] @ V[j] / (norms[i] * norms[j])))
+    assert len(cosines) > 1000, "bucketing must produce real candidates"
+    return cosines
+
+
+def test_no_candidate_sits_on_a_round6_boundary(candidate_cosines):
+    margin = min(abs(c * 1e6 - math.floor(c * 1e6) - 0.5)
+                 for c in candidate_cosines)
+    # 1e-9 is still a million times the cross-engine raw-cosine noise.
+    assert margin > 1e-9, f"rounding margin {margin} too small"
+
+
+def test_no_rounded_score_sits_on_the_threshold(candidate_cosines):
+    margin = min(abs(round(c * 1e6) / 1e6 - TAU) for c in candidate_cosines)
+    assert margin > 1e-7, f"threshold margin {margin} too small"
