@@ -25,7 +25,8 @@ from pyspark.sql.window import Window
 
 from klepto_spark.config import FilterSpec, Relationship, Spec, TableSpec
 from klepto_spark.functions.anonymise import anonymise_sql
-from klepto_spark.operators import dedup, multimodal, sampling, similarity
+from klepto_spark.operators import (dedup, multimodal, packing, sampling,
+                                    similarity)
 from klepto_spark.operators import text as T
 from klepto_spark.operators.asof import asof_join
 from klepto_spark.operators.funnel import funnel_sql
@@ -676,6 +677,41 @@ def q_sample_weighted(spark, sf_dir):
             .select("doc_id", "lang", "n_chars"))
 
 
+# Target domain mixture for p05: web-heavy with a books-ish tail. The
+# limiting group is kept whole; the rest thin to match. Only the pinned
+# association (w * sc) / n and the integer draw cross the engine boundary.
+MIXTURE_WEIGHTS = {"src0": 0.35, "src1": 0.25, "src5": 0.25, "src18": 0.15}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Domain-mixture resampling (DoReMi/C4-style "x% of each source"):
+    largest deterministic subsample hitting the target proportions in
+    expectation. Two passes — a tiny per-group COUNT, then a map-side
+    filter against the broadcast rates (klepto_spark.operators.sampling.
+    mixture_sample); no corpus-row shuffle at any scale."""
+    from klepto_spark.operators import sampling as P
+    docs = _load(spark, sf_dir)("documents")
+    return (P.mixture_sample(docs, "source", "doc_id", MIXTURE_WEIGHTS,
+                             salt=SEED)
+            .select("doc_id", "source", "lang", "n_chars"))
+
+
+PACK_BUDGET, PACK_SHARDS = 512, 8
+TOKEN_COUNT_SQL = "CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+
+
+def q_seq_pack(spark, sf_dir):
+    """GPT-3-style sequence packing: concatenate each shard's token
+    stream, slice into 512-token packs; a doc's pack is where its first
+    token lands (docs straddle boundaries by design). One hash-partition
+    shuffle; per-shard prefix sums in exact BIGINTs
+    (klepto_spark.operators.packing.pack_sequences)."""
+    from klepto_spark.operators import packing
+    docs = _load(spark, sf_dir)("documents")
+    return packing.pack_sequences(docs, "doc_id", T.token_count("text"),
+                                  PACK_BUDGET, PACK_SHARDS, salt=SEED)
+
+
 def q_events_pivot(spark, sf_dir):
     """Daily activity matrix: pivot event_type into columns (explicit
     value list keeps the schema deterministic); decimal sums for exact
@@ -1127,6 +1163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m02_frame_plan": q_frame_plan,
         "v02_length_outliers": q_length_outliers,
         "s08_filtered_ann": q_filtered_ann,
+        "p05_mixture_sample": q_mixture_sample,
+        "t12_seq_pack": q_seq_pack,
     }
 
 
@@ -1544,6 +1582,12 @@ FROM documents""",
                   PARTITION BY label
                   ORDER BY score DESC, vec_id ASC) AS INT) AS rnk
               FROM f) WHERE rnk <= {S08_K}""",
+        "p05_mixture_sample": sampling.mixture_sample_sql(
+            "documents", "source", "doc_id", MIXTURE_WEIGHTS, salt=SEED,
+            select="d.doc_id, d.source, d.lang, d.n_chars"),
+        "t12_seq_pack": packing.pack_sequences_sql(
+            "documents", "doc_id", TOKEN_COUNT_SQL,
+            PACK_BUDGET, PACK_SHARDS, salt=SEED),
         # d03_dedup_simhash: no SQL oracle (DuckDB lacks xxhash64) ->
         # rows-only check plus a hamming-locality pytest, by design.
     }

@@ -254,3 +254,69 @@ def sample_weighted_sql(key_col: str, weight_col: str, rate: float = 1.0,
     p = (f"least(greatest(CAST({weight_col} AS DOUBLE) * {float(rate)!r}, "
          f"0.0), 1.0)")
     return f"CAST({hx} AS DOUBLE) < {p} * {float(_HEX_SPACE)!r}"
+
+
+def mixture_sample(df: DataFrame, group_col: str, key_col: str,
+                   weights: dict[str, float], salt: str = "") -> DataFrame:
+    """Resample a multi-source corpus to a TARGET MIXTURE — the domain-
+    reweighting step of every pretraining pipeline (C4/Pile/DoReMi-style
+    "x% web, y% code, z% books"). ``weights`` gives the desired
+    proportion per ``group_col`` value; the output is the LARGEST
+    deterministic subsample achieving those proportions in expectation:
+    the most-constraining group (min n_g / w_g) is kept whole and every
+    other group is Bernoulli-thinned to match. Groups not listed are
+    dropped; listed groups absent from the data simply contribute
+    nothing (the realised mixture renormalises over present groups).
+
+    Scale shape: pass one is a column-pruned COUNT per group (tiny
+    result), pass two a map-side filter against the broadcast per-group
+    rate — no shuffle of corpus rows at any scale. Membership depends
+    only on (salt, key, group counts), so it is repartition-stable and
+    exactly replayable in SQL: the rate ``(w_g * scale) / n_g`` is one
+    pinned-association double chain, and the draw compare is the same
+    integer-vs-double threshold as :func:`sample_weighted`."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("mixture weights must be > 0 (omit a group to "
+                         "drop it)")
+    wcol = None
+    for g, w in weights.items():
+        cond = F.col(group_col) == g
+        wcol = (F.when(cond, float(w)) if wcol is None
+                else wcol.when(cond, float(w)))
+    counts = (df.groupBy(group_col).count()
+                .withColumn("__w", wcol)
+                .filter(F.col("__w").isNotNull())
+                .withColumn("__n", F.col("count").cast("double")))
+    scale = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__sc"))
+    rates = (counts.crossJoin(F.broadcast(scale))
+                   .select(F.col(group_col).alias("__g"),
+                           ((F.col("__w") * F.col("__sc")) / F.col("__n"))
+                           .alias("__rate")))
+    hx = _hex_value(hash_prefix(key_col, salt)).cast("double")
+    out = (df.join(F.broadcast(rates), df[group_col] == F.col("__g"))
+             .filter(hx < F.col("__rate") * F.lit(float(_HEX_SPACE))))
+    return out.select(*[df[c] for c in df.columns])
+
+
+def mixture_sample_sql(table_sql: str, group_col: str, key_col: str,
+                       weights: dict[str, float], salt: str = "",
+                       select: str = "d.*") -> str:
+    """Full-query DuckDB twin of :func:`mixture_sample` (CTE-shaped —
+    the rates are data-dependent, so a WHERE fragment can't carry them)."""
+    vals = ", ".join(f"('{_q(g)}', CAST({float(w)!r} AS DOUBLE))"
+                     for g, w in weights.items())
+    hx = _hex_value_sql(_hash_prefix_sql(f"d.{key_col}", salt))
+    return f"""
+WITH __cnt AS (
+  SELECT {group_col} AS g, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM {table_sql} GROUP BY {group_col}),
+__w(g, w) AS (VALUES {vals}),
+__sc AS (SELECT MIN(n / w) AS sc FROM __cnt JOIN __w USING (g)),
+__rates AS (
+  SELECT g, (w * sc) / n AS r
+  FROM __cnt JOIN __w USING (g) CROSS JOIN __sc)
+SELECT {select}
+FROM {table_sql} d JOIN __rates ON d.{group_col} = __rates.g
+WHERE CAST({hx} AS DOUBLE) < r * {float(_HEX_SPACE)!r}"""

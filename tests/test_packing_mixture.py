@@ -1,0 +1,88 @@
+"""Unit semantics for mixture_sample and pack_sequences (beyond the
+DuckDB parity the contract queries give): mixture proportions actually
+land, the limiting group is kept whole, packs respect the budget
+arithmetic, and both are repartition-stable (membership/assignment is a
+pure function of the row, never of physical layout)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from klepto_spark.operators.packing import pack_sequences
+from klepto_spark.operators.sampling import mixture_sample
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # deliberately lopsided: a=600, b=300, c=100, d=50 (d unlisted)
+    rows = [(i, "a" if i < 600 else "b" if i < 900 else
+             "c" if i < 1000 else "d", (i * 37) % 90 + 10)
+            for i in range(1050)]
+    return spark.createDataFrame(rows, "doc_id long, src string, tok long")
+
+
+def test_mixture_hits_target_proportions(corpus):
+    # target 50/30/20 over a,b,c; c (100 rows, w=.2 -> n/w=500) limits.
+    out = mixture_sample(corpus, "src", "doc_id",
+                         {"a": 0.5, "b": 0.3, "c": 0.2}, salt="t")
+    got = dict(out.groupBy("src").count().collect() and
+               [(r["src"], r["count"]) for r in
+                out.groupBy("src").count().collect()])
+    assert got["c"] == 100          # limiting group kept whole
+    assert "d" not in got           # unlisted group dropped
+    # expectation 250/150: Bernoulli noise at n~250 is ~sqrt(n)
+    assert abs(got["a"] - 250) < 60
+    assert abs(got["b"] - 150) < 45
+
+
+def test_mixture_is_repartition_stable(corpus):
+    w = {"a": 0.5, "b": 0.3, "c": 0.2}
+    a = {r["doc_id"] for r in
+         mixture_sample(corpus, "src", "doc_id", w, salt="t").collect()}
+    b = {r["doc_id"] for r in
+         mixture_sample(corpus.repartition(13, "tok"), "src", "doc_id",
+                        w, salt="t").collect()}
+    assert a == b
+
+
+def test_mixture_rejects_bad_weights(corpus):
+    with pytest.raises(ValueError):
+        mixture_sample(corpus, "src", "doc_id", {})
+    with pytest.raises(ValueError):
+        mixture_sample(corpus, "src", "doc_id", {"a": 0.0})
+
+
+def test_pack_prefix_sum_invariants(corpus):
+    out = pack_sequences(corpus, "doc_id", F.col("tok"), budget=256,
+                         shards=4, salt="t").collect()
+    assert len(out) == 1050
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        cum = by_shard.get(r["shard"], 0)
+        # pack id / offset are exactly where the doc's first token lands
+        assert r["pack_id"] == cum // 256
+        assert r["pack_off"] == cum % 256
+        assert 0 <= r["pack_off"] < 256
+        by_shard[r["shard"]] = cum + r["tok"]
+    # every shard starts at pack 0 and pack ids are monotone in doc order
+    rows = sorted(out, key=lambda r: (r["shard"], r["doc_id"]))
+    for s in by_shard:
+        packs = [r["pack_id"] for r in rows if r["shard"] == s]
+        assert packs[0] == 0 and packs == sorted(packs)
+
+
+def test_pack_is_repartition_stable(corpus):
+    a = {(r["doc_id"], r["shard"], r["pack_id"], r["pack_off"])
+         for r in pack_sequences(corpus, "doc_id", F.col("tok"),
+                                 budget=128, shards=3, salt="t").collect()}
+    b = {(r["doc_id"], r["shard"], r["pack_id"], r["pack_off"])
+         for r in pack_sequences(corpus.repartition(17), "doc_id",
+                                 F.col("tok"), budget=128, shards=3,
+                                 salt="t").collect()}
+    assert a == b
+
+
+def test_pack_rejects_bad_args(corpus):
+    with pytest.raises(ValueError):
+        pack_sequences(corpus, "doc_id", F.col("tok"), budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(corpus, "doc_id", F.col("tok"), budget=10, shards=0)
