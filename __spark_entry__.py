@@ -712,6 +712,15 @@ def q_seq_pack(spark, sf_dir):
                                   PACK_BUDGET, PACK_SHARDS, salt=SEED)
 
 
+def q_trigram_novelty(spark, sf_dir):
+    """Corpus-self-trained quality signal: per-doc share of trigram mass
+    outside the corpus's top-500 trigrams (the exact-arithmetic
+    perplexity stand-in; operators.text.trigram_novelty). One corpus
+    scan; vocabulary-bounded shuffles only."""
+    docs = _load(spark, sf_dir)("documents")
+    return T.trigram_novelty(docs, "text", "doc_id", top_k=500)
+
+
 def q_events_pivot(spark, sf_dir):
     """Daily activity matrix: pivot event_type into columns (explicit
     value list keeps the schema deterministic); decimal sums for exact
@@ -1165,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s08_filtered_ann": q_filtered_ann,
         "p05_mixture_sample": q_mixture_sample,
         "t12_seq_pack": q_seq_pack,
+        "t13_trigram_novelty": q_trigram_novelty,
     }
 
 
@@ -1588,6 +1598,8 @@ FROM documents""",
         "t12_seq_pack": packing.pack_sequences_sql(
             "documents", "doc_id", TOKEN_COUNT_SQL,
             PACK_BUDGET, PACK_SHARDS, salt=SEED),
+        "t13_trigram_novelty": T.trigram_novelty_sql(
+            "documents", "text", "doc_id", top_k=500),
         # d03_dedup_simhash: no SQL oracle (DuckDB lacks xxhash64) ->
         # rows-only check plus a hamming-locality pytest, by design.
     }

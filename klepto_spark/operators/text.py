@@ -410,3 +410,75 @@ rebuilt AS (
 SELECT d.{key_col}, COALESCE(r.clean_text, '') AS clean_text
 FROM {table} d LEFT JOIN rebuilt r ON d.{key_col} = r.{key_col}
 """
+
+
+def trigram_novelty(df: "DataFrame", text_col: str = "text",
+                    key_col: str = "doc_id", top_k: int = 500,
+                    k: int = 3) -> "DataFrame":
+    """Per-document novelty against the corpus's own character-n-gram
+    distribution — the exact-arithmetic stand-in for LM-perplexity
+    quality filtering: documents whose trigram mass falls mostly outside
+    the corpus's ``top_k`` most frequent trigrams are OOV-ish (another
+    language, binary junk, boilerplate markup) and score near 1.
+
+    Deliberately NOT cross-entropy: ``ln`` is engine-libm territory
+    (1-ulp divergence between JVM and DuckDB breaks value-hash parity,
+    the same reason tfidf uses raw ``N/df`` odds). Novelty is
+    ``(n_tri - hits) / n_tri`` — one IEEE division of exact BIGINTs.
+
+    Scale shape: ONE corpus scan (explode -> per-(doc, gram) counts, one
+    shuffle with map-side combine); the corpus gram table and the top-k
+    cut both derive from that aggregated frame, so exchange reuse serves
+    every consumer from the same scan. The top-k ranking windows over
+    the VOCABULARY (bounded, nowhere near corpus-sized) and rides back
+    as a broadcast. Ties at the top-k boundary break on the gram string
+    — deterministic in both engines (binary collation)."""
+    from pyspark.sql.window import Window as W
+
+    from klepto_spark.operators.dedup import exploded_shingles, fan_out
+    dg = (exploded_shingles(fan_out(df, key_col), text_col, key_col, k)
+          .groupBy(key_col, "sh").agg(F.count(F.lit(1)).alias("c")))
+    corpus = dg.groupBy("sh").agg(F.sum("c").alias("n"))
+    rk = F.row_number().over(W.orderBy(F.desc("n"), F.asc("sh")))
+    top = (corpus.withColumn("rk", rk).filter(F.col("rk") <= top_k)
+           .select("sh", F.lit(1).alias("__hit")))
+    agg = (dg.join(F.broadcast(top), "sh", "left")
+           .groupBy(key_col)
+           .agg(F.sum("c").alias("n_tri"),
+                F.coalesce(F.sum(F.when(F.col("__hit").isNotNull(),
+                                        F.col("c"))),
+                           F.lit(0).cast("bigint")).alias("hits")))
+    novelty = ((F.col("n_tri") - F.col("hits")).cast("double")
+               / F.col("n_tri").cast("double"))
+    return agg.select(key_col, "n_tri", "hits", novelty.alias("novelty"))
+
+
+def trigram_novelty_sql(table_sql: str = "documents",
+                        text_col: str = "text", key_col: str = "doc_id",
+                        top_k: int = 500, k: int = 3) -> str:
+    """DuckDB twin of :func:`trigram_novelty` (same shingle semantics as
+    the t04 oracle, same top-k tie-break, same exact-integer division)."""
+    return f"""
+WITH __g AS (
+  SELECT {key_col}, unnest([substr(lower({text_col}), i, {k})
+         FOR i IN range(1, greatest(length({text_col}) - {k - 1}, 1) + 1)])
+         AS sh
+  FROM {table_sql}),
+__dg AS (
+  SELECT {key_col}, sh, CAST(COUNT(*) AS BIGINT) AS c
+  FROM __g GROUP BY {key_col}, sh),
+__corpus AS (SELECT sh, CAST(SUM(c) AS BIGINT) AS n FROM __dg GROUP BY sh),
+__top AS (
+  SELECT sh FROM (
+    SELECT sh, row_number() OVER (ORDER BY n DESC, sh ASC) AS rk
+    FROM __corpus) WHERE rk <= {int(top_k)})
+SELECT d.{key_col},
+       CAST(SUM(d.c) AS BIGINT) AS n_tri,
+       CAST(SUM(CASE WHEN t.sh IS NOT NULL THEN d.c ELSE 0 END) AS BIGINT)
+           AS hits,
+       CAST(CAST(SUM(d.c) AS BIGINT)
+            - CAST(SUM(CASE WHEN t.sh IS NOT NULL THEN d.c ELSE 0 END)
+                   AS BIGINT) AS DOUBLE)
+           / CAST(CAST(SUM(d.c) AS BIGINT) AS DOUBLE) AS novelty
+FROM __dg d LEFT JOIN __top t ON d.sh = t.sh
+GROUP BY d.{key_col}"""

@@ -200,3 +200,30 @@ def test_strip_boilerplate_threshold_boundary(spark):
     out = {r["doc_id"]: r["clean_text"]
            for r in strip_boilerplate(df, max_df_ratio=0.5).collect()}
     assert out == {1: "b", 2: "c"}
+
+
+def test_trigram_novelty_semantics(spark):
+    from klepto_spark.operators.text import trigram_novelty
+    # 9 docs share one trigram vocabulary; 1 doc is pure line noise.
+    rows = [(i, "the cat sat on the mat") for i in range(9)]
+    rows.append((9, "zqxjkvwpfy"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # top_k = 17 = exactly the shared sentence's distinct trigrams, all
+    # with corpus count 9 vs the junk's 1 — the cut excludes all junk.
+    got = {r["doc_id"]: r for r in
+           trigram_novelty(df, top_k=17).collect()}
+    assert got[0]["novelty"] == 0.0 and got[0]["hits"] == got[0]["n_tri"]
+    r = got[9]
+    assert r["hits"] == 0 and r["novelty"] == 1.0
+    assert r["novelty"] == (r["n_tri"] - r["hits"]) / r["n_tri"]
+
+
+def test_trigram_novelty_short_and_null_docs_survive(spark):
+    from klepto_spark.operators.text import trigram_novelty
+    df = spark.createDataFrame(
+        [(0, "ab"), (1, ""), (2, "regular length text here")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in trigram_novelty(df, top_k=5).collect()}
+    # sub-k docs emit their whole text as one short shingle (t04 rule)
+    assert got[0]["n_tri"] == 1 and got[1]["n_tri"] == 1
+    assert all(0.0 <= r["novelty"] <= 1.0 for r in got.values())

@@ -189,3 +189,12 @@ def test_tfidf_and_boilerplate_are_single_corpus_scan(spark, sf_dir):
     for name, q in (("t09", tfidf_top_terms(docs, k=3)),
                     ("t11", strip_boilerplate(docs, max_df_ratio=0.6))):
         assert I.final_scan_count(q) == 1, name
+
+
+def test_trigram_novelty_is_single_corpus_scan(spark, sf_dir):
+    """t13 derives the corpus gram table, the top-k cut, AND the per-doc
+    score from one exploded aggregate — exchange reuse must serve all
+    consumers from ONE file scan (same discipline as t09/t11)."""
+    from klepto_spark.operators.text import trigram_novelty
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert I.final_scan_count(trigram_novelty(docs, top_k=50)) == 1
