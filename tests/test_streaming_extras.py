@@ -415,3 +415,38 @@ def test_interval_join_stream_left_outer_emits_unmatched(spark, tmp_path):
         by_user.setdefault(r["user_id"], []).append(r)
     assert by_user[1][0]["r_ts"] is not None      # matched
     assert by_user[2][0]["r_ts"] is None          # unmatched, NULL-padded
+
+
+def test_streaming_pack_matches_batch_on_ordered_arrival(spark, tmp_path):
+    """Two in-order micro-batches (doc ids ascending across batches): the
+    streaming packer's assignments equal batch pack_sequences over the
+    union — the per-shard running total survives the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from klepto_spark.operators.packing import pack_sequences
+    from klepto_spark.streaming.packing import pack_stream
+
+    src = str(tmp_path / "pk_src")
+    sink = str(tmp_path / "pk_sink")
+    schema = "doc_id bigint, tok bigint"
+    batch1 = [(i, (i * 29) % 70 + 5) for i in range(40)]
+    batch2 = [(i, (i * 29) % 70 + 5) for i in range(40, 80)]
+    for batch in (batch1, batch2):
+        spark.createDataFrame(batch, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (pack_stream(stream, "doc_id", F.col("tok"), budget=100,
+                         shards=3, salt="t")
+             .writeStream.format("parquet").option("path", sink)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "pk_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    got = {(r["key"], r["shard"], r["pack_id"], r["pack_off"], r["tok"])
+           for r in spark.read.parquet(sink).collect()}
+    allrows = spark.createDataFrame(batch1 + batch2, schema)
+    want = {(r["doc_id"], r["shard"], r["pack_id"], r["pack_off"], r["tok"])
+            for r in pack_sequences(allrows, "doc_id", F.col("tok"),
+                                    budget=100, shards=3,
+                                    salt="t").collect()}
+    assert got == want
+    assert len(got) == 80
