@@ -145,15 +145,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     :func:`capped_bucket_pairs`). Verify candidates with
     :func:`ngram_jaccard_pairs` before acting.
     """
-    assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    sig = minhash_signature_df(df, text_col, key_col, k, num_hashes)
-    band_cols = [
-        F.concat_ws("|", F.lit(str(b)),
-                    *[F.col(f"mh_{b * rows + j}") for j in range(rows)]).alias("band")
-        for b in range(bands)
-    ]
-    exploded = sig.select(key_col, F.explode(F.array(*band_cols)).alias("band"))
+    exploded = minhash_band_rows(df, text_col, key_col, k, num_hashes,
+                                 bands)
     # Bucket-local pair generation instead of a bucket self-join: one
     # groupBy shuffle, no signature recompute, and the expansion stays
     # inside each bucket, capped against giant true-dup classes. (The
@@ -163,6 +156,80 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
                .filter(F.size("ids") > 1))
     return capped_bucket_pairs(buckets, max_bucket)
+
+
+def minhash_band_rows(df: DataFrame, text_col: str = "text",
+                      key_col: str = "doc_id", k: int = 5,
+                      num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """(key, band) rows — one per document per band; the unit both the
+    self-contained pair generator and the at-rest index share."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signature_df(df, text_col, key_col, k, num_hashes)
+    band_cols = [
+        F.concat_ws("|", F.lit(str(b)),
+                    *[F.col(f"mh_{b * rows + j}") for j in range(rows)]).alias("band")
+        for b in range(bands)
+    ]
+    return sig.select(key_col, F.explode(F.array(*band_cols)).alias("band"))
+
+
+def minhash_write_index(df: DataFrame, path: str, text_col: str = "text",
+                        key_col: str = "doc_id", k: int = 5,
+                        num_hashes: int = 16, bands: int = 4,
+                        mode: str = "overwrite") -> None:
+    """Persist the corpus's (key, band) rows — the at-rest LSH index that
+    makes dedup INCREMENTAL: appending a batch later never re-shingles or
+    re-hashes the existing corpus (cf. ``ivf_append`` for vectors)."""
+    (minhash_band_rows(df, text_col, key_col, k, num_hashes, bands)
+     .write.mode(mode).parquet(path))
+
+
+def minhash_append(spark, path: str, new_docs: DataFrame,
+                   text_col: str = "text", key_col: str = "doc_id",
+                   k: int = 5, num_hashes: int = 16, bands: int = 4,
+                   max_bucket: int = 64, commit: bool = True) -> DataFrame:
+    """Dedup a NEW batch against an indexed corpus and (optionally) fold
+    the batch into the index. Returns candidate pairs with at least one
+    new-batch endpoint (old–old pairs were already known when the index
+    was built).
+
+    Scale shape: the new batch's bands are hashed once and BROADCAST;
+    the index is scanned exactly once through that broadcast semi-join —
+    no index shuffle, no corpus text scan, no signature recompute. Only
+    the touched buckets (bounded by |new batch| × bands × bucket size)
+    are collected and expanded, under the same star cap as the batch
+    operator. With ``commit=True`` the new rows are appended to the
+    index so the next batch sees them."""
+    # Not persisted: the batch is re-hashed once by the commit write and
+    # once when the caller evaluates the pairs — both O(batch), never
+    # O(corpus), and no cache whose lifetime outlives this call.
+    new_bands = minhash_band_rows(new_docs, text_col, key_col, k,
+                                  num_hashes, bands)
+    # The parquet relation snapshots its file list at read time, so the
+    # returned pair frame keeps reading the PRE-append index even after
+    # commit below — the same isolation every reader of an appended
+    # table gets, with no driver-side row materialisation.
+    idx = spark.read.parquet(path)
+    probe = new_bands.select("band").distinct()
+    touched_old = idx.join(F.broadcast(probe), "band", "left_semi")
+    members = touched_old.unionByName(new_bands.select(key_col, "band"))
+    buckets = (members.groupBy("band")
+               .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pairs = capped_bucket_pairs(buckets, max_bucket)
+    new_keys = new_bands.select(F.col(key_col).alias("__nk")).distinct()
+    flagged = (pairs
+               .join(F.broadcast(new_keys.withColumnRenamed("__nk", "a"))
+                     .withColumn("__fa", F.lit(1)), "a", "left")
+               .join(F.broadcast(new_keys.withColumnRenamed("__nk", "b"))
+                     .withColumn("__fb", F.lit(1)), "b", "left"))
+    out = (flagged
+           .filter(F.col("__fa").isNotNull() | F.col("__fb").isNotNull())
+           .select("a", "b"))
+    if commit:
+        new_bands.write.mode("append").parquet(path)
+    return out
 
 
 def simhash_df(df: DataFrame, text_col: str = "text",

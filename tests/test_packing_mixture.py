@@ -86,3 +86,78 @@ def test_pack_rejects_bad_args(corpus):
         pack_sequences(corpus, "doc_id", F.col("tok"), budget=0)
     with pytest.raises(ValueError):
         pack_sequences(corpus, "doc_id", F.col("tok"), budget=10, shards=0)
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup against the at-rest band index
+# ---------------------------------------------------------------------------
+
+def test_minhash_append_matches_full_recompute(spark, sf_dir, tmp_path):
+    """Index the first 400 docs, append the last 100: the incremental
+    pairs must equal the FULL recompute's pairs restricted to pairs with
+    a new-batch endpoint (max_bucket high enough that star-capping can't
+    diverge between the two bucket populations)."""
+    from klepto_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter("doc_id < 400")
+    new = docs.filter("doc_id >= 400")
+    idx = str(tmp_path / "mh_idx")
+    dedup.minhash_write_index(old, idx)
+
+    got = {(r["a"], r["b"]) for r in
+           dedup.minhash_append(spark, idx, new, max_bucket=10_000)
+           .collect()}
+    full = {(r["a"], r["b"]) for r in
+            dedup.minhash_lsh_pairs(docs, max_bucket=10_000).collect()}
+    want = {(a, b) for a, b in full if a >= 400 or b >= 400}
+    assert got == want
+    assert want, "the sf0.001 corpus must actually have cross-batch dups"
+
+
+def test_minhash_append_commits_index_for_next_batch(spark, sf_dir,
+                                                     tmp_path):
+    from klepto_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "mh_idx2")
+    dedup.minhash_write_index(docs.filter("doc_id < 300"), idx)
+    # batch 1 commits; batch 2 must see batch 1's docs as "old"
+    dedup.minhash_append(
+        spark, idx, docs.filter("doc_id >= 300 AND doc_id < 400"),
+        max_bucket=10_000).collect()
+    got = {(r["a"], r["b"]) for r in
+           dedup.minhash_append(spark, idx, docs.filter("doc_id >= 400"),
+                                max_bucket=10_000).collect()}
+    full = {(r["a"], r["b"]) for r in
+            dedup.minhash_lsh_pairs(docs, max_bucket=10_000).collect()}
+    want = {(a, b) for a, b in full if a >= 400 or b >= 400}
+    assert got == want
+
+
+def test_minhash_append_no_commit_leaves_index_untouched(spark, sf_dir,
+                                                         tmp_path):
+    from klepto_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "mh_idx3")
+    dedup.minhash_write_index(docs.filter("doc_id < 400"), idx)
+    before = spark.read.parquet(idx).count()
+    dedup.minhash_append(spark, idx, docs.filter("doc_id >= 400"),
+                         commit=False).collect()
+    assert spark.read.parquet(idx).count() == before
+
+
+def test_minhash_append_probe_broadcasts_not_shuffles_index(spark, sf_dir,
+                                                            tmp_path):
+    """The index side of the probe must be served by a broadcast join —
+    an index shuffle would re-pay the corpus at every append."""
+    from klepto_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "mh_idx4")
+    dedup.minhash_write_index(docs.filter("doc_id < 400"), idx)
+    out = dedup.minhash_append(spark, idx, docs.filter("doc_id >= 400"),
+                               commit=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
