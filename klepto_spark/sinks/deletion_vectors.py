@@ -196,7 +196,12 @@ def merge_files_dv(df: DataFrame, directory: str, table: str, fmt: str,
 
     epochs = committed_epochs(jvm, fs, tgt)
     _clean_uncommitted(jvm, fs, tgt, {e["id"] for e in epochs})
-    next_id = (epochs[-1]["id"] + 1) if epochs else 1
+    # epoch ids are MONOTONE across compactions (a global version
+    # number): compaction records the last folded id as base_epoch, and
+    # new epochs continue above it — time travel depends on an id never
+    # meaning two different snapshots over the table's lifetime
+    floor = (meta or {}).get("base_epoch", 0)
+    next_id = max(epochs[-1]["id"] if epochs else 0, floor) + 1
 
     contract = _load_schema_contract(jvm, fs, tgt)
     if contract is None:
@@ -292,10 +297,19 @@ def _event_frames(spark, jvm, fs, tgt, epochs):
 
 
 def read_files_dv(spark: SparkSession, directory: str, table: str,
-                  fmt: str, base: DataFrame | None = None) -> DataFrame:
+                  fmt: str, base: DataFrame | None = None,
+                  as_of_epoch: int | None = None) -> DataFrame:
     """The merged view of a deletion-vector table: base files with every
     committed epoch applied. Pass ``base`` to reuse an already-built base
-    frame (the FileCatalog does, so its row-mode/schema options hold)."""
+    frame (the FileCatalog does, so its row-mode/schema options hold).
+
+    ``as_of_epoch=N`` time-travels: only epochs with id <= N apply, so
+    the view is the table exactly as it stood after epoch N committed
+    (``N`` at-or-above the compaction floor and at-or-below the newest
+    committed epoch). History at or below the floor lives only folded
+    into the base files (compaction is this layer's VACUUM) — asking for
+    it raises rather than silently serving the wrong snapshot; the floor
+    itself is servable because the base IS that snapshot."""
     target = _target(directory, table, fmt)
     spark_any = base if base is not None else spark.range(0)
     jvm, fs, tgt = _hadoop_fs(spark_any, target)
@@ -305,6 +319,24 @@ def read_files_dv(spark: SparkSession, directory: str, table: str,
     if BUCKET_COL in base.columns:
         base = base.drop(BUCKET_COL)
     epochs = committed_epochs(jvm, fs, tgt)
+    if as_of_epoch is not None:
+        meta = load_dv_meta(jvm, fs, tgt)
+        floor = (meta or {}).get("base_epoch", 0)
+        # pre-feature compactions wrote no base_epoch; the surviving
+        # commit ids still bound the floor from below
+        if epochs:
+            floor = max(floor, epochs[0]["id"] - 1)
+        if as_of_epoch < floor:
+            raise ValueError(
+                f"epoch {as_of_epoch} of table {table!r} was compacted "
+                f"into the base (floor is {floor}): that history is no "
+                "longer reconstructible")
+        newest = epochs[-1]["id"] if epochs else floor
+        if as_of_epoch > newest:
+            raise ValueError(
+                f"epoch {as_of_epoch} of table {table!r} does not exist "
+                f"(newest committed epoch is {newest})")
+        epochs = [e for e in epochs if e["id"] <= as_of_epoch]
     if not epochs:
         return base
     meta = load_dv_meta(jvm, fs, tgt)
@@ -398,8 +430,11 @@ def compact_files_dv(spark: SparkSession, directory: str, table: str,
     if contract is not None and not fs.exists(
             _sub(jvm, tgt, "_schema.json")):
         _save_schema_contract(jvm, fs, tgt, contract)
-    if not fs.exists(_meta_path(jvm, tgt)):
-        _write_json(fs, _meta_path(jvm, tgt), {"keys": keys})
+    # record where history now starts: epochs <= base_epoch are folded
+    # into the base files and no longer reconstructible (time travel
+    # below this floor must refuse, like a vacuumed Delta table)
+    _write_json(fs, _meta_path(jvm, tgt),
+                {"keys": keys, "base_epoch": epochs[-1]["id"]})
     # the fold rewrote base files: any surviving min/max manifest now
     # names gone files and must not serve pruned reads
     from klepto_spark.sinks.layout import invalidate_manifest

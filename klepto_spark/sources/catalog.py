@@ -177,6 +177,24 @@ class FileCatalog:
         # normalise nanosecond timestamps read as long (see session.py)
         return normalise_nanos_ts(df)
 
+    def load_as_of(self, table: str, epoch: int) -> DataFrame:
+        """Snapshot read of a merge-on-read table exactly as it stood
+        after ``epoch`` committed (``epoch=0`` or the compaction floor =
+        the base files alone). Raises when that history was folded away
+        by compaction — the layer's VACUUM — rather than serving a wrong
+        snapshot. Positional deletes address base rows only, so they
+        apply to every epoch's view unchanged."""
+        from klepto_spark.session import normalise_nanos_ts
+        from klepto_spark.sinks.deletion_vectors import read_files_dv
+        base = None
+        pdv_log = Path(self._path(table)) / "_pdvlog"
+        if pdv_log.is_dir() and any(pdv_log.glob("e*.json")):
+            from klepto_spark.sinks.positional_dv import apply_positional
+            base = apply_positional(self.spark, self._path(table))
+        df = read_files_dv(self.spark, str(self.directory), table,
+                           self.fmt, base=base, as_of_epoch=epoch)
+        return normalise_nanos_ts(df)
+
     def load_range(self, table: str, col: str, lo=None, hi=None
                    ) -> DataFrame:
         """Range read that exploits a clustered layout's min/max manifest

@@ -229,3 +229,64 @@ def test_cdc_merge_on_read_end_to_end(spark, tmp_path):
     flat = {r["id"] for r in
             spark.read.parquet(f"{tmp_path}/out/t.parquet").collect()}
     assert flat == {1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# Time travel: as_of_epoch snapshot reads
+# ---------------------------------------------------------------------------
+
+def _asof(spark, d, epoch):
+    return {r["id"]: (r["name"], r["v"])
+            for r in dv.read_files_dv(spark, str(d), "t", "parquet",
+                                      as_of_epoch=epoch).collect()}
+
+
+def _travel_history(spark, tmp_path):
+    dv.merge_files_dv(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]),
+                      str(tmp_path), "t", "parquet", ["id"])
+    dv.merge_files_dv(_df(spark, [(2, "B", 20.0), (3, "c", 3.0)]),
+                      str(tmp_path), "t", "parquet", ["id"],
+                      auto_compact=None)
+    dv.merge_files_dv(_df(spark, [(4, "d", 4.0)]), str(tmp_path), "t",
+                      "parquet", ["id"], deletes=_keys(spark, [1]),
+                      auto_compact=None)
+
+
+def test_as_of_epoch_replays_each_snapshot(spark, tmp_path):
+    _travel_history(spark, tmp_path)
+    assert _asof(spark, tmp_path, 0) == {1: ("a", 1.0), 2: ("b", 2.0)}
+    assert _asof(spark, tmp_path, 1) == {1: ("a", 1.0), 2: ("B", 20.0),
+                                         3: ("c", 3.0)}
+    assert _asof(spark, tmp_path, 2) == {2: ("B", 20.0), 3: ("c", 3.0),
+                                         4: ("d", 4.0)}
+    # no as_of = current view = newest epoch's view
+    assert _view(spark, tmp_path) == _asof(spark, tmp_path, 2)
+
+
+def test_as_of_epoch_bounds_are_enforced(spark, tmp_path):
+    _travel_history(spark, tmp_path)
+    with pytest.raises(ValueError, match="does not exist"):
+        _asof(spark, tmp_path, 3)
+
+
+def test_as_of_below_compaction_floor_refuses(spark, tmp_path):
+    _travel_history(spark, tmp_path)
+    dv.compact_files_dv(spark, str(tmp_path), "t", "parquet")
+    # the floor itself is the base files — servable, equals the old view
+    assert _asof(spark, tmp_path, 2) == {2: ("B", 20.0), 3: ("c", 3.0),
+                                         4: ("d", 4.0)}
+    for gone in (0, 1):
+        with pytest.raises(ValueError, match="compacted"):
+            _asof(spark, tmp_path, gone)
+    # history continues above the floor after new merges
+    dv.merge_files_dv(_df(spark, [(5, "e", 5.0)]), str(tmp_path), "t",
+                      "parquet", ["id"], auto_compact=None)
+    assert _asof(spark, tmp_path, 3)[5] == ("e", 5.0)
+
+
+def test_catalog_load_as_of(spark, tmp_path):
+    _travel_history(spark, tmp_path)
+    cat = FileCatalog(spark, str(tmp_path), fmt="parquet")
+    got = {r["id"] for r in cat.load_as_of("t", 1).collect()}
+    assert got == {1, 2, 3}
+    assert {r["id"] for r in cat.load("t").collect()} == {2, 3, 4}
