@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from pathlib import Path
 
 
 def _cmd_init(args: argparse.Namespace) -> int:
@@ -250,6 +251,43 @@ class _TombstoneAction(argparse.Action):
         setattr(namespace, self.dest, d)
 
 
+def _cmd_snapshot(args: argparse.Namespace) -> int:
+    """Export a merge-on-read table exactly as it stood after a given
+    committed epoch (``FileCatalog.load_as_of``) — the audit/compliance
+    read: reproduce what a past release shipped without having copied
+    anything at the time."""
+    from klepto_spark.session import get_spark
+    from klepto_spark.sources.catalog import FileCatalog
+    from klepto_spark.sources.dsn import file_path, route
+
+    kind, fmt, dsn = route(args.source)
+    if kind != "files":
+        print(f"snapshot needs a file dsn, got {args.source!r}",
+              file=sys.stderr)
+        return 2
+    okind, ofmt, odsn = route(args.out)
+    if okind != "files":
+        print(f"snapshot --out needs a file dsn, got {args.out!r}",
+              file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="klepto_spark_snapshot")
+    spark.sparkContext.setLogLevel("WARN")
+    cat = FileCatalog(spark, file_path(dsn), fmt=fmt)
+    out = {}
+    for table in args.table:
+        try:
+            df = cat.load_as_of(table, args.epoch)
+        except ValueError as exc:
+            print(str(exc), file=sys.stderr)
+            return 3
+        dest = str(Path(file_path(odsn)) / f"{table}.{ofmt}")
+        df.write.mode("overwrite").format(ofmt).save(dest)
+        out[table] = {"rows": spark.read.format(ofmt).load(dest).count(),
+                      "epoch": args.epoch, "path": dest}
+    print(json.dumps({"tables": out, "ok": True}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="klepto_spark",
                                 description="Steals and anonymises data, on Spark")
@@ -362,6 +400,20 @@ def build_parser() -> argparse.ArgumentParser:
     po.add_argument("--target-mb", dest="target_mb", type=int, default=128,
                     help="bin-pack target file size (default 128)")
     po.set_defaults(fn=_cmd_optimize)
+
+    psn = sub.add_parser(
+        "snapshot",
+        help="export a merge-on-read table as of a committed epoch "
+             "(time travel; refuses history compacted into the base)")
+    psn.add_argument("--source", required=True,
+                     help="file dsn of the CDC table directory")
+    psn.add_argument("--table", action="append", required=True)
+    psn.add_argument("--epoch", type=int, required=True,
+                     help="committed epoch id (0 or the compaction "
+                          "floor = base files alone)")
+    psn.add_argument("--out", required=True,
+                     help="file dsn to write the snapshot to")
+    psn.set_defaults(fn=_cmd_snapshot)
     return p
 
 

@@ -160,3 +160,33 @@ def test_cli_compact_delete_where_rewrites_hit_files(spark, tmp_path, capsys):
     assert t["files_rewritten"] == 1
     got = sorted(r["k"] for r in spark.read.parquet(f"{d}/t.parquet").collect())
     assert got == list(range(350))
+
+
+def test_cli_snapshot_exports_epoch_view(spark, tmp_path, capsys):
+    """snapshot: exports the as-of view; refuses compacted-away epochs
+    with exit 3 and a clear stderr message."""
+    import json
+    from klepto_spark.cli import main
+    from klepto_spark.sinks import deletion_vectors as dv
+
+    d = str(tmp_path / "cdc")
+    dv.merge_files_dv(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        d, "t", "parquet", ["id"])
+    dv.merge_files_dv(
+        spark.createDataFrame([(2, "B")], "id long, v string"),
+        d, "t", "parquet", ["id"], auto_compact=None)
+
+    out = str(tmp_path / "snap")
+    assert main(["snapshot", "--source", f"parquet://{d}", "--table", "t",
+                 "--epoch", "0", "--out", f"parquet://{out}"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["tables"]["t"]["rows"] == 2
+    got = {r["id"]: r["v"] for r in
+           spark.read.parquet(f"{out}/t.parquet").collect()}
+    assert got == {1: "a", 2: "b"}  # pre-epoch-1 state
+
+    dv.compact_files_dv(spark, d, "t", "parquet")
+    assert main(["snapshot", "--source", f"parquet://{d}", "--table", "t",
+                 "--epoch", "0", "--out", f"parquet://{out}"]) == 3
+    assert "compacted" in capsys.readouterr().err
