@@ -494,6 +494,27 @@ def q_ann_cosine(spark, sf_dir):
             .filter(F.col("score") >= 0.25))
 
 
+def q_prenorm_topk(spark, sf_dir):
+    """The at-rest fast path every vector store ships: unit vectors
+    stored ONCE (similarity.normalise_embeddings -> parquet), cosine
+    degenerating to a pure dot at query time (topk_prenormalised — no
+    per-row sqrt, flat 64-term codegen). Chaining normalise into the dot
+    inline would square the expression tree past janino's 64 KB method
+    cliff and fall back to interpreted eval — the parquet barrier is the
+    production shape AND the codegen-safe one. Rank-10/11 gap measured
+    3.3e-4 (sf0.01) / 4.3e-4 (sf0.1), round-6 boundary margin >= 1.2e-2
+    — far above normalise-then-dot vs direct-cosine noise (~1e-15)."""
+    import tempfile
+    emb = dedup.fan_out(_load(spark, sf_dir)("embeddings"), "vec_id")
+    tag = sf_dir.strip("/").replace("/", "_")
+    at_rest = f"{tempfile.gettempdir()}/klepto_prenorm_{tag}"
+    (similarity.normalise_embeddings(emb, dim=64)
+     .write.mode("overwrite").parquet(at_rest))
+    unit = spark.read.parquet(at_rest)
+    return similarity.topk_prenormalised(unit, _query_vec(spark, sf_dir),
+                                         k=10)
+
+
 # ANN LSH-pair parameters: 0.4 sits in a gap of the bucketed-candidate
 # cosine distribution (nearest values 0.397/0.403 at sf0.01, 0.3996/0.4004
 # at sf0.1), so round-6 float noise cannot flip membership; bits=4 keeps
@@ -885,6 +906,24 @@ def q_window_distribution(spark, sf_dir):
         F.cume_dist().over(w).alias("cume")))
 
 
+def q_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, distinct-user counts per weeks-since-cohort. The input
+    collapses to (user, week) presence FIRST, so every later shuffle
+    carries the aggregated frame, never raw events."""
+    events = _load(spark, sf_dir)("events")
+    uw = (events.select("user_id",
+                        F.date_trunc("week", F.col("ts")).cast("date")
+                        .alias("wk"))
+          .distinct())
+    cohort = F.min("wk").over(Window.partitionBy("user_id"))
+    fc = uw.withColumn("cohort_week", cohort)
+    return (fc.groupBy("cohort_week",
+                       F.expr("CAST(datediff(wk, cohort_week) div 7 AS INT)")
+                       .alias("week_n"))
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
 def q_cube(spark, sf_dir):
     """CUBE grouping sets over (region, order status): all four
     aggregation granularities in one pass (the ROLLUP twin of a06 with
@@ -1175,6 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p05_mixture_sample": q_mixture_sample,
         "t12_seq_pack": q_seq_pack,
         "t13_trigram_novelty": q_trigram_novelty,
+        "a20_retention": q_retention,
+        "s09_prenorm_topk": q_prenorm_topk,
     }
 
 
@@ -1600,6 +1641,27 @@ FROM documents""",
             PACK_BUDGET, PACK_SHARDS, salt=SEED),
         "t13_trigram_novelty": T.trigram_novelty_sql(
             "documents", "text", "doc_id", top_k=500),
+        "a20_retention": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('week', ts) AS DATE) AS wk
+              FROM events),
+            fc AS (
+              SELECT user_id, wk,
+                     MIN(wk) OVER (PARTITION BY user_id) AS cohort_week
+              FROM uw)
+            SELECT cohort_week,
+                   CAST((wk - cohort_week) // 7 AS INT) AS week_n,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM fc GROUP BY cohort_week, week_n""",
+        "s09_prenorm_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+            FROM embeddings e, q
+            ORDER BY score DESC, e.vec_id LIMIT 10""",
         # d03_dedup_simhash: no SQL oracle (DuckDB lacks xxhash64) ->
         # rows-only check plus a hamming-locality pytest, by design.
     }
