@@ -931,6 +931,28 @@ def q_retention(spark, sf_dir):
             .agg(F.countDistinct("user_id").alias("n_users")))
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general lattice a06 ROLLUP and a18
+    CUBE are special cases of): per-region, per-status, and grand-total
+    granularities in one pass — skipping the (region, status) cell a
+    CUBE would also compute. grouping_id disambiguates a genuine NULL
+    group key from a superaggregate row."""
+    orders = _load(spark, sf_dir)("orders")
+    cust = _load(spark, sf_dir)("customer")
+    nation = _load(spark, sf_dir)("nation")
+    region = _load(spark, sf_dir)("region")
+    j = (orders
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(nation, cust.c_nationkey == nation.n_nationkey)
+         .join(region, nation.n_regionkey == region.r_regionkey))
+    return (j.groupingSets([["r_name"], ["o_orderstatus"], []],
+                           "r_name", "o_orderstatus")
+            .agg(F.grouping_id().cast("int").alias("gid"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(_dec("o_totalprice")).cast("double")
+                 .alias("sum_price")))
+
+
 def q_cube(spark, sf_dir):
     """CUBE grouping sets over (region, order status): all four
     aggregation granularities in one pass (the ROLLUP twin of a06 with
@@ -1223,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t13_trigram_novelty": q_trigram_novelty,
         "a20_retention": q_retention,
         "s09_prenorm_topk": q_prenorm_topk,
+        "a21_grouping_sets": q_grouping_sets,
     }
 
 
@@ -1669,6 +1692,18 @@ FROM documents""",
                        CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
             FROM embeddings e, q
             ORDER BY score DESC, e.vec_id LIMIT 10""",
+        "a21_grouping_sets": """
+            SELECT r_name, o_orderstatus,
+                   CAST(GROUPING(r_name) * 2 + GROUPING(o_orderstatus)
+                        AS INT) AS gid,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY GROUPING SETS ((r_name), (o_orderstatus), ())""",
         # d03_dedup_simhash: no SQL oracle (DuckDB lacks xxhash64) ->
         # rows-only check plus a hamming-locality pytest, by design.
     }

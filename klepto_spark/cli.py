@@ -288,6 +288,42 @@ def _cmd_snapshot(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_history(args: argparse.Namespace) -> int:
+    """List a merge-on-read table's committed epochs and its time-travel
+    floor — what ``snapshot --epoch`` can still serve."""
+    from klepto_spark.session import get_spark
+    from klepto_spark.sinks import deletion_vectors as dv
+    from klepto_spark.sources.dsn import file_path, route
+
+    kind, fmt, dsn = route(args.source)
+    if kind != "files":
+        print(f"history needs a file dsn, got {args.source!r}",
+              file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="klepto_spark_history")
+    spark.sparkContext.setLogLevel("WARN")
+    directory = file_path(dsn)
+    out = {}
+    for table in args.table:
+        from klepto_spark.sinks.deletion_vectors import (
+            _hadoop_fs, _target, load_dv_meta)
+        jvm, fs, tgt = _hadoop_fs(spark.range(0),
+                                  _target(directory, table, fmt))
+        epochs = dv.pending_epochs(spark, directory, table, fmt)
+        meta = load_dv_meta(jvm, fs, tgt) if fs.exists(tgt) else None
+        floor = (meta or {}).get("base_epoch", 0)
+        if epochs:
+            floor = max(floor, epochs[0]["id"] - 1)
+        out[table] = {
+            "floor": floor,
+            "newest": epochs[-1]["id"] if epochs else floor,
+            "epochs": [{"id": e["id"], "delta_rows": e["delta_rows"],
+                        "dv_rows": e["dv_rows"]} for e in epochs],
+        }
+    print(json.dumps({"tables": out, "ok": True}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="klepto_spark",
                                 description="Steals and anonymises data, on Spark")
@@ -414,6 +450,15 @@ def build_parser() -> argparse.ArgumentParser:
     psn.add_argument("--out", required=True,
                      help="file dsn to write the snapshot to")
     psn.set_defaults(fn=_cmd_snapshot)
+
+    ph = sub.add_parser(
+        "history",
+        help="list a merge-on-read table's committed epochs and the "
+             "time-travel floor")
+    ph.add_argument("--source", required=True,
+                    help="file dsn of the CDC table directory")
+    ph.add_argument("--table", action="append", required=True)
+    ph.set_defaults(fn=_cmd_history)
     return p
 
 

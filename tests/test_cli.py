@@ -190,3 +190,29 @@ def test_cli_snapshot_exports_epoch_view(spark, tmp_path, capsys):
     assert main(["snapshot", "--source", f"parquet://{d}", "--table", "t",
                  "--epoch", "0", "--out", f"parquet://{out}"]) == 3
     assert "compacted" in capsys.readouterr().err
+
+
+def test_cli_history_reports_epochs_and_floor(spark, tmp_path, capsys):
+    import json
+    from klepto_spark.cli import main
+    from klepto_spark.sinks import deletion_vectors as dv
+
+    d = str(tmp_path / "cdc")
+    dv.merge_files_dv(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        d, "t", "parquet", ["id"])
+    dv.merge_files_dv(
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        d, "t", "parquet", ["id"], auto_compact=None)
+    assert main(["history", "--source", f"parquet://{d}",
+                 "--table", "t"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    t = rep["tables"]["t"]
+    assert t["floor"] == 0 and t["newest"] == 1
+    assert t["epochs"] == [{"id": 1, "delta_rows": 1, "dv_rows": 0}]
+
+    dv.compact_files_dv(spark, d, "t", "parquet")
+    assert main(["history", "--source", f"parquet://{d}",
+                 "--table", "t"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["tables"]["t"] == {"floor": 1, "newest": 1, "epochs": []}

@@ -101,3 +101,29 @@ def test_pii_redact_sql_twin_and_idempotence(texts):
                 f"SELECT {pii.match_count_sql(lit, r)}").fetchone()
             assert n_duck == len(re.findall(r.pattern, t)), (t, r.name)
     con.close()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 10_000),
+                          st.integers(1, 500)),
+                min_size=1, max_size=60, unique_by=lambda t: t[0]),
+       st.integers(16, 400), st.integers(1, 5))
+def test_pack_sequences_prefix_property(spark, rows, budget, shards):
+    """For ANY (key, cost) population, budget, and shard count: every
+    document's (pack_id, pack_off) equals the per-shard running total of
+    its predecessors in key order — recomputed independently in Python."""
+    from klepto_spark.operators.packing import pack_sequences
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "doc_id long, tok long")
+    got = sorted(
+        ((r["doc_id"], r["shard"], r["pack_id"], r["pack_off"], r["tok"])
+         for r in pack_sequences(df, "doc_id", F.col("tok"),
+                                 budget=budget, shards=shards,
+                                 salt="h").collect()))
+    assert len(got) == len(rows)
+    cum = {}
+    for doc_id, shard, pack_id, pack_off, tok in sorted(got):
+        c = cum.get(shard, 0)
+        assert pack_id == c // budget and pack_off == c % budget
+        cum[shard] = c + tok
