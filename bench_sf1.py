@@ -41,7 +41,9 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          "t09_tfidf", "t10_heavy_hitters",
          # round-4 continuation: reassembly + composed-pipeline shapes
          "t11_boilerplate", "c01_corpus_pipeline", "d04_dedup_jaccard_verified",
-         "d07_dedup_keep_best"]
+         "d07_dedup_keep_best",
+         # round-5: trigram explode + per-shard windows + two-pass mixture
+         "t13_trigram_novelty", "t12_seq_pack", "p05_mixture_sample"]
 COPIES = 10
 SRC = "/root/testdata/sf0.1"
 

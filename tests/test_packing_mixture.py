@@ -161,3 +161,15 @@ def test_minhash_append_probe_broadcasts_not_shuffles_index(spark, sf_dir,
                                commit=False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_listed_but_absent_group_renormalises(corpus):
+    # "e" is in the target but absent from the data: the realised
+    # mixture renormalises over present groups; nothing crashes, the
+    # limiting present group is kept whole.
+    out = mixture_sample(corpus, "src", "doc_id",
+                         {"a": 0.4, "c": 0.3, "e": 0.3}, salt="t")
+    got = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    assert "e" not in got and got["c"] == 100
+    # a thinned to match: expectation n_c/w_c * w_a = 133
+    assert abs(got["a"] - 133) < 45
