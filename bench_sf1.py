@@ -45,6 +45,16 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          # round-5: trigram explode + per-shard windows + two-pass mixture
          "t13_trigram_novelty", "t12_seq_pack", "p05_mixture_sample"]
 COPIES = 10
+
+# Interpretation note for scaling_vs_10x_sf01: the rehearsal corpus is 10
+# NEAR-COPIES of every document, so LSH candidate pairs grow ~90x for 10x
+# corpus (each clique contributes ~45 true pairs where sf0.1 had ~0-1) —
+# measured 7,340 -> 660,797 pairs. Candidate-driven operators (d04
+# Jaccard verification) therefore legitimately exceed 1.0 on CORPUS ratio
+# while staying sub-linear in candidates (22.7 s / 90x candidates =
+# 0.22x per candidate). The per-candidate number, not the corpus ratio,
+# is the scale signal for verification stages; the exact-set-size
+# prefilter helps mixed-length real corpora, not same-length clones.
 SRC = "/root/testdata/sf0.1"
 
 
