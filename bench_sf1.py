@@ -135,7 +135,12 @@ def main() -> None:
     result = {"metric": "sf1_heavy_total_sec",
               "value": round(sum(medians.values()), 3), "unit": "sec",
               "sf": 1.0, "runs": runs, "queries": medians,
-              "scaling_vs_10x_sf01": scaling}
+              "scaling_vs_10x_sf01": scaling,
+              "notes": {"d04_dedup_jaccard_verified":
+                        "candidate-driven: the 10-near-copy corpus grows "
+                        "LSH pairs ~90x for 10x docs (7,340 -> 660,797 "
+                        "measured), so read this entry per candidate "
+                        "(sub-linear), not per corpus ratio"}}
     with open("BENCH_SF1.json", "w") as fh:
         json.dump(result, fh, indent=1)
     sys.stderr.flush()
