@@ -740,6 +740,14 @@ def q_seq_pack(spark, sf_dir):
                                   PACK_BUDGET, PACK_SHARDS, salt=SEED)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """RAG-prep chunking: 300-char chunks with 60-char overlap; pure
+    map-side explode+substring, zero shuffle (operators.text.
+    chunk_documents). Empty docs keep one empty chunk — no row loss."""
+    docs = _load(spark, sf_dir)("documents")
+    return T.chunk_documents(docs, size=300, overlap=60)
+
+
 def q_trigram_novelty(spark, sf_dir):
     """Corpus-self-trained quality signal: per-doc share of trigram mass
     outside the corpus's top-500 trigrams (the exact-arithmetic
@@ -1136,6 +1144,57 @@ def q_length_outliers(spark, sf_dir):
 S08_K = 3
 
 
+def _query_trigrams(spark, sf_dir) -> list[str]:
+    """Distinct lowercased trigrams of the doc_id=0 query text — the
+    plan-time constant for s10's lexical leg (char_shingles semantics:
+    a sub-3-char text yields itself as its only shingle)."""
+    row = (_load(spark, sf_dir)("documents")
+           .filter(F.col("doc_id") == 0).select("text").first())
+    low = (row[0] or "").lower()
+    grams = ([low[i:i + 3] for i in range(max(len(low) - 2, 1))]
+             if low else [""])
+    out, seen = [], set()
+    for g in grams:
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """s10: HYBRID retrieval via reciprocal-rank fusion — the shape
+    every production RAG stack serves (lexical + vector legs fused by
+    1/(60+rank), the BM25+ANN default). The lexical score is the exact
+    trigram-overlap count with the doc_id=0 query text (array_intersect
+    against a broadcast literal set); the vector score reuses s01's
+    proven round-6 cosine. Both ranks are deterministic ints
+    (score desc, id asc), so the fused score is a pinned two-term sum
+    of exact-int reciprocals — engine-stable to the bit. One scan of
+    each table; ranking windows over scores, TakeOrdered for the cut."""
+    from pyspark.sql.window import Window
+    docs = _load(spark, sf_dir)("documents")
+    emb = dedup.fan_out(_load(spark, sf_dir)("embeddings"), "vec_id")
+    qg = _query_trigrams(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    t_score = F.size(F.array_intersect(
+        dedup.char_shingles("text", 3),
+        F.array(*[F.lit(g) for g in qg]))).cast("bigint")
+    lex = docs.select(F.col("doc_id"), t_score.alias("t_score"))
+    w_t = Window.orderBy(F.desc("t_score"), F.asc("doc_id"))
+    lex = lex.withColumn("rank_t", F.row_number().over(w_t))
+    cos = F.round(similarity.cosine_const(
+        F.col("embedding").cast("array<double>"), qv), 6)
+    vec = emb.select(F.col("vec_id").alias("doc_id"),
+                     cos.alias("v_score"))
+    w_v = Window.orderBy(F.desc("v_score"), F.asc("doc_id"))
+    vec = vec.withColumn("rank_v", F.row_number().over(w_v))
+    fused = (lex.join(vec, "doc_id")
+             .withColumn("rrf", F.lit(1.0) / (F.lit(60) + F.col("rank_t"))
+                         + F.lit(1.0) / (F.lit(60) + F.col("rank_v"))))
+    return (fused.select("doc_id", "rank_t", "rank_v", "rrf")
+            .orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10))
+
+
 def q_filtered_ann(spark, sf_dir):
     """s08: label-FILTERED ANN — top-k cosine neighbours of the s01 query
     vector within every label partition (the metadata-constrained search
@@ -1246,6 +1305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a20_retention": q_retention,
         "s09_prenorm_topk": q_prenorm_topk,
         "a21_grouping_sets": q_grouping_sets,
+        "t14_chunking": q_chunk_documents,
+        "s10_hybrid_rrf": q_hybrid_rrf,
     }
 
 
@@ -1704,6 +1765,42 @@ FROM documents""",
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY GROUPING SETS ((r_name), (o_orderstatus), ())""",
+        "t14_chunking": T.chunk_documents_sql(
+            "documents", size=300, overlap=60),
+        "s10_hybrid_rrf": """
+            WITH qg AS (
+              SELECT list_distinct([substr(lower(text), i, 3)
+                     FOR i IN range(1, greatest(length(text) - 2, 1) + 1)])
+                     AS g
+              FROM documents WHERE doc_id = 0),
+            lex AS (
+              SELECT doc_id,
+                     CAST(length(list_intersect(
+                         list_distinct([substr(lower(text), i, 3)
+                             FOR i IN range(1, greatest(length(text) - 2, 1)
+                                            + 1)]),
+                         qg.g)) AS BIGINT) AS t_score
+              FROM documents, qg),
+            lr AS (
+              SELECT doc_id, CAST(row_number() OVER (
+                  ORDER BY t_score DESC, doc_id ASC) AS INT) AS rank_t
+              FROM lex),
+            qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id = 0),
+            vec AS (
+              SELECT vec_id AS doc_id,
+                     round(list_cosine_similarity(
+                         CAST(embedding AS DOUBLE[]), qv.v), 6) AS v_score
+              FROM embeddings, qv),
+            vr AS (
+              SELECT doc_id, CAST(row_number() OVER (
+                  ORDER BY v_score DESC, doc_id ASC) AS INT) AS rank_v
+              FROM vec)
+            SELECT lr.doc_id, lr.rank_t, vr.rank_v,
+                   (CAST(1 AS DOUBLE) / (60 + lr.rank_t))
+                   + (CAST(1 AS DOUBLE) / (60 + vr.rank_v)) AS rrf
+            FROM lr JOIN vr ON lr.doc_id = vr.doc_id
+            ORDER BY rrf DESC, lr.doc_id LIMIT 10""",
         # d03_dedup_simhash: no SQL oracle (DuckDB lacks xxhash64) ->
         # rows-only check plus a hamming-locality pytest, by design.
     }

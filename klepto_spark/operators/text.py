@@ -482,3 +482,54 @@ SELECT d.{key_col},
            / CAST(CAST(SUM(d.c) AS BIGINT) AS DOUBLE) AS novelty
 FROM __dg d LEFT JOIN __top t ON d.sh = t.sh
 GROUP BY d.{key_col}"""
+
+
+def chunk_documents(df: "DataFrame", size: int, overlap: int = 0,
+                    text_col: str = "text",
+                    key_col: str = "doc_id") -> "DataFrame":
+    """Split documents into fixed-size character chunks with optional
+    overlap — the retrieval-prep (RAG) companion to sequence packing:
+    packing concatenates small docs up to a budget, chunking slices
+    large docs down to one. Chunk ``i`` starts at ``1 + i*(size -
+    overlap)``; the last chunk may be short; empty/NULL docs emit one
+    empty chunk (so no document silently disappears — the same
+    no-row-loss rule the shingle operators follow).
+
+    Pure map-side: explode(sequence) + substring, no shuffle at any
+    scale; all offset arithmetic is exact integers."""
+    if size <= 0 or overlap < 0 or overlap >= size:
+        raise ValueError("need size > 0 and 0 <= overlap < size")
+    step = size - overlap
+    # integer 'div' keeps the index exact (plain / would be double
+    # division under ANSI)
+    i_max = F.expr(
+        f"(greatest(coalesce(length({text_col}), 0), 1) - 1) div {step}")
+    start = (F.col("chunk_id") * step + 1).cast("int")
+    return (df.select(F.col(key_col), F.col(text_col).alias("_t"),
+                      F.explode(F.sequence(F.lit(0), i_max))
+                      .alias("chunk_id"))
+            .select(F.col(key_col), F.col("chunk_id").cast("int"),
+                    start.alias("start"),
+                    F.substring(F.col("_t"), start, size).alias("chunk"))
+            .withColumn("n_chunk_chars",
+                        F.coalesce(F.length("chunk"), F.lit(0))
+                        .cast("bigint")))
+
+
+def chunk_documents_sql(table_sql: str, size: int, overlap: int = 0,
+                        text_col: str = "text",
+                        key_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`chunk_documents`."""
+    step = size - overlap
+    return f"""
+SELECT {key_col},
+       CAST(i AS INTEGER) AS chunk_id,
+       CAST(i * {step} + 1 AS INTEGER) AS start,
+       substr({text_col}, CAST(i * {step} + 1 AS INTEGER), {size}) AS chunk,
+       CAST(coalesce(length(substr({text_col},
+            CAST(i * {step} + 1 AS INTEGER), {size})), 0) AS BIGINT)
+           AS n_chunk_chars
+FROM (SELECT {key_col}, {text_col},
+             unnest(range(0, (greatest(coalesce(length({text_col}), 0), 1)
+                              - 1) // {step} + 1)) AS i
+      FROM {table_sql})"""
