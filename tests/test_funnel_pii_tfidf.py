@@ -227,3 +227,23 @@ def test_trigram_novelty_short_and_null_docs_survive(spark):
     # sub-k docs emit their whole text as one short shingle (t04 rule)
     assert got[0]["n_tri"] == 1 and got[1]["n_tri"] == 1
     assert all(0.0 <= r["novelty"] <= 1.0 for r in got.values())
+
+
+def test_chunk_documents_offsets_and_edges(spark):
+    from klepto_spark.operators.text import chunk_documents
+    df = spark.createDataFrame(
+        [(0, "abcdefghij"), (1, "ab"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    rows = sorted(((r["doc_id"], r["chunk_id"], r["start"], r["chunk"])
+                   for r in chunk_documents(df, size=4, overlap=1)
+                   .collect()))
+    # doc 0: starts 1,4,7,10 (step 3), last chunk short
+    assert [(c, s, t) for d, c, s, t in rows if d == 0] == [
+        (0, 1, "abcd"), (1, 4, "defg"), (2, 7, "ghij"), (3, 10, "j")]
+    # short, empty, and NULL docs each keep exactly one chunk row
+    assert [(s, t) for d, c, s, t in rows if d == 1] == [(1, "ab")]
+    assert [t for d, c, s, t in rows if d == 2] == [""]
+    assert len([1 for d, *_ in rows if d == 3]) == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(df, size=4, overlap=4)
