@@ -485,8 +485,11 @@ def _query_vec(spark, sf_dir) -> list[float]:
 def q_ann_cosine(spark, sf_dir):
     """Brute-force cosine similarity vs the vec_id=0 query vector; threshold
     membership (0.25 sits in a score gap) keeps the result set deterministic
-    across engines."""
-    emb = dedup.fan_out(_load(spark, sf_dir)("embeddings"), "vec_id")
+    across engines. No fan_out: the scoring is a light scan-bound map
+    (measured 0.7 s vs 3.1 s with a repartition that AQE coalesces
+    straight back on local-sized data; a cluster scan arrives
+    pre-partitioned anyway)."""
+    emb = _load(spark, sf_dir)("embeddings")
     q = _query_vec(spark, sf_dir)
     c = F.col("embedding").cast("array<double>")
     score = similarity.cosine_const(c, q)
@@ -1215,7 +1218,9 @@ def q_filtered_ann(spark, sf_dir):
     IVF layout (s03) composes with a label partition column for the same
     query shape at 100 TB."""
     from pyspark.sql.window import Window
-    emb = dedup.fan_out(_load(spark, sf_dir)("embeddings"), "vec_id")
+    # no fan_out: the per-label window shuffles on label anyway, so a
+    # prior repartition is a pure extra exchange (see s01 note)
+    emb = _load(spark, sf_dir)("embeddings")
     q = _query_vec(spark, sf_dir)
     c = F.col("embedding").cast("array<double>")
     score = F.round(similarity.cosine_const(c, q), 6)
