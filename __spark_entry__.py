@@ -1176,7 +1176,9 @@ def q_hybrid_rrf(spark, sf_dir):
     each table; ranking windows over scores, TakeOrdered for the cut."""
     from pyspark.sql.window import Window
     docs = _load(spark, sf_dir)("documents")
-    emb = dedup.fan_out(_load(spark, sf_dir)("embeddings"), "vec_id")
+    # vector leg needs no fan_out: light scan-bound cosine into a
+    # global rank window (single partition regardless) — see s01 note
+    emb = _load(spark, sf_dir)("embeddings")
     qg = _query_trigrams(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
     # lexical leg: distinct doc shingles semi-joined against the
