@@ -450,3 +450,34 @@ def test_streaming_pack_matches_batch_on_ordered_arrival(spark, tmp_path):
                                     salt="t").collect()}
     assert got == want
     assert len(got) == 80
+
+
+def test_samplers_are_streaming_safe_stateless_filters(spark, tmp_path):
+    """sample_uniform / sample_stratified are pure row-local predicates,
+    so they run unchanged on a readStream — and pick EXACTLY the same
+    membership as the batch call over the same rows (the md5 draw
+    depends only on salt+key, not on execution mode)."""
+    from klepto_spark.operators.sampling import (
+        sample_stratified, sample_uniform)
+
+    src = str(tmp_path / "smp_src")
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    df.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, src string").parquet(src)
+
+    got = {}
+    for name, fn in [
+            ("uniform", lambda d: sample_uniform(d, "doc_id", 0.4,
+                                                 salt="s")),
+            ("strat", lambda d: sample_stratified(
+                d, "src", "doc_id", {"a": 0.25, "b": 1.0}, salt="s"))]:
+        q = (fn(stream).writeStream.format("memory")
+             .queryName(f"smp_{name}").outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got[name] = {r["doc_id"] for r in
+                     spark.sql(f"SELECT doc_id FROM smp_{name}").collect()}
+        want = {r["doc_id"] for r in fn(df).collect()}
+        assert got[name] == want, name
+    assert got["uniform"] and got["strat"]
