@@ -533,3 +533,47 @@ FROM (SELECT {key_col}, {text_col},
              unnest(range(0, (greatest(coalesce(length({text_col}), 0), 1)
                               - 1) // {step} + 1)) AS i
       FROM {table_sql})"""
+
+
+def trigram_vocab(df: "DataFrame", text_col: str = "text",
+                  key_col: str = "doc_id", top_k: int = 500,
+                  k: int = 3) -> "DataFrame":
+    """The corpus's top-k trigram vocabulary as a (sh) frame — the
+    TRAINED half of :func:`trigram_novelty`, split out so it can be
+    persisted once and reused by the streaming scorer (and by repeat
+    batch scoring without re-training)."""
+    from pyspark.sql.window import Window as W
+
+    from klepto_spark.operators.dedup import exploded_shingles, fan_out
+    corpus = (exploded_shingles(fan_out(df, key_col), text_col, key_col, k)
+              .groupBy("sh").agg(F.count(F.lit(1)).alias("n")))
+    rk = F.row_number().over(W.orderBy(F.desc("n"), F.asc("sh")))
+    return (corpus.withColumn("rk", rk).filter(F.col("rk") <= top_k)
+            .select("sh"))
+
+
+def score_novelty(df: "DataFrame", vocab: "DataFrame",
+                  text_col: str = "text", key_col: str = "doc_id",
+                  k: int = 3) -> "DataFrame":
+    """Score documents against an ALREADY-TRAINED vocabulary (from
+    :func:`trigram_vocab`, usually read back from parquet). Pure
+    explode -> broadcast-left-join -> keyed aggregate: stateless, so it
+    runs unchanged on a readStream — the ingest-time quality gate that
+    pairs with ``minhash_append``'s ingest-time dedup. Same novelty
+    arithmetic as the one-shot operator (exact BIGINT division).
+
+    ONE keyed aggregate (not the trainer's (doc, gram) pre-aggregate,
+    which scoring doesn't need): map-side combine already reduces the
+    shuffle to one row per key per partition, and a single stateful
+    operator is what lets Structured Streaming accept the plan."""
+    from klepto_spark.operators.dedup import exploded_shingles
+    grams = exploded_shingles(df.select(key_col, text_col), text_col,
+                              key_col, k)
+    top = vocab.select("sh").withColumn("__hit", F.lit(1))
+    agg = (grams.join(F.broadcast(top), "sh", "left")
+           .groupBy(key_col)
+           .agg(F.count(F.lit(1)).alias("n_tri"),
+                F.count("__hit").alias("hits")))
+    novelty = ((F.col("n_tri") - F.col("hits")).cast("double")
+               / F.col("n_tri").cast("double"))
+    return agg.select(key_col, "n_tri", "hits", novelty.alias("novelty"))

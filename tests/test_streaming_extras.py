@@ -481,3 +481,37 @@ def test_samplers_are_streaming_safe_stateless_filters(spark, tmp_path):
         want = {r["doc_id"] for r in fn(df).collect()}
         assert got[name] == want, name
     assert got["uniform"] and got["strat"]
+
+
+def test_score_novelty_streams_against_trained_vocab(spark, tmp_path):
+    """Train the trigram vocabulary once (batch), persist it, then score
+    a document STREAM against it: stream scores == batch scores, and the
+    split train/score pair reproduces the one-shot operator exactly."""
+    from klepto_spark.operators.text import (
+        score_novelty, trigram_novelty, trigram_vocab)
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    vocab_path = str(tmp_path / "vocab")
+    trigram_vocab(docs, top_k=200).write.parquet(vocab_path)
+    vocab = spark.read.parquet(vocab_path)
+
+    # split train/score == one-shot operator (same corpus, same vocab)
+    one_shot = {r["doc_id"]: tuple(r)[1:]
+                for r in trigram_novelty(docs, top_k=200).collect()}
+    split = {r["doc_id"]: tuple(r)[1:]
+             for r in score_novelty(docs, vocab).collect()}
+    assert split == one_shot
+
+    # streaming: the scorer is a stateless aggregate per micro-batch
+    # (complete-mode aggregate over the available data)
+    src = str(tmp_path / "nov_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (score_novelty(stream.select("doc_id", "text"), vocab)
+         .writeStream.format("memory").queryName("nov_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: tuple(r)[1:]
+           for r in spark.sql("SELECT * FROM nov_stream").collect()}
+    assert got == one_shot
