@@ -515,3 +515,25 @@ def test_score_novelty_streams_against_trained_vocab(spark, tmp_path):
     got = {r["doc_id"]: tuple(r)[1:]
            for r in spark.sql("SELECT * FROM nov_stream").collect()}
     assert got == one_shot
+
+
+def test_chunking_is_streaming_safe(spark, tmp_path):
+    """chunk_documents is a stateless explode+substring, so it runs
+    unchanged on a readStream with chunk-exact batch equality."""
+    from klepto_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(100)
+    src = str(tmp_path / "ch_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (chunk_documents(stream, size=250, overlap=50)
+         .writeStream.format("memory").queryName("ch_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql(
+        "SELECT doc_id, chunk_id, start, chunk FROM ch_stream").collect()}
+    want = {tuple(r) for r in
+            chunk_documents(spark.read.parquet(src), size=250, overlap=50)
+            .select("doc_id", "chunk_id", "start", "chunk").collect()}
+    assert got == want and got
