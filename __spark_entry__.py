@@ -751,6 +751,23 @@ def q_chunk_documents(spark, sf_dir):
     return T.chunk_documents(docs, size=300, overlap=60)
 
 
+D08_SPLIT = 400
+
+
+def q_cross_dedup(spark, sf_dir):
+    """d08: cross-corpus near-dup pairs (train doc_id < 400 vs held-out
+    >= 400) — document-level decontamination beside t07's n-gram rule.
+    Probe-shaped like minhash_append: the held-out side's bands
+    broadcast, the train side is scanned once through a semi-join, only
+    touched buckets expand (dedup.cross_corpus_pairs). The oracle is
+    the FULL intra-corpus LSH replay restricted to cross pairs — the
+    probe must find exactly what a full run would."""
+    docs = _load(spark, sf_dir)("documents")
+    return dedup.cross_corpus_pairs(
+        docs.filter(F.col("doc_id") < D08_SPLIT),
+        docs.filter(F.col("doc_id") >= D08_SPLIT))
+
+
 def q_trigram_novelty(spark, sf_dir):
     """Corpus-self-trained quality signal: per-doc share of trigram mass
     outside the corpus's top-500 trigrams (the exact-arithmetic
@@ -1402,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_hybrid_rrf": q_hybrid_rrf,
         "a22_late_sole_suppliers": q_late_sole_suppliers,
         "s11_batched_ann": q_batched_ann,
+        "d08_cross_dedup": q_cross_dedup,
     }
 
 
@@ -1912,6 +1930,9 @@ FROM documents""",
                                 AND l3.l_shipdate >
                                     o_orderdate + INTERVAL 90 DAY)
             GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+        "d08_cross_dedup": f"""
+            SELECT a, b FROM ({_lsh_oracle()})
+            WHERE a < {D08_SPLIT} AND b >= {D08_SPLIT}""",
         "s11_batched_ann": f"""
             WITH q AS (SELECT vec_id AS q_id,
                               CAST(embedding AS DOUBLE[]) AS qv

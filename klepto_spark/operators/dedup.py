@@ -464,3 +464,52 @@ def simhash_col(col: Column | str, k: int = 4, bits: int = 64) -> Column:
         return fp
 
     return F.aggregate(hs, zero, merge, finish)
+
+
+def cross_corpus_pairs(old: DataFrame, new: DataFrame,
+                       text_col: str = "text", key_col: str = "doc_id",
+                       k: int = 5, num_hashes: int = 16, bands: int = 4,
+                       max_bucket: int = 64) -> DataFrame:
+    """Near-duplicate DOCUMENT pairs BETWEEN two corpora (train vs
+    held-out/benchmark) — the document-level decontamination step beside
+    :func:`~klepto_spark.operators.text` n-gram decontamination: a val
+    doc that near-duplicates a train doc leaks the answer even when no
+    exact n-gram overlaps.
+
+    Scale shape mirrors :func:`minhash_append` without the at-rest
+    index: the ``new`` side's bands broadcast as the probe (pass the
+    smaller corpus as ``new``), the other side is scanned once through
+    the semi-join, and only touched
+    buckets (bounded by |new| x bands x bucket size) are collected and
+    expanded under the same star cap as the intra-corpus operator —
+    cost follows the SMALL side, never |old| x |new|. Returned pairs
+    always have the ``old``-side key in ``a`` and the ``new``-side key
+    in ``b``; intra-corpus duplicates are excluded (run
+    :func:`minhash_lsh_pairs` per side for those)."""
+    ob = minhash_band_rows(old, text_col, key_col, k, num_hashes, bands)
+    nb = minhash_band_rows(new, text_col, key_col, k, num_hashes, bands)
+    probe = nb.select("band").distinct()
+    touched = ob.join(F.broadcast(probe), "band", "left_semi")
+    members = touched.unionByName(nb)
+    buckets = (members.groupBy("band")
+               .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pairs = capped_bucket_pairs(buckets, max_bucket)
+    old_keys = old.select(F.col(key_col).alias("__ok")).distinct()
+    new_keys = new.select(F.col(key_col).alias("__nk")).distinct()
+    fa = (pairs
+          .join(F.broadcast(old_keys.withColumnRenamed("__ok", "a"))
+                .withColumn("__ao", F.lit(1)), "a", "left")
+          .join(F.broadcast(new_keys.withColumnRenamed("__nk", "a"))
+                .withColumn("__an", F.lit(1)), "a", "left")
+          .join(F.broadcast(old_keys.withColumnRenamed("__ok", "b"))
+                .withColumn("__bo", F.lit(1)), "b", "left")
+          .join(F.broadcast(new_keys.withColumnRenamed("__nk", "b"))
+                .withColumn("__bn", F.lit(1)), "b", "left"))
+    cross = fa.filter(
+        (F.col("__ao").isNotNull() & F.col("__bn").isNotNull())
+        | (F.col("__an").isNotNull() & F.col("__bo").isNotNull()))
+    a_is_old = F.col("__ao").isNotNull()
+    return cross.select(
+        F.when(a_is_old, F.col("a")).otherwise(F.col("b")).alias("a"),
+        F.when(a_is_old, F.col("b")).otherwise(F.col("a")).alias("b"))

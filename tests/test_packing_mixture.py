@@ -173,3 +173,21 @@ def test_mixture_listed_but_absent_group_renormalises(corpus):
     assert "e" not in got and got["c"] == 100
     # a thinned to match: expectation n_c/w_c * w_a = 133
     assert abs(got["a"] - 133) < 45
+
+
+def test_cross_corpus_pairs_probe_matches_full_restriction(spark, sf_dir):
+    """The probe-shaped cross-corpus dedup must find exactly the full
+    intra-corpus run's pairs restricted to cross-split pairs, with the
+    old side always in column a."""
+    from klepto_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    S = 400
+    got = {(r["a"], r["b"]) for r in dedup.cross_corpus_pairs(
+        docs.filter(f"doc_id < {S}"), docs.filter(f"doc_id >= {S}"),
+        max_bucket=10_000).collect()}
+    full = {(r["a"], r["b"]) for r in
+            dedup.minhash_lsh_pairs(docs, max_bucket=10_000).collect()}
+    want = {(a, b) for a, b in full if a < S <= b}
+    assert got == want and got
+    assert all(a < S <= b for a, b in got)
