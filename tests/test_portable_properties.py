@@ -127,3 +127,53 @@ def test_pack_sequences_prefix_property(spark, rows, budget, shards):
         c = cum.get(shard, 0)
         assert pack_id == c // budget and pack_off == c % budget
         cum[shard] = c + tok
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(2, 60), st.data())
+def test_chunk_documents_offsets_property(spark, size, data):
+    """Any (size, overlap < size) and any text population: chunk starts
+    advance by exactly (size - overlap), every doc's chunks cover it in
+    order, and reassembling unique regions reproduces the document."""
+    overlap = data.draw(st.integers(0, size - 1))
+    texts = data.draw(st.lists(
+        st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+                max_size=150), min_size=1, max_size=12))
+    from klepto_spark.operators.text import chunk_documents
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    rows = chunk_documents(df, size=size, overlap=overlap).collect()
+    step = size - overlap
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in enumerate(texts):
+        chunks = by_doc[i]
+        assert [c["start"] for c in chunks] == \
+            [1 + j * step for j in range(len(chunks))]
+        # reassemble from each chunk's unique region (drop the overlap)
+        rebuilt = chunks[0]["chunk"] + "".join(
+            c["chunk"][overlap:] for c in chunks[1:])
+        assert rebuilt == text
+        assert all(c["chunk"] == text[c["start"] - 1:c["start"] - 1 + size]
+                   for c in chunks)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.dictionaries(st.sampled_from(["a", "b", "c", "d"]),
+                       st.floats(0.05, 1.0), min_size=1, max_size=4),
+       st.integers(0, 2**31 - 1))
+def test_mixture_sample_limiting_group_property(spark, weights, seed):
+    """Any positive weights over any subset of groups: the limiting
+    group (min n/w among present groups) is kept WHOLE, unlisted groups
+    vanish, and membership is repartition-stable."""
+    from klepto_spark.operators.sampling import mixture_sample
+    rows = [(i, ["a", "b", "c", "d", "e"][i % 5]) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = mixture_sample(df, "src", "doc_id", weights, salt=str(seed))
+    got = {r["src"]: r["count"]
+           for r in out.groupBy("src").count().collect()}
+    assert set(got) <= set(weights)
+    counts = {g: 100 for g in ["a", "b", "c", "d"]}  # 500/5 per group
+    limiting = min((g for g in weights), key=lambda g: counts[g] / weights[g])
+    assert got.get(limiting, 0) == counts[limiting]
