@@ -43,7 +43,10 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          "t11_boilerplate", "c01_corpus_pipeline", "d04_dedup_jaccard_verified",
          "d07_dedup_keep_best",
          # round-5: trigram explode + per-shard windows + two-pass mixture
-         "t13_trigram_novelty", "t12_seq_pack", "p05_mixture_sample"]
+         "t13_trigram_novelty", "t12_seq_pack", "p05_mixture_sample",
+         # round-5 continuation: cross-corpus probe (cost follows the
+         # held-out side)
+         "d08_cross_dedup"]
 COPIES = 10
 
 # Interpretation note for scaling_vs_10x_sf01: the rehearsal corpus is 10
