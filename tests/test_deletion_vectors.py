@@ -290,3 +290,13 @@ def test_catalog_load_as_of(spark, tmp_path):
     got = {r["id"] for r in cat.load_as_of("t", 1).collect()}
     assert got == {1, 2, 3}
     assert {r["id"] for r in cat.load("t").collect()} == {2, 3, 4}
+
+
+def test_as_of_on_epochless_table(spark, tmp_path):
+    """A freshly-written table (no committed epochs): epoch 0 serves the
+    base; any positive epoch is out of range."""
+    dv.merge_files_dv(_df(spark, [(1, "a", 1.0)]), str(tmp_path), "t",
+                      "parquet", ["id"])
+    assert _asof(spark, tmp_path, 0) == {1: ("a", 1.0)}
+    with pytest.raises(ValueError, match="does not exist"):
+        _asof(spark, tmp_path, 1)

@@ -191,3 +191,19 @@ def test_cross_corpus_pairs_probe_matches_full_restriction(spark, sf_dir):
     want = {(a, b) for a, b in full if a < S <= b}
     assert got == want and got
     assert all(a < S <= b for a, b in got)
+
+
+def test_minhash_append_empty_batch_is_noop(spark, sf_dir, tmp_path):
+    from klepto_spark.operators import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "mh_empty")
+    dedup.minhash_write_index(docs, idx)
+    before = spark.read.parquet(idx).count()
+    pairs = dedup.minhash_append(spark, idx, docs.filter("doc_id < 0"))
+    assert pairs.count() == 0
+    assert spark.read.parquet(idx).count() == before
+
+
+def test_mixture_all_listed_groups_absent_yields_empty(corpus):
+    out = mixture_sample(corpus, "src", "doc_id", {"zz": 1.0}, salt="t")
+    assert out.count() == 0
