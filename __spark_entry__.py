@@ -1113,6 +1113,27 @@ def q_small_order_parts(spark, sf_dir):
         F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"))
 
 
+def q_ingest_pipeline(spark, sf_dir):
+    """c02, the round-5 capstone: the ingest chain a pretraining corpus
+    runs on every new dump — length gate -> exact dedup (min-id
+    survivor) -> domain-mixture resample -> sequence packing. Every
+    stage reuses a verified operator; the oracle chains their SQL twins
+    (the mixture's data-dependent rates and the packer's per-shard
+    prefix sums both re-derive inside the CTE chain, so the composition
+    itself is value-checked, not just each stage alone)."""
+    from klepto_spark.operators import packing
+    from klepto_spark.operators import sampling as P
+    docs = _load(spark, sf_dir)("documents")
+    kept = docs.filter(F.col("n_chars") >= 100)
+    canon = (kept.groupBy(F.md5("text").alias("fp"))
+             .agg(F.min("doc_id").alias("doc_id")))
+    surv = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+    mix = P.mixture_sample(surv, "source", "doc_id", MIXTURE_WEIGHTS,
+                           salt=SEED)
+    return packing.pack_sequences(mix, "doc_id", T.token_count("text"),
+                                  PACK_BUDGET, PACK_SHARDS, salt=SEED)
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """The capstone composition a training-data pipeline runs end-to-end:
     repetition-quality filter (Gopher signals) -> exact dedup (min-id
@@ -1420,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a22_late_sole_suppliers": q_late_sole_suppliers,
         "s11_batched_ann": q_batched_ann,
         "d08_cross_dedup": q_cross_dedup,
+        "c02_ingest_pipeline": q_ingest_pipeline,
     }
 
 
@@ -1522,6 +1544,26 @@ SELECT e.vec_id,
 FROM embeddings e, q
 WHERE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) >= 0.25
 """
+
+
+def _c02_oracle() -> str:
+    """CTE chain for the c02 ingest capstone: length gate -> min-id
+    exact dedup -> mixture (its data-dependent rates re-derive inside a
+    nested WITH) -> packer (its leading WITH splices into the chain)."""
+    mix_q = sampling.mixture_sample_sql(
+        "__surv", "source", "doc_id", MIXTURE_WEIGHTS, salt=SEED)
+    pack_q = packing.pack_sequences_sql(
+        "__mix", "doc_id", TOKEN_COUNT_SQL, PACK_BUDGET, PACK_SHARDS,
+        salt=SEED).lstrip()
+    assert pack_q.startswith("WITH")
+    return f"""
+WITH __kept AS (SELECT * FROM documents WHERE n_chars >= 100),
+__surv AS (
+  SELECT k.* FROM __kept k
+  JOIN (SELECT MIN(doc_id) AS doc_id FROM __kept GROUP BY md5(text)) c
+    USING (doc_id)),
+__mix AS (SELECT * FROM ({mix_q})),
+{pack_q[len("WITH"):]}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1933,6 +1975,7 @@ FROM documents""",
         "d08_cross_dedup": f"""
             SELECT a, b FROM ({_lsh_oracle()})
             WHERE a < {D08_SPLIT} AND b >= {D08_SPLIT}""",
+        "c02_ingest_pipeline": _c02_oracle(),
         "s11_batched_ann": f"""
             WITH q AS (SELECT vec_id AS q_id,
                               CAST(embedding AS DOUBLE[]) AS qv
