@@ -98,6 +98,20 @@ def _epoch_paths(jvm, tgt, epochs) -> list[str]:
             for e in epochs if e["n_positions"]]
 
 
+def _current_dv_epoch(jvm, fs, tgt) -> int:
+    """The key-epoch (``_dvlog``) id that is current right now — the
+    newest committed epoch, or the compaction floor when every epoch was
+    folded. Recorded on each positional commit so time travel can place
+    positional deletes in the SAME history as key epochs (a positional
+    delete recorded while epoch D was current must not apply to a
+    snapshot as-of an earlier epoch)."""
+    from klepto_spark.sinks.deletion_vectors import (
+        committed_epochs as _dv_epochs, load_dv_meta)
+    epochs = _dv_epochs(jvm, fs, tgt)
+    floor = (load_dv_meta(jvm, fs, tgt) or {}).get("base_epoch", 0)
+    return max(epochs[-1]["id"] if epochs else 0, floor)
+
+
 def _base_with_address(spark: SparkSession, target: str) -> DataFrame:
     """The base files with each row's physical address attached.
     Bucket-partitioned layouts work NOT via recursive lookup (it is off)
@@ -164,7 +178,8 @@ def positional_delete(spark: SparkSession, directory: str, table: str,
     if not fs.exists(log_dir):
         fs.mkdirs(log_dir)
     _write_json(fs, _sub(jvm, tgt, _PDV_LOG, f"{name}.json"),
-                {"id": next_id, "n_positions": n})
+                {"id": next_id, "n_positions": n,
+                 "dv_epoch": _current_dv_epoch(jvm, fs, tgt)})
     if auto_compact is not None:
         pending = sum(e["n_positions"] for e in epochs) + n
         base_rows = spark.read.parquet(target).count()
@@ -174,13 +189,29 @@ def positional_delete(spark: SparkSession, directory: str, table: str,
 
 
 def apply_positional(spark: SparkSession, target: str,
-                     base: DataFrame | None = None) -> DataFrame:
-    """The base view with every committed positional delete applied. The
+                     base: DataFrame | None = None,
+                     as_of_dv_epoch: int | None = None) -> DataFrame:
+    """The base view with committed positional deletes applied. The
     position set is the pending delete volume — small by compaction
-    contract — so AQE broadcasts the anti-join."""
+    contract — so AQE broadcasts the anti-join.
+
+    ``as_of_dv_epoch=N`` restricts to positional deletes recorded while
+    key epoch N or an earlier one was current (each positional commit
+    stamps the then-current ``_dvlog`` id) — the time-travel view. A
+    positional epoch from before that stamp existed cannot be placed in
+    history, so a snapshot read REFUSES rather than guessing (the same
+    refuse-don't-lie discipline as the compaction floor)."""
     jvm, fs, tgt = _hadoop_fs(spark.range(0), target)
     _recover_plan(spark, jvm, fs, tgt)
     epochs = committed_pdv_epochs(jvm, fs, tgt)
+    if as_of_dv_epoch is not None:
+        unplaced = [e["id"] for e in epochs if "dv_epoch" not in e]
+        if unplaced:
+            raise ValueError(
+                f"positional epochs {unplaced} predate dv-epoch stamping "
+                "and cannot be placed in history: compact them "
+                "(compact_files_pdv) before snapshot reads")
+        epochs = [e for e in epochs if e["dv_epoch"] <= as_of_dv_epoch]
     if base is None:
         base = spark.read.parquet(target)
     if not epochs:
@@ -265,6 +296,27 @@ def _recover_plan(spark: SparkSession, jvm, fs, tgt) -> None:
     fs.delete(plan_path, False)
 
 
+def _bump_dv_floor_for_fold(jvm, fs, tgt, epochs) -> None:
+    """Folding positional epochs removes their rows from the base files
+    themselves, so key-epoch snapshots from BEFORE those deletes can no
+    longer be served truthfully. Raise the dv time-travel floor to the
+    newest dv epoch any folded positional epoch was stamped under
+    (legacy unstamped epochs force the current dv epoch — conservative:
+    refuses more history, never serves a wrong snapshot). No-op for
+    tables without key-epoch history."""
+    from klepto_spark.sinks import deletion_vectors as dvmod
+    meta = dvmod.load_dv_meta(jvm, fs, tgt)
+    if meta is None:
+        return
+    stamps = [e.get("dv_epoch") for e in epochs]
+    new_floor = (max(stamps) if stamps and all(s is not None
+                                               for s in stamps)
+                 else _current_dv_epoch(jvm, fs, tgt))
+    if new_floor > meta.get("base_epoch", 0):
+        meta["base_epoch"] = new_floor
+        _write_json(fs, dvmod._meta_path(jvm, tgt), meta)
+
+
 def compact_files_pdv(spark: SparkSession, directory: str, table: str,
                       fmt: str = "parquet") -> int:
     """Fold the positional epochs into the base by rewriting ONLY the
@@ -287,6 +339,7 @@ def compact_files_pdv(spark: SparkSession, directory: str, table: str,
     live = [p for p in affected
             if fs.exists(jvm.org.apache.hadoop.fs.Path(p))]
     if not live:
+        _bump_dv_floor_for_fold(jvm, fs, tgt, epochs)
         _write_json(fs, _sub(jvm, tgt, _PDV_PLAN),
                     {"files": [], "epochs": [e["id"] for e in epochs]})
         _recover_plan(spark, jvm, fs, tgt)
@@ -331,6 +384,11 @@ def compact_files_pdv(spark: SparkSession, directory: str, table: str,
         plan_files.append({"dir": str(parent), "name": name,
                            "retired": f"_retired.{name}",
                            "staged": staged, "finals": finals})
+    # floor bump BEFORE the publish renames: a crash after the bump but
+    # before publish only over-refuses history (safe); the reverse order
+    # could retire epochs with the floor unraised and serve wrong
+    # snapshots
+    _bump_dv_floor_for_fold(jvm, fs, tgt, epochs)
     _write_json(fs, _sub(jvm, tgt, _PDV_PLAN),
                 {"files": plan_files, "epochs": [e["id"] for e in epochs]})
 

@@ -178,19 +178,28 @@ class FileCatalog:
         return normalise_nanos_ts(df)
 
     def load_as_of(self, table: str, epoch: int) -> DataFrame:
-        """Snapshot read of a merge-on-read table exactly as it stood
-        after ``epoch`` committed (``epoch=0`` or the compaction floor =
-        the base files alone). Raises when that history was folded away
-        by compaction — the layer's VACUUM — rather than serving a wrong
-        snapshot. Positional deletes address base rows only, so they
-        apply to every epoch's view unchanged."""
+        """Snapshot read of a merge-on-read table as it last stood while
+        ``epoch`` was current (``epoch=0`` or the compaction floor = the
+        base files alone). Raises when that history was folded away by
+        compaction — the layer's VACUUM — rather than serving a wrong
+        snapshot.
+
+        Positional deletes are sub-epoch events: each commit is stamped
+        with the then-current key epoch, and only deletes stamped at or
+        before ``epoch`` apply here — a row live at epoch N but
+        positionally deleted later stays VISIBLE in the epoch-N snapshot
+        (the audit contract). Unstamped pre-stamping positional epochs
+        make placement impossible, so the read refuses (same discipline
+        as the floor); folding positional deletes into the base raises
+        the floor for the same reason."""
         from klepto_spark.session import normalise_nanos_ts
         from klepto_spark.sinks.deletion_vectors import read_files_dv
         base = None
         pdv_log = Path(self._path(table)) / "_pdvlog"
         if pdv_log.is_dir() and any(pdv_log.glob("e*.json")):
             from klepto_spark.sinks.positional_dv import apply_positional
-            base = apply_positional(self.spark, self._path(table))
+            base = apply_positional(self.spark, self._path(table),
+                                    as_of_dv_epoch=epoch)
         df = read_files_dv(self.spark, str(self.directory), table,
                            self.fmt, base=base, as_of_epoch=epoch)
         return normalise_nanos_ts(df)

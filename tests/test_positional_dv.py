@@ -187,3 +187,79 @@ def test_positional_auto_compact_threshold(spark, tmp_path):
     got = sorted(r["k"] for r in
                  spark.read.parquet(f"{d}/t.parquet").collect())
     assert got == list(range(25, 100))
+
+
+# ---------------------------------------------------------------------------
+# Time travel x positional deletes (ADVICE r05: a snapshot as-of epoch N
+# must NOT exclude rows that were live at N but positionally deleted later)
+# ---------------------------------------------------------------------------
+
+def _dv_history_with_pdv(spark, tmp_path):
+    """Key epochs 1 and 2 around a positional delete of k<5 made while
+    epoch 1 was current, plus a second positional delete (k=100) made
+    while epoch 2 was current."""
+    from klepto_spark.sinks.deletion_vectors import merge_files_dv
+    d = str(tmp_path)
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    merge_files_dv(base, d, "t", "parquet", ["k"], auto_compact=None)
+    upd1 = spark.createDataFrame([(150, 111)], "k bigint, v bigint")
+    merge_files_dv(upd1, d, "t", "parquet", ["k"], auto_compact=None)  # e1
+    P.positional_delete(spark, d, "t", predicate="k < 5")   # during e1
+    upd2 = spark.createDataFrame([(160, 222)], "k bigint, v bigint")
+    merge_files_dv(upd2, d, "t", "parquet", ["k"], auto_compact=None)  # e2
+    P.positional_delete(spark, d, "t", predicate="k = 100")  # during e2
+    return d
+
+
+def test_snapshot_excludes_only_deletes_stamped_at_or_before_epoch(
+        spark, tmp_path):
+    d = _dv_history_with_pdv(spark, tmp_path)
+    cat = FileCatalog(spark, d)
+    # epoch 0: base alone — NO positional delete had happened yet
+    got0 = {r["k"] for r in cat.load_as_of("t", 0).collect()}
+    assert {0, 1, 2, 3, 4, 100} <= got0 and len(got0) == 200
+    # epoch 1: k<5 delete (stamped e1) applies; k=100 (stamped e2) must NOT
+    got1 = {r["k"]: r["v"] for r in cat.load_as_of("t", 1).collect()}
+    assert all(k not in got1 for k in range(5))
+    assert got1[100] == 200 and got1[150] == 111 and 160 not in [
+        k for k, v in got1.items() if v == 222]
+    # epoch 2 == current view: both deletes apply
+    got2 = {r["k"]: r["v"] for r in cat.load_as_of("t", 2).collect()}
+    cur = {r["k"]: r["v"] for r in cat.load("t").collect()}
+    assert got2 == cur and 100 not in got2 and got2[160] == 222
+
+
+def test_unstamped_positional_epoch_refuses_snapshot_reads(
+        spark, tmp_path):
+    import json as _json
+    from pathlib import Path
+    d = _dv_history_with_pdv(spark, tmp_path)
+    # simulate a pre-stamping (legacy) commit: strip one stamp
+    log = sorted(Path(d, "t.parquet", "_pdvlog").glob("e*.json"))[0]
+    entry = _json.loads(log.read_text())
+    del entry["dv_epoch"]
+    log.write_text(_json.dumps(entry))
+    # drop the Hadoop LocalFileSystem checksum sidecar the rewrite broke
+    (log.parent / f".{log.name}.crc").unlink(missing_ok=True)
+    cat = FileCatalog(spark, d)
+    with pytest.raises(ValueError, match="cannot be placed in history"):
+        cat.load_as_of("t", 1).collect()
+    # the CURRENT view is unaffected — only history placement is lost
+    assert 100 not in {r["k"] for r in cat.load("t").collect()}
+
+
+def test_pdv_compaction_raises_time_travel_floor(spark, tmp_path):
+    d = _dv_history_with_pdv(spark, tmp_path)
+    cat = FileCatalog(spark, d)
+    P.compact_files_pdv(spark, d, "t")
+    # the k=100 delete (stamped e2) is folded into the base: epochs 0/1
+    # can no longer be served truthfully and must refuse like any
+    # compacted history
+    for gone in (0, 1):
+        with pytest.raises(ValueError, match="compacted"):
+            cat.load_as_of("t", gone).collect()
+    # the floor epoch itself still serves, and equals the current view
+    got2 = {r["k"]: r["v"] for r in cat.load_as_of("t", 2).collect()}
+    cur = {r["k"]: r["v"] for r in cat.load("t").collect()}
+    assert got2 == cur and 100 not in got2
