@@ -329,11 +329,35 @@ SELECT {fp} AS simhash, MIN({key_col}) AS {key_col}, COUNT(*) AS n_dups
 FROM v GROUP BY 1"""
 
 
+#: persisted frames the returned Jaccard DataFrames close over; callers
+#: running many large verifications in one session release them with
+#: :func:`release_caches` once the results are materialised (ADVICE r05:
+#: MEMORY_AND_DISK blocks otherwise live until session end)
+_PINNED_CACHES: list = []
+
+
+def release_caches() -> int:
+    """Unpersist every cache pinned by :func:`ngram_jaccard_pairs` calls
+    so far. Call AFTER the returned DataFrames have been written/
+    collected — they recompute from scratch if used again afterwards.
+    Returns the number of frames released."""
+    n = 0
+    while _PINNED_CACHES:
+        _PINNED_CACHES.pop().unpersist()
+        n += 1
+    return n
+
+
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
                         text_col: str = "text", key_col: str = "doc_id",
                         k: int = 5, threshold: float = 0.8) -> DataFrame:
     """Exact Jaccard verification of candidate pairs: broadcast-joins the
-    shingle sets onto the (small) candidate list, keeps pairs >= threshold."""
+    shingle sets onto the (small) candidate list, keeps pairs >= threshold.
+
+    The candidate list and the shingle-set aggregate are persisted
+    (consumed three times each); the returned DataFrame closes over both,
+    so they stay pinned until :func:`release_caches` (or session end) —
+    release between repeated large runs."""
     # Only shingle documents that appear in a candidate pair: a left-semi
     # join prunes the (typically tiny) candidate id set out of the corpus
     # before the expensive shingling — at 100 TB this is the difference
@@ -341,6 +365,7 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     # The candidate list is referenced three times (id extraction + final
     # join); persist it so the upstream LSH pipeline runs ONCE.
     pairs = pairs.persist()
+    _PINNED_CACHES.append(pairs)
     ids = (pairs.select(F.explode(F.array("a", "b")).alias(key_col))
            .distinct())
     pruned = fan_out(df.join(ids, key_col, "left_semi"), key_col)
@@ -350,6 +375,7 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     sh = (exploded_shingles(pruned, text_col, key_col, k)
           .groupBy(key_col)
           .agg(F.collect_set("sh").alias("sh"))).persist()
+    _PINNED_CACHES.append(sh)
     # EXACT set-size prune before any shingle array ships into the pair
     # join: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a pair whose size
     # ratio is under the threshold can never verify. Candidate-pair count

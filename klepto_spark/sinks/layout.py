@@ -95,7 +95,13 @@ def _write_manifest(path: str, stat_cols: Sequence[str]) -> int:
                                  and st.is_max_value_exact)
                 elif st is not None and st.has_min_max and isinstance(
                         st.min, (str, bytes)):
-                    exact = len(st.min) < 48 and len(st.max) < 48
+                    # compare ENCODED byte length: the 64-byte writer
+                    # truncation counts bytes, and a <48-char multibyte
+                    # string can exceed it (ADVICE r05)
+                    def _blen(v):
+                        return len(v.encode("utf-8")
+                                   if isinstance(v, str) else v)
+                    exact = _blen(st.min) < 48 and _blen(st.max) < 48
                 else:
                     exact = st is not None
                 if st is None or not st.has_min_max or not exact:

@@ -126,9 +126,32 @@ class FileCatalog:
         # _recover_plan — so every catalog read sees a settled file set.
         # Driver-side existence checks only; the jvm hop is paid only when
         # a half-applied plan is actually present.
+        #
+        # LEASE GATE (ADVICE r05): recovery deletes staged/new files, a
+        # destructive mutation — a reader racing a LIVE publish in another
+        # process must not mistake it for a crash. A plan/stage younger
+        # than the lease raises instead of recovering (retry once the
+        # writer settles, or run `compact_small_files`/the writer-side
+        # recovery explicitly); older remnants recover as before. The
+        # writer's publish window is seconds, so a fresh journal almost
+        # always means a publish in flight.
         root = Path(self._path(table))
-        if ((root / "_binpack.json").exists()
-                or (root / "_bpstage").exists()):
+        remnants = [p for p in (root / "_binpack.json", root / "_bpstage")
+                    if p.exists()]
+        if remnants:
+            import os as _os
+            import time as _time
+            lease = float(_os.environ.get(
+                "KLEPTO_BINPACK_LEASE_SEC", "60"))
+            age = _time.time() - max(p.stat().st_mtime for p in remnants)
+            if age < lease:
+                raise RuntimeError(
+                    f"table {table!r} has a bin-pack publish journal "
+                    f"{age:.0f}s old (lease {lease:.0f}s): a compaction "
+                    "may be publishing in another process. Retry after "
+                    "it settles, or — if the writer is known dead — "
+                    "re-run the compaction / lower "
+                    "KLEPTO_BINPACK_LEASE_SEC to force recovery.")
             from klepto_spark.sinks.layout import _recover_binpack
             from klepto_spark.sinks.writers import _hadoop_fs
             jvm, fs, tgt = _hadoop_fs(self.spark.range(0), str(root))

@@ -62,6 +62,17 @@ def pack_stream(docs: DataFrame, key_col: str, cost, budget: int,
     as stream state. ``cost`` is a Column (e.g. ``token_count("text")``)."""
     if budget <= 0 or shards <= 0:
         raise ValueError("budget and shards must be positive")
+    # the state fold orders by the key as an INTEGER; a silent cast would
+    # NULL non-numeric ids (crashing the fold) and sort numeric STRINGS
+    # numerically while the batch twin's ORDER BY sorts them
+    # lexicographically — breaking the pinned stream==batch equivalence.
+    # Require an integral key up front instead (ADVICE r05).
+    key_type = dict(docs.dtypes).get(key_col)
+    if key_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"pack_stream key column {key_col!r} must be an integral "
+            f"type (got {key_type}): the per-shard state fold and the "
+            "batch operator must order keys identically")
     shard = (_hex_value(hash_prefix(key_col, salt)) % shards).cast("int")
     base = docs.select(F.col(key_col).cast("long").alias("key"),
                        cost.cast("bigint").alias("tok"),

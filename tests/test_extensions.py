@@ -39,6 +39,10 @@ def test_jaccard_scores_bounded_and_ordered(spark):
            for r in dedup.ngram_jaccard_pairs(df, pairs, threshold=0.0).collect()}
     assert got[(1, 2)] == 1.0
     assert 0.0 < got[(1, 3)] < 1.0
+    # the verification pins two frames (candidates + shingle sets);
+    # release_caches frees them once results are materialised (ADVICE r05)
+    assert dedup.release_caches() >= 2
+    assert dedup.release_caches() == 0
 
 
 def test_capped_bucket_pairs_bounds_giant_class(spark):

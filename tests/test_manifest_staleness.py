@@ -7,6 +7,7 @@ the plain load()+filter path. ``load_range``'s documented contract is
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -147,8 +148,16 @@ def test_catalog_load_recovers_half_applied_binpack(spark, tmp_path):
         news.append(dst)
     with open(f"{tdir}/_binpack.json", "w") as f:
         json.dump({"olds": olds, "news": news}, f)
-    # naive read would see 40 rows (20 old + 20 duplicated new)
+    # a FRESH journal must refuse: it could be a live publish in another
+    # process, and recovery is destructive (ADVICE r05 lease gate)
     cat = FileCatalog(spark, d)
+    with pytest.raises(RuntimeError, match="publish journal"):
+        cat.load("t")
+    # age the remnants past the lease: now it is a crash, and recovery
+    # must settle the file set before the read
+    stale = time.time() - 120
+    os.utime(f"{tdir}/_binpack.json", (stale, stale))
+    os.utime(f"{tdir}/_bpstage", (stale, stale))
     got = sorted(r["x"] for r in cat.load("t").collect())
     assert got == list(range(20))
     assert not os.path.exists(f"{tdir}/_binpack.json")

@@ -537,3 +537,19 @@ def test_chunking_is_streaming_safe(spark, tmp_path):
             chunk_documents(spark.read.parquet(src), size=250, overlap=50)
             .select("doc_id", "chunk_id", "start", "chunk").collect()}
     assert got == want and got
+
+
+def test_pack_stream_rejects_non_integral_key(spark):
+    """ADVICE r05: a silent cast-to-long NULLs non-numeric ids (crashing
+    the state fold) and orders numeric STRINGS numerically while the
+    batch twin sorts them lexicographically — so a non-integral key must
+    be rejected at plan-build time, before any micro-batch runs."""
+    from pyspark.sql import functions as F
+
+    from klepto_spark.streaming.packing import pack_stream
+
+    stream = (spark.readStream.format("rate").load()
+              .select(F.col("value").cast("string").alias("doc_id"),
+                      F.lit(5).cast("bigint").alias("tok")))
+    with pytest.raises(ValueError, match="integral"):
+        pack_stream(stream, "doc_id", F.col("tok"), budget=100, shards=2)
