@@ -181,7 +181,13 @@ def _cmd_compact(args: argparse.Namespace) -> int:
         # row — required before --delete-where runs, whose predicate only
         # addresses base rows (a row living in a pending epoch would
         # escape the delete and be folded back in as live)
-        folded = (dv.compact_files_dv(spark, directory, table, fmt)
+        retain = getattr(args, "retain_epochs", 0) or 0
+        if retain and getattr(args, "delete_where", None):
+            print("--retain-epochs cannot combine with --delete-where "
+                  "(the physical delete needs a fully-settled base)",
+                  file=sys.stderr)
+            return 2
+        folded = (dv.vacuum_epochs(spark, directory, table, fmt, retain)
                   if pending else 0)
         if getattr(args, "delete_where", None):
             # DELETE WHERE as a physical op: record positions against the
@@ -415,6 +421,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="physical DELETE: record matching rows as "
                          "positional deletions, then rewrite only the "
                          "files that contain them (parquet tables)")
+    pc.add_argument("--retain-epochs", dest="retain_epochs", type=int,
+                    default=0,
+                    help="keep the newest N epochs replayable for time "
+                         "travel and fold only the older ones (default "
+                         "0 = fold everything)")
     pc.set_defaults(fn=_cmd_compact)
 
     po = sub.add_parser(

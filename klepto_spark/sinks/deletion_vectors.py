@@ -440,3 +440,98 @@ def compact_files_dv(spark: SparkSession, directory: str, table: str,
     from klepto_spark.sinks.layout import invalidate_manifest
     invalidate_manifest(jvm, fs, tgt)
     return len(epochs)
+
+
+def vacuum_epochs(spark: SparkSession, directory: str, table: str,
+                  fmt: str, retain_epochs: int) -> int:
+    """Bound merge-on-read history: fold all but the newest
+    ``retain_epochs`` committed epochs into the base files and retire
+    them, keeping the recent ones replayable for time travel. Full
+    compaction (:func:`compact_files_dv`) is all-or-nothing — the only
+    way to stop ``_dvlog`` growing without it was to give up history
+    entirely; this is the retention knob in between (VERDICT r05 #7).
+
+    Publish protocol (shares the bin-pack journal + recovery): stage the
+    resolved base, RAISE the time-travel floor first (a crash after this
+    point can only over-refuse history, never serve a folded epoch's
+    pre-image), journal ``{olds, news}``, move news in, let recovery
+    delete olds, then retire the folded epochs' files. A crash between
+    publish and retirement is benign: the surviving folded epochs
+    re-apply latest-wins onto the already-folded base and converge to
+    the same rows; the next vacuum retires them.
+
+    Raises on bucket-partitioned layouts (their files are key-routed;
+    use :func:`compact_files_dv`, which delegates to the bucket merge).
+    Pending positional deletes are folded first — the base swap would
+    invalidate their (file, row) addresses. Returns the number of
+    epochs folded (0 when history is already within budget)."""
+    if retain_epochs < 0:
+        raise ValueError("retain_epochs must be >= 0")
+    if retain_epochs == 0:
+        return compact_files_dv(spark, directory, table, fmt)
+    if fmt != "parquet":
+        raise ValueError("vacuum_epochs requires parquet (the partial "
+                         "fold republishes base files in place)")
+    from klepto_spark.sinks.layout import _recover_binpack, _sub_path
+    from klepto_spark.sinks.writers import _is_bucket_layout
+    target = _target(directory, table, fmt)
+    jvm, fs, tgt = _hadoop_fs(spark.range(0), target)
+    if not fs.exists(tgt):
+        return 0
+    if _is_bucket_layout(fs, tgt):
+        raise ValueError(
+            f"table {table!r} is bucket-partitioned: vacuum would break "
+            "its key routing; use compact_files_dv (full fold)")
+    _recover_binpack(jvm, fs, tgt)
+    epochs = committed_epochs(jvm, fs, tgt)
+    fold = epochs[:-retain_epochs] if retain_epochs else epochs
+    if not fold:
+        return 0
+    meta = load_dv_meta(jvm, fs, tgt)
+    if meta is None:
+        raise ValueError(f"table {table!r} has committed epochs but no "
+                         f"{_META_FILE}: cannot vacuum without the keys")
+    pdv_log = _sub(jvm, tgt, "_pdvlog")
+    if fs.exists(pdv_log) and fs.listStatus(pdv_log):
+        from klepto_spark.sinks.positional_dv import compact_files_pdv
+        compact_files_pdv(spark, directory, table, fmt)
+    keys = list(meta["keys"])
+    contract = _load_schema_contract(jvm, fs, tgt)
+    base = _base_reader(spark, fmt, contract).load(target)
+    cols = ([f.name for f in contract.fields] if contract is not None
+            else base.columns)
+    upserts, dv = _event_frames(spark, jvm, fs, tgt, fold)
+    resolved = _resolve(base, upserts, dv, keys, cols)
+
+    stage = _sub_path(jvm, tgt, "_bpstage")
+    if fs.exists(stage):
+        fs.delete(stage, True)
+    resolved.write.mode("overwrite").parquet(str(stage))
+    olds = [str(st.getPath()) for st in fs.listStatus(tgt)
+            if st.getPath().getName().endswith(".parquet")
+            and not st.getPath().getName().startswith("_")]
+    staged = [str(st.getPath()) for st in fs.listStatus(stage)
+              if st.getPath().getName().endswith(".parquet")]
+    news = [f"{target}/vac-{fold[-1]['id']}-{i}-{p.rsplit('/', 1)[1]}"
+            for i, p in enumerate(staged)]
+    # floor first: from here on, pre-fold snapshots refuse (they could
+    # otherwise resolve folded epochs against the ALREADY-folded base)
+    meta["base_epoch"] = max(meta.get("base_epoch", 0), fold[-1]["id"])
+    _write_json(fs, _meta_path(jvm, tgt), meta)
+    _write_json(fs, _sub_path(jvm, tgt, "_binpack.json"),
+                {"olds": olds, "news": news})
+    for s, n in zip(staged, news):
+        fs.rename(jvm.org.apache.hadoop.fs.Path(s),
+                  jvm.org.apache.hadoop.fs.Path(n))
+    _recover_binpack(jvm, fs, tgt)  # deletes olds + plan + staging
+    for e in fold:
+        name = _epoch_name(e["id"])
+        for p in (_sub(jvm, tgt, _LOG_DIR, f"{name}.json"),
+                  _sub(jvm, tgt, _DELTA_DIR, name),
+                  _sub(jvm, tgt, _DV_DIR, name)):
+            if fs.exists(p):
+                fs.delete(p, True)
+    if contract is not None and not fs.exists(
+            _sub(jvm, tgt, "_schema.json")):
+        _save_schema_contract(jvm, fs, tgt, contract)
+    return len(fold)

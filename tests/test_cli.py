@@ -216,3 +216,32 @@ def test_cli_history_reports_epochs_and_floor(spark, tmp_path, capsys):
                  "--table", "t"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["tables"]["t"] == {"floor": 1, "newest": 1, "epochs": []}
+
+
+def test_cli_compact_retain_epochs(spark, tmp_path, capsys):
+    """compact --retain-epochs N folds only the older epochs, keeping N
+    replayable for the snapshot CLI (VERDICT r05 #7)."""
+    from pyspark.sql import functions as F
+
+    from klepto_spark.sinks import deletion_vectors as dv
+    from klepto_spark.sources.catalog import FileCatalog
+
+    d = str(tmp_path / "vac")
+    base = spark.range(0, 20).select(F.col("id").alias("k"),
+                                     (F.col("id") * 2).alias("v"))
+    dv.merge_files_dv(base, d, "t", "parquet", ["k"], auto_compact=None)
+    for i in range(3):  # epochs 1..3
+        dv.merge_files_dv(
+            spark.createDataFrame([(i, 100 + i)], "k bigint, v bigint"),
+            d, "t", "parquet", ["k"], auto_compact=None)
+    assert main(["compact", "--target", f"parquet://{d}",
+                 "--table", "t", "--retain-epochs", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["tables"]["t"]["folded"] == 2
+    cat = FileCatalog(spark, d)
+    got3 = {r["k"]: r["v"] for r in cat.load_as_of("t", 3).collect()}
+    assert got3[2] == 102
+    got2 = {r["k"]: r["v"] for r in cat.load_as_of("t", 2).collect()}
+    assert got2[2] == 4 and got2[1] == 101
+    with pytest.raises(ValueError, match="compacted"):
+        cat.load_as_of("t", 1).collect()

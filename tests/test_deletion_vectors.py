@@ -300,3 +300,61 @@ def test_as_of_on_epochless_table(spark, tmp_path):
     assert _asof(spark, tmp_path, 0) == {1: ("a", 1.0)}
     with pytest.raises(ValueError, match="does not exist"):
         _asof(spark, tmp_path, 1)
+
+
+# ---------------------------------------------------------------------------
+# Epoch retention (VERDICT r05 #7): vacuum folds old epochs, keeps recent
+# ---------------------------------------------------------------------------
+
+def test_vacuum_retains_recent_epochs(spark, tmp_path):
+    _travel_history(spark, tmp_path)  # base + e1 + e2
+    dv.merge_files_dv(_df(spark, [(5, "e", 5.0)]), str(tmp_path), "t",
+                      "parquet", ["id"], auto_compact=None)  # e3
+    before = _view(spark, tmp_path)
+    asof3 = _asof(spark, tmp_path, 3)
+    folded = dv.vacuum_epochs(spark, str(tmp_path), "t", "parquet",
+                              retain_epochs=1)
+    assert folded == 2  # e1, e2 folded; e3 retained
+    # current view unchanged by the fold
+    assert _view(spark, tmp_path) == before
+    # the floor epoch (2) serves as the base, retained history replays
+    assert _asof(spark, tmp_path, 3) == asof3
+    assert _asof(spark, tmp_path, 2) == {2: ("B", 20.0), 3: ("c", 3.0),
+                                         4: ("d", 4.0)}
+    # folded history refuses with the existing pre-floor error
+    for gone in (0, 1):
+        with pytest.raises(ValueError, match="compacted"):
+            _asof(spark, tmp_path, gone)
+    # the retained epoch's files survive; the folded ones are retired
+    logs = sorted(p.name for p in
+                  (tmp_path / "t.parquet" / "_dvlog").glob("e*.json"))
+    assert logs == ["e000003.json"]
+
+
+def test_vacuum_within_budget_is_a_noop(spark, tmp_path):
+    _travel_history(spark, tmp_path)
+    before = _view(spark, tmp_path)
+    assert dv.vacuum_epochs(spark, str(tmp_path), "t", "parquet",
+                            retain_epochs=5) == 0
+    assert _view(spark, tmp_path) == before
+    assert _asof(spark, tmp_path, 1)[2] == ("B", 20.0)
+
+
+def test_vacuum_retain_zero_is_full_compaction(spark, tmp_path):
+    _travel_history(spark, tmp_path)
+    before = _view(spark, tmp_path)
+    assert dv.vacuum_epochs(spark, str(tmp_path), "t", "parquet",
+                            retain_epochs=0) == 2
+    assert _view(spark, tmp_path) == before
+    assert not any((tmp_path / "t.parquet" / "_dvlog").glob("e*.json"))
+
+
+def test_vacuum_then_new_epochs_continue_monotone(spark, tmp_path):
+    """Ids never reuse: after a vacuum the next merge continues above the
+    raised floor, and time travel to it replays correctly."""
+    _travel_history(spark, tmp_path)
+    dv.vacuum_epochs(spark, str(tmp_path), "t", "parquet", retain_epochs=1)
+    dv.merge_files_dv(_df(spark, [(9, "z", 9.0)]), str(tmp_path), "t",
+                      "parquet", ["id"], auto_compact=None)
+    assert _asof(spark, tmp_path, 3)[9] == ("z", 9.0)
+    assert 9 not in _asof(spark, tmp_path, 2)
