@@ -506,21 +506,20 @@ def q_prenorm_topk(spark, sf_dir):
     cliff and fall back to interpreted eval — the parquet barrier is the
     production shape AND the codegen-safe one. Rank-10/11 gap measured
     3.3e-4 (sf0.01) / 4.3e-4 (sf0.1), round-6 boundary margin >= 1.2e-2
-    — far above normalise-then-dot vs direct-cosine noise (~1e-15)."""
-    import os
-    import tempfile
+    — far above normalise-then-dot vs direct-cosine noise (~1e-15).
+
+    The at-rest copy lives in the managed derived store
+    (sinks/derived.py, VERDICT r05 #6): written once per source state
+    behind a staging-swap publish, superseded source states vacuumed on
+    the next publish — no unbounded /tmp accumulation."""
+    from klepto_spark.sinks import derived
     src = f"{sf_dir}/embeddings.parquet"
-    # the at-rest copy is written ONCE per source state (mtime-tagged
-    # path + _SUCCESS marker), as in production — repeat queries pay
-    # only the stored-unit dot, not the normalisation write
-    tag = (sf_dir.strip("/").replace("/", "_")
-           + f"_{int(os.path.getmtime(src))}")
-    at_rest = f"{tempfile.gettempdir()}/klepto_prenorm_{tag}"
-    if not os.path.exists(f"{at_rest}/_SUCCESS"):
+
+    def _build():
         emb = dedup.fan_out(_load(spark, sf_dir)("embeddings"), "vec_id")
-        (similarity.normalise_embeddings(emb, dim=64)
-         .write.mode("overwrite").parquet(at_rest))
-    unit = spark.read.parquet(at_rest)
+        return similarity.normalise_embeddings(emb, dim=64)
+
+    unit = derived.read_or_build(spark, src, "prenorm", _build)
     return similarity.topk_prenormalised(unit, _query_vec(spark, sf_dir),
                                          k=10)
 

@@ -1,0 +1,101 @@
+"""Managed store for DERIVED datasets (VERDICT r05 #6).
+
+Pattern: an expensive transform of a source table (prenormalised unit
+vectors, an at-rest IVF layout, a token-count sidecar) is written once
+per SOURCE STATE and reread by every later query. Leaving such copies
+in ad-hoc ``/tmp`` paths accumulates one directory per source state
+forever and hides them from any catalog tooling. This module gives the
+pattern a home:
+
+- one ROOT per deployment (``KLEPTO_DERIVED_DIR`` env or a
+  ``derived_root`` argument — in production a warehouse path; the repo
+  default lives under the system temp dir because the benchmark's
+  source directories are read-only, the one place "beside the table"
+  is impossible);
+- layout ``<root>/<source-slug>/<kind>/tag=<state>`` where ``state``
+  is the source's mtime — a new source state gets a NEW tag, never an
+  in-place overwrite;
+- staging-swap publish: the build writes to ``_stage-<tag>`` and a
+  single atomic rename makes it visible (readers see a finished tag or
+  none — the package's publish idiom);
+- vacuum built in: publishing a tag garbage-collects SUPERSEDED sibling
+  tags (older source states) by default, so the store holds one copy
+  per live source state instead of growing monotonically.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def derived_root() -> str:
+    return os.environ.get(
+        "KLEPTO_DERIVED_DIR",
+        os.path.join(tempfile.gettempdir(), "klepto_derived"))
+
+
+def _slug(path: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_.-]+", "_", path.strip("/"))
+
+
+def source_tag(src_path: str) -> str:
+    """The source-state tag: its mtime as an integer. A rewrite of the
+    source produces a new tag; the derived copy for the old state is
+    superseded and vacuumed on the next publish."""
+    return str(int(os.path.getmtime(src_path)))
+
+
+def derived_path(src_path: str, kind: str, root: str | None = None) -> str:
+    return os.path.join(root or derived_root(), _slug(src_path), kind,
+                        f"tag={source_tag(src_path)}")
+
+
+def read_or_build(spark: SparkSession, src_path: str, kind: str,
+                  build: Callable[[], DataFrame],
+                  root: str | None = None,
+                  vacuum_superseded: bool = True) -> DataFrame:
+    """Read the derived dataset for ``src_path``'s CURRENT state, building
+    and publishing it first if absent. ``build`` returns the DataFrame to
+    persist; it runs only on a miss. Publishing is atomic (stage + one
+    rename) and, by default, drops tags for superseded source states."""
+    final = derived_path(src_path, kind, root)
+    if not os.path.exists(os.path.join(final, "_SUCCESS")):
+        parent = os.path.dirname(final)
+        tag = os.path.basename(final)
+        stage = os.path.join(parent, f"_stage-{tag}")
+        build().write.mode("overwrite").parquet(stage)
+        os.makedirs(parent, exist_ok=True)
+        try:
+            os.rename(stage, final)
+        except OSError:
+            # lost a publish race: someone else's finished copy serves
+            if not os.path.exists(os.path.join(final, "_SUCCESS")):
+                raise
+            import shutil
+            shutil.rmtree(stage, ignore_errors=True)
+        if vacuum_superseded:
+            vacuum(src_path, kind, root)
+    return spark.read.parquet(final)
+
+
+def vacuum(src_path: str, kind: str, root: str | None = None) -> int:
+    """Drop derived tags for source states other than the current one,
+    plus any abandoned staging directories. Returns directories removed."""
+    import shutil
+    keep = f"tag={source_tag(src_path)}"
+    parent = os.path.dirname(derived_path(src_path, kind, root))
+    if not os.path.isdir(parent):
+        return 0
+    removed = 0
+    for name in os.listdir(parent):
+        if name == keep:
+            continue
+        if name.startswith("tag=") or name.startswith("_stage-"):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+            removed += 1
+    return removed
