@@ -100,6 +100,55 @@ def materialise(spark, out_dir: str) -> None:
     open(marker, "w").close()
 
 
+def stress_near_copy(spark) -> dict:
+    """VERDICT r05 #5: the adversarial mass-near-copy corpus. 50 base
+    documents, each with ``copies`` near-copy variants — candidate pairs
+    grow quadratically in the class size even though every LSH bucket
+    stays under max_bucket. With per_doc_cap on, the verified-dedup
+    pipeline must stay ~linear per corpus as the class size doubles
+    (ratio_100_vs_50 ~ 2, not ~4). The cap stays OFF in every contract
+    query; this section is the evidence for when to turn it on."""
+    from klepto_spark.operators import dedup
+
+    import random
+    bases = [r["text"] for r in spark.read.parquet(
+        f"{SRC}/documents.parquet").orderBy("doc_id").limit(50).collect()]
+    rng = random.Random(42)
+    out: dict = {}
+    for copies in (50, 100):
+        rows = []
+        for b, text in enumerate(bases):
+            words = text.split()
+            for i in range(copies):
+                # word-level perturbation: variants agree on MOST bands
+                # but not all, so they spread over overlapping buckets
+                # each under max_bucket — the quadratic case the STAR cap
+                # cannot see (it only bounds single giant buckets)
+                w = list(words)
+                for _ in range(2):
+                    w[rng.randrange(len(w))] = f"tok{b}_{i}"
+                rows.append((b * 1000 + i, " ".join(w)))
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string").repartition(32)
+        uncapped_pairs = dedup.minhash_lsh_pairs(df).count()
+        t0 = time.perf_counter()
+        capped = dedup.minhash_lsh_pairs(df, per_doc_cap=8)
+        verified = dedup.ngram_jaccard_pairs(df, capped, threshold=0.8)
+        n_verified = verified.count()
+        sec = round(time.perf_counter() - t0, 3)
+        dedup.release_caches()
+        out[f"copies_{copies}"] = {
+            "docs": len(rows), "uncapped_pairs": uncapped_pairs,
+            "capped_verified_pairs": n_verified, "capped_sec": sec}
+        print(f"stress copies={copies}: docs={len(rows)} "
+              f"uncapped={uncapped_pairs} capped_sec={sec}",
+              file=sys.stderr)
+    t50, t100 = out["copies_50"]["capped_sec"], \
+        out["copies_100"]["capped_sec"]
+    out["per_corpus_ratio_100_vs_50"] = round(t100 / (2 * t50), 2)
+    return out
+
+
 def main() -> None:
     out_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/klepto_sf1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -135,10 +184,13 @@ def main() -> None:
     except (OSError, KeyError, json.JSONDecodeError):
         pass
 
+    stress = stress_near_copy(spark)
+
     result = {"metric": "sf1_heavy_total_sec",
               "value": round(sum(medians.values()), 3), "unit": "sec",
               "sf": 1.0, "runs": runs, "queries": medians,
               "scaling_vs_10x_sf01": scaling,
+              "stress_near_copy": stress,
               "notes": {"d04_dedup_jaccard_verified":
                         "candidate-driven: the 10-near-copy corpus grows "
                         "LSH pairs ~90x for 10x docs (7,340 -> 660,797 "

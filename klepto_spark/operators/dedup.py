@@ -131,10 +131,41 @@ def capped_bucket_pairs(buckets: DataFrame, max_bucket: int,
     return out.distinct() if dedup else out
 
 
+def cap_pairs_per_doc(weighted: DataFrame, cap: int) -> DataFrame:
+    """Bound candidate pairs to ~``cap`` per document, strongest first.
+
+    ``weighted`` carries ``(a, b, w)`` with ``w`` = band agreement (how
+    many LSH bands voted for the pair). Each pair is ranked from BOTH
+    endpoints' perspectives (w desc, partner id asc) and kept when it is
+    within the top-``cap`` of EITHER endpoint — so output size is
+    <= 2·cap·n_docs (linear in the corpus) no matter how adversarial the
+    duplicate structure, while a pair that matters to either doc
+    survives. RECALL TRADE: a doc with more than ``cap`` genuine
+    near-duplicates keeps only its strongest ``cap`` edges; connected-
+    components clustering still recovers large classes transitively as
+    long as the class's mutual-strongest graph is connected (the usual
+    case — near-copies agree on most bands). Default OFF in the contract
+    queries; turn on for adversarial mass-near-copy corpora
+    (VERDICT r05 #5)."""
+    from pyspark.sql.window import Window
+    sides = weighted.select(
+        F.explode(F.array(
+            F.struct(F.col("a").alias("doc"), F.col("b").alias("other")),
+            F.struct(F.col("b").alias("doc"), F.col("a").alias("other")),
+        )).alias("s"), "w").select("s.doc", "s.other", "w")
+    win = Window.partitionBy("doc").orderBy(F.desc("w"), F.asc("other"))
+    kept = (sides.withColumn("rnk", F.row_number().over(win))
+            .filter(F.col("rnk") <= cap)
+            .select(F.least("doc", "other").alias("a"),
+                    F.greatest("doc", "other").alias("b")).distinct())
+    return kept
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       key_col: str = "doc_id", k: int = 5,
                       num_hashes: int = 16, bands: int = 4,
-                      max_bucket: int = 64) -> DataFrame:
+                      max_bucket: int = 64,
+                      per_doc_cap: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
     rows = num_hashes // bands minhashes concatenate into one band key;
@@ -144,7 +175,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     Pathological buckets fall back to star expansion (see
     :func:`capped_bucket_pairs`). Verify candidates with
     :func:`ngram_jaccard_pairs` before acting.
-    """
+
+    ``per_doc_cap``: bound candidates to ~cap per doc by band agreement
+    (see :func:`cap_pairs_per_doc`) — the defence against mass-near-copy
+    corpora where pair count grows quadratically in the duplicate-class
+    size even though each bucket stays under ``max_bucket``. None (the
+    default) keeps exact candidate semantics."""
     exploded = minhash_band_rows(df, text_col, key_col, k, num_hashes,
                                  bands)
     # Bucket-local pair generation instead of a bucket self-join: one
@@ -155,7 +191,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     buckets = (exploded.groupBy("band")
                .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
                .filter(F.size("ids") > 1))
-    return capped_bucket_pairs(buckets, max_bucket)
+    if per_doc_cap is None:
+        return capped_bucket_pairs(buckets, max_bucket)
+    # same shuffle the distinct() would pay, but keeping the vote count
+    weighted = (capped_bucket_pairs(buckets, max_bucket, dedup=False)
+                .groupBy("a", "b").agg(F.count(F.lit(1)).alias("w")))
+    return cap_pairs_per_doc(weighted, per_doc_cap)
 
 
 def minhash_band_rows(df: DataFrame, text_col: str = "text",
@@ -495,7 +536,8 @@ def simhash_col(col: Column | str, k: int = 4, bits: int = 64) -> Column:
 def cross_corpus_pairs(old: DataFrame, new: DataFrame,
                        text_col: str = "text", key_col: str = "doc_id",
                        k: int = 5, num_hashes: int = 16, bands: int = 4,
-                       max_bucket: int = 64) -> DataFrame:
+                       max_bucket: int = 64,
+                       per_doc_cap: int | None = None) -> DataFrame:
     """Near-duplicate DOCUMENT pairs BETWEEN two corpora (train vs
     held-out/benchmark) — the document-level decontamination step beside
     :func:`~klepto_spark.operators.text` n-gram decontamination: a val
@@ -511,7 +553,11 @@ def cross_corpus_pairs(old: DataFrame, new: DataFrame,
     cost follows the SMALL side, never |old| x |new|. Returned pairs
     always have the ``old``-side key in ``a`` and the ``new``-side key
     in ``b``; intra-corpus duplicates are excluded (run
-    :func:`minhash_lsh_pairs` per side for those)."""
+    :func:`minhash_lsh_pairs` per side for those).
+
+    ``per_doc_cap``: bound candidates to ~cap per doc by band agreement
+    (:func:`cap_pairs_per_doc`) before orientation — the mass-near-copy
+    defence; None keeps exact candidate semantics."""
     ob = minhash_band_rows(old, text_col, key_col, k, num_hashes, bands)
     nb = minhash_band_rows(new, text_col, key_col, k, num_hashes, bands)
     probe = nb.select("band").distinct()
@@ -520,7 +566,12 @@ def cross_corpus_pairs(old: DataFrame, new: DataFrame,
     buckets = (members.groupBy("band")
                .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
                .filter(F.size("ids") > 1))
-    pairs = capped_bucket_pairs(buckets, max_bucket)
+    if per_doc_cap is None:
+        pairs = capped_bucket_pairs(buckets, max_bucket)
+    else:
+        weighted = (capped_bucket_pairs(buckets, max_bucket, dedup=False)
+                    .groupBy("a", "b").agg(F.count(F.lit(1)).alias("w")))
+        pairs = cap_pairs_per_doc(weighted, per_doc_cap)
     old_keys = old.select(F.col(key_col).alias("__ok")).distinct()
     new_keys = new.select(F.col(key_col).alias("__nk")).distinct()
     fa = (pairs
