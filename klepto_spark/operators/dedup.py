@@ -229,7 +229,8 @@ def minhash_write_index(df: DataFrame, path: str, text_col: str = "text",
 def minhash_append(spark, path: str, new_docs: DataFrame,
                    text_col: str = "text", key_col: str = "doc_id",
                    k: int = 5, num_hashes: int = 16, bands: int = 4,
-                   max_bucket: int = 64, commit: bool = True) -> DataFrame:
+                   max_bucket: int = 64, commit: bool = True,
+                   per_doc_cap: int | None = None) -> DataFrame:
     """Dedup a NEW batch against an indexed corpus and (optionally) fold
     the batch into the index. Returns candidate pairs with at least one
     new-batch endpoint (old–old pairs were already known when the index
@@ -250,15 +251,24 @@ def minhash_append(spark, path: str, new_docs: DataFrame,
     # The parquet relation snapshots its file list at read time, so the
     # returned pair frame keeps reading the PRE-append index even after
     # commit below — the same isolation every reader of an appended
-    # table gets, with no driver-side row materialisation.
-    idx = spark.read.parquet(path)
+    # table gets, with no driver-side row materialisation. The column
+    # projection tolerates partitioned index layouts (the streaming
+    # twin's ep=<batch> dirs add a partition column); a path LIST lets
+    # that twin pin exactly which epochs constitute the index it probes.
+    paths = list(path) if isinstance(path, (list, tuple)) else [path]
+    idx = spark.read.parquet(*paths).select(key_col, "band")
     probe = new_bands.select("band").distinct()
     touched_old = idx.join(F.broadcast(probe), "band", "left_semi")
     members = touched_old.unionByName(new_bands.select(key_col, "band"))
     buckets = (members.groupBy("band")
                .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
                .filter(F.size("ids") > 1))
-    pairs = capped_bucket_pairs(buckets, max_bucket)
+    if per_doc_cap is None:
+        pairs = capped_bucket_pairs(buckets, max_bucket)
+    else:
+        weighted = (capped_bucket_pairs(buckets, max_bucket, dedup=False)
+                    .groupBy("a", "b").agg(F.count(F.lit(1)).alias("w")))
+        pairs = cap_pairs_per_doc(weighted, per_doc_cap)
     new_keys = new_bands.select(F.col(key_col).alias("__nk")).distinct()
     flagged = (pairs
                .join(F.broadcast(new_keys.withColumnRenamed("__nk", "a"))
@@ -269,6 +279,9 @@ def minhash_append(spark, path: str, new_docs: DataFrame,
            .filter(F.col("__fa").isNotNull() | F.col("__fb").isNotNull())
            .select("a", "b"))
     if commit:
+        if isinstance(path, (list, tuple)):
+            raise ValueError("commit=True needs a single index root, "
+                             "not a path list")
         new_bands.write.mode("append").parquet(path)
     return out
 

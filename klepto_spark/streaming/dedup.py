@@ -54,3 +54,91 @@ def dedup_simhash_stream(df: DataFrame, text_col: str = "text",
     return (df.withColumn("simhash", simhash_col(F.col(text_col), k, bits))
             .withWatermark(ts_col, delay)
             .dropDuplicatesWithinWatermark(["simhash"]))
+
+
+# ---------------------------------------------------------------------------
+# Incremental-index twin: near-dup pairs vs (and into) the at-rest band
+# index (operators.dedup.minhash_append) via foreachBatch -- unlike the
+# watermarked first-arrival filters above, this remembers the WHOLE
+# accepted corpus at rest, not a time horizon, with per-batch cost that
+# follows the batch (broadcast band probe), never the corpus.
+# Exactly-once: both outputs are epoch-keyed (ep=<batch>) and replaced
+# on retry -- see process_batch.
+# ---------------------------------------------------------------------------
+
+from klepto_spark.operators import dedup as D
+
+
+def dedup_stream_writer(docs: DataFrame, index_path: str, pairs_path: str,
+                        checkpoint: str, text_col: str = "text",
+                        key_col: str = "doc_id", k: int = 5,
+                        num_hashes: int = 16, bands: int = 4,
+                        max_bucket: int = 64,
+                        per_doc_cap: int | None = None):
+    """A configured ``DataStreamWriter``: call ``.start()`` (or add a
+    trigger first) to begin deduplicating the ``docs`` stream against —
+    and into — the at-rest band index at ``index_path``. New duplicate
+    pairs (>= one endpoint in the arriving batch) appear under
+    ``pairs_path`` partitioned by batch epoch."""
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        process_batch(batch_df, int(epoch_id), index_path, pairs_path,
+                      text_col, key_col, k, num_hashes, bands,
+                      max_bucket, per_doc_cap)
+
+    return (docs.writeStream.foreachBatch(_batch)
+            .option("checkpointLocation", checkpoint))
+
+
+def process_batch(batch_df: DataFrame, epoch_id: int, index_path: str,
+                  pairs_path: str, text_col: str = "text",
+                  key_col: str = "doc_id", k: int = 5,
+                  num_hashes: int = 16, bands: int = 4,
+                  max_bucket: int = 64,
+                  per_doc_cap: int | None = None) -> None:
+    """One micro-batch of the streaming dedup, exposed so retry
+    idempotence is directly testable: calling this twice with the same
+    ``epoch_id`` (what a crash-recovered ``foreachBatch`` does) must
+    leave the index and pairs output exactly as a single call would."""
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = p.getFileSystem(conf)
+    bands_df = D.minhash_band_rows(batch_df, text_col, key_col, k,
+                                   num_hashes, bands)
+    # the index this epoch probes = strictly EARLIER epochs (plus any
+    # pre-existing non-epoch content adopted from minhash_write_index).
+    # Pinning ep < epoch_id makes a replay read the same index no matter
+    # what later epochs committed before the crash — deterministic
+    # retries, not just tolerated ones.
+    prior: list[str] = []
+    if fs.exists(p):
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("_"):
+                continue
+            if name.startswith("ep="):
+                try:
+                    if int(name[3:]) >= epoch_id:
+                        continue
+                except ValueError:
+                    pass
+            prior.append(str(st.getPath()))
+    if not prior:
+        # first batch bootstraps the index; its intra-batch pairs come
+        # from the self-contained operator
+        pairs = D.minhash_lsh_pairs(batch_df, text_col, key_col, k,
+                                    num_hashes, bands, max_bucket,
+                                    per_doc_cap=per_doc_cap)
+    else:
+        pairs = D.minhash_append(
+            spark, sorted(prior), batch_df, text_col, key_col, k,
+            num_hashes, bands, max_bucket, commit=False,
+            per_doc_cap=per_doc_cap)
+    (pairs.withColumn("ep", F.lit(epoch_id))
+     .write.mode("overwrite").partitionBy("ep").parquet(pairs_path))
+    # idempotent index commit: the epoch's own dir, replaced on retry
+    bands_df.write.mode("overwrite").parquet(
+        f"{index_path}/ep={epoch_id}")

@@ -553,3 +553,81 @@ def test_pack_stream_rejects_non_integral_key(spark):
                       F.lit(5).cast("bigint").alias("tok")))
     with pytest.raises(ValueError, match="integral"):
         pack_stream(stream, "doc_id", F.col("tok"), budget=100, shards=2)
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup (ingest-time twin of minhash_append)
+# ---------------------------------------------------------------------------
+
+def _dup_docs(lo, hi):
+    """Docs where every id i = near-copy of i - (i % 2) (adjacent pairs)."""
+    base = "the quick brown fox jumps over the lazy dog once more " * 4
+    return [(i, base + f"tail {i - (i % 2)}") for i in range(lo, hi)]
+
+
+def test_streaming_dedup_matches_batch_operators(spark, tmp_path):
+    """Two micro-batches through dedup_stream_writer == running the batch
+    operators by hand (bootstrap lsh_pairs, then minhash_append against
+    the batch-1 index): same pair set, and the at-rest index ends up
+    holding every doc's bands."""
+    from klepto_spark.operators import dedup as D
+    from klepto_spark.streaming.dedup import dedup_stream_writer
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    pairs_out = str(tmp_path / "pairs")
+    schema = "doc_id bigint, text string"
+    b1, b2 = _dup_docs(0, 20), _dup_docs(20, 40)
+
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, schema).write.mode("append") \
+            .parquet(src)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1000").parquet(src))
+        q = (dedup_stream_writer(stream, idx, pairs_out,
+                                 str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    got = {(r.a, r.b) for r in spark.read.parquet(pairs_out)
+           .select("a", "b").collect()}
+
+    df1 = spark.createDataFrame(b1, schema)
+    df2 = spark.createDataFrame(b2, schema)
+    expect = {(r.a, r.b) for r in D.minhash_lsh_pairs(df1).collect()}
+    ref_idx = str(tmp_path / "ref_idx")
+    D.minhash_write_index(df1, ref_idx)
+    expect |= {(r.a, r.b) for r in
+               D.minhash_append(spark, ref_idx, df2,
+                                commit=False).collect()}
+    assert got == expect and got
+    # the committed index covers all 40 docs
+    assert (spark.read.parquet(idx).select("doc_id").distinct().count()
+            == 40)
+
+
+def test_streaming_dedup_retry_is_idempotent(spark, tmp_path):
+    """A crash-recovered foreachBatch re-runs an epoch: replaying the
+    SAME batch with the SAME epoch id must leave index and pairs exactly
+    as a single run (epoch-keyed dynamic overwrite, no appends)."""
+    from klepto_spark.streaming.dedup import process_batch
+
+    idx = str(tmp_path / "idx")
+    pairs_out = str(tmp_path / "pairs")
+    schema = "doc_id bigint, text string"
+    df1 = spark.createDataFrame(_dup_docs(0, 20), schema)
+    df2 = spark.createDataFrame(_dup_docs(20, 40), schema)
+
+    process_batch(df1, 0, idx, pairs_out)
+    process_batch(df2, 1, idx, pairs_out)
+    pairs_once = sorted((r.a, r.b, r.ep) for r in
+                        spark.read.parquet(pairs_out).collect())
+    bands_once = spark.read.parquet(idx).count()
+
+    # retries, out of order, including the bootstrap epoch
+    process_batch(df2, 1, idx, pairs_out)
+    process_batch(df1, 0, idx, pairs_out)
+    pairs_again = sorted((r.a, r.b, r.ep) for r in
+                         spark.read.parquet(pairs_out).collect())
+    assert pairs_again == pairs_once
+    assert spark.read.parquet(idx).count() == bands_once
