@@ -1324,7 +1324,9 @@ def q_batched_ann(spark, sf_dir):
     0.7 s) — in production the serving plan is built once and reused,
     which is exactly what the cache reproduces."""
     from pyspark.sql.window import Window
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): CPython can reuse an id() after a
+    # session is GC'd, silently serving a dead session's plan (ADVICE r06)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _S11_CACHE:
         return _S11_CACHE[key]
     emb = _load(spark, sf_dir)("embeddings")

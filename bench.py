@@ -46,6 +46,24 @@ def main() -> None:
         load_start = round(os.getloadavg()[0], 2)
     except OSError:
         load_start = -1.0
+    # Loadavg guard (VERDICT r06): BENCH_r06 was captured at loadavg
+    # 4.2–5.7 and overstated ~15 queries; a quiet-box re-run showed no
+    # regression. Spin-wait for the box to go quiet before measuring, up
+    # to a cap — then proceed anyway (the driver still needs an
+    # artifact) but record how long we waited and the load we started
+    # under, so a polluted number is self-labelled.
+    max_load = float(os.environ.get("KLEPTO_BENCH_MAX_LOAD", "1.0"))
+    wait_cap = float(os.environ.get("KLEPTO_BENCH_LOAD_WAIT_SEC", "600"))
+    waited = 0.0
+    while load_start > max_load and waited < wait_cap:
+        print(f"loadavg {load_start} > {max_load}: waiting for quiet box "
+              f"({waited:.0f}s/{wait_cap:.0f}s)", file=sys.stderr)
+        time.sleep(15.0)
+        waited += 15.0
+        try:
+            load_start = round(os.getloadavg()[0], 2)
+        except OSError:
+            break
     spark = get_spark(app_name="klepto_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -100,7 +118,8 @@ def main() -> None:
     # "parsed": null failure).  The compact stdout line below must be the
     # final line this process emits.
     detail = {"best": timings, "spread": spread, "sf": sf, "runs": runs,
-              "loadavg_1m_start": load_start, "loadavg_1m_end": load_end}
+              "loadavg_1m_start": load_start, "loadavg_1m_end": load_end,
+              "load_waited_sec": waited}
     try:
         with open("BENCH_DETAIL.json", "w") as fh:
             json.dump(detail, fh, indent=1)

@@ -282,6 +282,22 @@ def minhash_append(spark, path: str, new_docs: DataFrame,
         if isinstance(path, (list, tuple)):
             raise ValueError("commit=True needs a single index root, "
                              "not a path list")
+        # An index built by the streaming twin is epoch-partitioned
+        # (ep=<batch> dirs); appending FLAT files at its root would mix
+        # partitioned and unpartitioned layouts and break the next
+        # spark.read.parquet(root) partition discovery (ADVICE r06).
+        # Refuse and direct callers to the epoch-keyed path instead.
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(root) and any(
+                st.getPath().getName().startswith("ep=")
+                for st in fs.listStatus(root)):
+            raise ValueError(
+                f"index at {path!r} is epoch-partitioned (ep= dirs, "
+                "built by streaming.dedup); commit through "
+                "streaming.dedup.process_batch with the next epoch id, "
+                "or call minhash_append with commit=False")
         new_bands.write.mode("append").parquet(path)
     return out
 

@@ -520,10 +520,25 @@ def vacuum_epochs(spark: SparkSession, directory: str, table: str,
     _write_json(fs, _meta_path(jvm, tgt), meta)
     _write_json(fs, _sub_path(jvm, tgt, "_binpack.json"),
                 {"olds": olds, "news": news})
-    for s, n in zip(staged, news):
+    # Hadoop rename reports failure as a False return, not an exception
+    # (e.g. destination exists). An unchecked failure here would let
+    # recovery roll the news back while the loop below still retires the
+    # folded epochs — permanently losing their upserts from the current
+    # view (ADVICE r06 medium). Check every rename and abort BEFORE the
+    # retirement loop; recovery then keeps the old base and the epochs,
+    # so the table stays correct (the raised floor only over-refuses
+    # time travel, never serves a folded pre-image).
+    renamed_ok = all(
         fs.rename(jvm.org.apache.hadoop.fs.Path(s),
                   jvm.org.apache.hadoop.fs.Path(n))
+        for s, n in zip(staged, news))
     _recover_binpack(jvm, fs, tgt)  # deletes olds + plan + staging
+    news_paths = [jvm.org.apache.hadoop.fs.Path(n) for n in news]
+    if not renamed_ok or not all(fs.exists(p) for p in news_paths):
+        raise RuntimeError(
+            f"vacuum_epochs: publish did not land for table {table!r} "
+            "(rename failed); recovery kept the pre-fold base and the "
+            "folded epochs were NOT retired — re-run vacuum_epochs")
     for e in fold:
         name = _epoch_name(e["id"])
         for p in (_sub(jvm, tgt, _LOG_DIR, f"{name}.json"),

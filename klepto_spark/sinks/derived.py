@@ -44,10 +44,15 @@ def _slug(path: str) -> str:
 
 
 def source_tag(src_path: str) -> str:
-    """The source-state tag: its mtime as an integer. A rewrite of the
-    source produces a new tag; the derived copy for the old state is
-    superseded and vacuumed on the next publish."""
-    return str(int(os.path.getmtime(src_path)))
+    """The source-state tag: nanosecond mtime plus size. A rewrite of
+    the source produces a new tag; the derived copy for the old state is
+    superseded and vacuumed on the next publish. Nanosecond resolution +
+    size (ADVICE r06: whole-second mtime let a rewrite within the same
+    second keep its tag and serve the stale derived copy)."""
+    st = os.stat(src_path)
+    size = (sum(e.stat().st_size for e in os.scandir(src_path)
+                if e.is_file()) if os.path.isdir(src_path) else st.st_size)
+    return f"{st.st_mtime_ns}-{size}"
 
 
 def derived_path(src_path: str, kind: str, root: str | None = None) -> str:
@@ -83,19 +88,43 @@ def read_or_build(spark: SparkSession, src_path: str, kind: str,
     return spark.read.parquet(final)
 
 
+#: staging dirs younger than this are presumed LIVE (a concurrent build
+#: mid-write) and skipped by vacuum — mirrors the catalog's bin-pack
+#: lease gate (ADVICE r06: unconditional _stage-* removal could rm -rf
+#: another process's in-flight build).
+STAGE_LEASE_SEC = 15 * 60
+
+
+def _stage_lease() -> float:
+    return float(os.environ.get("KLEPTO_DERIVED_LEASE_SEC",
+                                STAGE_LEASE_SEC))
+
+
 def vacuum(src_path: str, kind: str, root: str | None = None) -> int:
     """Drop derived tags for source states other than the current one,
-    plus any abandoned staging directories. Returns directories removed."""
+    plus ABANDONED staging directories (older than the lease window —
+    younger ones may be a concurrent build's live write and are left
+    alone). Returns directories removed."""
     import shutil
+    import time
     keep = f"tag={source_tag(src_path)}"
     parent = os.path.dirname(derived_path(src_path, kind, root))
     if not os.path.isdir(parent):
         return 0
     removed = 0
+    now = time.time()
     for name in os.listdir(parent):
         if name == keep:
             continue
-        if name.startswith("tag=") or name.startswith("_stage-"):
-            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
-            removed += 1
+        full = os.path.join(parent, name)
+        if name.startswith("_stage-"):
+            try:
+                if now - os.path.getmtime(full) < _stage_lease():
+                    continue
+            except OSError:
+                continue  # vanished: its owner finished or cleaned up
+        elif not name.startswith("tag="):
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        removed += 1
     return removed

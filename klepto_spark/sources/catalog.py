@@ -135,8 +135,16 @@ class FileCatalog:
         # recovery explicitly); older remnants recover as before. The
         # writer's publish window is seconds, so a fresh journal almost
         # always means a publish in flight.
+        # The lease applies ONLY when the journal exists: before
+        # _binpack.json lands, nothing has been published and recovery
+        # merely drops the staging dir — the table's file set is
+        # untouched either way, so blocking reads for the full lease on
+        # a bare _bpstage remnant bought no safety (ADVICE r06). A live
+        # writer whose pre-journal staging is dropped just fails its
+        # stage write and retries; the table never regresses.
         root = Path(self._path(table))
-        remnants = [p for p in (root / "_binpack.json", root / "_bpstage")
+        journal = root / "_binpack.json"
+        remnants = [p for p in (journal, root / "_bpstage")
                     if p.exists()]
         if remnants:
             import os as _os
@@ -144,7 +152,7 @@ class FileCatalog:
             lease = float(_os.environ.get(
                 "KLEPTO_BINPACK_LEASE_SEC", "60"))
             age = _time.time() - max(p.stat().st_mtime for p in remnants)
-            if age < lease:
+            if age < lease and journal.exists():
                 raise RuntimeError(
                     f"table {table!r} has a bin-pack publish journal "
                     f"{age:.0f}s old (lease {lease:.0f}s): a compaction "

@@ -101,7 +101,6 @@ def process_batch(batch_df: DataFrame, epoch_id: int, index_path: str,
     ``epoch_id`` (what a crash-recovered ``foreachBatch`` does) must
     leave the index and pairs output exactly as a single call would."""
     spark = batch_df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(index_path)
@@ -137,8 +136,11 @@ def process_batch(batch_df: DataFrame, epoch_id: int, index_path: str,
             spark, sorted(prior), batch_df, text_col, key_col, k,
             num_hashes, bands, max_bucket, commit=False,
             per_doc_cap=per_doc_cap)
+    # dynamic overwrite scoped to THIS write (ADVICE r06: setting it on
+    # the shared session silently changed later partitioned overwrites)
     (pairs.withColumn("ep", F.lit(epoch_id))
-     .write.mode("overwrite").partitionBy("ep").parquet(pairs_path))
+     .write.mode("overwrite").partitionBy("ep")
+     .option("partitionOverwriteMode", "dynamic").parquet(pairs_path))
     # idempotent index commit: the epoch's own dir, replaced on retry
     bands_df.write.mode("overwrite").parquet(
         f"{index_path}/ep={epoch_id}")

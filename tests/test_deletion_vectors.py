@@ -358,3 +358,46 @@ def test_vacuum_then_new_epochs_continue_monotone(spark, tmp_path):
                       "parquet", ["id"], auto_compact=None)
     assert _asof(spark, tmp_path, 3)[9] == ("z", 9.0)
     assert 9 not in _asof(spark, tmp_path, 2)
+
+
+def test_vacuum_aborts_retirement_when_publish_rename_fails(
+        spark, tmp_path, monkeypatch):
+    """Hadoop rename reports failure as a False return; if the publish
+    does not land, the folded epochs must NOT be retired — otherwise
+    their upserts vanish from the current view (ADVICE r06 medium).
+    Simulate the silent failure, assert the abort, then re-run clean."""
+    _travel_history(spark, tmp_path)  # base + e1 + e2
+    before = _view(spark, tmp_path)
+    real = dv._hadoop_fs
+
+    class _FailRename:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, a, b):
+            return False  # Hadoop-style silent failure, nothing moved
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def patched(df, target):
+        jvm, fs, tgt = real(df, target)
+        return jvm, _FailRename(fs), tgt
+
+    monkeypatch.setattr(dv, "_hadoop_fs", patched)
+    with pytest.raises(RuntimeError, match="publish did not land"):
+        dv.vacuum_epochs(spark, str(tmp_path), "t", "parquet",
+                         retain_epochs=1)
+    monkeypatch.setattr(dv, "_hadoop_fs", real)
+    # nothing retired, nothing lost: the current view is intact and the
+    # epoch history is still replayable above the raised floor
+    assert _view(spark, tmp_path) == before
+    logs = sorted(p.name for p in
+                  (tmp_path / "t.parquet" / "_dvlog").glob("e*.json"))
+    assert logs == ["e000001.json", "e000002.json"]
+    assert _asof(spark, tmp_path, 2) == before
+    # recovery rolled the stage/journal back; a clean re-run completes
+    assert not (tmp_path / "t.parquet" / "_binpack.json").exists()
+    assert dv.vacuum_epochs(spark, str(tmp_path), "t", "parquet",
+                            retain_epochs=1) == 1
+    assert _view(spark, tmp_path) == before

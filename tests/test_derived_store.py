@@ -62,6 +62,33 @@ def test_vacuum_reports_and_keeps_current(spark, tmp_path, monkeypatch):
     derived.read_or_build(spark, src, "k", build)
     parent = os.path.dirname(derived.derived_path(src, "k"))
     os.makedirs(os.path.join(parent, "tag=123"))
-    os.makedirs(os.path.join(parent, "_stage-tag=456"))
-    assert derived.vacuum(src, "k") == 2
+    stage = os.path.join(parent, "_stage-tag=456")
+    os.makedirs(stage)
+    # a FRESH staging dir may be a concurrent build's live write: the
+    # lease window protects it (ADVICE r06) — only the stale tag goes
+    assert derived.vacuum(src, "k") == 1
+    assert os.path.isdir(stage)
+    # past the lease it is an abandoned remnant and is collected
+    t = os.path.getmtime(stage) - 3600
+    os.utime(stage, (t, t))
+    assert derived.vacuum(src, "k") == 1
+    assert not os.path.exists(stage)
     assert derived.read_or_build(spark, src, "k", build).count() == 20
+
+
+def test_source_tag_distinguishes_same_second_rewrite(spark, tmp_path,
+                                                      monkeypatch):
+    """A rewrite pinned to the SAME whole-second mtime still changes the
+    tag (st_mtime_ns + size fingerprint, ADVICE r06)."""
+    monkeypatch.setenv("KLEPTO_DERIVED_DIR", str(tmp_path / "store"))
+    src = _src(spark, tmp_path)
+    tag0 = derived.source_tag(src)
+    spark.range(0, 7).select(F.col("id").alias("k")).write \
+        .mode("overwrite").parquet(src)
+    # force the same whole-second mtime, different nanos
+    base = int(os.path.getmtime(src))
+    os.utime(src, ns=(base * 10**9 + 123456, base * 10**9 + 123456))
+    tag_a = derived.source_tag(src)
+    assert tag_a != tag0
+    os.utime(src, ns=(base * 10**9 + 987654, base * 10**9 + 987654))
+    assert derived.source_tag(src) != tag_a

@@ -223,3 +223,20 @@ def test_long_string_stats_get_no_envelope(spark, tmp_path):
     kept = layout.prune_files(d, "long_s", lo=needle, hi=needle)
     hit = spark.read.parquet(*kept).filter(F.col("long_s") == needle)
     assert hit.count() == 1
+
+
+def test_bare_bpstage_without_journal_recovers_immediately(spark, tmp_path):
+    """A _bpstage remnant with NO _binpack.json means nothing was
+    published: recovery only drops staging, so blocking reads for the
+    lease window bought no safety — it must recover at once (ADVICE
+    r06). The lease still applies once a journal exists (test above)."""
+    d = str(tmp_path)
+    tdir = f"{d}/t.parquet"
+    spark.range(0, 10).select(F.col("id").alias("x")) \
+        .coalesce(1).write.parquet(tdir)
+    # a FRESH pre-journal staging remnant (crash before journalling)
+    spark.range(0, 3).coalesce(1).write.parquet(f"{tdir}/_bpstage")
+    cat = FileCatalog(spark, d)
+    got = sorted(r["x"] for r in cat.load("t").collect())
+    assert got == list(range(10))
+    assert not os.path.exists(f"{tdir}/_bpstage")

@@ -631,3 +631,46 @@ def test_streaming_dedup_retry_is_idempotent(spark, tmp_path):
                          spark.read.parquet(pairs_out).collect())
     assert pairs_again == pairs_once
     assert spark.read.parquet(idx).count() == bands_once
+
+
+def test_process_batch_does_not_leak_overwrite_mode(spark, tmp_path):
+    """The epoch-keyed pairs overwrite must scope dynamic partition
+    overwrite to ITS write only — setting it on the shared session
+    silently changed later partitioned overwrites (ADVICE r06)."""
+    from klepto_spark.streaming.dedup import process_batch
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    df1 = spark.createDataFrame(_dup_docs(0, 20),
+                                "doc_id bigint, text string")
+    process_batch(df1, 0, str(tmp_path / "idx"), str(tmp_path / "pairs"))
+    assert spark.conf.get(key) == before
+    # and the session default still clears ALL partitions on overwrite
+    tgt = str(tmp_path / "plain")
+    spark.createDataFrame([(1, "a"), (2, "b")], "p int, v string") \
+        .write.partitionBy("p").parquet(tgt)
+    spark.createDataFrame([(1, "z")], "p int, v string") \
+        .write.mode("overwrite").partitionBy("p").parquet(tgt)
+    assert {(r.p, r.v)
+            for r in spark.read.parquet(tgt).collect()} == {(1, "z")}
+
+
+def test_minhash_append_refuses_flat_commit_into_epoch_index(spark, tmp_path):
+    """commit=True at the root of a STREAMING-built index (ep= dirs)
+    would mix partitioned and flat layouts and break the next partition
+    discovery — it must refuse and point at the epoch path (ADVICE r06)."""
+    from klepto_spark.operators import dedup as D
+    from klepto_spark.streaming.dedup import process_batch
+
+    idx = str(tmp_path / "idx")
+    df1 = spark.createDataFrame(_dup_docs(0, 20),
+                                "doc_id bigint, text string")
+    df2 = spark.createDataFrame(_dup_docs(20, 40),
+                                "doc_id bigint, text string")
+    process_batch(df1, 0, idx, str(tmp_path / "pairs"))
+    with pytest.raises(ValueError, match="epoch-partitioned"):
+        D.minhash_append(spark, idx, df2, commit=True)
+    # probing without committing is still allowed on the same root
+    D.minhash_append(spark, idx, df2, commit=False).collect()
+    # and the index is still readable as ONE partitioned table
+    assert spark.read.parquet(idx).select("doc_id").distinct().count() == 20
