@@ -767,6 +767,64 @@ def q_cross_dedup(spark, sf_dir):
         docs.filter(F.col("doc_id") >= D08_SPLIT))
 
 
+def q_cross_dedup_indexed(spark, sf_dir):
+    """d09: d08's decontamination against the AT-REST held-out band
+    index (VERDICT r06 ask). Decontamination recurs — every new train
+    dump checks against the SAME benchmark set — so the held-out band
+    rows are built once into the managed derived store (one copy per
+    source state, staging-swap publish) and each run re-shingles only
+    the train side (dedup.cross_corpus_pairs_indexed). Must return
+    exactly what the two-corpus probe returns, so it shares d08's
+    oracle: the full intra-corpus LSH replay restricted to cross
+    pairs."""
+    from klepto_spark.sinks import derived
+    src = f"{sf_dir}/documents.parquet"
+    docs = _load(spark, sf_dir)("documents")
+
+    def _build():
+        return dedup.minhash_band_rows(
+            docs.filter(F.col("doc_id") >= D08_SPLIT), "text", "doc_id")
+
+    path = derived.derived_path(src, f"mhidx-held{D08_SPLIT}")
+    derived.read_or_build(spark, src, f"mhidx-held{D08_SPLIT}", _build)
+    return dedup.cross_corpus_pairs_indexed(
+        spark, path, docs.filter(F.col("doc_id") < D08_SPLIT))
+
+
+# d10 split: every 5th vector is the "arriving batch", the rest are the
+# at-rest corpus — proportional at any scale factor, unlike a fixed id
+# cut. Threshold/bits shared with s02 (measured gap around 0.4).
+D10_MOD = 5
+
+
+def q_semantic_append(spark, sf_dir):
+    """d10: incremental SEMANTIC dedup against the at-rest signature
+    index — the embedding twin of minhash_append (VERDICT r06 ask). The
+    corpus's (key, signature, vector) rows live in the derived store;
+    the batch's distinct signatures broadcast as the probe, the index is
+    scanned once through the semi-join, and only touched buckets expand
+    before exact-cosine verification. Oracle: the full hyperplane-LSH
+    pair replay (s02's arithmetic) restricted to pairs with a
+    batch endpoint — the probe must find exactly what a full recompute
+    would."""
+    from klepto_spark.sinks import derived
+    src = f"{sf_dir}/embeddings.parquet"
+    emb = _load(spark, sf_dir)("embeddings")
+    kind = f"semidx-b{ANN_LSH['bits']}-m{D10_MOD}"
+
+    def _build():
+        return dedup.semantic_index_rows(
+            emb.filter(F.col("vec_id") % D10_MOD != 0),
+            bits=ANN_LSH["bits"], dim=ANN_LSH["dim"])
+
+    path = derived.derived_path(src, kind)
+    derived.read_or_build(spark, src, kind, _build)
+    return dedup.semantic_append(
+        spark, path, emb.filter(F.col("vec_id") % D10_MOD == 0),
+        ANN_LSH["threshold"], bits=ANN_LSH["bits"], dim=ANN_LSH["dim"],
+        commit=False)
+
+
 def q_trigram_novelty(spark, sf_dir):
     """Corpus-self-trained quality signal: per-doc share of trigram mass
     outside the corpus's top-500 trigrams (the exact-arithmetic
@@ -1469,6 +1527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a22_late_sole_suppliers": q_late_sole_suppliers,
         "s11_batched_ann": q_batched_ann,
         "d08_cross_dedup": q_cross_dedup,
+        "d09_cross_dedup_indexed": q_cross_dedup_indexed,
+        "d10_semantic_append": q_semantic_append,
         "c02_ingest_pipeline": q_ingest_pipeline,
     }
 
@@ -2007,6 +2067,15 @@ FROM documents""",
         "d08_cross_dedup": f"""
             SELECT a, b FROM ({_lsh_oracle()})
             WHERE a < {D08_SPLIT} AND b >= {D08_SPLIT}""",
+        # d09 probes the at-rest held-out index; the result contract is
+        # identical to d08's two-corpus probe, so the oracle is shared.
+        "d09_cross_dedup_indexed": f"""
+            SELECT a, b FROM ({_lsh_oracle()})
+            WHERE a < {D08_SPLIT} AND b >= {D08_SPLIT}""",
+        "d10_semantic_append": f"""
+            SELECT a, b, cosine
+            FROM ({similarity.similar_pairs_sql(**ANN_LSH)})
+            WHERE a % {D10_MOD} = 0 OR b % {D10_MOD} = 0""",
         "c02_ingest_pipeline": _c02_oracle(),
         "s11_batched_ann": f"""
             WITH q AS (SELECT vec_id AS q_id,

@@ -619,3 +619,157 @@ def cross_corpus_pairs(old: DataFrame, new: DataFrame,
     return cross.select(
         F.when(a_is_old, F.col("a")).otherwise(F.col("b")).alias("a"),
         F.when(a_is_old, F.col("b")).otherwise(F.col("a")).alias("b"))
+
+
+def cross_corpus_pairs_indexed(spark, path, train: DataFrame,
+                               text_col: str = "text",
+                               key_col: str = "doc_id",
+                               k: int = 5, num_hashes: int = 16,
+                               bands: int = 4, max_bucket: int = 64,
+                               per_doc_cap: int | None = None) -> DataFrame:
+    """:func:`cross_corpus_pairs` against an AT-REST held-out index
+    (VERDICT r06 ask): decontamination recurs — every new training dump
+    is checked against the SAME benchmark/held-out set — so the held-out
+    side's band rows (:func:`minhash_write_index`) are computed once and
+    stored; each run re-shingles only the train side.
+
+    Returns exactly what ``cross_corpus_pairs(train, held_out)`` would
+    (pytest-pinned): same touched-bucket membership (the probe semi-join
+    keeps every index row whose band a train doc shares), same star cap,
+    same orientation — ``a`` is the train key, ``b`` the held-out key.
+    Requires disjoint key spaces (a shared key could not be oriented).
+
+    Scale shape: the held-out index is the SMALL side; its distinct
+    bands broadcast as the probe and its keys broadcast for the
+    orientation flags. The 100 TB train corpus is scanned once, never
+    shuffled beyond its own band aggregation. ``path`` may be a list of
+    paths (e.g. the epoch dirs of a streaming-built index)."""
+    paths = list(path) if isinstance(path, (list, tuple)) else [path]
+    ib = spark.read.parquet(*paths).select(key_col, "band")
+    tb = minhash_band_rows(train, text_col, key_col, k, num_hashes, bands)
+    probe = ib.select("band").distinct()
+    touched = tb.join(F.broadcast(probe), "band", "left_semi")
+    members = touched.unionByName(ib)
+    buckets = (members.groupBy("band")
+               .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    if per_doc_cap is None:
+        pairs = capped_bucket_pairs(buckets, max_bucket)
+    else:
+        weighted = (capped_bucket_pairs(buckets, max_bucket, dedup=False)
+                    .groupBy("a", "b").agg(F.count(F.lit(1)).alias("w")))
+        pairs = cap_pairs_per_doc(weighted, per_doc_cap)
+    idx_keys = ib.select(F.col(key_col).alias("__ik")).distinct()
+    flagged = (pairs
+               .join(F.broadcast(idx_keys.withColumnRenamed("__ik", "a"))
+                     .withColumn("__ia", F.lit(1)), "a", "left")
+               .join(F.broadcast(idx_keys.withColumnRenamed("__ik", "b"))
+                     .withColumn("__ib", F.lit(1)), "b", "left"))
+    cross = flagged.filter(
+        F.col("__ia").isNotNull() != F.col("__ib").isNotNull())
+    b_indexed = F.col("__ib").isNotNull()
+    return cross.select(
+        F.when(b_indexed, F.col("a")).otherwise(F.col("b")).alias("a"),
+        F.when(b_indexed, F.col("b")).otherwise(F.col("a")).alias("b"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental SEMANTIC dedup at rest: the embedding twin of
+# minhash_write_index / minhash_append (VERDICT r06 ask). The index row is
+# (key, rh-signature, unit-cost double vector); appending a batch probes
+# only the touched signature buckets and never rescans or re-embeds the
+# corpus at rest.
+# ---------------------------------------------------------------------------
+
+
+def semantic_index_rows(emb: DataFrame, vec_col: str = "embedding",
+                        key_col: str = "vec_id", bits: int = 16,
+                        dim: int | None = None) -> DataFrame:
+    """The semantic index's (key, signature, vector) rows — exposed so
+    the managed derived store (sinks/derived.py) can build and publish
+    the index itself."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    from klepto_spark.operators.similarity import rh_signature
+    v = F.col(vec_col).cast("array<double>")
+    return emb.select(F.col(key_col),
+                      rh_signature(v, bits, dim).alias("sig"),
+                      v.alias("v"))
+
+
+def semantic_write_index(emb: DataFrame, path: str,
+                         vec_col: str = "embedding",
+                         key_col: str = "vec_id", bits: int = 16,
+                         dim: int | None = None,
+                         mode: str = "overwrite") -> None:
+    """Persist the corpus's (key, signature, vector) rows — the at-rest
+    random-hyperplane LSH index that makes SEMANTIC dedup incremental.
+    The vector is stored alongside the signature because the verify step
+    needs it: unlike MinHash bands, LSH-bucket agreement alone is not
+    the dedup identity — exact cosine confirms each candidate."""
+    (semantic_index_rows(emb, vec_col, key_col, bits, dim)
+     .write.mode(mode).parquet(path))
+
+
+def semantic_append(spark, path, new_emb: DataFrame, threshold: float,
+                    vec_col: str = "embedding", key_col: str = "vec_id",
+                    bits: int = 16, dim: int | None = None,
+                    max_bucket: int = 64, commit: bool = True) -> DataFrame:
+    """Semantic-dedup a NEW embedding batch against an indexed corpus and
+    (optionally) fold the batch in. Returns verified cosine pairs
+    ``(a, b, cosine >= threshold)`` with at least one new-batch endpoint
+    — exactly :func:`~klepto_spark.operators.similarity.
+    cosine_similar_pairs` over (corpus ∪ batch) restricted to pairs
+    touching the batch (pytest-pinned), because the probe semi-join
+    keeps EVERY index row in a touched signature bucket, so bucket
+    membership — and hence the star cap — matches the full recompute.
+
+    Scale shape mirrors :func:`minhash_append`: the batch's distinct
+    signatures broadcast as the probe; the index is scanned once through
+    that semi-join (no index shuffle, no re-embedding, no signature
+    recompute); only touched buckets expand, and the verify join reads
+    vectors from the index rows themselves — the original corpus table
+    is never opened."""
+    if dim is None:
+        dim = len(new_emb.select(vec_col).first()[0])
+    from klepto_spark.operators.similarity import cosine, rh_signature
+    v = F.col(vec_col).cast("array<double>")
+    nb = (fan_out(new_emb, key_col)
+          .select(F.col(key_col), rh_signature(v, bits, dim).alias("sig"),
+                  v.alias("v")))
+    paths = list(path) if isinstance(path, (list, tuple)) else [path]
+    idx = spark.read.parquet(*paths).select(key_col, "sig", "v")
+    probe = nb.select("sig").distinct()
+    touched = idx.join(F.broadcast(probe), "sig", "left_semi")
+    members = touched.unionByName(nb)
+    buckets = (members.groupBy("sig")
+               .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    # full-signature buckets are disjoint -> pairs already unique
+    cand = capped_bucket_pairs(buckets, max_bucket, dedup=False)
+    new_keys = nb.select(F.col(key_col).alias("__nk")).distinct()
+    flagged = (cand
+               .join(F.broadcast(new_keys.withColumnRenamed("__nk", "a"))
+                     .withColumn("__fa", F.lit(1)), "a", "left")
+               .join(F.broadcast(new_keys.withColumnRenamed("__nk", "b"))
+                     .withColumn("__fb", F.lit(1)), "b", "left")
+               .filter(F.col("__fa").isNotNull()
+                       | F.col("__fb").isNotNull())
+               .select("a", "b"))
+    vecs = members.select(F.col(key_col), F.col("v"))
+    joined = (flagged
+              .join(vecs.withColumnRenamed(key_col, "a")
+                    .withColumnRenamed("v", "va"), "a")
+              .join(vecs.withColumnRenamed(key_col, "b")
+                    .withColumnRenamed("v", "vb"), "b"))
+    out = (joined
+           .select("a", "b",
+                   F.round(cosine(F.col("va"), F.col("vb")), 6)
+                   .alias("cosine"))
+           .filter(F.col("cosine") >= threshold))
+    if commit:
+        if isinstance(path, (list, tuple)):
+            raise ValueError("commit=True needs a single index root, "
+                             "not a path list")
+        nb.write.mode("append").parquet(path)
+    return out

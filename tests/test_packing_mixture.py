@@ -207,3 +207,109 @@ def test_minhash_append_empty_batch_is_noop(spark, sf_dir, tmp_path):
 def test_mixture_all_listed_groups_absent_yields_empty(corpus):
     out = mixture_sample(corpus, "src", "doc_id", {"zz": 1.0}, salt="t")
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Decontamination against the at-rest held-out band index (VERDICT r06)
+# ---------------------------------------------------------------------------
+
+def test_cross_corpus_indexed_matches_direct(spark, sf_dir, tmp_path):
+    """Probing the STORED held-out band index must find exactly what the
+    two-corpus operator finds — same pairs, same (train, held-out)
+    orientation — on both the exact and per_doc_cap candidate paths."""
+    from klepto_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter("doc_id < 400")
+    held = docs.filter("doc_id >= 400")
+    idx = str(tmp_path / "held_idx")
+    dedup.minhash_write_index(held, idx)
+
+    want = {(r["a"], r["b"]) for r in
+            dedup.cross_corpus_pairs(train, held,
+                                     max_bucket=10_000).collect()}
+    got = {(r["a"], r["b"]) for r in
+           dedup.cross_corpus_pairs_indexed(spark, idx, train,
+                                            max_bucket=10_000).collect()}
+    assert got == want and want
+    assert all(a < 400 <= b for a, b in got)
+
+    want_c = {(r["a"], r["b"]) for r in
+              dedup.cross_corpus_pairs(train, held,
+                                       per_doc_cap=3).collect()}
+    got_c = {(r["a"], r["b"]) for r in
+             dedup.cross_corpus_pairs_indexed(spark, idx, train,
+                                              per_doc_cap=3).collect()}
+    assert got_c == want_c and want_c
+
+
+# ---------------------------------------------------------------------------
+# Incremental SEMANTIC dedup against the at-rest signature index
+# (embedding twin of minhash_append, VERDICT r06)
+# ---------------------------------------------------------------------------
+
+SEM_T = 0.35
+
+
+def test_semantic_append_matches_full_recompute(spark, sf_dir, tmp_path):
+    """Index the first 400 embeddings, append the rest: incremental
+    verified pairs == full cosine_similar_pairs over the union,
+    restricted to pairs with a new-batch endpoint — scores included."""
+    from klepto_spark.operators import dedup, similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.filter("vec_id < 400")
+    new = emb.filter("vec_id >= 400")
+    idx = str(tmp_path / "sem_idx")
+    dedup.semantic_write_index(old, idx, bits=4)
+
+    got = {(r["a"], r["b"], r["cosine"]) for r in
+           dedup.semantic_append(spark, idx, new, SEM_T, bits=4,
+                                 max_bucket=10_000).collect()}
+    full = {(r["a"], r["b"], r["cosine"]) for r in
+            similarity.cosine_similar_pairs(emb, SEM_T, bits=4,
+                                            max_bucket=10_000).collect()}
+    want = {(a, b, c) for a, b, c in full if a >= 400 or b >= 400}
+    assert got == want
+    assert want, "sf0.001 embeddings must have cross-batch near-dups"
+
+
+def test_semantic_append_commits_index_for_next_batch(spark, sf_dir,
+                                                      tmp_path):
+    from klepto_spark.operators import dedup, similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "sem_idx2")
+    dedup.semantic_write_index(emb.filter("vec_id < 300"), idx, bits=4)
+    dedup.semantic_append(spark, idx,
+                          emb.filter("vec_id >= 300 AND vec_id < 400"),
+                          SEM_T, bits=4, max_bucket=10_000).collect()
+    got = {(r["a"], r["b"]) for r in
+           dedup.semantic_append(spark, idx, emb.filter("vec_id >= 400"),
+                                 SEM_T, bits=4,
+                                 max_bucket=10_000).collect()}
+    full = {(r["a"], r["b"]) for r in
+            similarity.cosine_similar_pairs(emb, SEM_T, bits=4,
+                                            max_bucket=10_000).collect()}
+    want = {(a, b) for a, b in full if a >= 400 or b >= 400}
+    assert got == want
+
+
+def test_semantic_append_no_commit_and_path_list(spark, sf_dir, tmp_path):
+    from klepto_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "sem_idx3")
+    dedup.semantic_write_index(emb.filter("vec_id < 400"), idx, bits=4)
+    before = spark.read.parquet(idx).count()
+    pairs = dedup.semantic_append(spark, idx, emb.filter("vec_id >= 400"),
+                                  SEM_T, bits=4, commit=False)
+    n = pairs.count()
+    assert spark.read.parquet(idx).count() == before
+    # a path LIST probes the same index but refuses to commit into it
+    got = dedup.semantic_append(spark, [idx], emb.filter("vec_id >= 400"),
+                                SEM_T, bits=4, commit=False).count()
+    assert got == n
+    with pytest.raises(ValueError, match="single index root"):
+        dedup.semantic_append(spark, [idx], emb.filter("vec_id >= 400"),
+                              SEM_T, bits=4, commit=True)
