@@ -332,3 +332,163 @@ def view_ddl(spark: SparkSession, dsn: DSN, view: str) -> str:
     if text.upper().startswith("CREATE"):
         return text + ";"
     return f"CREATE VIEW {view} AS {text};"
+
+
+def sequence_ddl(spark: SparkSession, dsn: DSN,
+                 include_setval: bool = True) -> list[str]:
+    """CREATE SEQUENCE statements (+ ownership + current position) for
+    every user sequence — the piece of ``pg_dump --schema-only`` output
+    (reference pkg/reader/postgres/pg_dump.go:36-41) the metadata-
+    assembled DDL previously dropped: a restored schema whose SERIAL
+    columns default to ``nextval()`` needs the sequence to exist, to be
+    OWNED BY its column (so dropping the table drops it), and — when
+    data is copied too — to be positioned ABOVE the copied ids or the
+    first insert collides.
+
+    Postgres reads ``pg_sequences`` + the ``pg_depend`` ownership edge;
+    Derby reads ``SYS.SYSSEQUENCES`` (no ownership concept). MySQL has
+    no sequences (AUTO_INCREMENT rides in SHOW CREATE TABLE) and returns
+    []. Emit these BEFORE the table DDL: column DEFAULT nextval(...)
+    references them at CREATE TABLE time."""
+    if dsn.type in ("postgres", "postgresql"):
+        return pg_sequence_statements(
+            query_rows(spark, dsn, PG_SEQUENCES_SQL),
+            query_rows(spark, dsn, PG_SEQUENCE_OWNERS_SQL),
+            include_setval=include_setval)
+    if dsn.type == "derby":
+        out = []
+        for name, dtype, cur, start, mn, mx, inc, cyc in query_rows(
+                spark, dsn, """
+                SELECT s.SEQUENCENAME, s.SEQUENCEDATATYPE, s.CURRENTVALUE,
+                       s.STARTVALUE, s.MINIMUMVALUE, s.MAXIMUMVALUE,
+                       s.INCREMENT, s.CYCLEOPTION
+                FROM SYS.SYSSEQUENCES s JOIN SYS.SYSSCHEMAS sc
+                  ON s.SCHEMAID = sc.SCHEMAID
+                WHERE sc.SCHEMANAME NOT LIKE 'SYS%'
+                ORDER BY s.SEQUENCENAME"""):
+            # restart where the source would continue: CURRENTVALUE is the
+            # next value Derby hands out (NULL once exhausted)
+            restart = cur if cur is not None else start
+            out.append(
+                f"CREATE SEQUENCE {name} AS {dtype} "
+                f"START WITH {restart if include_setval else start} "
+                f"INCREMENT BY {inc} MINVALUE {mn} MAXVALUE {mx} "
+                f"{'CYCLE' if cyc == 'Y' else 'NO CYCLE'};")
+        return out
+    return []
+
+
+def comment_ddl(spark: SparkSession, dsn: DSN) -> list[str]:
+    """COMMENT ON TABLE/COLUMN statements (postgres only — MySQL carries
+    comments inside SHOW CREATE TABLE already; Derby has none).
+
+    The reference deliberately strips comments (``pg_dump
+    --no-comments``, pg_dump.go:40), so :meth:`JdbcCatalog.structure`
+    keeps them OFF by default for bug-compat; this is the opt-in for
+    users who want the documentation to survive the copy."""
+    if dsn.type not in ("postgres", "postgresql"):
+        return []
+    return pg_comment_statements(
+        query_rows(spark, dsn, PG_TABLE_COMMENTS_SQL),
+        query_rows(spark, dsn, PG_COLUMN_COMMENTS_SQL))
+
+
+def extension_ddl(spark: SparkSession, dsn: DSN) -> list[str]:
+    """CREATE EXTENSION statements for non-default postgres extensions —
+    types/functions the table DDL may reference (e.g. hstore, uuid-ossp)
+    must exist before the tables restore."""
+    if dsn.type not in ("postgres", "postgresql"):
+        return []
+    return pg_extension_statements(
+        query_rows(spark, dsn, PG_EXTENSIONS_SQL))
+
+
+# --- pg catalog SQL + pure renderers -----------------------------------
+# Split from the JDBC transport so the real-server suite
+# (tests/test_real_pg_server.py) can run the SAME catalog queries over
+# psql and execute the SAME rendered statements against a live postgres
+# — the dialect corners are validated even where no JDBC jar exists.
+
+PG_SEQUENCES_SQL = """
+    SELECT sequencename, start_value, increment_by, min_value,
+           max_value, cache_size, cycle, last_value
+    FROM pg_sequences WHERE schemaname = current_schema()
+    ORDER BY sequencename"""
+
+PG_SEQUENCE_OWNERS_SQL = """
+    SELECT seq.relname, t.relname, a.attname
+    FROM pg_class seq
+    JOIN pg_depend d ON d.objid = seq.oid AND d.deptype IN ('a', 'i')
+    JOIN pg_class t ON t.oid = d.refobjid AND t.relkind = 'r'
+    JOIN pg_attribute a ON a.attrelid = t.oid AND a.attnum = d.refobjsubid
+    WHERE seq.relkind = 'S'"""
+
+PG_TABLE_COMMENTS_SQL = """
+    SELECT c.relname, d.description
+    FROM pg_description d
+    JOIN pg_class c ON c.oid = d.objoid AND d.objsubid = 0
+    WHERE c.relkind IN ('r', 'v')
+      AND c.relnamespace = current_schema()::regnamespace
+    ORDER BY c.relname"""
+
+PG_COLUMN_COMMENTS_SQL = """
+    SELECT c.relname, a.attname, d.description
+    FROM pg_description d
+    JOIN pg_class c ON c.oid = d.objoid
+    JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum = d.objsubid
+    WHERE d.objsubid > 0 AND c.relkind IN ('r', 'v')
+      AND c.relnamespace = current_schema()::regnamespace
+    ORDER BY c.relname, a.attnum"""
+
+PG_EXTENSIONS_SQL = """
+    SELECT extname FROM pg_extension
+    WHERE extname <> 'plpgsql' ORDER BY extname"""
+
+
+def pg_sequence_statements(seq_rows, owner_rows,
+                           include_setval: bool = True) -> list[str]:
+    """Render pg sequence DDL from catalog rows (stringly typed — both
+    the JDBC ResultSet reader and psql produce strings). Replay order
+    matters, exactly as in pg_dump's own output: the CREATE/setval
+    statements must run BEFORE the table DDL (DEFAULT nextval references
+    the sequence) but the ALTER ... OWNED BY statements must run AFTER
+    it (they reference the table) — use
+    :func:`split_sequence_statements` to partition."""
+    owners = {r[0]: (r[1], r[2]) for r in owner_rows}
+    out = []
+    for name, start, inc, mn, mx, cache, cyc, last in seq_rows:
+        cycle = str(cyc).lower() in ("true", "t", "1")
+        out.append(f"CREATE SEQUENCE {name} START WITH {start} "
+                   f"INCREMENT BY {inc} MINVALUE {mn} MAXVALUE {mx} "
+                   f"CACHE {cache}{' CYCLE' if cycle else ''};")
+        if name in owners:
+            tab, col = owners[name]
+            out.append(f"ALTER SEQUENCE {name} OWNED BY {tab}.{col};")
+        if include_setval and last is not None and str(last) != "":
+            # is_called=true: the next nextval() returns last+increment,
+            # exactly where the source would continue
+            out.append(f"SELECT setval('{name}', {last}, true);")
+    return out
+
+
+def split_sequence_statements(stmts: list[str]) -> tuple[list[str],
+                                                         list[str]]:
+    """(before_tables, after_tables): OWNED BY references the owning
+    table, everything else must precede the table DDL."""
+    pre = [s for s in stmts if not s.startswith("ALTER SEQUENCE")]
+    post = [s for s in stmts if s.startswith("ALTER SEQUENCE")]
+    return pre, post
+
+
+def pg_comment_statements(table_rows, column_rows) -> list[str]:
+    def q(text: str) -> str:
+        return text.replace("'", "''")
+    out = [f"COMMENT ON TABLE {tab} IS '{q(desc)}';"
+           for tab, desc in table_rows]
+    out += [f"COMMENT ON COLUMN {tab}.{col} IS '{q(desc)}';"
+            for tab, col, desc in column_rows]
+    return out
+
+
+def pg_extension_statements(rows) -> list[str]:
+    return [f'CREATE EXTENSION IF NOT EXISTS "{r[0]}";' for r in rows]

@@ -327,3 +327,47 @@ def test_rds_fk_cycle_restores_on_failure(spark, src):
                    hooks=hooks)
     restored = J.foreign_keys(spark, src, "users")
     assert restored and restored[0][0].upper() == "FK_TEAM"
+
+
+def test_sequence_ddl_derby_roundtrip(spark, src, tmp_path):
+    """Sequences appear in structure() (pg_dump parity, VERDICT r06 gap)
+    and the captured DDL restores into a fresh database POSITIONED where
+    the source would continue — no id collisions after a copy."""
+    J.execute(spark, src, [
+        "CREATE SEQUENCE user_ids AS BIGINT START WITH 100 "
+        "INCREMENT BY 5 NO CYCLE",
+    ], transactional=False)
+    try:
+        # advance the source sequence: next value becomes 110
+        J.query_rows(spark, src, "VALUES NEXT VALUE FOR user_ids")
+        J.query_rows(spark, src, "VALUES NEXT VALUE FOR user_ids")
+        stmts = J.sequence_ddl(spark, src)
+        assert any("CREATE SEQUENCE" in s and "USER_IDS" in s.upper()
+                   for s in stmts)
+        assert "USER_IDS" in JdbcCatalog(spark, src).structure().upper()
+        dst = _dsn(spark, tmp_path, "seqdst")
+        J.execute(spark, dst, [s.rstrip(";") for s in stmts],
+                  transactional=False)
+        nxt = int(J.query_rows(spark, dst,
+                               "VALUES NEXT VALUE FOR user_ids")[0][0])
+        assert nxt >= 110, f"restored sequence restarted low: {nxt}"
+        # structural parameters survive too
+        inc = J.query_rows(
+            spark, dst, "SELECT INCREMENT FROM SYS.SYSSEQUENCES "
+            "WHERE SEQUENCENAME = 'USER_IDS'")[0][0]
+        assert int(inc) == 5
+    finally:
+        J.execute(spark, src, ["DROP SEQUENCE user_ids RESTRICT"],
+                  transactional=False)
+
+
+def test_sequence_and_comment_ddl_empty_offpath(spark, src):
+    """MySQL/others: sequences ride in SHOW CREATE TABLE or don't exist;
+    comment_ddl is pg-only. Both no-op instead of erroring."""
+    from klepto_spark.sources.dsn import parse
+    my = parse("mysql://u:p@localhost:3306/db")
+    assert J.comment_ddl(spark, src) == []
+    assert J.extension_ddl(spark, src) == []
+    # dialect routing happens before any connection is attempted
+    assert J.sequence_ddl(spark, my) == []
+    assert J.comment_ddl(spark, my) == []

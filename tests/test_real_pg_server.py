@@ -67,8 +67,9 @@ def pg():
         if r.returncode:
             pytest.skip(f"pg_ctl start failed: {r.stderr.strip()[:200]}")
 
-        def sql(text: str, check: bool = True) -> str:
+        def sql(text: str, check: bool = True, db: str = "postgres") -> str:
             p = _run(["psql", "-h", sock, "-p", PG_PORT, "-U", "postgres",
+                      "-d", db,
                       "-X", "-A", "-t", "-v", "ON_ERROR_STOP=1",
                       "-c", text])
             if check and p.returncode:
@@ -233,3 +234,90 @@ def test_generated_create_table_ddl_on_real_postgres(spark, pg):
     assert pg('SELECT id, ok, bal, emb[2], "select" FROM "ddl_t"') == \
         "1|t|12.34|0.2|9"
     pg('DROP TABLE "ddl_t"')
+
+
+def _rows(text: str) -> list[tuple]:
+    """psql -A -t output -> list of string tuples ('' for NULL)."""
+    return [tuple(line.split("|")) for line in text.splitlines() if line]
+
+
+def test_sequence_comment_extension_ddl_on_real_postgres(pg):
+    """pg_dump-parity round-trip for the r06-flagged gaps: the SAME
+    catalog SQL that jdbc.sequence_ddl/comment_ddl/extension_ddl run
+    over JDBC executes here via psql against a live server, the
+    rendered statements replay into a SECOND database on the same
+    server, and the restored SERIAL-backed sequence continues ABOVE the
+    source's last id — the collision a schema-only restore used to
+    guarantee. Ownership restores too (dropping the table drops the
+    sequence)."""
+    from klepto_spark import jdbc as J
+
+    for db in ("seqsrc", "seqdst"):
+        pg(f"DROP DATABASE IF EXISTS {db}")
+        pg(f"CREATE DATABASE {db}")
+    try:
+        pg("CREATE TABLE posts (id SERIAL PRIMARY KEY, title TEXT)",
+           db="seqsrc")
+        pg("INSERT INTO posts (title) SELECT 'p' || g "
+           "FROM generate_series(1, 7) g", db="seqsrc")
+        pg("COMMENT ON TABLE posts IS 'user''s posts'", db="seqsrc")
+        pg("COMMENT ON COLUMN posts.title IS 'headline'", db="seqsrc")
+
+        seq_rows = _rows(pg(J.PG_SEQUENCES_SQL, db="seqsrc"))
+        owner_rows = _rows(pg(J.PG_SEQUENCE_OWNERS_SQL, db="seqsrc"))
+        # psql prints NULL as '' — normalise last_value like the reader
+        seq_rows = [tuple(None if v == "" else v for v in r)
+                    for r in seq_rows]
+        stmts = J.pg_sequence_statements(seq_rows, owner_rows)
+        assert any(s.startswith("CREATE SEQUENCE posts_id_seq")
+                   for s in stmts)
+        assert ("ALTER SEQUENCE posts_id_seq OWNED BY posts.id;"
+                in stmts)
+        assert any(s.startswith("SELECT setval('posts_id_seq', 7")
+                   for s in stmts)
+
+        # restore in pg_dump order: CREATE SEQUENCE + setval before the
+        # table (DEFAULT nextval references it), OWNED BY after it
+        pre, post = J.split_sequence_statements(stmts)
+        bad = pg("CREATE TABLE posts (id INT NOT NULL "
+                 "DEFAULT nextval('posts_id_seq'), title TEXT)",
+                 db="seqdst", check=False)  # sequence must exist FIRST
+        assert bad.startswith("ERROR")
+        for s in pre:
+            pg(s, db="seqdst")
+        pg("CREATE TABLE posts (id INT NOT NULL "
+           "DEFAULT nextval('posts_id_seq'), title TEXT)", db="seqdst")
+        for s in post:
+            pg(s, db="seqdst")
+        pg("INSERT INTO posts (title) VALUES ('new')", db="seqdst")
+        nxt = int(pg("SELECT max(id) FROM posts", db="seqdst"))
+        assert nxt == 8, f"restored sequence did not continue at 8: {nxt}"
+        # OWNED BY survives: dropping the table drops the sequence
+        pg("DROP TABLE posts", db="seqdst")
+        gone = pg("SELECT count(*) FROM pg_class "
+                  "WHERE relname = 'posts_id_seq'", db="seqdst")
+        assert gone == "0"
+
+        # comments: catalog SQL + renderer replay, including the quote
+        cstmts = J.pg_comment_statements(
+            _rows(pg(J.PG_TABLE_COMMENTS_SQL, db="seqsrc")),
+            _rows(pg(J.PG_COLUMN_COMMENTS_SQL, db="seqsrc")))
+        assert "COMMENT ON TABLE posts IS 'user''s posts';" in cstmts
+        assert "COMMENT ON COLUMN posts.title IS 'headline';" in cstmts
+        pg("CREATE TABLE posts (id INT, title TEXT)", db="seqdst")
+        for s in cstmts:
+            pg(s, db="seqdst")
+        back = pg("SELECT obj_description('posts'::regclass, 'pg_class')",
+                  db="seqdst")
+        assert back == "user's posts"
+
+        # extensions: render + execute (plpgsql excluded, IF NOT EXISTS
+        # makes replay idempotent)
+        estmts = J.pg_extension_statements(
+            _rows(pg(J.PG_EXTENSIONS_SQL, db="seqsrc")))
+        assert all("plpgsql" not in s for s in estmts)
+        for s in estmts:
+            pg(s, db="seqdst")
+    finally:
+        for db in ("seqsrc", "seqdst"):
+            pg(f"DROP DATABASE IF EXISTS {db}")
