@@ -264,7 +264,21 @@ def main() -> None:
               "scaling_vs_10x_sf01": scaling,
               "stress_near_copy": stress,
               "ann_recall": recall,
-              "notes": {"d04_dedup_jaccard_verified":
+              "notes": {"ann_recall":
+                        "the near-copy corpus makes neighbourhoods easy "
+                        "(a query's true top-10 is dominated by its 9 "
+                        "perturbed replicas), so 1.0 recall here means "
+                        "'no index regression', not 'hard corpus "
+                        "solved' — the hard-structure gate is "
+                        "test_ann_recall_gate_default_params; latency "
+                        "at this corpus size favours brute force (one "
+                        "codegen'd scan beats assignment+prune below "
+                        "~10^5 vectors; the at-rest pruned indexes are "
+                        "the scale path)",
+                        "d09_vs_d08": "the at-rest held-out index probe "
+                        "(d09) vs the two-corpus run (d08) at sf1 is "
+                        "the re-shingle saving measured",
+                        "d04_dedup_jaccard_verified":
                         "candidate-driven: the 10-near-copy corpus grows "
                         "LSH pairs ~90x for 10x docs (7,340 -> 660,797 "
                         "measured), so read this entry per candidate "

@@ -771,5 +771,19 @@ def semantic_append(spark, path, new_emb: DataFrame, threshold: float,
         if isinstance(path, (list, tuple)):
             raise ValueError("commit=True needs a single index root, "
                              "not a path list")
+        # same mixed-layout hazard as minhash_append: a streaming-built
+        # index is epoch-partitioned; flat appends would break partition
+        # discovery at the next read
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(root) and any(
+                st.getPath().getName().startswith("ep=")
+                for st in fs.listStatus(root)):
+            raise ValueError(
+                f"index at {path!r} is epoch-partitioned (ep= dirs, "
+                "built by streaming.dedup); commit through "
+                "streaming.dedup.process_semantic_batch with the next "
+                "epoch id, or call semantic_append with commit=False")
         nb.write.mode("append").parquet(path)
     return out

@@ -144,3 +144,76 @@ def process_batch(batch_df: DataFrame, epoch_id: int, index_path: str,
     # idempotent index commit: the epoch's own dir, replaced on retry
     bands_df.write.mode("overwrite").parquet(
         f"{index_path}/ep={epoch_id}")
+
+
+# ---------------------------------------------------------------------------
+# SEMANTIC twin (round 7): the same foreachBatch shape over the at-rest
+# signature index (operators.dedup.semantic_append) -- an embedding
+# stream deduplicates against, and folds into, the (key, signature,
+# vector) index with per-batch broadcast-probe cost. Epoch-keyed and
+# replayable exactly like process_batch.
+# ---------------------------------------------------------------------------
+
+
+def semantic_stream_writer(emb: DataFrame, index_path: str,
+                           pairs_path: str, checkpoint: str,
+                           threshold: float,
+                           vec_col: str = "embedding",
+                           key_col: str = "vec_id", bits: int = 16,
+                           dim: int | None = None,
+                           max_bucket: int = 64):
+    """A configured ``DataStreamWriter`` for embedding streams: verified
+    cosine pairs (>= one endpoint in the arriving batch) appear under
+    ``pairs_path`` partitioned by batch epoch; the batch's index rows
+    commit to ``index_path/ep=<batch>``."""
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        process_semantic_batch(batch_df, int(epoch_id), index_path,
+                               pairs_path, threshold, vec_col, key_col,
+                               bits, dim, max_bucket)
+
+    return (emb.writeStream.foreachBatch(_batch)
+            .option("checkpointLocation", checkpoint))
+
+
+def process_semantic_batch(batch_df: DataFrame, epoch_id: int,
+                           index_path: str, pairs_path: str,
+                           threshold: float,
+                           vec_col: str = "embedding",
+                           key_col: str = "vec_id", bits: int = 16,
+                           dim: int | None = None,
+                           max_bucket: int = 64) -> None:
+    """One micro-batch of the streaming semantic dedup (retry-idempotent
+    by the same contract as :func:`process_batch`: same ``epoch_id`` =>
+    same index view probed, same outputs replaced)."""
+    spark = batch_df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = p.getFileSystem(conf)
+    prior: list[str] = []
+    if fs.exists(p):
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("_"):
+                continue
+            if name.startswith("ep="):
+                try:
+                    if int(name[3:]) >= epoch_id:
+                        continue
+                except ValueError:
+                    pass
+            prior.append(str(st.getPath()))
+    if not prior:
+        from klepto_spark.operators.similarity import cosine_similar_pairs
+        pairs = cosine_similar_pairs(batch_df, threshold, vec_col,
+                                     key_col, bits, dim, max_bucket)
+    else:
+        pairs = D.semantic_append(
+            spark, sorted(prior), batch_df, threshold, vec_col, key_col,
+            bits, dim, max_bucket, commit=False)
+    (pairs.withColumn("ep", F.lit(epoch_id))
+     .write.mode("overwrite").partitionBy("ep")
+     .option("partitionOverwriteMode", "dynamic").parquet(pairs_path))
+    D.semantic_index_rows(batch_df, vec_col, key_col, bits, dim) \
+        .write.mode("overwrite").parquet(f"{index_path}/ep={epoch_id}")

@@ -674,3 +674,70 @@ def test_minhash_append_refuses_flat_commit_into_epoch_index(spark, tmp_path):
     D.minhash_append(spark, idx, df2, commit=False).collect()
     # and the index is still readable as ONE partitioned table
     assert spark.read.parquet(idx).select("doc_id").distinct().count() == 20
+
+
+def _emb_batch(lo, hi, dim=16):
+    """Clustered embeddings with real near-dup structure: ids lo..hi-1,
+    vector = cluster center (id % 7) + small noise, so same-cluster
+    vectors exceed a 0.95 cosine threshold and others do not."""
+    import numpy as np
+    rng = np.random.default_rng(lo)
+    centers = np.random.default_rng(0).normal(size=(7, dim))
+    return [(i, [float(x) for x in
+                 centers[i % 7] + rng.normal(size=dim) * 0.05])
+            for i in range(lo, hi)]
+
+
+def test_streaming_semantic_batches_union_to_full_recompute(spark,
+                                                            tmp_path):
+    """Two streamed batches: the epoch-keyed pair outputs must union to
+    exactly the one-shot cosine_similar_pairs over everything (bootstrap
+    epoch emits intra-batch pairs; later epochs emit >=1-new-endpoint
+    pairs against the index)."""
+    from klepto_spark.operators import similarity
+    from klepto_spark.streaming.dedup import process_semantic_batch
+
+    idx = str(tmp_path / "sidx")
+    pairs_out = str(tmp_path / "spairs")
+    schema = "vec_id bigint, embedding array<double>"
+    df1 = spark.createDataFrame(_emb_batch(0, 30), schema)
+    df2 = spark.createDataFrame(_emb_batch(30, 60), schema)
+
+    process_semantic_batch(df1, 0, idx, pairs_out, 0.95, dim=16,
+                           max_bucket=10_000)
+    process_semantic_batch(df2, 1, idx, pairs_out, 0.95, dim=16,
+                           max_bucket=10_000)
+    got = {(r.a, r.b, r.cosine) for r in
+           spark.read.parquet(pairs_out).collect()}
+    full = {(r.a, r.b, r.cosine) for r in similarity.cosine_similar_pairs(
+        df1.unionByName(df2), 0.95, dim=16,
+        max_bucket=10_000).collect()}
+    assert got == full and full
+
+
+def test_streaming_semantic_retry_is_idempotent(spark, tmp_path):
+    from klepto_spark.streaming.dedup import process_semantic_batch
+
+    idx = str(tmp_path / "sidx2")
+    pairs_out = str(tmp_path / "spairs2")
+    schema = "vec_id bigint, embedding array<double>"
+    df1 = spark.createDataFrame(_emb_batch(0, 30), schema)
+    df2 = spark.createDataFrame(_emb_batch(30, 60), schema)
+
+    process_semantic_batch(df1, 0, idx, pairs_out, 0.95, dim=16)
+    process_semantic_batch(df2, 1, idx, pairs_out, 0.95, dim=16)
+    once = sorted((r.a, r.b, r.ep) for r in
+                  spark.read.parquet(pairs_out).collect())
+    n_idx = spark.read.parquet(idx).count()
+
+    # out-of-order replays, including the bootstrap epoch
+    process_semantic_batch(df2, 1, idx, pairs_out, 0.95, dim=16)
+    process_semantic_batch(df1, 0, idx, pairs_out, 0.95, dim=16)
+    again = sorted((r.a, r.b, r.ep) for r in
+                   spark.read.parquet(pairs_out).collect())
+    assert again == once
+    assert spark.read.parquet(idx).count() == n_idx
+    # a batch-mode flat commit into the epoch index must refuse
+    from klepto_spark.operators import dedup as D
+    with pytest.raises(ValueError, match="epoch-partitioned"):
+        D.semantic_append(spark, idx, df2, 0.95, dim=16, commit=True)
