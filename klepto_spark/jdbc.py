@@ -158,6 +158,7 @@ def native_ddl(spark: SparkSession, dsn: DSN, table: str) -> str:
         meta = conn.getMetaData()
         stored = _stored_name(meta, table) or table
 
+        is_pg = dsn.type in ("postgres", "postgresql")
         cols = []
         rs = meta.getColumns(None, None, stored, None)
         while rs.next():
@@ -170,10 +171,25 @@ def native_ddl(spark: SparkSession, dsn: DSN, table: str) -> str:
                 type_name = f"{type_name}({size})"
             elif upper in ("DECIMAL", "NUMERIC") and size > 0:
                 type_name = f"{type_name}({size},{digits})"
-            line = f"  {name} {type_name}"
             default = rs.getString("COLUMN_DEF")
+            if is_pg and type_name.lower() in _PG_SERIAL_TYPES:
+                # pgjdbc reports SERIAL columns with TYPE_NAME 'serial';
+                # replaying that literally would re-create the sequence
+                # sequence_ddl already emits ('relation already exists' —
+                # ADVICE r07 medium). Follow pg_dump: decompose into the
+                # plain int type; COLUMN_DEF already carries the
+                # DEFAULT nextval('...') expression.
+                type_name = _PG_SERIAL_TYPES[type_name.lower()]
+            line = f"  {name} {type_name}"
             if default is not None:
                 line += f" DEFAULT {default}"
+            elif is_pg and _is_autoincrement(rs):
+                # identity column (no default, still auto): sequence_ddl
+                # skips its internal sequence (deptype 'i'), so the column
+                # itself must re-create it. BY DEFAULT (not ALWAYS) is the
+                # restore-safe rendering: the data copy inserts explicit
+                # ids.
+                line += " GENERATED BY DEFAULT AS IDENTITY"
             if rs.getInt("NULLABLE") == 0:  # columnNoNulls
                 line += " NOT NULL"
             cols.append(line)
@@ -205,6 +221,19 @@ def native_ddl(spark: SparkSession, dsn: DSN, table: str) -> str:
         return ddl
     finally:
         conn.close()
+
+
+# pg serial pseudo-types -> the plain type pg_dump decomposes them into
+_PG_SERIAL_TYPES = {"serial": "INTEGER", "serial4": "INTEGER",
+                    "bigserial": "BIGINT", "serial8": "BIGINT",
+                    "smallserial": "SMALLINT", "serial2": "SMALLINT"}
+
+
+def _is_autoincrement(rs) -> bool:
+    try:
+        return (rs.getString("IS_AUTOINCREMENT") or "").upper() == "YES"
+    except Exception:  # noqa: BLE001 — pre-JDBC4 driver without the column
+        return False
 
 
 # system-generated backing indexes (Derby names them SQL<digits> or
@@ -403,6 +432,40 @@ def extension_ddl(spark: SparkSession, dsn: DSN) -> list[str]:
         query_rows(spark, dsn, PG_EXTENSIONS_SQL))
 
 
+def enum_ddl(spark: SparkSession, dsn: DSN) -> list[str]:
+    """CREATE TYPE ... AS ENUM statements (postgres only) — enum-typed
+    columns reference the type at CREATE TABLE time, so these run before
+    the table DDL (pg_dump emits types first for the same reason,
+    reference pkg/reader/postgres/pg_dump.go:32-59)."""
+    if dsn.type not in ("postgres", "postgresql"):
+        return []
+    return pg_enum_statements(query_rows(spark, dsn, PG_ENUM_TYPES_SQL))
+
+
+def check_constraint_ddl(spark: SparkSession, dsn: DSN) -> list[str]:
+    """ALTER TABLE ... ADD CONSTRAINT ... CHECK statements (postgres
+    only — MySQL's SHOW CREATE TABLE carries CHECKs inline; Derby's
+    metadata has no constraintdef surface). Emitted AFTER the table DDL
+    so the assembled CREATE TABLE stays engine-agnostic."""
+    if dsn.type not in ("postgres", "postgresql"):
+        return []
+    return pg_check_statements(
+        query_rows(spark, dsn, PG_CHECK_CONSTRAINTS_SQL))
+
+
+def trigger_ddl(spark: SparkSession, dsn: DSN) -> list[str]:
+    """Trigger-function bodies + CREATE TRIGGER statements (postgres
+    only), in dependency order — the last piece of ``pg_dump
+    --schema-only`` output the assembled structure dump was missing.
+    A restored schema without its triggers silently loses audit rows /
+    derived-column maintenance on the first write."""
+    if dsn.type not in ("postgres", "postgresql"):
+        return []
+    return pg_trigger_statements(
+        query_rows(spark, dsn, PG_TRIGGER_FUNCTIONS_SQL),
+        query_rows(spark, dsn, PG_TRIGGERS_SQL))
+
+
 # --- pg catalog SQL + pure renderers -----------------------------------
 # Split from the JDBC transport so the real-server suite
 # (tests/test_real_pg_server.py) can run the SAME catalog queries over
@@ -416,18 +479,20 @@ PG_SEQUENCES_SQL = """
     ORDER BY sequencename"""
 
 PG_SEQUENCE_OWNERS_SQL = """
-    SELECT seq.relname, t.relname, a.attname
+    SELECT seq.relname, t.relname, a.attname, d.deptype
     FROM pg_class seq
     JOIN pg_depend d ON d.objid = seq.oid AND d.deptype IN ('a', 'i')
     JOIN pg_class t ON t.oid = d.refobjid AND t.relkind = 'r'
     JOIN pg_attribute a ON a.attrelid = t.oid AND a.attnum = d.refobjsubid
-    WHERE seq.relkind = 'S'"""
+    WHERE seq.relkind = 'S'
+      AND seq.relnamespace = current_schema()::regnamespace"""
 
 PG_TABLE_COMMENTS_SQL = """
     SELECT c.relname, d.description
     FROM pg_description d
     JOIN pg_class c ON c.oid = d.objoid AND d.objsubid = 0
-    WHERE c.relkind IN ('r', 'v')
+    WHERE d.classoid = 'pg_class'::regclass
+      AND c.relkind IN ('r', 'v')
       AND c.relnamespace = current_schema()::regnamespace
     ORDER BY c.relname"""
 
@@ -436,7 +501,8 @@ PG_COLUMN_COMMENTS_SQL = """
     FROM pg_description d
     JOIN pg_class c ON c.oid = d.objoid
     JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum = d.objsubid
-    WHERE d.objsubid > 0 AND c.relkind IN ('r', 'v')
+    WHERE d.classoid = 'pg_class'::regclass
+      AND d.objsubid > 0 AND c.relkind IN ('r', 'v')
       AND c.relnamespace = current_schema()::regnamespace
     ORDER BY c.relname, a.attnum"""
 
@@ -453,17 +519,27 @@ def pg_sequence_statements(seq_rows, owner_rows,
     statements must run BEFORE the table DDL (DEFAULT nextval references
     the sequence) but the ALTER ... OWNED BY statements must run AFTER
     it (they reference the table) — use
-    :func:`split_sequence_statements` to partition."""
+    :func:`split_sequence_statements` to partition.
+
+    IDENTITY-backed sequences (pg_depend deptype 'i') get NO CREATE
+    SEQUENCE and no OWNED BY — the column's ``GENERATED ... AS
+    IDENTITY`` clause re-creates its internal sequence, so emitting one
+    here would collide exactly the way pg_dump avoids (ADVICE r07
+    medium). Their setval IS still emitted (a data copy must continue
+    above the copied ids); :func:`split_sequence_statements` routes it
+    after the table DDL, where the internal sequence exists."""
     owners = {r[0]: (r[1], r[2]) for r in owner_rows}
+    identity = {r[0] for r in owner_rows if len(r) > 3 and r[3] == "i"}
     out = []
     for name, start, inc, mn, mx, cache, cyc, last in seq_rows:
         cycle = str(cyc).lower() in ("true", "t", "1")
-        out.append(f"CREATE SEQUENCE {name} START WITH {start} "
-                   f"INCREMENT BY {inc} MINVALUE {mn} MAXVALUE {mx} "
-                   f"CACHE {cache}{' CYCLE' if cycle else ''};")
-        if name in owners:
-            tab, col = owners[name]
-            out.append(f"ALTER SEQUENCE {name} OWNED BY {tab}.{col};")
+        if name not in identity:
+            out.append(f"CREATE SEQUENCE {name} START WITH {start} "
+                       f"INCREMENT BY {inc} MINVALUE {mn} MAXVALUE {mx} "
+                       f"CACHE {cache}{' CYCLE' if cycle else ''};")
+            if name in owners:
+                tab, col = owners[name]
+                out.append(f"ALTER SEQUENCE {name} OWNED BY {tab}.{col};")
         if include_setval and last is not None and str(last) != "":
             # is_called=true: the next nextval() returns last+increment,
             # exactly where the source would continue
@@ -471,12 +547,25 @@ def pg_sequence_statements(seq_rows, owner_rows,
     return out
 
 
+_SETVAL_NAME = re.compile(r"^SELECT setval\('([^']+)'")
+
+
 def split_sequence_statements(stmts: list[str]) -> tuple[list[str],
                                                          list[str]]:
     """(before_tables, after_tables): OWNED BY references the owning
-    table, everything else must precede the table DDL."""
-    pre = [s for s in stmts if not s.startswith("ALTER SEQUENCE")]
-    post = [s for s in stmts if s.startswith("ALTER SEQUENCE")]
+    table, and a setval for a sequence with no CREATE SEQUENCE in the
+    list targets an identity column's INTERNAL sequence — both only
+    exist after the table DDL runs. Everything else must precede it."""
+    created = {s.split()[2] for s in stmts if s.startswith("CREATE SEQUENCE")}
+
+    def after(s: str) -> bool:
+        if s.startswith("ALTER SEQUENCE"):
+            return True
+        m = _SETVAL_NAME.match(s)
+        return bool(m) and m.group(1) not in created
+
+    pre = [s for s in stmts if not after(s)]
+    post = [s for s in stmts if after(s)]
     return pre, post
 
 
@@ -492,3 +581,128 @@ def pg_comment_statements(table_rows, column_rows) -> list[str]:
 
 def pg_extension_statements(rows) -> list[str]:
     return [f'CREATE EXTENSION IF NOT EXISTS "{r[0]}";' for r in rows]
+
+
+# --- enum / CHECK / trigger DDL (the last pg_dump --schema-only residue:
+# reference pkg/reader/postgres/pg_dump.go:32-59 emits these through
+# pg_dump itself; VERDICT r07 #4) ---------------------------------------
+
+PG_ENUM_TYPES_SQL = """
+    SELECT t.typname, e.enumlabel
+    FROM pg_type t
+    JOIN pg_enum e ON e.enumtypid = t.oid
+    JOIN pg_namespace n ON n.oid = t.typnamespace
+    WHERE n.nspname = current_schema()
+    ORDER BY t.typname, e.enumsortorder"""
+
+PG_CHECK_CONSTRAINTS_SQL = """
+    SELECT rel.relname, con.conname, pg_get_constraintdef(con.oid)
+    FROM pg_constraint con
+    JOIN pg_class rel ON rel.oid = con.conrelid
+    WHERE con.contype = 'c'
+      AND rel.relnamespace = current_schema()::regnamespace
+    ORDER BY rel.relname, con.conname"""
+
+# trigger functions first (a trigger references its function at CREATE
+# time); DISTINCT because several triggers can share one function
+PG_TRIGGER_FUNCTIONS_SQL = """
+    SELECT DISTINCT p.proname, pg_get_functiondef(p.oid)
+    FROM pg_trigger t
+    JOIN pg_proc p ON p.oid = t.tgfoid
+    JOIN pg_class c ON c.oid = t.tgrelid
+    JOIN pg_namespace n ON n.oid = p.pronamespace
+    WHERE NOT t.tgisinternal
+      AND c.relnamespace = current_schema()::regnamespace
+      AND n.nspname = current_schema()
+    ORDER BY p.proname"""
+
+PG_TRIGGERS_SQL = """
+    SELECT t.tgname, pg_get_triggerdef(t.oid)
+    FROM pg_trigger t
+    JOIN pg_class c ON c.oid = t.tgrelid
+    WHERE NOT t.tgisinternal
+      AND c.relnamespace = current_schema()::regnamespace
+    ORDER BY t.tgname"""
+
+# the pure pg table-DDL path: information_schema already decomposes
+# SERIAL into int + DEFAULT nextval and names enum columns by their udt,
+# so DDL assembled from these rows never fights sequence_ddl/enum_ddl
+PG_COLUMNS_SQL = """
+    SELECT table_name, column_name,
+           CASE WHEN data_type = 'USER-DEFINED' THEN udt_name
+                WHEN data_type IN ('character varying', 'character')
+                     AND character_maximum_length IS NOT NULL
+                  THEN data_type || '(' || character_maximum_length || ')'
+                WHEN data_type = 'numeric' AND numeric_precision IS NOT NULL
+                  THEN 'numeric(' || numeric_precision || ','
+                       || COALESCE(numeric_scale, 0) || ')'
+                ELSE data_type END,
+           is_nullable, column_default, is_identity, identity_generation
+    FROM information_schema.columns
+    WHERE table_schema = current_schema()
+    ORDER BY table_name, ordinal_position"""
+
+PG_PRIMARY_KEYS_SQL = """
+    SELECT t.relname, a.attname, k.n
+    FROM pg_index i
+    JOIN pg_class t ON t.oid = i.indrelid
+    CROSS JOIN LATERAL unnest(i.indkey) WITH ORDINALITY AS k(attnum, n)
+    JOIN pg_attribute a ON a.attrelid = t.oid AND a.attnum = k.attnum
+    WHERE i.indisprimary
+      AND t.relnamespace = current_schema()::regnamespace
+    ORDER BY t.relname, k.n"""
+
+
+def pg_enum_statements(rows) -> list[str]:
+    labels: dict[str, list[str]] = {}
+    for typ, lab in rows:
+        labels.setdefault(typ, []).append(lab.replace("'", "''"))
+    return [f"CREATE TYPE {t} AS ENUM ("
+            + ", ".join(f"'{v}'" for v in vals) + ");"
+            for t, vals in labels.items()]
+
+
+def pg_check_statements(rows) -> list[str]:
+    # pg_get_constraintdef renders "CHECK ((expr))" — replayable verbatim
+    return [f"ALTER TABLE {rel} ADD CONSTRAINT {name} {cdef};"
+            for rel, name, cdef in rows]
+
+
+def pg_trigger_statements(func_rows, trigger_rows) -> list[str]:
+    # pg_get_functiondef ends at the closing dollar-quote (no ';');
+    # pg_get_triggerdef is a single CREATE TRIGGER line, also bare
+    out = [d.rstrip().rstrip(";") + ";" for _, d in func_rows]
+    out += [d.rstrip().rstrip(";") + ";" for _, d in trigger_rows]
+    return out
+
+
+def pg_create_table_statements(col_rows, pk_rows) -> list[str]:
+    """CREATE TABLE DDL assembled from information_schema rows — column
+    fidelity the pg_dump way: SERIAL arrives decomposed (plain int +
+    DEFAULT nextval, never re-creating the sequence sequence_ddl emits —
+    ADVICE r07 medium), identity columns render GENERATED ... AS
+    IDENTITY (their internal sequence is deliberately absent from
+    sequence_ddl), enum columns carry the udt name (enum_ddl runs
+    first). Used by the real-pg structure-replay suite; the JDBC path
+    assembles the same shape from DatabaseMetaData."""
+    pks: dict[str, list[str]] = {}
+    for tab, col, _n in pk_rows:
+        pks.setdefault(tab, []).append(col)
+    tables: dict[str, list[str]] = {}
+    for tab, col, typ, nullable, default, is_ident, ident_gen in col_rows:
+        line = f"  {col} {typ}"
+        if str(is_ident).upper() == "YES":
+            gen = ("ALWAYS" if str(ident_gen).upper() == "ALWAYS"
+                   else "BY DEFAULT")
+            line += f" GENERATED {gen} AS IDENTITY"
+        elif default not in (None, ""):
+            line += f" DEFAULT {default}"
+        if str(nullable).upper() == "NO":
+            line += " NOT NULL"
+        tables.setdefault(tab, []).append(line)
+    out = []
+    for tab, lines in tables.items():
+        if tab in pks:
+            lines = lines + [f"  PRIMARY KEY ({', '.join(pks[tab])})"]
+        out.append(f"CREATE TABLE {tab} (\n" + ",\n".join(lines) + "\n);")
+    return out

@@ -688,9 +688,10 @@ def semantic_index_rows(emb: DataFrame, vec_col: str = "embedding",
     """The semantic index's (key, signature, vector) rows — exposed so
     the managed derived store (sinks/derived.py) can build and publish
     the index itself."""
+    from klepto_spark.operators.similarity import probe_dim, rh_signature
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
-    from klepto_spark.operators.similarity import rh_signature
+        # None on an empty frame: any width signs zero rows identically
+        dim = probe_dim(emb, vec_col) or 1
     v = F.col(vec_col).cast("array<double>")
     return emb.select(F.col(key_col),
                       rh_signature(v, bits, dim).alias("sig"),
@@ -730,9 +731,14 @@ def semantic_append(spark, path, new_emb: DataFrame, threshold: float,
     recompute); only touched buckets expand, and the verify join reads
     vectors from the index rows themselves — the original corpus table
     is never opened."""
+    from klepto_spark.operators.similarity import (
+        cosine, empty_pair_frame, probe_dim, rh_signature)
     if dim is None:
-        dim = len(new_emb.select(vec_col).first()[0])
-    from klepto_spark.operators.similarity import cosine, rh_signature
+        dim = probe_dim(new_emb, vec_col)
+        if dim is None:
+            # empty micro-batch (foreachBatch delivers these — ADVICE
+            # r07): no new pairs, nothing to fold into the index
+            return empty_pair_frame(new_emb, key_col)
     v = F.col(vec_col).cast("array<double>")
     nb = (fan_out(new_emb, key_col)
           .select(F.col(key_col), rh_signature(v, bits, dim).alias("sig"),

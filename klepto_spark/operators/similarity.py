@@ -107,7 +107,11 @@ def cosine_similar_pairs(df: DataFrame, threshold: float,
     from klepto_spark.operators.dedup import capped_bucket_pairs, fan_out
     spread = fan_out(df, key_col)
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])  # plan-time probe (1 row)
+        dim = probe_dim(df, vec_col)  # plan-time probe (1 row)
+        if dim is None:
+            # empty frame (a streaming bootstrap batch can be empty —
+            # ADVICE r07): no pairs, but keep the (a, b, cosine) schema
+            return empty_pair_frame(df, key_col)
     sig = rh_signature(F.col(vec_col).cast("array<double>"), bits, dim=dim)
     with_sig = spread.select(F.col(key_col), sig.alias("sig"))
     buckets = (with_sig.groupBy("sig")
@@ -126,6 +130,22 @@ def cosine_similar_pairs(df: DataFrame, threshold: float,
     score = cosine(F.col("va"), F.col("vb"))
     return (joined.select("a", "b", F.round(score, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector width from the first non-null row; ``None`` when the frame
+    is empty (or all-null) — streaming callers see empty micro-batches,
+    and an unguarded ``first()[0]`` raised TypeError there (ADVICE r07)."""
+    row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    return None if row is None else len(row[0])
+
+
+def empty_pair_frame(df: DataFrame, key_col: str) -> DataFrame:
+    """A zero-row (a, b, cosine) frame with ``a``/``b`` typed like
+    ``key_col`` — what the pair operators return for an empty input."""
+    return (df.select(F.col(key_col).alias("a"), F.col(key_col).alias("b"),
+                      F.lit(0.0).cast("double").alias("cosine"))
+            .limit(0))
 
 
 def _hyperplane(bit: int, dim: int) -> list[float]:

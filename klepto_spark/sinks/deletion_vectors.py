@@ -521,20 +521,22 @@ def vacuum_epochs(spark: SparkSession, directory: str, table: str,
     _write_json(fs, _sub_path(jvm, tgt, "_binpack.json"),
                 {"olds": olds, "news": news})
     # Hadoop rename reports failure as a False return, not an exception
-    # (e.g. destination exists). An unchecked failure here would let
-    # recovery roll the news back while the loop below still retires the
-    # folded epochs — permanently losing their upserts from the current
-    # view (ADVICE r06 medium). Check every rename and abort BEFORE the
-    # retirement loop; recovery then keeps the old base and the epochs,
-    # so the table stays correct (the raised floor only over-refuses
-    # time travel, never serves a folded pre-image).
-    renamed_ok = all(
+    # (e.g. destination exists). A failed publish must abort BEFORE the
+    # retirement loop or the folded epochs' upserts vanish from the
+    # current view (ADVICE r06 medium). The abort decision is made from
+    # the POST-recovery state below, not these return values.
+    for s, n in zip(staged, news):
         fs.rename(jvm.org.apache.hadoop.fs.Path(s),
                   jvm.org.apache.hadoop.fs.Path(n))
-        for s, n in zip(staged, news))
     _recover_binpack(jvm, fs, tgt)  # deletes olds + plan + staging
     news_paths = [jvm.org.apache.hadoop.fs.Path(n) for n in news]
-    if not renamed_ok or not all(fs.exists(p) for p in news_paths):
+    # Decide from the POST-recovery state, not the rename return values
+    # (ADVICE r07): a rename can report False because the destination
+    # already exists (a prior attempt landed it), in which case recovery
+    # takes the all-news-present branch, retires the olds, and the fold
+    # IS live — retiring the epochs below is then correct, and claiming
+    # "pre-fold base kept" would misstate the table to the operator.
+    if not all(fs.exists(p) for p in news_paths):
         raise RuntimeError(
             f"vacuum_epochs: publish did not land for table {table!r} "
             "(rename failed); recovery kept the pre-fold base and the "

@@ -48,11 +48,24 @@ def source_tag(src_path: str) -> str:
     the source produces a new tag; the derived copy for the old state is
     superseded and vacuumed on the next publish. Nanosecond resolution +
     size (ADVICE r06: whole-second mtime let a rewrite within the same
-    second keep its tag and serve the stale derived copy)."""
+    second keep its tag and serve the stale derived copy). For a
+    directory source the fingerprint is RECURSIVE — max mtime + total
+    size over every contained file (ADVICE r07: a rewrite confined to a
+    partition subdirectory changed neither the top-level mtime nor the
+    top-level file sizes, so the stale derived copy kept serving)."""
     st = os.stat(src_path)
-    size = (sum(e.stat().st_size for e in os.scandir(src_path)
-                if e.is_file()) if os.path.isdir(src_path) else st.st_size)
-    return f"{st.st_mtime_ns}-{size}"
+    if not os.path.isdir(src_path):
+        return f"{st.st_mtime_ns}-{st.st_size}"
+    size, mtime = 0, st.st_mtime_ns
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            try:
+                fst = os.stat(os.path.join(root, f))
+            except OSError:
+                continue  # vanished mid-walk (concurrent compaction)
+            size += fst.st_size
+            mtime = max(mtime, fst.st_mtime_ns)
+    return f"{mtime}-{size}"
 
 
 def derived_path(src_path: str, kind: str, root: str | None = None) -> str:

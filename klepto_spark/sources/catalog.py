@@ -433,17 +433,19 @@ class JdbcCatalog:
         same one-sided way (SURVEY §4.3.7).
 
         pg_dump parity (reference pg_dump.go:36-41): extensions first
-        (table DDL may reference their types), then sequences
-        (``DEFAULT nextval(...)`` needs them) with ownership + position,
-        then tables, then views. Comments are OFF by default — the
-        reference passes ``--no-comments`` — and opt-in via
-        ``include_comments=True``."""
+        (table DDL may reference their types), then enum types (columns
+        reference them), then sequences (``DEFAULT nextval(...)`` needs
+        them) with ownership + position, then tables, then CHECK
+        constraints + views + trigger functions/triggers. Comments are
+        OFF by default — the reference passes ``--no-comments`` — and
+        opt-in via ``include_comments=True``."""
         from klepto_spark import jdbc as J
         from klepto_spark.sinks.ddl import create_table_sql
         parts = []
         seq_pre, seq_post = J.split_sequence_statements(
             J.sequence_ddl(self.spark, self.dsn))
-        for stmts in (J.extension_ddl(self.spark, self.dsn), seq_pre):
+        for stmts in (J.extension_ddl(self.spark, self.dsn),
+                      J.enum_ddl(self.spark, self.dsn), seq_pre):
             if stmts:
                 parts.append("\n".join(stmts))
         for t in self.tables():
@@ -451,13 +453,18 @@ class JdbcCatalog:
                 parts.append(J.native_ddl(self.spark, self.dsn, t))
             except Exception:  # noqa: BLE001 — driver-specific metadata gaps
                 parts.append(create_table_sql(t, self.load(t).schema))
-        if seq_post:
-            parts.append("\n".join(seq_post))
+        for stmts in (seq_post,
+                      J.check_constraint_ddl(self.spark, self.dsn)):
+            if stmts:
+                parts.append("\n".join(stmts))
         for v in J.list_views(self.spark, self.dsn):
             try:
                 parts.append(J.view_ddl(self.spark, self.dsn, v))
             except Exception:  # noqa: BLE001 — dialect without view-text SQL
                 pass
+        trig = J.trigger_ddl(self.spark, self.dsn)
+        if trig:
+            parts.append("\n".join(trig))
         if include_comments:
             stmts = J.comment_ddl(self.spark, self.dsn)
             if stmts:

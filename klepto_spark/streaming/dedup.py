@@ -107,24 +107,7 @@ def process_batch(batch_df: DataFrame, epoch_id: int, index_path: str,
     fs = p.getFileSystem(conf)
     bands_df = D.minhash_band_rows(batch_df, text_col, key_col, k,
                                    num_hashes, bands)
-    # the index this epoch probes = strictly EARLIER epochs (plus any
-    # pre-existing non-epoch content adopted from minhash_write_index).
-    # Pinning ep < epoch_id makes a replay read the same index no matter
-    # what later epochs committed before the crash — deterministic
-    # retries, not just tolerated ones.
-    prior: list[str] = []
-    if fs.exists(p):
-        for st in fs.listStatus(p):
-            name = st.getPath().getName()
-            if name.startswith("_"):
-                continue
-            if name.startswith("ep="):
-                try:
-                    if int(name[3:]) >= epoch_id:
-                        continue
-                except ValueError:
-                    pass
-            prior.append(str(st.getPath()))
+    prior = _prior_index_paths(jvm, fs, p, epoch_id)
     if not prior:
         # first batch bootstraps the index; its intra-batch pairs come
         # from the self-contained operator
@@ -186,24 +169,18 @@ def process_semantic_batch(batch_df: DataFrame, epoch_id: int,
     """One micro-batch of the streaming semantic dedup (retry-idempotent
     by the same contract as :func:`process_batch`: same ``epoch_id`` =>
     same index view probed, same outputs replaced)."""
+    if batch_df.isEmpty():
+        # foreachBatch delivers empty micro-batches (ADVICE r07): the dim
+        # probe inside semantic_append would see no rows; nothing to
+        # probe, nothing to fold — and writing nothing keeps the replay
+        # contract (a retried empty epoch also writes nothing)
+        return
     spark = batch_df.sparkSession
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(index_path)
     fs = p.getFileSystem(conf)
-    prior: list[str] = []
-    if fs.exists(p):
-        for st in fs.listStatus(p):
-            name = st.getPath().getName()
-            if name.startswith("_"):
-                continue
-            if name.startswith("ep="):
-                try:
-                    if int(name[3:]) >= epoch_id:
-                        continue
-                except ValueError:
-                    pass
-            prior.append(str(st.getPath()))
+    prior = _prior_index_paths(jvm, fs, p, epoch_id)
     if not prior:
         from klepto_spark.operators.similarity import cosine_similar_pairs
         pairs = cosine_similar_pairs(batch_df, threshold, vec_col,
@@ -217,3 +194,197 @@ def process_semantic_batch(batch_df: DataFrame, epoch_id: int,
      .option("partitionOverwriteMode", "dynamic").parquet(pairs_path))
     D.semantic_index_rows(batch_df, vec_col, key_col, bits, dim) \
         .write.mode("overwrite").parquet(f"{index_path}/ep={epoch_id}")
+
+
+# ---------------------------------------------------------------------------
+# Epoch compaction (VERDICT r07 #3): the foreachBatch twins append one
+# ep=<batch> directory per micro-batch FOREVER -- a year of 1-minute
+# batches is ~500k small parquet dirs every probe must list and read.
+# compact_index_epochs folds committed epochs below a caller-supplied
+# horizon into flat base files, journaled and lease-gated exactly like
+# the table-store binpack (sources/catalog.py compact_small_files,
+# sinks/deletion_vectors.py vacuum_epochs): a crash at ANY point leaves
+# a journal that the next fold -- or the next probe, via the stale-
+# journal check in _prior_index_paths -- converges forward or back.
+# ---------------------------------------------------------------------------
+
+import json as _json  # noqa: E402
+import os as _os  # noqa: E402
+import time as _time  # noqa: E402
+
+_FOLD_JOURNAL = "_epochfold.json"
+_FOLD_STAGE = "_epfoldstage"
+#: journals younger than this are presumed a LIVE concurrent fold
+FOLD_LEASE_SEC = 60.0
+
+
+def _fold_lease() -> float:
+    return float(_os.environ.get("KLEPTO_EPOCHFOLD_LEASE_SEC",
+                                 FOLD_LEASE_SEC))
+
+
+def _read_plan(jvm, fs, jp) -> dict:
+    stream = fs.open(jp)
+    try:
+        return _json.loads(
+            jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
+    finally:
+        stream.close()
+
+
+def _recover_fold(jvm, fs, root) -> None:
+    """Converge a crashed fold. The journal lists old entries (flat base
+    files + folded ep dirs) and the new base file names; olds are only
+    deleted AFTER every new file landed, so the journal state decides:
+    all news present -> roll forward (delete remaining olds); any news
+    missing -> roll back (delete partial news, olds intact). Either way
+    the journal and stage clear, and probe results are unchanged."""
+    P = jvm.org.apache.hadoop.fs.Path
+    jp = P(root, _FOLD_JOURNAL)
+    if not fs.exists(jp):
+        return
+    plan = _read_plan(jvm, fs, jp)
+    news = [P(root, n) for n in plan["news"]]
+    if news and all(fs.exists(p) for p in news):
+        for name in plan["olds"]:
+            op = P(root, name)
+            if fs.exists(op):
+                fs.delete(op, True)
+    else:
+        for p in news:
+            if fs.exists(p):
+                fs.delete(p, False)
+    stage = P(root, _FOLD_STAGE)
+    if fs.exists(stage):
+        fs.delete(stage, True)
+    fs.delete(jp, False)
+
+
+def _prior_index_paths(jvm, fs, root, epoch_id: int) -> list[str]:
+    """The index view epoch ``epoch_id`` probes: every flat base entry
+    plus strictly EARLIER ep= dirs. Pinning ep < epoch_id makes a replay
+    read the same index no matter what later epochs committed before the
+    crash — deterministic retries, not just tolerated ones. A STALE fold
+    journal (crashed fold) is converged first so the listing never mixes
+    a partial fold's news with the olds they replace; a YOUNG journal is
+    a live concurrent fold and is left alone (its olds still serve)."""
+    if not fs.exists(root):
+        return []
+    P = jvm.org.apache.hadoop.fs.Path
+    jp = P(root, _FOLD_JOURNAL)
+    if fs.exists(jp):
+        age = _time.time() - fs.getFileStatus(jp).getModificationTime() / 1e3
+        if age >= _fold_lease():
+            _recover_fold(jvm, fs, root)
+    prior: list[str] = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("_"):
+            continue
+        if name.startswith("ep="):
+            try:
+                if int(name[3:]) >= epoch_id:
+                    continue
+            except ValueError:
+                pass
+        prior.append(str(st.getPath()))
+    return prior
+
+
+def compact_index_epochs(spark, index_path: str,
+                         max_epoch_exclusive: int) -> int:
+    """Fold committed ``ep=<batch>`` dirs below ``max_epoch_exclusive``
+    into the OLDEST folded epoch's directory; returns epoch dirs folded.
+
+    The fold target stays an ``ep=`` dir (never flat files at the root)
+    so the index remains readable as one partitioned table — the mixed
+    layout the batch-commit guard refuses is never created. The ``ep``
+    value of folded rows becomes the oldest folded epoch: that column is
+    the index's commit/probe mechanism, not data lineage, and every
+    probing epoch e >= the horizon satisfies e > oldest-folded, so the
+    folded rows stay in exactly the views that saw them before.
+
+    ``max_epoch_exclusive`` must not exceed the stream's committed
+    horizon (the checkpoint's last committed batch id + 1): a replay of
+    an IN-FLIGHT epoch e >= the horizon probes the identical view after
+    the fold — probe results are byte-identical (pytest-pinned). What
+    changes is the file count: O(batches) small dirs become one bounded
+    dir, the difference between a listing that takes milliseconds and
+    one that dominates every probe at year-scale. Refolding rewrites
+    the previous fold's rows (classic log-structured compaction cost) —
+    amortise by raising the horizon in large steps.
+
+    Journaled + lease-gated: a journal younger than
+    ``KLEPTO_EPOCHFOLD_LEASE_SEC`` (default 60s) means a concurrent fold
+    owns the root — this call raises instead of racing it. A stale
+    journal is recovered (forward or back, decided by which files
+    landed) before folding. Olds retire only after every new file is in
+    place, so a crash at any point leaves duplicates at worst, never a
+    missing epoch."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    root = P(index_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return 0
+    jp = P(root, _FOLD_JOURNAL)
+    if fs.exists(jp):
+        age = _time.time() - fs.getFileStatus(jp).getModificationTime() / 1e3
+        if age < _fold_lease():
+            raise RuntimeError(
+                f"epoch fold already in flight at {index_path!r} "
+                f"(journal {age:.0f}s old < lease {_fold_lease():.0f}s); "
+                "retry after the lease, or raise "
+                "KLEPTO_EPOCHFOLD_LEASE_SEC if this journal is yours")
+        _recover_fold(jvm, fs, root)
+    folded: dict[int, str] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("ep="):
+            continue  # adopted flat base / _meta: not this fold's business
+        try:
+            ep = int(name[3:])
+        except ValueError:
+            continue
+        if ep < max_epoch_exclusive:
+            folded[ep] = name
+    if len(folded) < 2:
+        return 0  # nothing to merge
+    dest = folded[min(folded)]
+    union = spark.read.parquet(
+        *[str(P(root, folded[e])) for e in sorted(folded)])
+    stage = P(root, _FOLD_STAGE)
+    if fs.exists(stage):
+        fs.delete(stage, True)
+    # coalesce (no shuffle): each output task drains many small inputs;
+    # the cap bounds the folded dir's file count independent of how
+    # many epochs went in
+    union.coalesce(min(len(folded), 32)).write.mode("overwrite").parquet(
+        str(stage))
+    staged = [st.getPath() for st in fs.listStatus(stage)
+              if st.getPath().getName().endswith(".parquet")]
+    # olds: every folded dir EXCEPT the destination, plus the
+    # destination's own pre-fold data files (the fold files replace
+    # them in place); news land inside the destination dir
+    dest_files = [f"{dest}/{st.getPath().getName()}"
+                  for st in fs.listStatus(P(root, dest))
+                  if st.getPath().getName().endswith(".parquet")]
+    olds = [folded[e] for e in sorted(folded) if folded[e] != dest]
+    olds += dest_files
+    news = [f"{dest}/fold-{max_epoch_exclusive}-{i}-{p.getName()}"
+            for i, p in enumerate(staged)]
+    plan = _json.dumps({"olds": olds, "news": news})
+    out = fs.create(jp, True)
+    out.write(bytearray(plan.encode("utf-8")))
+    out.close()
+    for sp, n in zip(staged, news):
+        fs.rename(sp, P(root, n))
+    # converge from the post-rename state: all news present -> the olds
+    # retire and the journal clears; anything less rolls back intact
+    _recover_fold(jvm, fs, root)
+    if not all(fs.exists(P(root, n)) for n in news):
+        raise RuntimeError(
+            f"compact_index_epochs: publish did not land at "
+            f"{index_path!r} (rename failed); the pre-fold layout was "
+            "kept — re-run compact_index_epochs")
+    return len(folded)

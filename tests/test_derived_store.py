@@ -79,16 +79,53 @@ def test_vacuum_reports_and_keeps_current(spark, tmp_path, monkeypatch):
 def test_source_tag_distinguishes_same_second_rewrite(spark, tmp_path,
                                                       monkeypatch):
     """A rewrite pinned to the SAME whole-second mtime still changes the
-    tag (st_mtime_ns + size fingerprint, ADVICE r06)."""
+    tag (st_mtime_ns + size fingerprint, ADVICE r06). Since ADVICE r07
+    the fingerprint is the max over CONTAINED file mtimes, so the nanos
+    are pinned on a data file, not the directory."""
     monkeypatch.setenv("KLEPTO_DERIVED_DIR", str(tmp_path / "store"))
     src = _src(spark, tmp_path)
     tag0 = derived.source_tag(src)
     spark.range(0, 7).select(F.col("id").alias("k")).write \
         .mode("overwrite").parquet(src)
-    # force the same whole-second mtime, different nanos
-    base = int(os.path.getmtime(src))
-    os.utime(src, ns=(base * 10**9 + 123456, base * 10**9 + 123456))
+    newest = max((os.path.join(r, f) for r, _, fs in os.walk(src)
+                  for f in fs), key=os.path.getmtime)
+    # force the same whole-second mtime, different nanos (a future
+    # second, so this file stays the tree's max either way)
+    base = int(os.path.getmtime(newest)) + 2
+    os.utime(newest, ns=(base * 10**9 + 123456, base * 10**9 + 123456))
     tag_a = derived.source_tag(src)
     assert tag_a != tag0
-    os.utime(src, ns=(base * 10**9 + 987654, base * 10**9 + 987654))
+    os.utime(newest, ns=(base * 10**9 + 987654, base * 10**9 + 987654))
     assert derived.source_tag(src) != tag_a
+
+
+def test_source_tag_sees_partition_subdir_rewrite(spark, tmp_path,
+                                                  monkeypatch):
+    """ADVICE r07: a rewrite confined to a partition SUBDIRECTORY (top-
+    level dir mtime and top-level file sizes unchanged) must still
+    change the tag — the fingerprint walks the whole tree."""
+    monkeypatch.setenv("KLEPTO_DERIVED_DIR", str(tmp_path / "store"))
+    src = str(tmp_path / "part.parquet")
+    spark.createDataFrame([(1, 10), (2, 20)], "p int, v int") \
+        .write.partitionBy("p").parquet(src)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.read.parquet(src).agg(F.sum("v").alias("s"))
+
+    assert derived.read_or_build(spark, src, "agg", build) \
+        .collect()[0]["s"] == 30
+    before = derived.source_tag(src)
+    # rewrite ONE partition's contents; pin the top-level mtime back so
+    # only the recursive walk can notice
+    top_stat = os.stat(src)
+    spark.createDataFrame([(1, 99)], "p int, v int") \
+        .write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic") \
+        .partitionBy("p").parquet(src)
+    os.utime(src, ns=(top_stat.st_atime_ns, top_stat.st_mtime_ns))
+    assert derived.source_tag(src) != before
+    got = derived.read_or_build(spark, src, "agg", build) \
+        .collect()[0]["s"]
+    assert got == 119 and len(calls) == 2  # rebuilt, not stale-served

@@ -371,3 +371,84 @@ def test_sequence_and_comment_ddl_empty_offpath(spark, src):
     # dialect routing happens before any connection is attempted
     assert J.sequence_ddl(spark, my) == []
     assert J.comment_ddl(spark, my) == []
+
+
+def test_pg_sequence_statements_skip_identity_and_route_setval():
+    """ADVICE r07 medium: identity-backed sequences (pg_depend deptype
+    'i') must NOT get CREATE SEQUENCE / OWNED BY — the column's
+    GENERATED ... AS IDENTITY clause re-creates the sequence, so a
+    replayed CREATE would collide. Their setval still positions the
+    restored stream, routed AFTER the table DDL (the internal sequence
+    only exists once the table does)."""
+    seq_rows = [
+        ("posts_id_seq", "1", "1", "1", "9223372036854775807", "1",
+         "false", "7"),
+        ("orders_id_seq", "1", "1", "1", "99", "1", "false", "3")]
+    owner_rows = [("posts_id_seq", "posts", "id", "a"),      # SERIAL
+                  ("orders_id_seq", "orders", "id", "i")]    # IDENTITY
+    stmts = J.pg_sequence_statements(seq_rows, owner_rows)
+    assert any(s.startswith("CREATE SEQUENCE posts_id_seq") for s in stmts)
+    assert "ALTER SEQUENCE posts_id_seq OWNED BY posts.id;" in stmts
+    assert not any("orders_id_seq" in s for s in stmts
+                   if s.startswith(("CREATE", "ALTER")))
+    assert "SELECT setval('orders_id_seq', 3, true);" in stmts
+    pre, post = J.split_sequence_statements(stmts)
+    assert "SELECT setval('posts_id_seq', 7, true);" in pre
+    assert "SELECT setval('orders_id_seq', 3, true);" in post
+    assert all(not s.startswith("ALTER SEQUENCE") for s in pre)
+    # legacy 3-column owner rows still render (no deptype = assume 'a')
+    legacy = J.pg_sequence_statements(seq_rows[:1],
+                                      [("posts_id_seq", "posts", "id")])
+    assert any(s.startswith("CREATE SEQUENCE posts_id_seq")
+               for s in legacy)
+
+
+def test_pg_table_enum_check_trigger_renderers():
+    """The pure pg-side DDL renderers (validated against a live server in
+    test_real_pg_server.py; unit-pinned here): information_schema rows
+    arrive with SERIAL already decomposed, identity flagged, enums by
+    udt name."""
+    ddl = J.pg_create_table_statements(
+        [("posts", "id", "integer", "NO",
+          "nextval('posts_id_seq'::regclass)", "NO", None),
+         ("posts", "title", "text", "YES", "", "NO", None),
+         ("posts", "m", "mood_t", "YES", None, "NO", None),
+         ("orders", "id", "bigint", "NO", None, "YES", "BY DEFAULT")],
+        [("posts", "id", "1")])
+    txt = "\n".join(ddl)
+    assert ("id integer DEFAULT nextval('posts_id_seq'::regclass) "
+            "NOT NULL") in txt
+    assert "serial" not in txt.lower()
+    assert "m mood_t" in txt
+    assert "id bigint GENERATED BY DEFAULT AS IDENTITY NOT NULL" in txt
+    assert "PRIMARY KEY (id)" in txt
+
+    enums = J.pg_enum_statements(
+        [("mood_t", "sad"), ("mood_t", "ok'ish"), ("size_t", "s")])
+    assert "CREATE TYPE mood_t AS ENUM ('sad', 'ok''ish');" in enums
+    assert "CREATE TYPE size_t AS ENUM ('s');" in enums
+
+    checks = J.pg_check_statements(
+        [("posts", "posts_len_chk", "CHECK ((length(title) > 0))")])
+    assert checks == ["ALTER TABLE posts ADD CONSTRAINT posts_len_chk "
+                      "CHECK ((length(title) > 0));"]
+
+    trig = J.pg_trigger_statements(
+        [("stamp_fn", "CREATE OR REPLACE FUNCTION public.stamp_fn()\n"
+          " RETURNS trigger\n LANGUAGE plpgsql\nAS $function$\nBEGIN\n"
+          " RETURN NEW;\nEND\n$function$")],
+        [("stamp_trg", "CREATE TRIGGER stamp_trg BEFORE INSERT ON posts "
+          "FOR EACH ROW EXECUTE FUNCTION stamp_fn()")])
+    assert len(trig) == 2 and all(s.endswith(";") for s in trig)
+    assert trig[0].startswith("CREATE OR REPLACE FUNCTION")  # fn FIRST
+    assert trig[1].startswith("CREATE TRIGGER")
+
+
+def test_enum_check_trigger_ddl_empty_offpath(spark, src):
+    """enum/check/trigger DDL is pg-only: Derby and MySQL no-op instead
+    of erroring (MySQL carries CHECKs inside SHOW CREATE TABLE)."""
+    my = parse("mysql://u:p@localhost:3306/db")
+    for dsn in (src, my):
+        assert J.enum_ddl(spark, dsn) == []
+        assert J.check_constraint_ddl(spark, dsn) == []
+        assert J.trigger_ddl(spark, dsn) == []

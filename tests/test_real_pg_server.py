@@ -321,3 +321,123 @@ def test_sequence_comment_extension_ddl_on_real_postgres(pg):
     finally:
         for db in ("seqsrc", "seqdst"):
             pg(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_serial_identity_structure_replay_without_collision(pg):
+    """ADVICE r07 medium: the combined structure() restore for SERIAL and
+    IDENTITY tables, replayed in structure()'s exact section order
+    (sequences-pre, tables, sequences-post) against a real server. The
+    table DDL comes from the same information_schema SQL + renderer the
+    engine uses, where SERIAL arrives already decomposed — so the
+    sequence CREATE never collides — and the identity column re-creates
+    its own internal sequence, positioned by the post-routed setval."""
+    from klepto_spark import jdbc as J
+
+    for db in ("ssrc", "sdst"):
+        pg(f"DROP DATABASE IF EXISTS {db}")
+        pg(f"CREATE DATABASE {db}")
+    try:
+        pg("CREATE TABLE posts (id SERIAL PRIMARY KEY, title TEXT)",
+           db="ssrc")
+        pg("CREATE TABLE orders (id BIGINT GENERATED BY DEFAULT AS "
+           "IDENTITY PRIMARY KEY, note TEXT)", db="ssrc")
+        pg("INSERT INTO posts (title) SELECT 'p' || g "
+           "FROM generate_series(1, 7) g", db="ssrc")
+        pg("INSERT INTO orders (note) SELECT 'o' || g "
+           "FROM generate_series(1, 3) g", db="ssrc")
+
+        seq_rows = [tuple(None if v == "" else v for v in r)
+                    for r in _rows(pg(J.PG_SEQUENCES_SQL, db="ssrc"))]
+        owner_rows = _rows(pg(J.PG_SEQUENCE_OWNERS_SQL, db="ssrc"))
+        stmts = J.pg_sequence_statements(seq_rows, owner_rows)
+        assert not any("orders_id_seq" in s for s in stmts
+                       if s.startswith(("CREATE", "ALTER")))
+        pre, post = J.split_sequence_statements(stmts)
+
+        col_rows = [tuple(None if v == "" else v for v in r)
+                    for r in _rows(pg(J.PG_COLUMNS_SQL, db="ssrc"))]
+        tables = J.pg_create_table_statements(
+            col_rows, _rows(pg(J.PG_PRIMARY_KEYS_SQL, db="ssrc")))
+        assert all("serial" not in t.lower() for t in tables)
+        assert any("nextval('posts_id_seq'" in t for t in tables)
+        assert any("GENERATED BY DEFAULT AS IDENTITY" in t
+                   for t in tables)
+
+        # the collision this fix removes: every statement must replay
+        for s in pre + tables + post:
+            pg(s, db="sdst")
+        pg("INSERT INTO posts (title) VALUES ('new')", db="sdst")
+        assert int(pg("SELECT max(id) FROM posts", db="sdst")) == 8
+        pg("INSERT INTO orders (note) VALUES ('new')", db="sdst")
+        assert int(pg("SELECT max(id) FROM orders", db="sdst")) == 4
+    finally:
+        for db in ("ssrc", "sdst"):
+            pg(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_enum_check_trigger_ddl_roundtrip_on_real_postgres(pg):
+    """VERDICT r07 #4 — the last pg_dump --schema-only residue: enum
+    types, CHECK constraints, and triggers (with their functions)
+    captured by the engine's catalog SQL, rendered, replayed into a
+    second database, and ENFORCED there."""
+    from klepto_spark import jdbc as J
+
+    for db in ("esrc", "edst"):
+        pg(f"DROP DATABASE IF EXISTS {db}")
+        pg(f"CREATE DATABASE {db}")
+    try:
+        pg("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')", db="esrc")
+        pg("CREATE TABLE entries (id INT PRIMARY KEY, m mood, n INT "
+           "CONSTRAINT n_positive CHECK (n > 0), stamped_at TIMESTAMP)",
+           db="esrc")
+        pg("CREATE FUNCTION stamp() RETURNS trigger LANGUAGE plpgsql AS "
+           "$$ BEGIN NEW.stamped_at := now(); RETURN NEW; END $$",
+           db="esrc")
+        pg("CREATE TRIGGER stamp_trg BEFORE INSERT ON entries "
+           "FOR EACH ROW EXECUTE FUNCTION stamp()", db="esrc")
+
+        enums = J.pg_enum_statements(
+            _rows(pg(J.PG_ENUM_TYPES_SQL, db="esrc")))
+        assert enums == ["CREATE TYPE mood AS ENUM ('sad', 'ok', "
+                         "'happy');"]
+        checks = J.pg_check_statements(
+            _rows(pg(J.PG_CHECK_CONSTRAINTS_SQL, db="esrc")))
+        assert len(checks) == 1 and "n_positive" in checks[0]
+        # the trigger catalog SQL finds exactly the user trigger and its
+        # function (FK/PK internals excluded by tgisinternal)
+        trig_rows = _rows(pg(J.PG_TRIGGERS_SQL, db="esrc"))
+        assert [t for t, _ in trig_rows] == ["stamp_trg"]
+        fn_names = _rows(pg(
+            "SELECT proname FROM (" + J.PG_TRIGGER_FUNCTIONS_SQL + ") q",
+            db="esrc"))
+        assert fn_names == [("stamp",)]
+        # function bodies are multi-line (psql's line-per-row output
+        # can't carry them); fetch the single def whole
+        fdef = pg("SELECT pg_get_functiondef(p.oid) FROM pg_proc p "
+                  "JOIN pg_namespace n ON n.oid = p.pronamespace "
+                  "WHERE p.proname = 'stamp' "
+                  "AND n.nspname = current_schema()", db="esrc")
+        trig = J.pg_trigger_statements([("stamp", fdef)], trig_rows)
+
+        # replay: enums -> table (enum-typed column) -> checks -> trigger
+        tables = J.pg_create_table_statements(
+            [tuple(None if v == "" else v for v in r)
+             for r in _rows(pg(J.PG_COLUMNS_SQL, db="esrc"))],
+            _rows(pg(J.PG_PRIMARY_KEYS_SQL, db="esrc")))
+        assert any(" m mood" in t for t in tables)
+        for s in enums + tables + checks + trig:
+            pg(s, db="edst")
+        # all three enforced in the restored schema
+        err = pg("INSERT INTO entries (id, m, n) VALUES (1, 'angry', 1)",
+                 db="edst", check=False)
+        assert "invalid input value for enum" in err
+        err = pg("INSERT INTO entries (id, m, n) VALUES (1, 'ok', 0)",
+                 db="edst", check=False)
+        assert "n_positive" in err
+        pg("INSERT INTO entries (id, m, n) VALUES (1, 'ok', 5)",
+           db="edst")
+        assert pg("SELECT stamped_at IS NOT NULL FROM entries "
+                  "WHERE id = 1", db="edst") == "t"
+    finally:
+        for db in ("esrc", "edst"):
+            pg(f"DROP DATABASE IF EXISTS {db}")

@@ -741,3 +741,173 @@ def test_streaming_semantic_retry_is_idempotent(spark, tmp_path):
     from klepto_spark.operators import dedup as D
     with pytest.raises(ValueError, match="epoch-partitioned"):
         D.semantic_append(spark, idx, df2, 0.95, dim=16, commit=True)
+
+
+# --- epoch compaction for the at-rest streaming indexes (VERDICT r07 #3)
+
+
+def test_compact_index_epochs_probe_identical_replay_safe(spark, tmp_path):
+    """Folding committed epochs into flat base files must change NOTHING
+    a probe sees: a replay of the still-in-flight epoch produces the
+    same pairs, the index rows are all preserved, and the folded ep=
+    dirs are gone (the unbounded-small-dirs growth the fold exists to
+    stop)."""
+    import os
+
+    from klepto_spark.streaming.dedup import (compact_index_epochs,
+                                              process_batch)
+
+    idx = str(tmp_path / "cidx")
+    pairs_out = str(tmp_path / "cpairs")
+    schema = "doc_id bigint, text string"
+    for i in range(3):
+        process_batch(spark.createDataFrame(
+            _dup_docs(i * 20, (i + 1) * 20), schema), i, idx, pairs_out)
+    probe = spark.createDataFrame(_dup_docs(60, 80), schema)
+    process_batch(probe, 3, idx, pairs_out)
+    once = sorted((r.a, r.b) for r in spark.read.parquet(pairs_out)
+                  .filter("ep = 3").collect())
+    n_rows = spark.read.parquet(idx).count()
+
+    assert compact_index_epochs(spark, idx, 3) == 3
+    names = [e.name for e in os.scandir(idx) if e.name.startswith("ep=")]
+    # epochs 0-2 folded INTO ep=0 (oldest); the layout stays pure ep=
+    assert sorted(names) == ["ep=0", "ep=3"]
+    assert spark.read.parquet(idx).count() == n_rows  # still ONE table
+
+    # replay of the in-flight epoch probes the identical view
+    process_batch(probe, 3, idx, pairs_out)
+    again = sorted((r.a, r.b) for r in spark.read.parquet(pairs_out)
+                   .filter("ep = 3").collect())
+    assert again == once and once
+    # a second fold at the same horizon is a no-op (one dir left below)
+    assert compact_index_epochs(spark, idx, 3) == 0
+    # raising the horizon refolds the base with the newly-committed epoch
+    assert compact_index_epochs(spark, idx, 4) == 2
+    assert spark.read.parquet(idx).count() == n_rows
+    assert [e.name for e in os.scandir(idx)
+            if e.name.startswith("ep=")] == ["ep=0"]
+
+
+def test_compact_semantic_index_epochs_probe_identical(spark, tmp_path):
+    from klepto_spark.operators import dedup as D
+    from klepto_spark.streaming.dedup import (compact_index_epochs,
+                                              process_semantic_batch)
+
+    idx = str(tmp_path / "csidx")
+    pairs_out = str(tmp_path / "cspairs")
+    schema = "vec_id bigint, embedding array<double>"
+    for i in range(3):
+        process_semantic_batch(spark.createDataFrame(
+            _emb_batch(i * 20, (i + 1) * 20), schema), i, idx, pairs_out,
+            0.95, dim=16)
+    probe = spark.createDataFrame(_emb_batch(60, 80), schema)
+    pre = {(r.a, r.b, r.cosine) for r in D.semantic_append(
+        spark, idx, probe, 0.95, dim=16, commit=False).collect()}
+    assert compact_index_epochs(spark, idx, 3) == 3
+    post = {(r.a, r.b, r.cosine) for r in D.semantic_append(
+        spark, idx, probe, 0.95, dim=16, commit=False).collect()}
+    assert post == pre and pre
+    # still one partitioned table (never the mixed layout the batch
+    # commit guard refuses), and the guard still protects it
+    assert spark.read.parquet(idx).columns == ["vec_id", "sig", "v", "ep"]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="epoch-partitioned"):
+        D.semantic_append(spark, idx, probe, 0.95, dim=16, commit=True)
+
+
+def test_compact_index_epochs_journal_lease_and_recovery(spark, tmp_path,
+                                                         monkeypatch):
+    """A YOUNG journal is a live concurrent fold: compact refuses. A
+    STALE journal with missing news is a crashed fold: recovery rolls it
+    back (olds intact) and the fold proceeds; probes converge too."""
+    import json
+    import os
+
+    import pytest
+
+    from klepto_spark.operators import dedup as D
+    from klepto_spark.streaming.dedup import (compact_index_epochs,
+                                              process_batch)
+
+    idx = str(tmp_path / "ridx")
+    pairs_out = str(tmp_path / "rpairs")
+    schema = "doc_id bigint, text string"
+    for i in range(2):
+        process_batch(spark.createDataFrame(
+            _dup_docs(i * 20, (i + 1) * 20), schema), i, idx, pairs_out)
+    probe = spark.createDataFrame(_dup_docs(40, 60), schema)
+    pre = {(r.a, r.b) for r in D.minhash_append(
+        spark, idx, probe, commit=False).collect()}
+
+    # a crashed fold: journal names news that never landed
+    olds = [n for n in os.listdir(idx) if not n.startswith("_")]
+    with open(os.path.join(idx, "_epochfold.json"), "w") as fh:
+        json.dump({"olds": olds, "news": ["fold-9-0-never.parquet"]}, fh)
+    with pytest.raises(RuntimeError, match="in flight"):
+        compact_index_epochs(spark, idx, 2)  # young journal: refused
+    monkeypatch.setenv("KLEPTO_EPOCHFOLD_LEASE_SEC", "0")
+    assert compact_index_epochs(spark, idx, 2) == 2  # recovered + folded
+    assert not os.path.exists(os.path.join(idx, "_epochfold.json"))
+    post = {(r.a, r.b) for r in D.minhash_append(
+        spark, idx, probe, commit=False).collect()}
+    assert post == pre
+
+    # a stale journal is also converged on the PROBE path (process_batch
+    # lists the index through _prior_index_paths)
+    with open(os.path.join(idx, "_epochfold.json"), "w") as fh:
+        json.dump({"olds": [], "news": ["fold-9-0-never.parquet"]}, fh)
+    process_batch(probe, 2, idx, pairs_out)
+    assert not os.path.exists(os.path.join(idx, "_epochfold.json"))
+    got = sorted((r.a, r.b) for r in spark.read.parquet(pairs_out)
+                 .filter("ep = 2").collect())
+    assert got == sorted(pre)
+
+
+# --- empty micro-batch guards (ADVICE r07)
+
+
+def test_process_semantic_batch_empty_batch_is_noop(spark, tmp_path):
+    """foreachBatch delivers empty micro-batches; the dim probe used to
+    raise TypeError and kill the stream (ADVICE r07). Empty epochs —
+    bootstrap or mid-stream — must write nothing and leave state
+    untouched."""
+    from klepto_spark.streaming.dedup import process_semantic_batch
+
+    idx = str(tmp_path / "eidx")
+    pairs_out = str(tmp_path / "epairs")
+    schema = "vec_id bigint, embedding array<double>"
+    empty = spark.createDataFrame([], schema)
+    process_semantic_batch(empty, 0, idx, pairs_out, 0.95)  # bootstrap
+    import os
+    assert not os.path.exists(idx)
+    process_semantic_batch(spark.createDataFrame(_emb_batch(0, 30), schema),
+                           1, idx, pairs_out, 0.95, dim=16)
+    once = sorted((r.a, r.b, r.ep) for r in
+                  spark.read.parquet(pairs_out).collect())
+    n_idx = spark.read.parquet(idx).count()
+    process_semantic_batch(empty, 2, idx, pairs_out, 0.95)  # mid-stream
+    assert sorted((r.a, r.b, r.ep) for r in
+                  spark.read.parquet(pairs_out).collect()) == once
+    assert spark.read.parquet(idx).count() == n_idx
+
+
+def test_semantic_append_and_pairs_tolerate_empty_input(spark, tmp_path):
+    from klepto_spark.operators import dedup as D
+    from klepto_spark.operators.similarity import cosine_similar_pairs
+
+    schema = "vec_id bigint, embedding array<double>"
+    empty = spark.createDataFrame([], schema)
+    out = cosine_similar_pairs(empty, 0.95)  # dim probe guarded
+    assert out.columns == ["a", "b", "cosine"] and out.count() == 0
+
+    idx = str(tmp_path / "aidx")
+    D.semantic_write_index(
+        spark.createDataFrame(_emb_batch(0, 30), schema), idx,
+        key_col="vec_id", dim=16)
+    before = spark.read.parquet(idx).count()
+    out = D.semantic_append(spark, idx, empty, 0.95)  # dim=None + empty
+    assert out.columns == ["a", "b", "cosine"] and out.count() == 0
+    assert spark.read.parquet(idx).count() == before  # no commit happened
+    # an empty frame also indexes to zero rows without a dim
+    assert D.semantic_index_rows(empty, key_col="vec_id").count() == 0
