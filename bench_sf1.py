@@ -51,7 +51,9 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          # at-rest index probes
          "s07_opq_topk", "s08_filtered_ann", "s09_prenorm_topk",
          "s10_hybrid_rrf", "s11_batched_ann",
-         "d09_cross_dedup_indexed", "d10_semantic_append"]
+         "d09_cross_dedup_indexed", "d10_semantic_append",
+         # round-8: every heavy-family query carries a trend ratio
+         "d03_dedup_simhash"]
 COPIES = 10
 
 # Interpretation note for scaling_vs_10x_sf01: the rehearsal corpus is 10
@@ -220,6 +222,73 @@ def ann_recall_sf1(spark, out_dir: str) -> dict:
     return out
 
 
+def ann_recall_sweep(spark) -> dict:
+    """A DISCRIMINATING recall artifact (VERDICT r07 #1): the sf1
+    near-copy corpus reads 1.0 for every index config, so a recall
+    regression there is invisible. This sweep runs IVF nprobe and
+    IVF-PQ nprobe x shortlist curves on two purpose-built 20k corpora —
+    CLUSTERED (10 Gaussian clusters, the 100 TB-realistic case) and
+    NEAR-UNIFORM (the adversarial case SCALE.md:184-197 documents) —
+    until the curve bends: the uniform regime dips well below 1.0 at
+    small nprobe/shortlist, so round-over-round recall is trendable and
+    the knee (cheapest config at >= 0.9) is stated per regime."""
+    import numpy as np
+
+    from klepto_spark.operators import similarity
+
+    dim, n, K = 64, 20_000, 10
+    out: dict = {"corpus": n, "dim": dim, "k": K}
+    for regime in ("clustered", "uniform"):
+        rng = np.random.default_rng(7)
+        if regime == "clustered":
+            centers = rng.normal(size=(10, dim))
+            X = (centers[rng.integers(0, 10, size=n)]
+                 + rng.normal(size=(n, dim)) * 0.35)
+        else:
+            X = rng.normal(size=(n, dim))
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>").repartition(32).cache()
+        emb.count()
+        queries = {i: [float(x) for x in X[i]]
+                   for i in (3, 1717, 4242, 9999, 15000)}
+        truth = {qid: {r["vec_id"] for r in similarity.brute_force_topk(
+            emb, q, k=K).collect()} for qid, q in queries.items()}
+
+        def recall(fn):
+            hits = sum(len({r["vec_id"] for r in fn(q).collect()}
+                           & truth[qid]) for qid, q in queries.items())
+            return round(hits / (K * len(queries)), 3)
+
+        curve: dict = {}
+        cents = similarity.kmeans_fit(emb, 16, dim=dim)
+        for p in (1, 2, 4, 8):
+            curve[f"ivf_nprobe{p}_of16"] = recall(
+                lambda q, p=p: similarity.ivf_topk(
+                    emb, q, cents, n_probe=p, k=K))
+        pcents, pbooks = similarity.ivfpq_train(emb, n_clusters=16, m=8,
+                                                dim=dim)
+        for p in (1, 4):
+            for cand in (10, 50, 200, 500):
+                curve[f"ivfpq_nprobe{p}_c{cand}"] = recall(
+                    lambda q, p=p, cand=cand: similarity.ivfpq_topk(
+                        emb, q, pcents, pbooks, n_probe=p, k=K,
+                        n_candidates=cand))
+        emb.unpersist()
+        # the knee: cheapest config in each family reaching >= 0.9
+        knee = {}
+        for fam, keys in (
+                ("ivf", [f"ivf_nprobe{p}_of16" for p in (1, 2, 4, 8)]),
+                ("ivfpq", [f"ivfpq_nprobe{p}_c{c}"
+                           for p in (1, 4) for c in (10, 50, 200, 500)])):
+            ok = [k2 for k2 in keys if curve[k2] >= 0.9]
+            knee[fam] = ok[0] if ok else "none_reached_0.9"
+        out[regime] = {"curve": curve, "knee_at_0.9": knee}
+        for k2, v in curve.items():
+            print(f"ann_sweep {regime} {k2}: {v}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     out_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/klepto_sf1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -257,6 +326,7 @@ def main() -> None:
 
     stress = stress_near_copy(spark)
     recall = ann_recall_sf1(spark, out_dir)
+    sweep = ann_recall_sweep(spark)
 
     result = {"metric": "sf1_heavy_total_sec",
               "value": round(sum(medians.values()), 3), "unit": "sec",
@@ -264,13 +334,15 @@ def main() -> None:
               "scaling_vs_10x_sf01": scaling,
               "stress_near_copy": stress,
               "ann_recall": recall,
+              "ann_recall_sweep": sweep,
               "notes": {"ann_recall":
                         "the near-copy corpus makes neighbourhoods easy "
                         "(a query's true top-10 is dominated by its 9 "
                         "perturbed replicas), so 1.0 recall here means "
                         "'no index regression', not 'hard corpus "
-                        "solved' — the hard-structure gate is "
-                        "test_ann_recall_gate_default_params; latency "
+                        "solved' — ann_recall_sweep is the "
+                        "DISCRIMINATING artifact (its uniform regime "
+                        "dips; trend THAT round-over-round); latency "
                         "at this corpus size favours brute force (one "
                         "codegen'd scan beats assignment+prune below "
                         "~10^5 vectors; the at-rest pruned indexes are "
