@@ -825,6 +825,85 @@ def q_semantic_append(spark, sf_dir):
         commit=False)
 
 
+# d11 knobs: same proportional batch split as d10; prefix-8-words
+# canonicalisation (full-text md5 finds zero dups in the synthetic corpus
+# below sf0.1 — the prefix form is also the realistic crawl-snapshot rule).
+D11_MOD, D11_PREFIX = 5, 8
+
+
+def q_exact_append(spark, sf_dir):
+    """d11: incremental EXACT dedup against the at-rest fingerprint index
+    — completes the incremental matrix (d11 exact / minhash_append
+    near-dup / d10 semantic; every dedup mode now has a
+    no-corpus-re-read append path). The corpus's (key, fp) rows live in
+    the derived store; the batch's distinct fingerprints broadcast as
+    the probe and the index is scanned once through the semi-join
+    (dedup.exact_append). Oracle: the plain SQL fingerprint join
+    restricted to pairs with a batch endpoint."""
+    from klepto_spark.sinks import derived
+    src = f"{sf_dir}/documents.parquet"
+    docs = _load(spark, sf_dir)("documents")
+    kind = f"exidx-p{D11_PREFIX}-m{D11_MOD}"
+
+    def _build():
+        return docs.filter(F.col("doc_id") % D11_MOD != 0).select(
+            F.col("doc_id"),
+            dedup.exact_fingerprint("text", D11_PREFIX).alias("fp"))
+
+    path = derived.derived_path(src, kind)
+    derived.read_or_build(spark, src, kind, _build)
+    return dedup.exact_append(
+        spark, path, docs.filter(F.col("doc_id") % D11_MOD == 0),
+        prefix_words=D11_PREFIX, commit=False)
+
+
+def q_gopher_signals(spark, sf_dir):
+    """t15: Gopher-rule n-gram repetition gate (top-bigram share +
+    duplicate-trigram fraction, Rae et al. 2021 §A1.1) — the
+    n-gram-level complement to t05's top-word share. Two explode ->
+    hash-aggregate subtrees with map-side combine; shuffles carry
+    per-doc n-gram counts, never text (operators.text.gopher_signals)."""
+    docs = _load(spark, sf_dir)("documents")
+    return T.gopher_signals(docs, "text", "doc_id")
+
+
+P06_BUDGET = 800
+
+
+def q_token_budget(spark, sf_dir):
+    """p06: per-source TOKEN-budget fill — the mixture primitive when
+    recipes are written in tokens ("800 tokens of each source"), beside
+    p05's row-proportion mixture. Greedy deterministic-hash-order prefix
+    within each source; one shuffle on the strata column carrying a
+    4-column projection, never bodies (operators.sampling.
+    token_budget_sample)."""
+    from klepto_spark.operators import sampling as P
+    docs = _load(spark, sf_dir)("documents")
+    slim = docs.select("doc_id", "source", "text")
+    return (P.token_budget_sample(slim, "source", "doc_id",
+                                  T.token_count("text"), P06_BUDGET,
+                                  salt=SEED)
+            .select("doc_id", "source", "n_tokens", "cum_tokens"))
+
+
+M03_WINDOW = 64
+
+
+def q_frame_energy(spark, sf_dir):
+    """m03: fixed-window energy profile over audio-shaped binary payloads
+    (multimodal.frame_energy) — the per-frame analysis plumbing next to
+    m01's whole-payload features and m02's metadata-only frame plan. One
+    vectorised mapInPandas pass; the stub window-sum is pure byte math so
+    the DuckDB oracle replays it from encode(text)."""
+    from klepto_spark.operators import multimodal as M
+    docs = _load(spark, sf_dir)("documents")
+    media = M.attach_media(docs.withColumn("payload",
+                                           F.encode("text", "utf-8")),
+                           "payload", "doc_id", kind="audio",
+                           mime="audio/pcm")
+    return M.frame_energy(media, window_bytes=M03_WINDOW)
+
+
 def q_trigram_novelty(spark, sf_dir):
     """Corpus-self-trained quality signal: per-doc share of trigram mass
     outside the corpus's top-500 trigrams (the exact-arithmetic
@@ -1530,6 +1609,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d09_cross_dedup_indexed": q_cross_dedup_indexed,
         "d10_semantic_append": q_semantic_append,
         "c02_ingest_pipeline": q_ingest_pipeline,
+        "d11_exact_append": q_exact_append,
+        "t15_gopher_signals": q_gopher_signals,
+        "p06_token_budget": q_token_budget,
+        "m03_frame_energy": q_frame_energy,
     }
 
 
@@ -2091,6 +2174,25 @@ FROM documents""",
                   PARTITION BY q_id
                   ORDER BY score DESC, vec_id ASC) AS INT) AS rnk
               FROM sc) WHERE rnk <= {S11_K}""",
+        "d11_exact_append": f"""
+            WITH f AS (SELECT doc_id,
+                              {dedup.exact_fingerprint_sql("text", D11_PREFIX)}
+                                AS fp
+                       FROM documents),
+            old AS (SELECT * FROM f WHERE doc_id % {D11_MOD} != 0),
+            new AS (SELECT * FROM f WHERE doc_id % {D11_MOD} = 0)
+            SELECT o.doc_id AS a, n.doc_id AS b
+            FROM old o JOIN new n USING (fp)
+            UNION ALL
+            SELECT n1.doc_id AS a, n2.doc_id AS b
+            FROM new n1 JOIN new n2 USING (fp)
+            WHERE n1.doc_id < n2.doc_id""",
+        "t15_gopher_signals": T.gopher_signals_sql(),
+        "p06_token_budget": sampling.token_budget_sample_sql(
+            "(SELECT doc_id, source, text FROM documents)",
+            "source", "doc_id", TOKEN_COUNT_SQL, P06_BUDGET, salt=SEED,
+            columns="doc_id, source"),
+        "m03_frame_energy": multimodal.frame_energy_sql(M03_WINDOW),
         # d03_dedup_simhash: no SQL oracle (DuckDB lacks xxhash64) ->
         # rows-only check plus a hamming-locality pytest, by design.
     }

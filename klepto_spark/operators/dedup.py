@@ -282,23 +282,107 @@ def minhash_append(spark, path: str, new_docs: DataFrame,
         if isinstance(path, (list, tuple)):
             raise ValueError("commit=True needs a single index root, "
                              "not a path list")
-        # An index built by the streaming twin is epoch-partitioned
-        # (ep=<batch> dirs); appending FLAT files at its root would mix
-        # partitioned and unpartitioned layouts and break the next
-        # spark.read.parquet(root) partition discovery (ADVICE r06).
-        # Refuse and direct callers to the epoch-keyed path instead.
-        jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(path)
-        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(root) and any(
-                st.getPath().getName().startswith("ep=")
-                for st in fs.listStatus(root)):
-            raise ValueError(
-                f"index at {path!r} is epoch-partitioned (ep= dirs, "
-                "built by streaming.dedup); commit through "
-                "streaming.dedup.process_batch with the next epoch id, "
-                "or call minhash_append with commit=False")
+        _refuse_epoch_layout(spark, path, "minhash_append")
         new_bands.write.mode("append").parquet(path)
+    return out
+
+
+def _refuse_epoch_layout(spark, path: str, caller: str) -> None:
+    """An index built by the streaming twin is epoch-partitioned
+    (ep=<batch> dirs); appending FLAT files at its root would mix
+    partitioned and unpartitioned layouts and break the next
+    spark.read.parquet(root) partition discovery (ADVICE r06).
+    Refuse and direct callers to the epoch-keyed path instead."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(root) and any(
+            st.getPath().getName().startswith("ep=")
+            for st in fs.listStatus(root)):
+        raise ValueError(
+            f"index at {path!r} is epoch-partitioned (ep= dirs, "
+            "built by streaming.dedup); commit through "
+            "streaming.dedup.process_batch with the next epoch id, "
+            f"or call {caller} with commit=False")
+
+
+def exact_fingerprint(text_col: Column | str,
+                      prefix_words: int | None = None) -> Column:
+    """Content fingerprint for exact dedup: md5 of the full text, or —
+    with ``prefix_words=k`` — md5 of the first k whitespace words (the
+    prefix-canonicalisation used for crawl snapshots whose tails differ
+    only in boilerplate/timestamps). The prefix form is what the d11
+    contract query exercises; both are replayable in SQL."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if prefix_words is None:
+        return F.md5(c)
+    words = F.split(F.trim(c), r"\s+")
+    return F.md5(F.concat_ws(" ", F.slice(words, 1, prefix_words)))
+
+
+def exact_fingerprint_sql(text_col: str = "text",
+                          prefix_words: int | None = None) -> str:
+    """DuckDB twin of :func:`exact_fingerprint` (1-indexed list slice;
+    array_to_string joins like concat_ws)."""
+    if prefix_words is None:
+        return f"md5({text_col})"
+    return (f"md5(array_to_string(string_split_regex(trim({text_col}), "
+            f"'\\s+')[1:{prefix_words + 1}], ' '))")
+
+
+def exact_write_index(df: DataFrame, path: str, text_col: str = "text",
+                      key_col: str = "doc_id",
+                      prefix_words: int | None = None,
+                      mode: str = "overwrite") -> None:
+    """Persist (key, fp) fingerprint rows — the at-rest EXACT-dedup index,
+    completing the incremental matrix alongside ``minhash_write_index``
+    (near-dup) and ``semantic_write_index`` (embeddings): appending a
+    batch later never re-reads or re-hashes the existing corpus text."""
+    (df.select(F.col(key_col),
+               exact_fingerprint(text_col, prefix_words).alias("fp"))
+     .write.mode(mode).parquet(path))
+
+
+def exact_append(spark, path: str, new_docs: DataFrame,
+                 text_col: str = "text", key_col: str = "doc_id",
+                 prefix_words: int | None = None,
+                 commit: bool = True) -> DataFrame:
+    """Exact-dedup a NEW batch against an indexed corpus and (optionally)
+    fold the batch's fingerprints into the index. Returns (a, b) duplicate
+    pairs with at least one new-batch endpoint: every old–new match
+    (a = index key, b = batch key) plus intra-batch matches (a < b).
+    Old–old pairs were already known when the index was built.
+
+    Scale shape — same posture as ``minhash_append``: the batch is
+    fingerprinted once and its DISTINCT fps BROADCAST; the index is
+    scanned exactly once through that broadcast semi-join (no index
+    shuffle, no corpus text scan), and only the touched fingerprint
+    groups join back against the batch. Exact matching needs no bucket
+    expansion or star cap: the join on fp IS the verification."""
+    new_fp = new_docs.select(
+        F.col(key_col), exact_fingerprint(text_col, prefix_words).alias("fp"))
+    paths = list(path) if isinstance(path, (list, tuple)) else [path]
+    # Project key+fp so epoch-partitioned layouts (ep= dirs) read fine;
+    # the parquet relation snapshots its file list at read time, so the
+    # returned frame keeps probing the PRE-append index even after commit.
+    idx = spark.read.parquet(*paths).select(key_col, "fp")
+    probe = new_fp.select("fp").distinct()
+    touched_old = idx.join(F.broadcast(probe), "fp", "left_semi")
+    old_new = (touched_old.withColumnRenamed(key_col, "a")
+               .join(new_fp.withColumnRenamed(key_col, "b"), "fp")
+               .select("a", "b"))
+    nf2 = new_fp.withColumnRenamed(key_col, "b")
+    new_new = (new_fp.withColumnRenamed(key_col, "a")
+               .join(nf2, "fp")
+               .filter(F.col("a") < F.col("b"))
+               .select("a", "b"))
+    out = old_new.unionByName(new_new)
+    if commit:
+        if isinstance(path, (list, tuple)):
+            raise ValueError("commit=True needs a single index root, "
+                             "not a path list")
+        _refuse_epoch_layout(spark, path, "exact_append")
+        new_fp.write.mode("append").parquet(path)
     return out
 
 

@@ -320,3 +320,61 @@ __rates AS (
 SELECT {select}
 FROM {table_sql} d JOIN __rates ON d.{group_col} = __rates.g
 WHERE CAST({hx} AS DOUBLE) < r * {float(_HEX_SPACE)!r}"""
+
+
+def token_budget_sample(df: DataFrame, strata_col: str, key_col: str,
+                        tokens_col: Column | str, budget: int,
+                        salt: str = "") -> DataFrame:
+    """Greedy per-stratum TOKEN-budget fill: walk each stratum's rows in
+    deterministic hash order and keep documents while the running token
+    total stays within ``budget`` (documents are never split — the last
+    doc that would cross the budget is dropped, like sequence-bin
+    packing's closed bins). This is the mixture primitive when targets
+    are expressed in TOKENS rather than row proportions — "2B tokens of
+    web, 500M of books" — which is how LLM data recipes are written.
+
+    Membership depends only on (salt, key, stratum prefix sums), so
+    appending NEW rows can only extend a stratum's tail, never evict an
+    already-kept doc whose hash sorts earlier — stable under corpus
+    growth in the same sense as :func:`split_assign` (docs hashing after
+    a new arrival MAY be displaced; recipe reproducibility pins the salt
+    and the snapshot).
+
+    Scale shape: ONE shuffle on the strata column for the running-sum
+    window (same shape as :func:`sample_exact_n`). Project down to
+    (key, stratum, token count) BEFORE calling so the stratum sort moves
+    counters, not document bodies, then semi-join the kept keys back if
+    you need full rows. Strata are few-and-heavy: at 100 TB pre-thin
+    with :func:`sample_stratified` at ~2x the expected keep rate so the
+    window sees millions of rows, not billions.
+
+    ``key_col`` must be unique per stratum (ties in the (hash, key) sort
+    break engine-dependently otherwise — same contract as
+    sample_exact_n)."""
+    tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    w = (Window.partitionBy(strata_col)
+         .orderBy(hash_prefix(key_col, salt), F.col(key_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("n_tokens", tok.cast("long"))
+            .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") <= budget))
+
+
+def token_budget_sample_sql(table_sql: str, strata_col: str, key_col: str,
+                            tokens_sql: str, budget: int, salt: str = "",
+                            columns: str = "*") -> str:
+    """Full-query DuckDB twin of :func:`token_budget_sample`;
+    ``tokens_sql`` must be the exact SQL replay of the Spark token
+    expression (e.g. the whitespace token count both engines share)."""
+    h = _hash_prefix_sql(key_col, salt)
+    sel = "*" if columns.strip() == "*" else f"{columns}, n_tokens, cum_tokens"
+    return f"""
+SELECT {sel} FROM (
+  SELECT *, CAST({tokens_sql} AS BIGINT) AS n_tokens,
+         CAST(sum(CAST({tokens_sql} AS BIGINT)) OVER (
+              PARTITION BY {strata_col}
+              ORDER BY {h}, {key_col}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM {table_sql})
+WHERE cum_tokens <= {int(budget)}"""

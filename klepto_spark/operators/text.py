@@ -195,6 +195,100 @@ GROUP BY c.{key_col}
 """
 
 
+def gopher_signals(df: "DataFrame", text_col: str = "text",
+                   key_col: str = "doc_id",
+                   top_bigram_max: float = 0.20,
+                   dup_trigram_max: float = 0.30) -> "DataFrame":
+    """Gopher-rule repetition signals (Rae et al. 2021 §A1.1, adapted to
+    word level for single-line corpora): per document, the most frequent
+    bigram's share of all bigram occurrences and the fraction of trigram
+    occurrences that are repeats, plus the keep/drop gate at the given
+    thresholds. Complements :func:`word_repetition` (top single word) —
+    n-gram-level repetition catches templated/boilerplate text whose
+    individual words look diverse.
+
+    Documents shorter than 3 words carry no trigram signal and are
+    excluded (both engines apply the identical length rule).
+
+    Scale shape: two explode → two-level hash-aggregate subtrees (the
+    word_repetition pattern), each with map-side combine so the shuffle
+    carries per-doc distinct n-gram counts, never text; the final join is
+    per-doc rows on both sides, co-partitioned by the same key. Ratios
+    are exact-integer divisions — bit-identical across engines — and the
+    gate compares those exact doubles to shared literals, so even the
+    boolean is hash-checkable."""
+    base = df.filter(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= 3)
+    bi = (base.select(F.col(key_col),
+                      F.explode(word_ngrams(text_col, 2)).alias("g"))
+          .groupBy(key_col, "g").agg(F.count(F.lit(1)).alias("c"))
+          .groupBy(key_col)
+          .agg(F.sum("c").alias("total_bi"),
+               # struct max carries the top count and, on count ties, the
+               # lexicographically largest bigram — the oracle's rule
+               F.max(F.struct(F.col("c"), F.col("g"))).alias("_top")))
+    tri = (base.select(F.col(key_col),
+                       F.explode(word_ngrams(text_col, 3)).alias("g"))
+           .groupBy(key_col, "g").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy(key_col)
+           .agg(F.sum("c").alias("total_tri"),
+                F.count(F.lit(1)).alias("distinct_tri")))
+    ratio = F.col("_top.c") / F.col("total_bi")
+    dup = (F.col("total_tri") - F.col("distinct_tri")) / F.col("total_tri")
+    return (bi.join(tri, key_col)
+            .select(F.col(key_col),
+                    (F.col("total_bi") + F.lit(1)).cast("long")
+                    .alias("n_words"),
+                    ratio.alias("top_bigram_ratio"),
+                    F.col("_top.g").alias("top_bigram"),
+                    dup.alias("dup_trigram_frac"),
+                    ((ratio <= F.lit(top_bigram_max))
+                     & (dup <= F.lit(dup_trigram_max))).alias("keep")))
+
+
+def gopher_signals_sql(table: str = "documents", text_col: str = "text",
+                       key_col: str = "doc_id",
+                       top_bigram_max: float = 0.20,
+                       dup_trigram_max: float = 0.30) -> str:
+    """DuckDB oracle for :func:`gopher_signals` — identical n-gram
+    generation (lowercase, trim, whitespace split, space-join), identical
+    tie-break, identical exact-integer ratio arithmetic."""
+    def grams(n: int) -> str:
+        return (f"[array_to_string(w[i:i+{n - 1}], ' ') "
+                f"FOR i IN range(1, greatest(len(w) - {n - 1}, 0) + 1)]")
+    return f"""
+WITH words AS (SELECT {key_col},
+                      string_split_regex(lower(trim({text_col})), '\\s+') AS w
+               FROM {table}),
+e AS (SELECT * FROM words WHERE len(w) >= 3),
+bc AS (SELECT {key_col}, g, count(*) AS c
+       FROM (SELECT {key_col}, unnest({grams(2)}) AS g FROM e)
+       GROUP BY 1, 2),
+b AS (SELECT {key_col}, sum(c) AS total_bi, max(c) AS top_c
+      FROM bc GROUP BY 1),
+btop AS (SELECT bc.{key_col},
+                any_value(b.total_bi) AS total_bi,
+                any_value(b.top_c) AS top_c,
+                max(CASE WHEN bc.c = b.top_c THEN bc.g END) AS top_bigram
+         FROM bc JOIN b USING ({key_col}) GROUP BY 1),
+tc AS (SELECT {key_col}, g, count(*) AS c
+       FROM (SELECT {key_col}, unnest({grams(3)}) AS g FROM e)
+       GROUP BY 1, 2),
+t AS (SELECT {key_col}, sum(c) AS total_tri, count(*) AS distinct_tri
+      FROM tc GROUP BY 1)
+SELECT b.{key_col},
+       CAST(b.total_bi + 1 AS BIGINT) AS n_words,
+       b.top_c * 1.0 / b.total_bi AS top_bigram_ratio,
+       b.top_bigram,
+       (t.total_tri - t.distinct_tri) * 1.0 / t.total_tri
+         AS dup_trigram_frac,
+       (b.top_c * 1.0 / b.total_bi <= {top_bigram_max}
+        AND (t.total_tri - t.distinct_tri) * 1.0 / t.total_tri
+            <= {dup_trigram_max}) AS keep
+FROM btop b JOIN t USING ({key_col})
+"""
+
+
 def word_ngrams(col: Column | str, n: int) -> Column:
     """Word-level n-grams (lowercased, whitespace-split) as an array of
     space-joined strings; shorter documents yield an empty array."""

@@ -255,3 +255,48 @@ def test_semantic_append_probe_broadcasts_batch_semi_scans_index(
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_token_budget_single_exchange_pruned_scan(spark, sf_dir):
+    """p06's scale posture: ONE shuffle (the per-stratum running-sum
+    window), no Python, and the scan reads only the 3 columns the
+    projected query touches — the stratum sort carries counters, never
+    extra body columns."""
+    df = entry.q_token_budget(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert I.shuffle_count(df) == 1
+    assert plan.count("+- Window ") == 1
+    assert "Python" not in plan
+    assert "lang" not in plan.split("ReadSchema")[-1]
+    assert "n_chars" not in plan.split("ReadSchema")[-1]
+
+
+def test_gopher_signals_partial_aggregation_no_python(spark, sf_dir):
+    """t15: both n-gram subtrees must partial-aggregate (map-side
+    combine) so the shuffles carry per-doc n-gram counts, and the whole
+    query stays JVM-side with no nested-loop join anywhere."""
+    df = entry.q_gopher_signals(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_exact_append_probe_plan_shape(spark, sf_dir, tmp_path):
+    """d11's scale posture: the batch's distinct fingerprints broadcast,
+    the at-rest index is scanned once through a broadcast LeftSemi, and
+    nothing degenerates to a nested loop — the exact twin of the
+    minhash_append / semantic_append pins."""
+    from klepto_spark.operators import dedup
+
+    docs = parquet_loader(spark, sf_dir)("documents")
+    idx = str(tmp_path / "d11idx")
+    dedup.exact_write_index(docs.filter("doc_id % 5 != 0"), idx,
+                            prefix_words=8)
+    out = dedup.exact_append(spark, idx, docs.filter("doc_id % 5 = 0"),
+                             prefix_words=8, commit=False)
+    plan = I.executed_plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

@@ -1,0 +1,268 @@
+"""Round-8 operators: exact-dedup at-rest index (d11), Gopher n-gram
+repetition gate (t15), token-budget mixture fill (p06), and fixed-window
+payload energy (m03)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from klepto_spark.operators import dedup
+from klepto_spark.operators.sampling import token_budget_sample
+from klepto_spark.operators.text import gopher_signals
+
+
+# ---------------------------------------------------------------------------
+# exact_append — incremental exact dedup against the at-rest fp index
+# ---------------------------------------------------------------------------
+
+PFX = 8
+
+
+def _full_exact_pairs(docs, split_pred):
+    """Full-recompute reference: fingerprint join restricted to pairs
+    with a new-batch endpoint (old side in column a; intra-batch a<b)."""
+    fp = docs.select("doc_id", dedup.exact_fingerprint("text", PFX)
+                     .alias("fp"), F.expr(split_pred).alias("is_new"))
+    old = fp.filter(~F.col("is_new")).selectExpr("doc_id AS a", "fp")
+    new = fp.filter(F.col("is_new")).selectExpr("doc_id AS b", "fp")
+    on = old.join(new, "fp").select("a", "b")
+    nn = (new.selectExpr("b AS a", "fp")
+          .join(new, "fp").filter(F.col("a") < F.col("b")).select("a", "b"))
+    return {(r["a"], r["b"]) for r in on.unionByName(nn).collect()}
+
+
+def test_exact_append_matches_full_recompute(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "ex_idx")
+    dedup.exact_write_index(docs.filter("doc_id % 5 != 0"), idx,
+                            prefix_words=PFX)
+    got = {(r["a"], r["b"]) for r in
+           dedup.exact_append(spark, idx, docs.filter("doc_id % 5 = 0"),
+                              prefix_words=PFX, commit=False).collect()}
+    want = _full_exact_pairs(docs, "doc_id % 5 = 0")
+    assert got == want
+    assert want, "the corpus must actually have prefix-exact dups"
+
+
+def test_exact_append_commit_is_seen_by_next_batch(spark, tmp_path):
+    mk = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in [
+            (1, "alpha beta gamma delta"),
+            (2, "zig zag zog zug"),
+            (10, "alpha beta gamma delta"),       # batch1: dup of 1
+            (20, "alpha beta gamma delta"),       # batch2: dup of 1 AND 10
+            (21, "zig zag zog zug"),              # batch2: dup of 2
+        ]])
+    idx = str(tmp_path / "ex_commit")
+    dedup.exact_write_index(mk.filter("doc_id < 10"), idx, prefix_words=PFX)
+    p1 = {(r["a"], r["b"]) for r in
+          dedup.exact_append(spark, idx, mk.filter("doc_id = 10"),
+                             prefix_words=PFX, commit=True).collect()}
+    assert p1 == {(1, 10)}
+    p2 = {(r["a"], r["b"]) for r in
+          dedup.exact_append(spark, idx, mk.filter("doc_id >= 20"),
+                             prefix_words=PFX, commit=True).collect()}
+    # batch 2 must see BOTH the original corpus and committed batch 1
+    assert p2 == {(1, 20), (10, 20), (2, 21)}
+
+
+def test_exact_append_no_commit_leaves_index_untouched(spark, sf_dir,
+                                                       tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "ex_nc")
+    dedup.exact_write_index(docs.filter("doc_id % 5 != 0"), idx,
+                            prefix_words=PFX)
+    before = spark.read.parquet(idx).count()
+    dedup.exact_append(spark, idx, docs.filter("doc_id % 5 = 0"),
+                       prefix_words=PFX, commit=False).collect()
+    assert spark.read.parquet(idx).count() == before
+
+
+def test_exact_append_probe_broadcasts_not_shuffles_index(spark, sf_dir,
+                                                          tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "ex_plan")
+    dedup.exact_write_index(docs.filter("doc_id % 5 != 0"), idx,
+                            prefix_words=PFX)
+    out = dedup.exact_append(spark, idx, docs.filter("doc_id % 5 = 0"),
+                             prefix_words=PFX, commit=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exact_append_refuses_commit_into_epoch_layout(spark, tmp_path):
+    mk = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    idx = str(tmp_path / "ex_ep")
+    (mk.select("doc_id", dedup.exact_fingerprint("text").alias("fp"),
+               F.lit(0).alias("ep"))
+     .write.partitionBy("ep").parquet(idx))
+    with pytest.raises(ValueError, match="epoch-partitioned"):
+        dedup.exact_append(spark, idx, mk, commit=True)
+    # commit=False must still probe fine through the partitioned layout
+    assert dedup.exact_append(spark, idx, mk, commit=False).count() == 1
+
+
+def test_exact_fingerprint_full_vs_prefix(spark):
+    mk = spark.createDataFrame([
+        Row(doc_id=1, text="one two three four five six seven eight TAIL-A"),
+        Row(doc_id=2, text="one two three four five six seven eight TAIL-B"),
+    ])
+    full = mk.select(dedup.exact_fingerprint("text").alias("fp")).collect()
+    assert full[0]["fp"] != full[1]["fp"]
+    pre = mk.select(dedup.exact_fingerprint("text", 8).alias("fp")).collect()
+    assert pre[0]["fp"] == pre[1]["fp"]
+
+
+# ---------------------------------------------------------------------------
+# gopher_signals — n-gram repetition gate
+# ---------------------------------------------------------------------------
+
+def test_gopher_signals_values_and_gate(spark):
+    docs = spark.createDataFrame([
+        # "ab ab ab ab": bigrams [ab ab]x3 -> top ratio 1.0; trigrams
+        # [ab ab ab]x2 -> dup frac 0.5 -> dropped on both rules
+        Row(doc_id=1, text="ab ab ab ab"),
+        # all-distinct words: top bigram 1/3, dup trigrams 0 -> but
+        # 1/3 > 0.20 so the bigram rule still drops a 4-word doc; use 7
+        # words -> top bigram 1/6 <= 0.20 -> kept
+        Row(doc_id=2, text="a b c d e f g"),
+        Row(doc_id=3, text="too short"),          # < 3 words: excluded
+    ])
+    out = {r["doc_id"]: r for r in gopher_signals(docs).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert r1["n_words"] == 4
+    assert r1["top_bigram"] == "ab ab"
+    assert r1["top_bigram_ratio"] == 1.0
+    assert r1["dup_trigram_frac"] == 0.5
+    assert r1["keep"] is False
+    r2 = out[2]
+    assert r2["top_bigram_ratio"] == pytest.approx(1 / 6)
+    assert r2["dup_trigram_frac"] == 0.0
+    assert r2["keep"] is True
+
+
+def test_gopher_signals_tie_breaks_to_largest_bigram(spark):
+    # "x y x y z z z": bigrams (x y)x2 (y x)x1 (y z)x1 (z z)x2 -> tie at
+    # count 2 between "x y" and "z z"; the contract picks the
+    # lexicographically largest
+    docs = spark.createDataFrame([Row(doc_id=1, text="x y x y z z z")])
+    row = gopher_signals(docs).collect()[0]
+    assert row["top_bigram"] == "z z"
+    assert row["top_bigram_ratio"] == pytest.approx(2 / 6)
+
+
+# ---------------------------------------------------------------------------
+# token_budget_sample — greedy per-stratum token fill
+# ---------------------------------------------------------------------------
+
+def _hash8(key, salt):
+    return hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:8]
+
+
+def _greedy(rows, budget, salt):
+    """Driver-side replay of the greedy prefix per stratum."""
+    kept = set()
+    by_s = {}
+    for k, s, t in rows:
+        by_s.setdefault(s, []).append((k, t))
+    for s, docs in by_s.items():
+        docs.sort(key=lambda kt: (_hash8(kt[0], salt), kt[0]))
+        cum = 0
+        for k, t in docs:
+            cum += t
+            if cum <= budget:
+                kept.add(k)
+            else:
+                break
+    return kept
+
+
+def test_token_budget_greedy_prefix_semantics(spark):
+    rows = [(i, f"s{i % 3}", 10 + (i * 7) % 25) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "tok"])
+    out = token_budget_sample(df, "source", "doc_id", F.col("tok"),
+                              budget=100, salt="t8")
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == _greedy(rows, 100, "t8")
+    # every kept row respects the budget, and cum is the running sum
+    for r in out.collect():
+        assert r["cum_tokens"] <= 100 and r["n_tokens"] <= r["cum_tokens"]
+
+
+def test_token_budget_growth_never_evicts_earlier_hashes(spark):
+    """Appending a new doc can only displace docs whose hash sorts AFTER
+    it — everything the new doc sorts behind keeps its membership."""
+    rows = [(i, "s", 30) for i in range(20)]
+    df1 = spark.createDataFrame(rows, ["doc_id", "source", "tok"])
+    kept1 = {r["doc_id"] for r in
+             token_budget_sample(df1, "source", "doc_id", F.col("tok"),
+                                 budget=150, salt="g").collect()}
+    new_id = 999
+    df2 = spark.createDataFrame(rows + [(new_id, "s", 30)],
+                                ["doc_id", "source", "tok"])
+    kept2 = {r["doc_id"] for r in
+             token_budget_sample(df2, "source", "doc_id", F.col("tok"),
+                                 budget=150, salt="g").collect()}
+    h_new = _hash8(new_id, "g")
+    before = {k for k in kept1 if (_hash8(k, "g"), k) < (h_new, new_id)}
+    assert before <= kept2
+
+
+def test_token_budget_zero_and_oversize_budget(spark):
+    df = spark.createDataFrame([(1, "s", 10), (2, "s", 10)],
+                               ["doc_id", "source", "tok"])
+    assert token_budget_sample(df, "source", "doc_id", F.col("tok"),
+                               budget=5, salt="").count() == 0
+    assert token_budget_sample(df, "source", "doc_id", F.col("tok"),
+                               budget=10_000, salt="").count() == 2
+
+
+# ---------------------------------------------------------------------------
+# frame_energy — fixed-window payload energy
+# ---------------------------------------------------------------------------
+
+def _media(spark, payloads):
+    from klepto_spark.operators.multimodal import attach_media
+    df = spark.createDataFrame(
+        [Row(doc_id=i, payload=p) for i, p in payloads],
+        "doc_id long, payload binary")
+    return attach_media(df, "payload", "doc_id", kind="audio")
+
+
+def test_frame_energy_window_math(spark):
+    from klepto_spark.operators.multimodal import frame_energy
+    p0 = bytes(range(10))            # windows of 4: [0..3],[4..7],[8,9]
+    media = _media(spark, [(0, p0)])
+    rows = {r["win_idx"]: r for r in
+            frame_energy(media, window_bytes=4).collect()}
+    assert len(rows) == 3
+    assert (rows[0]["n_bytes"], rows[0]["byte_sum"]) == (4, 0 + 1 + 2 + 3)
+    assert (rows[1]["n_bytes"], rows[1]["byte_sum"]) == (4, 4 + 5 + 6 + 7)
+    assert (rows[2]["n_bytes"], rows[2]["byte_sum"]) == (2, 8 + 9)
+
+
+def test_frame_energy_skips_null_and_empty(spark):
+    from klepto_spark.operators.multimodal import frame_energy
+    media = _media(spark, [(0, None), (1, b""), (2, b"\xff" * 5)])
+    rows = frame_energy(media, window_bytes=8).collect()
+    assert {r["media_id"] for r in rows} == {2}
+    assert rows[0]["byte_sum"] == 255 * 5 and rows[0]["n_bytes"] == 5
+
+
+def test_frame_energy_batches_multiple_payloads(spark):
+    from klepto_spark.operators.multimodal import frame_energy
+    payloads = [(i, bytes([i]) * (3 + i)) for i in range(6)]
+    out = frame_energy(_media(spark, payloads), window_bytes=3).collect()
+    for i, p in payloads:
+        mine = sorted((r for r in out if r["media_id"] == i),
+                      key=lambda r: r["win_idx"])
+        assert sum(r["n_bytes"] for r in mine) == len(p)
+        assert sum(r["byte_sum"] for r in mine) == sum(p)
+
+
+def test_frame_energy_rejects_bad_window(spark):
+    from klepto_spark.operators.multimodal import frame_energy
+    with pytest.raises(ValueError):
+        frame_energy(_media(spark, [(0, b"abc")]), window_bytes=0)
