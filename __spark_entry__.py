@@ -2193,6 +2193,7 @@ FROM documents""",
             "source", "doc_id", TOKEN_COUNT_SQL, P06_BUDGET, salt=SEED,
             columns="doc_id, source"),
         "m03_frame_energy": multimodal.frame_energy_sql(M03_WINDOW),
-        # d03_dedup_simhash: no SQL oracle (DuckDB lacks xxhash64) ->
-        # rows-only check plus a hamming-locality pytest, by design.
+        # rows-only (no oracle entry) by design: t06 (DuckDB has a
+        # different HLL sketch) and a16 (no t-digest) — their error and
+        # mergeability contracts are pytest-pinned instead.
     }

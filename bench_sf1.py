@@ -53,7 +53,10 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          "s10_hybrid_rrf", "s11_batched_ann",
          "d09_cross_dedup_indexed", "d10_semantic_append",
          # round-8: every heavy-family query carries a trend ratio
-         "d03_dedup_simhash"]
+         "d03_dedup_simhash",
+         # round-8 additions: bigram+trigram explode (t15) and the
+         # at-rest exact-fp probe (d11) — both corpus-scale-sensitive
+         "t15_gopher_signals", "d11_exact_append"]
 COPIES = 10
 
 # Interpretation note for scaling_vs_10x_sf01: the rehearsal corpus is 10

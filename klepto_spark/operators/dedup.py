@@ -346,7 +346,8 @@ def exact_write_index(df: DataFrame, path: str, text_col: str = "text",
 def exact_append(spark, path: str, new_docs: DataFrame,
                  text_col: str = "text", key_col: str = "doc_id",
                  prefix_words: int | None = None,
-                 commit: bool = True) -> DataFrame:
+                 commit: bool = True,
+                 max_group: int | None = None) -> DataFrame:
     """Exact-dedup a NEW batch against an indexed corpus and (optionally)
     fold the batch's fingerprints into the index. Returns (a, b) duplicate
     pairs with at least one new-batch endpoint: every old–new match
@@ -357,8 +358,19 @@ def exact_append(spark, path: str, new_docs: DataFrame,
     fingerprinted once and its DISTINCT fps BROADCAST; the index is
     scanned exactly once through that broadcast semi-join (no index
     shuffle, no corpus text scan), and only the touched fingerprint
-    groups join back against the batch. Exact matching needs no bucket
-    expansion or star cap: the join on fp IS the verification."""
+    groups join back against the batch. Exact matching needs no
+    verification stage: the join on fp IS the verification.
+
+    ``max_group`` is the adversarial-mass-dup guard (the exact twin of
+    the LSH star cap): a true-duplicate class that keeps growing — empty
+    documents, a boilerplate error page — emits |old|x|new| pairs per
+    append, quadratic over the class's life. With ``max_group=C``, any
+    fingerprint group whose touched membership exceeds C collapses to a
+    STAR — each new member pairs only with the group's minimum key —
+    bounding output at O(|new|) per group while preserving exactly the
+    connectivity (and therefore the keep/drop decision) downstream
+    clustering needs. Groups at or under C keep the full pair set.
+    Default None preserves all pairs (the d11 oracle contract)."""
     new_fp = new_docs.select(
         F.col(key_col), exact_fingerprint(text_col, prefix_words).alias("fp"))
     paths = list(path) if isinstance(path, (list, tuple)) else [path]
@@ -370,13 +382,33 @@ def exact_append(spark, path: str, new_docs: DataFrame,
     touched_old = idx.join(F.broadcast(probe), "fp", "left_semi")
     old_new = (touched_old.withColumnRenamed(key_col, "a")
                .join(new_fp.withColumnRenamed(key_col, "b"), "fp")
-               .select("a", "b"))
+               .select("a", "b", "fp"))
     nf2 = new_fp.withColumnRenamed(key_col, "b")
     new_new = (new_fp.withColumnRenamed(key_col, "a")
                .join(nf2, "fp")
                .filter(F.col("a") < F.col("b"))
-               .select("a", "b"))
-    out = old_new.unionByName(new_new)
+               .select("a", "b", "fp"))
+    all_pairs = old_new.unionByName(new_new)
+    if max_group is None:
+        out = all_pairs.select("a", "b")
+    else:
+        # group size = touched olds + batch members sharing the fp; the
+        # count shuffles (fp, key) rows only — never text
+        members = (touched_old.select(key_col, "fp")
+                   .unionByName(new_fp.select(key_col, "fp")))
+        sizes = (members.groupBy("fp")
+                 .agg(F.count(F.lit(1)).alias("_gsz"),
+                      F.min(key_col).alias("_rep")))
+        flagged = all_pairs.join(F.broadcast(sizes), "fp")
+        small = (flagged.filter(F.col("_gsz") <= max_group)
+                 .select("a", "b"))
+        # star: each NEW member once, paired with the group representative
+        big_fp = sizes.filter(F.col("_gsz") > max_group)
+        star = (new_fp.join(F.broadcast(big_fp), "fp")
+                .filter(F.col(key_col) != F.col("_rep"))
+                .select(F.col("_rep").alias("a"),
+                        F.col(key_col).alias("b")))
+        out = small.unionByName(star)
     if commit:
         if isinstance(path, (list, tuple)):
             raise ValueError("commit=True needs a single index root, "

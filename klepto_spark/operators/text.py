@@ -210,40 +210,62 @@ def gopher_signals(df: "DataFrame", text_col: str = "text",
     Documents shorter than 3 words carry no trigram signal and are
     excluded (both engines apply the identical length rule).
 
-    Scale shape: two explode → two-level hash-aggregate subtrees (the
-    word_repetition pattern), each with map-side combine so the shuffle
-    carries per-doc distinct n-gram counts, never text; the final join is
-    per-doc rows on both sides, co-partitioned by the same key. Ratios
-    are exact-integer divisions — bit-identical across engines — and the
-    gate compares those exact doubles to shared literals, so even the
-    boolean is hash-checkable."""
-    base = df.filter(
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= 3)
-    bi = (base.select(F.col(key_col),
-                      F.explode(word_ngrams(text_col, 2)).alias("g"))
-          .groupBy(key_col, "g").agg(F.count(F.lit(1)).alias("c"))
-          .groupBy(key_col)
-          .agg(F.sum("c").alias("total_bi"),
-               # struct max carries the top count and, on count ties, the
-               # lexicographically largest bigram — the oracle's rule
-               F.max(F.struct(F.col("c"), F.col("g"))).alias("_top")))
-    tri = (base.select(F.col(key_col),
-                       F.explode(word_ngrams(text_col, 3)).alias("g"))
-           .groupBy(key_col, "g").agg(F.count(F.lit(1)).alias("c"))
-           .groupBy(key_col)
-           .agg(F.sum("c").alias("total_tri"),
-                F.count(F.lit(1)).alias("distinct_tri")))
+    Scale shape: ONE corpus scan — positions explode codegen'd
+    (explode(sequence) + element_at + concat_ws, the exploded_shingles
+    lesson: the tempting word_ngrams/transform() HOF runs interpreted
+    and measured 4x slower), both n-gram families tagged (n, gram) in
+    the same exploded stream, then a three-level hash-aggregate
+    (key,n,gram) → (key,n) → (key) with map-side combine, so shuffles
+    carry per-doc distinct n-gram counts, never text, and every stage
+    is already partitioned by the doc key. Ratios are exact-integer
+    divisions — bit-identical across engines — and the gate compares
+    those exact doubles to shared literals, so even the boolean is
+    hash-checkable."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = (df.filter(F.size(words) >= 3)
+            .select(F.col(key_col), words.alias("_w")))
+    ex = base.select(key_col, "_w",
+                     F.explode(F.sequence(F.lit(1), F.size("_w") - 1))
+                     .alias("_i"))
+    w1 = F.element_at("_w", F.col("_i"))
+    w2 = F.element_at("_w", F.col("_i") + 1)
+    w3 = F.element_at("_w", F.col("_i") + 2)
+    big = F.concat_ws(" ", w1, w2)
+    # trigram exists only while a third word remains; the NULL rows the
+    # tail positions emit are filtered right after the tag explode
+    tri = F.when(F.col("_i") <= F.size("_w") - 2,
+                 F.concat_ws(" ", w1, w2, w3))
+    tagged = (ex.select(F.col(key_col),
+                        F.explode(F.array(
+                            F.struct(F.lit(2).alias("n"), big.alias("g")),
+                            F.struct(F.lit(3).alias("n"), tri.alias("g"))))
+                        .alias("t"))
+              .select(key_col, F.col("t.n").alias("n"),
+                      F.col("t.g").alias("g"))
+              .filter(F.col("g").isNotNull()))
+    per_gram = (tagged.groupBy(key_col, "n", "g")
+                .agg(F.count(F.lit(1)).alias("c")))
+    per_n = (per_gram.groupBy(key_col, "n")
+             .agg(F.sum("c").alias("tot"),
+                  F.count(F.lit(1)).alias("dst"),
+                  # struct max carries the top count and, on count ties,
+                  # the lexicographically largest gram — the oracle's rule
+                  F.max(F.struct(F.col("c"), F.col("g"))).alias("tp")))
+    fin = per_n.groupBy(key_col).agg(
+        F.max(F.when(F.col("n") == 2, F.col("tot"))).alias("total_bi"),
+        F.max(F.when(F.col("n") == 2, F.col("tp"))).alias("_top"),
+        F.max(F.when(F.col("n") == 3, F.col("tot"))).alias("total_tri"),
+        F.max(F.when(F.col("n") == 3, F.col("dst"))).alias("distinct_tri"))
     ratio = F.col("_top.c") / F.col("total_bi")
     dup = (F.col("total_tri") - F.col("distinct_tri")) / F.col("total_tri")
-    return (bi.join(tri, key_col)
-            .select(F.col(key_col),
-                    (F.col("total_bi") + F.lit(1)).cast("long")
-                    .alias("n_words"),
-                    ratio.alias("top_bigram_ratio"),
-                    F.col("_top.g").alias("top_bigram"),
-                    dup.alias("dup_trigram_frac"),
-                    ((ratio <= F.lit(top_bigram_max))
-                     & (dup <= F.lit(dup_trigram_max))).alias("keep")))
+    return fin.select(F.col(key_col),
+                      (F.col("total_bi") + F.lit(1)).cast("long")
+                      .alias("n_words"),
+                      ratio.alias("top_bigram_ratio"),
+                      F.col("_top.g").alias("top_bigram"),
+                      dup.alias("dup_trigram_frac"),
+                      ((ratio <= F.lit(top_bigram_max))
+                       & (dup <= F.lit(dup_trigram_max))).alias("keep"))
 
 
 def gopher_signals_sql(table: str = "documents", text_col: str = "text",

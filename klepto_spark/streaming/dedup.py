@@ -130,6 +130,67 @@ def process_batch(batch_df: DataFrame, epoch_id: int, index_path: str,
 
 
 # ---------------------------------------------------------------------------
+# EXACT twin (round 8): the same foreachBatch shape over the at-rest
+# fingerprint index (operators.dedup.exact_append) -- completes the
+# streaming symmetry with the minhash and semantic twins. Epoch-keyed
+# and replayable exactly like process_batch.
+# ---------------------------------------------------------------------------
+
+
+def exact_stream_writer(docs: DataFrame, index_path: str, pairs_path: str,
+                        checkpoint: str, text_col: str = "text",
+                        key_col: str = "doc_id",
+                        prefix_words: int | None = None):
+    """A configured ``DataStreamWriter`` for document streams: exact
+    duplicate pairs (>= one endpoint in the arriving batch) appear under
+    ``pairs_path`` partitioned by batch epoch; the batch's (key, fp)
+    rows commit to ``index_path/ep=<batch>``."""
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        process_exact_batch(batch_df, int(epoch_id), index_path,
+                            pairs_path, text_col, key_col, prefix_words)
+
+    return (docs.writeStream.foreachBatch(_batch)
+            .option("checkpointLocation", checkpoint))
+
+
+def process_exact_batch(batch_df: DataFrame, epoch_id: int,
+                        index_path: str, pairs_path: str,
+                        text_col: str = "text", key_col: str = "doc_id",
+                        prefix_words: int | None = None) -> None:
+    """One micro-batch of the streaming exact dedup (retry-idempotent by
+    the same contract as :func:`process_batch`: same ``epoch_id`` =>
+    same index view probed, same outputs replaced)."""
+    if batch_df.isEmpty():
+        # same replay contract as the semantic twin: a retried empty
+        # epoch also writes nothing (and no empty ep= dir pollutes the
+        # index listing)
+        return
+    spark = batch_df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = p.getFileSystem(conf)
+    fp = batch_df.select(
+        F.col(key_col),
+        D.exact_fingerprint(text_col, prefix_words).alias("fp"))
+    prior = _prior_index_paths(jvm, fs, p, epoch_id)
+    if not prior:
+        # bootstrap epoch: intra-batch exact pairs (a < b) only
+        pairs = (fp.withColumnRenamed(key_col, "a")
+                 .join(fp.withColumnRenamed(key_col, "b"), "fp")
+                 .filter(F.col("a") < F.col("b"))
+                 .select("a", "b"))
+    else:
+        pairs = D.exact_append(spark, sorted(prior), batch_df, text_col,
+                               key_col, prefix_words, commit=False)
+    (pairs.withColumn("ep", F.lit(epoch_id))
+     .write.mode("overwrite").partitionBy("ep")
+     .option("partitionOverwriteMode", "dynamic").parquet(pairs_path))
+    fp.write.mode("overwrite").parquet(f"{index_path}/ep={epoch_id}")
+
+
+# ---------------------------------------------------------------------------
 # SEMANTIC twin (round 7): the same foreachBatch shape over the at-rest
 # signature index (operators.dedup.semantic_append) -- an embedding
 # stream deduplicates against, and folds into, the (key, signature,

@@ -266,3 +266,26 @@ def test_frame_energy_rejects_bad_window(spark):
     from klepto_spark.operators.multimodal import frame_energy
     with pytest.raises(ValueError):
         frame_energy(_media(spark, [(0, b"abc")]), window_bytes=0)
+
+
+def test_exact_append_max_group_star_caps_mass_dups(spark, tmp_path):
+    """A growing true-duplicate class must not emit quadratic pairs:
+    above max_group each new member pairs only with the group's min key;
+    groups at or under the cap keep the full pair set."""
+    big = [(i, "same same same") for i in range(10)]        # giant class
+    small = [(100 + i, "rare rare rare") for i in range(2)]  # tiny class
+    corpus = spark.createDataFrame(big + small, "doc_id long, text string")
+    idx = str(tmp_path / "ex_cap")
+    dedup.exact_write_index(corpus, idx)
+    batch = spark.createDataFrame(
+        [(50, "same same same"), (51, "same same same"),
+         (102, "rare rare rare")], "doc_id long, text string")
+    got = {(r["a"], r["b"]) for r in
+           dedup.exact_append(spark, idx, batch, commit=False,
+                              max_group=8).collect()}
+    # giant class (12 members > 8): star only — (min key 0, each new)
+    # tiny class (3 members <= 8): full pairs with a new endpoint
+    assert got == {(0, 50), (0, 51), (100, 102), (101, 102)}
+    # uncapped: the giant class emits 10*2 old-new + 1 new-new pairs
+    full = dedup.exact_append(spark, idx, batch, commit=False).count()
+    assert full == 21 + 2

@@ -911,3 +911,109 @@ def test_semantic_append_and_pairs_tolerate_empty_input(spark, tmp_path):
     assert spark.read.parquet(idx).count() == before  # no commit happened
     # an empty frame also indexes to zero rows without a dim
     assert D.semantic_index_rows(empty, key_col="vec_id").count() == 0
+
+
+# --- exact streaming twin (round 8): same contract as minhash/semantic
+
+
+def _doc_batch(spark, rows):
+    from pyspark.sql import Row
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows],
+                                 "doc_id bigint, text string")
+
+
+def test_streaming_exact_batches_union_to_full_recompute(spark, tmp_path):
+    """Two streamed batches: the epoch-keyed pair outputs must union to
+    exactly the one-shot exact-pair set over everything (bootstrap epoch
+    emits intra-batch pairs; later epochs emit >=1-new-endpoint pairs
+    against the index)."""
+    from klepto_spark.operators import dedup as D
+    from klepto_spark.streaming.dedup import process_exact_batch
+
+    idx = str(tmp_path / "exidx")
+    pairs_out = str(tmp_path / "expairs")
+    b1 = _doc_batch(spark, [(1, "aa bb cc"), (2, "dd ee ff"),
+                            (3, "aa bb cc")])
+    b2 = _doc_batch(spark, [(10, "aa bb cc"), (11, "dd ee ff"),
+                            (12, "zz yy xx"), (13, "zz yy xx")])
+    process_exact_batch(b1, 0, idx, pairs_out)
+    process_exact_batch(b2, 1, idx, pairs_out)
+    got = {(r.a, r.b) for r in spark.read.parquet(pairs_out).collect()}
+    both = b1.unionByName(b2)
+    fp = both.select("doc_id", D.exact_fingerprint("text").alias("fp"))
+    full = {(r.a, r.b) for r in
+            (fp.selectExpr("doc_id AS a", "fp")
+             .join(fp.selectExpr("doc_id AS b", "fp"), "fp")
+             .filter("a < b").select("a", "b")).collect()}
+    assert got == full and full
+
+
+def test_streaming_exact_retry_is_idempotent(spark, tmp_path):
+    from klepto_spark.operators import dedup as D
+    from klepto_spark.streaming.dedup import process_exact_batch
+
+    idx = str(tmp_path / "exidx2")
+    pairs_out = str(tmp_path / "expairs2")
+    b1 = _doc_batch(spark, [(1, "aa bb"), (2, "cc dd")])
+    b2 = _doc_batch(spark, [(10, "aa bb"), (11, "ee ff")])
+    process_exact_batch(b1, 0, idx, pairs_out)
+    process_exact_batch(b2, 1, idx, pairs_out)
+    once = sorted((r.a, r.b, r.ep) for r in
+                  spark.read.parquet(pairs_out).collect())
+    n_idx = spark.read.parquet(idx).count()
+
+    # out-of-order replays, including the bootstrap epoch
+    process_exact_batch(b2, 1, idx, pairs_out)
+    process_exact_batch(b1, 0, idx, pairs_out)
+    again = sorted((r.a, r.b, r.ep) for r in
+                   spark.read.parquet(pairs_out).collect())
+    assert again == once
+    assert spark.read.parquet(idx).count() == n_idx
+    # a batch-mode flat commit into the epoch index must refuse
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="epoch-partitioned"):
+        D.exact_append(spark, idx, b2, commit=True)
+
+
+def test_process_exact_batch_empty_batch_is_noop(spark, tmp_path):
+    from klepto_spark.streaming.dedup import process_exact_batch
+
+    idx = str(tmp_path / "exidx3")
+    pairs_out = str(tmp_path / "expairs3")
+    b1 = _doc_batch(spark, [(1, "aa bb"), (2, "aa bb")])
+    process_exact_batch(b1, 0, idx, pairs_out)
+    n_idx = spark.read.parquet(idx).count()
+    n_pairs = spark.read.parquet(pairs_out).count()
+    process_exact_batch(b1.filter("doc_id < 0"), 1, idx, pairs_out)
+    assert spark.read.parquet(idx).count() == n_idx
+    assert spark.read.parquet(pairs_out).count() == n_pairs
+    # and the retried empty epoch also writes nothing
+    process_exact_batch(b1.filter("doc_id < 0"), 1, idx, pairs_out)
+    assert spark.read.parquet(idx).count() == n_idx
+
+
+def test_compact_exact_index_epochs_probe_identical(spark, tmp_path):
+    """Folding the exact index's committed epochs must change nothing a
+    probe sees — same pairs before and after, fewer ep= dirs."""
+    import os as _o
+    from klepto_spark.operators import dedup as D
+    from klepto_spark.streaming.dedup import (compact_index_epochs,
+                                              process_exact_batch)
+
+    idx = str(tmp_path / "exidx4")
+    pairs_out = str(tmp_path / "expairs4")
+    for ep, rows in enumerate([
+            [(1, "aa bb"), (2, "cc dd")],
+            [(10, "aa bb")],
+            [(20, "cc dd"), (21, "aa bb")]]):
+        process_exact_batch(_doc_batch(spark, rows), ep, idx, pairs_out)
+    probe = _doc_batch(spark, [(99, "aa bb"), (98, "ee ff")])
+    before = {(r.a, r.b) for r in
+              D.exact_append(spark, idx, probe, commit=False).collect()}
+    n_dirs_before = len([d for d in _o.listdir(idx) if d.startswith("ep=")])
+    assert compact_index_epochs(spark, idx, max_epoch_exclusive=3) > 0
+    after = {(r.a, r.b) for r in
+             D.exact_append(spark, idx, probe, commit=False).collect()}
+    n_dirs_after = len([d for d in _o.listdir(idx) if d.startswith("ep=")])
+    assert after == before and before == {(1, 99), (10, 99), (21, 99)}
+    assert n_dirs_after < n_dirs_before
