@@ -886,6 +886,64 @@ def q_token_budget(spark, sf_dir):
             .select("doc_id", "source", "n_tokens", "cum_tokens"))
 
 
+P07_ALPHA = 0.5
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """p07: temperature-based mixture (UniMax / multilingual rule) —
+    target proportions follow count^alpha instead of a hand-written
+    weight table, flattening the corpus's 3:1 English head toward the
+    tail languages while keeping the smallest whole (en thins to
+    ~(n_en/n_min)^-0.5 of itself). alpha=0.5 rides sqrt (IEEE-correctly-
+    rounded in both engines) so the data-dependent rate chain is
+    bit-exact. Same two-pass shape as p05: tiny per-group COUNT, then a
+    map-side filter against broadcast rates (operators.sampling.
+    temperature_mixture)."""
+    from klepto_spark.operators import sampling as P
+    docs = _load(spark, sf_dir)("documents")
+    return (P.temperature_mixture(docs, "lang", "doc_id",
+                                  alpha=P07_ALPHA, salt=SEED)
+            .select("doc_id", "source", "lang", "n_chars"))
+
+
+def q_validate_fk(spark, sf_dir):
+    """v03: referential-integrity audit across the star schema — orphan
+    counts for lineitem's three foreign keys plus composite-key
+    uniqueness, the guardrail the reference's FK-restriction domain
+    implies but never checks. Each FK is ONE distinct-projected anti-join
+    (operators/validate.py references); uniqueness one keyed aggregate;
+    the row-local check shares their scan pass. Exercises the
+    `references` and composite-`unique` kinds the v01 suite doesn't."""
+    from klepto_spark.operators import validate as V
+    li = _load(spark, sf_dir)("lineitem")
+    checks = [
+        V.not_null("l_orderkey"),
+        V.unique("l_orderkey", "l_linenumber"),
+        V.references(["l_orderkey"], _load(spark, sf_dir)("orders"),
+                     ["o_orderkey"], other_name="orders"),
+        V.references(["l_partkey"], _load(spark, sf_dir)("part"),
+                     ["p_partkey"], other_name="part"),
+        V.references(["l_suppkey"], _load(spark, sf_dir)("supplier"),
+                     ["s_suppkey"], other_name="supplier"),
+    ]
+    return V.validate(li, checks)
+
+
+def _v03_oracle():
+    from klepto_spark.operators import validate as V
+    checks = [
+        V.not_null("l_orderkey"),
+        V.unique("l_orderkey", "l_linenumber"),
+        V.references(["l_orderkey"], None, ["o_orderkey"],
+                     other_name="orders"),
+        V.references(["l_partkey"], None, ["p_partkey"],
+                     other_name="part"),
+        V.references(["l_suppkey"], None, ["s_suppkey"],
+                     other_name="supplier"),
+    ]
+    return V.validate_sql("lineitem", checks)
+
+
 M03_WINDOW = 64
 
 
@@ -1613,6 +1671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t15_gopher_signals": q_gopher_signals,
         "p06_token_budget": q_token_budget,
         "m03_frame_energy": q_frame_energy,
+        "p07_temperature_mixture": q_temperature_mixture,
+        "v03_validate_fk": q_validate_fk,
     }
 
 
@@ -2193,6 +2253,11 @@ FROM documents""",
             "source", "doc_id", TOKEN_COUNT_SQL, P06_BUDGET, salt=SEED,
             columns="doc_id, source"),
         "m03_frame_energy": multimodal.frame_energy_sql(M03_WINDOW),
+        "p07_temperature_mixture": sampling.temperature_mixture_sql(
+            "(SELECT doc_id, source, lang, n_chars FROM documents)",
+            "lang", "doc_id", alpha=P07_ALPHA, salt=SEED,
+            select="d.doc_id, d.source, d.lang, d.n_chars"),
+        "v03_validate_fk": _v03_oracle(),
         # rows-only (no oracle entry) by design: t06 (DuckDB has a
         # different HLL sketch) and a16 (no t-digest) — their error and
         # mergeability contracts are pytest-pinned instead.

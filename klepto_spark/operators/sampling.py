@@ -378,3 +378,62 @@ SELECT {sel} FROM (
            AS cum_tokens
   FROM {table_sql})
 WHERE cum_tokens <= {int(budget)}"""
+
+
+def temperature_mixture(df: DataFrame, group_col: str, key_col: str,
+                        alpha: float = 0.5, salt: str = "") -> DataFrame:
+    """Temperature-based mixture resampling (the UniMax / multilingual-
+    pretraining rule): target proportions follow ``n_g ** alpha`` rather
+    than a hand-written weight table — ``alpha=1`` keeps the natural
+    distribution, ``alpha -> 0`` flattens toward uniform, the standard
+    0.2–0.7 range boosts tail languages/domains without starving heads.
+    Like :func:`mixture_sample`, the output is the LARGEST deterministic
+    subsample achieving the target in expectation: the smallest group is
+    kept whole (its rate is exactly 1.0 by algebra: ``n^a * n^(1-a) / n``)
+    and larger groups thin by ``(n_g / n_min) ** (alpha - 1)``.
+
+    Scale shape: identical to mixture_sample — one column-pruned COUNT
+    per group, then a map-side filter against broadcast rates; corpus
+    rows never shuffle.
+
+    Cross-engine exactness: ``alpha=0.5`` computes the weight via
+    ``sqrt`` (IEEE-correctly-rounded in both engines, so the rate chain
+    is bit-exact and the SQL twin hash-matches). Other alphas go through
+    ``pow``, which libms don't guarantee to the last ulp — a draw within
+    ~2^-40 of its threshold could flip between engines; fine for
+    production, pinned contracts should use 0.5."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = (df.groupBy(group_col).count()
+              .withColumn("__n", F.col("count").cast("double")))
+    w = (F.sqrt(F.col("__n")) if alpha == 0.5
+         else F.pow(F.col("__n"), F.lit(float(alpha))))
+    counts = counts.withColumn("__w", w)
+    scale = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__sc"))
+    rates = (counts.crossJoin(F.broadcast(scale))
+             .select(F.col(group_col).alias("__g"),
+                     ((F.col("__w") * F.col("__sc")) / F.col("__n"))
+                     .alias("__rate")))
+    hx = _hex_value(hash_prefix(key_col, salt)).cast("double")
+    out = (df.join(F.broadcast(rates), df[group_col] == F.col("__g"))
+           .filter(hx < F.col("__rate") * F.lit(float(_HEX_SPACE))))
+    return out.select(*[df[c] for c in df.columns])
+
+
+def temperature_mixture_sql(table_sql: str, group_col: str, key_col: str,
+                            alpha: float = 0.5, salt: str = "",
+                            select: str = "d.*") -> str:
+    """Full-query DuckDB twin of :func:`temperature_mixture` (same rate
+    chain, same association order; sqrt path for alpha=0.5)."""
+    w = "sqrt(n)" if alpha == 0.5 else f"pow(n, {float(alpha)!r})"
+    hx = _hex_value_sql(_hash_prefix_sql(f"d.{key_col}", salt))
+    return f"""
+WITH __cnt AS (
+  SELECT {group_col} AS g, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM {table_sql} GROUP BY {group_col}),
+__w AS (SELECT g, n, {w} AS w FROM __cnt),
+__sc AS (SELECT MIN(n / w) AS sc FROM __w),
+__rates AS (SELECT g, (w * sc) / n AS r FROM __w CROSS JOIN __sc)
+SELECT {select}
+FROM {table_sql} d JOIN __rates ON d.{group_col} = __rates.g
+WHERE CAST({hx} AS DOUBLE) < r * {float(_HEX_SPACE)!r}"""

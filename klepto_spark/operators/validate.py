@@ -68,9 +68,12 @@ def expression(sql: str, name: str | None = None) -> Check:
 
 
 def references(cols: list[str], other: DataFrame,
-               other_cols: list[str]) -> Check:
+               other_cols: list[str], other_name: str | None = None) -> Check:
+    """Foreign-key orphan check. ``other_name`` (the parent's SQL table
+    name) is optional and only needed when the suite must render through
+    :func:`validate_sql` — the engine side joins the DataFrame."""
     return Check("references", ",".join(cols),
-                 (tuple(cols), other, tuple(other_cols)))
+                 (tuple(cols), other, tuple(other_cols), other_name))
 
 
 def _violation_expr(c: Check) -> F.Column:
@@ -120,7 +123,7 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
                     .first()["_d"])
             results.append((c.kind, c.target, int(dups)))
         elif c.kind == "references":
-            cols, other, other_cols = c.params
+            cols, other, other_cols = c.params[:3]
             parents = (other.select(*[F.col(oc).alias(cc) for cc, oc
                                       in zip(cols, other_cols)])
                        .distinct())
@@ -163,12 +166,26 @@ def validate_sql(table: str, checks: list[Check]) -> str:
             cols = ", ".join(c.params)
             v = (f"(SELECT COALESCE(SUM(n - 1), 0) FROM (SELECT COUNT(*) "
                  f"AS n FROM {table} GROUP BY {cols}) WHERE n > 1)")
+        elif c.kind == "references":
+            cols, _other, other_cols, other_name = c.params
+            if other_name is None:
+                raise ValueError(
+                    "references needs other_name for a SQL twin "
+                    "(references(cols, df, other_cols, other_name='t'))")
+            notnull = " AND ".join(f"t.{x} IS NOT NULL" for x in cols)
+            on = " AND ".join(f"p.{oc} = t.{cc}"
+                              for cc, oc in zip(cols, other_cols))
+            v = (f"(SELECT COUNT(*) FROM {table} t WHERE {notnull} "
+                 f"AND NOT EXISTS (SELECT 1 FROM {other_name} p "
+                 f"WHERE {on}))")
         else:
             raise ValueError(f"no SQL twin for {c.kind!r}")
         selects.append(
             f"SELECT '{c.kind}' AS \"check\", '{c.target}' AS target, "
             f"CAST({v} AS BIGINT) AS violations FROM {table}"
-            if c.kind != "unique" else
+            if c.kind not in ("unique", "references") else
+            # scalar-subquery checks: standalone select (an outer
+            # FROM {table} would emit one row per table row)
             f"SELECT '{c.kind}' AS \"check\", '{c.target}' AS target, "
             f"CAST({v} AS BIGINT) AS violations")
     union = " UNION ALL ".join(f"({s})" for s in selects)

@@ -289,3 +289,56 @@ def test_exact_append_max_group_star_caps_mass_dups(spark, tmp_path):
     # uncapped: the giant class emits 10*2 old-new + 1 new-new pairs
     full = dedup.exact_append(spark, idx, batch, commit=False).count()
     assert full == 21 + 2
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture — UniMax count^alpha resampling
+# ---------------------------------------------------------------------------
+
+def test_temperature_mixture_keeps_smallest_whole_thins_heads(spark):
+    from klepto_spark.operators.sampling import temperature_mixture
+    rows = ([(i, "big") for i in range(400)]
+            + [(1000 + i, "small") for i in range(25)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_mixture(df, "source", "doc_id", alpha=0.5, salt="t")
+    got = {r["source"]: r["count"] for r in
+           out.groupBy("source").count().collect()}
+    # smallest group's rate is exactly 1.0 by algebra
+    assert got["small"] == 25
+    # head thins by (400/25)^(0.5-1) = 0.25 -> expectation 100
+    assert abs(got["big"] - 100) < 40
+
+
+def test_temperature_mixture_alpha_one_is_identity_rate(spark):
+    from klepto_spark.operators.sampling import temperature_mixture
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_mixture(df, "source", "doc_id", alpha=1.0, salt="t")
+    # alpha=1: every group's rate is 1.0 -> nothing dropped
+    assert out.count() == 90
+
+
+def test_temperature_mixture_rejects_bad_alpha(spark):
+    from klepto_spark.operators.sampling import temperature_mixture
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError):
+            temperature_mixture(df, "source", "doc_id", alpha=bad)
+
+
+# ---------------------------------------------------------------------------
+# validate: references SQL twin + orphan counting
+# ---------------------------------------------------------------------------
+
+def test_references_counts_orphans_and_sql_twin_needs_name(spark):
+    from klepto_spark.operators import validate as V
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long")
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = V.validate(child, [V.references(["fk"], parent, ["pk"])])
+    row = out.collect()[0]
+    # fk=99 is the only orphan; NULL fk rows are excluded by contract
+    assert (row["check"], row["violations"], row["pass"]) == \
+        ("references", 1, False)
+    with pytest.raises(ValueError, match="other_name"):
+        V.validate_sql("child", [V.references(["fk"], parent, ["pk"])])
