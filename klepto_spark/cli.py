@@ -330,6 +330,66 @@ def _cmd_history(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_dedup_index(args: argparse.Namespace) -> int:
+    """Build or incrementally probe/fold the at-rest dedup indexes — the
+    CLI face of the exact/minhash/semantic incremental matrix
+    (operators/dedup.py exact_append / minhash_append / semantic_append).
+    ``build`` writes the corpus index once; each later ``append`` dedups
+    a new batch against it at O(batch) cost, never re-reading the
+    corpus, and (unless --no-commit) folds the batch in for the next
+    run."""
+    from klepto_spark.operators import dedup as D
+    from klepto_spark.session import get_spark
+
+    if args.action == "build" and not args.source:
+        print("dedup-index build needs --source", file=sys.stderr)
+        return 2
+    if args.action == "append" and not args.batch:
+        print("dedup-index append needs --batch", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="klepto_spark_dedup_index")
+    spark.sparkContext.setLogLevel("WARN")
+    mode = args.mode
+    if args.action == "build":
+        df = spark.read.parquet(args.source)
+        if mode == "exact":
+            D.exact_write_index(df, args.index, args.text, args.key,
+                                args.prefix_words)
+        elif mode == "minhash":
+            D.minhash_write_index(df, args.index, args.text, args.key,
+                                  args.k, args.num_hashes, args.bands)
+        else:
+            D.semantic_write_index(df, args.index, args.vec, args.key,
+                                   args.bits, args.dim)
+        n = spark.read.parquet(args.index).count()
+        print(json.dumps({"mode": mode, "index_rows": n, "ok": True}))
+        return 0
+    batch = spark.read.parquet(args.batch)
+    commit = not args.no_commit
+    if mode == "exact":
+        pairs = D.exact_append(spark, args.index, batch, args.text,
+                               args.key, args.prefix_words, commit=commit,
+                               max_group=args.max_group)
+    elif mode == "minhash":
+        pairs = D.minhash_append(spark, args.index, batch, args.text,
+                                 args.key, args.k, args.num_hashes,
+                                 args.bands, args.max_bucket,
+                                 commit=commit)
+    else:
+        pairs = D.semantic_append(spark, args.index, batch,
+                                  args.threshold, args.vec, args.key,
+                                  args.bits, args.dim, args.max_bucket,
+                                  commit=commit)
+    if args.pairs_out:
+        pairs.write.mode("overwrite").parquet(args.pairs_out)
+        n = spark.read.parquet(args.pairs_out).count()
+    else:
+        n = pairs.count()
+    print(json.dumps({"mode": mode, "pairs": n, "committed": commit,
+                      "ok": True}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="klepto_spark",
                                 description="Steals and anonymises data, on Spark")
@@ -470,6 +530,38 @@ def build_parser() -> argparse.ArgumentParser:
                     help="file dsn of the CDC table directory")
     ph.add_argument("--table", action="append", required=True)
     ph.set_defaults(fn=_cmd_history)
+
+    pdx = sub.add_parser(
+        "dedup-index",
+        help="build / incrementally append the at-rest dedup indexes "
+             "(exact fingerprints, minhash bands, semantic signatures)")
+    pdx.add_argument("action", choices=["build", "append"])
+    pdx.add_argument("--mode", required=True,
+                     choices=["exact", "minhash", "semantic"])
+    pdx.add_argument("--index", required=True,
+                     help="index directory (parquet)")
+    pdx.add_argument("--source", help="corpus parquet path (build)")
+    pdx.add_argument("--batch", help="new-batch parquet path (append)")
+    pdx.add_argument("--pairs-out", default=None,
+                     help="write duplicate pairs here (append)")
+    pdx.add_argument("--no-commit", action="store_true",
+                     help="probe only; do not fold the batch in")
+    pdx.add_argument("--key", default="doc_id")
+    pdx.add_argument("--text", default="text")
+    pdx.add_argument("--vec", default="embedding")
+    pdx.add_argument("--prefix-words", type=int, default=None,
+                     help="exact: fingerprint only the first N words")
+    pdx.add_argument("--max-group", type=int, default=None,
+                     help="exact: star-cap duplicate classes above N")
+    pdx.add_argument("--k", type=int, default=5)
+    pdx.add_argument("--num-hashes", type=int, default=16)
+    pdx.add_argument("--bands", type=int, default=4)
+    pdx.add_argument("--max-bucket", type=int, default=64)
+    pdx.add_argument("--bits", type=int, default=16)
+    pdx.add_argument("--dim", type=int, default=None)
+    pdx.add_argument("--threshold", type=float, default=0.6,
+                     help="semantic: cosine threshold")
+    pdx.set_defaults(fn=_cmd_dedup_index)
     return p
 
 

@@ -245,3 +245,47 @@ def test_cli_compact_retain_epochs(spark, tmp_path, capsys):
     assert got2[2] == 4 and got2[1] == 101
     with pytest.raises(ValueError, match="compacted"):
         cat.load_as_of("t", 1).collect()
+
+
+def test_cli_dedup_index_build_and_append(spark, sf_dir, tmp_path, capsys):
+    """dedup-index: build the exact fingerprint index from the corpus,
+    append a batch (probe + fold), then probe again with --no-commit —
+    the committed batch must now be visible as 'old'."""
+    idx = str(tmp_path / "exidx")
+    pairs = str(tmp_path / "pairs")
+    corpus = str(tmp_path / "corpus.parquet")
+    batch = str(tmp_path / "batch.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.filter("doc_id % 5 != 0").write.parquet(corpus)
+    docs.filter("doc_id % 5 = 0").write.parquet(batch)
+
+    rc = main(["dedup-index", "build", "--mode", "exact",
+               "--source", corpus, "--index", idx, "--prefix-words", "8"])
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["ok"] and built["index_rows"] == docs.filter(
+        "doc_id % 5 != 0").count()
+
+    rc = main(["dedup-index", "append", "--mode", "exact",
+               "--index", idx, "--batch", batch, "--pairs-out", pairs,
+               "--prefix-words", "8"])
+    assert rc == 0
+    ap = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ap["ok"] and ap["committed"] and ap["pairs"] > 0
+    assert spark.read.parquet(pairs).count() == ap["pairs"]
+    # the fold landed: a re-probe of the same batch now also matches the
+    # batch's own committed fingerprints (old-new pairs double up)
+    rc = main(["dedup-index", "append", "--mode", "exact", "--index", idx,
+               "--batch", batch, "--no-commit", "--prefix-words", "8"])
+    assert rc == 0
+    re = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not re["committed"] and re["pairs"] > ap["pairs"]
+
+
+def test_cli_dedup_index_missing_args(capsys):
+    assert main(["dedup-index", "build", "--mode", "exact",
+                 "--index", "/tmp/x"]) == 2
+    assert "needs --source" in capsys.readouterr().err
+    assert main(["dedup-index", "append", "--mode", "exact",
+                 "--index", "/tmp/x"]) == 2
+    assert "needs --batch" in capsys.readouterr().err
