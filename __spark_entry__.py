@@ -944,6 +944,74 @@ def _v03_oracle():
     return V.validate_sql("lineitem", checks)
 
 
+def q_extract_frames(spark, sf_dir):
+    """m04: EXECUTE m02's frame plan against the payloads — the second
+    half of the multimodal pattern: plan rows group back into a
+    per-media frame LIST, join the blob row once, and one mapInPandas
+    pass decodes all of a video's frames together (the blob is never
+    duplicated per frame row; at 100 TB that is reading each video once,
+    not once per frame). Deterministic stub decode = byte math, so the
+    oracle replays it (multimodal.extract_frames)."""
+    from klepto_spark.operators import multimodal as M
+    docs = _load(spark, sf_dir)("documents")
+    media = (M.attach_media(docs.withColumn("payload",
+                                            F.encode("text", "utf-8")),
+                            "payload", "doc_id", kind="video")
+             .withColumn("duration_ms",
+                         (F.col("media_id") % 30) * 1000 + 500))
+    return M.extract_frames(media, every_ms=1000)
+
+
+C03_BUDGET = 300
+
+
+def q_corpus_recipe(spark, sf_dir):
+    """c03: the round-8 LLM-recipe capstone — Gopher repetition gate ->
+    prefix-exact dedup (min key per fingerprint) -> temperature mixture
+    over the skewed language axis -> per-source token-budget fill.
+    Every stage is an already-verified operator; this query value-checks
+    the COMPOSITION (stage boundaries, data-dependent rates re-derived
+    over the survivor set, hash-order determinism end to end)."""
+    from klepto_spark.operators import sampling as P
+    docs = _load(spark, sf_dir)("documents")
+    gate = T.gopher_signals(docs).filter("keep").select("doc_id")
+    kept = docs.join(gate, "doc_id")
+    keepers = (kept.select(
+        "doc_id", dedup.exact_fingerprint("text", D11_PREFIX).alias("fp"))
+        .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id"))
+    dd = kept.join(keepers, "doc_id")
+    mix = P.temperature_mixture(dd, "lang", "doc_id", alpha=P07_ALPHA,
+                                salt=SEED)
+    slim = mix.select("doc_id", "lang", "source", "text")
+    out = P.token_budget_sample(slim, "source", "doc_id",
+                                T.token_count("text"), C03_BUDGET,
+                                salt=SEED)
+    return out.select("doc_id", "lang", "source", "n_tokens", "cum_tokens")
+
+
+def _c03_oracle() -> str:
+    """CTE chain for the c03 recipe capstone: each stage splices the
+    already-verified twin (gopher gate, fingerprint dedup, temperature
+    rates re-derived over the survivor set, token-budget window)."""
+    gate_q = T.gopher_signals_sql()
+    mix_q = sampling.temperature_mixture_sql(
+        "__dedup", "lang", "doc_id", alpha=P07_ALPHA, salt=SEED)
+    bud_q = sampling.token_budget_sample_sql(
+        "__mix", "source", "doc_id", TOKEN_COUNT_SQL, C03_BUDGET,
+        salt=SEED, columns="doc_id, lang, source")
+    return f"""
+WITH __gate AS (SELECT doc_id FROM ({gate_q}) WHERE keep),
+__kept AS (SELECT d.* FROM documents d JOIN __gate USING (doc_id)),
+__dedup AS (
+  SELECT k.* FROM __kept k
+  JOIN (SELECT MIN(doc_id) AS doc_id FROM __kept
+        GROUP BY {dedup.exact_fingerprint_sql("text", D11_PREFIX)}) c
+    USING (doc_id)),
+__mix AS (SELECT * FROM ({mix_q}))
+{bud_q}"""
+
+
 M03_WINDOW = 64
 
 
@@ -1673,6 +1741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m03_frame_energy": q_frame_energy,
         "p07_temperature_mixture": q_temperature_mixture,
         "v03_validate_fk": q_validate_fk,
+        "m04_extract_frames": q_extract_frames,
+        "c03_corpus_recipe": q_corpus_recipe,
     }
 
 
@@ -2258,6 +2328,8 @@ FROM documents""",
             "lang", "doc_id", alpha=P07_ALPHA, salt=SEED,
             select="d.doc_id, d.source, d.lang, d.n_chars"),
         "v03_validate_fk": _v03_oracle(),
+        "m04_extract_frames": multimodal.extract_frames_sql(),
+        "c03_corpus_recipe": _c03_oracle(),
         # rows-only (no oracle entry) by design: t06 (DuckDB has a
         # different HLL sketch) and a16 (no t-digest) — their error and
         # mergeability contracts are pytest-pinned instead.

@@ -83,11 +83,27 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     for name, fn in entry_mod.queries().items():
-        # one untimed warmup per query BEFORE the timed samples: the
+        # untimed ADAPTIVE warmup per query BEFORE the timed samples: the
         # first execution of a plan pays codegen compile + shuffle-file
         # warmup, which sat inside the graded medians as a ~14%
-        # median-vs-best spread even on a quiet box (VERDICT r07 #6)
+        # median-vs-best spread even on a quiet box (VERDICT r07 #6).
+        # One warmup drains most of it, but heavy Arrow/broadcast plans
+        # keep settling into run 2-3 (r08 residual: 1.084 ratio) — keep
+        # warming (3 max) while runs still improve >15%, so the timed
+        # samples start from steady state; sub-0.5s queries stop at one.
+        t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        prev = time.perf_counter() - t0
+        for _ in range(2):
+            if prev < 0.5:
+                break
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cur = time.perf_counter() - t0
+            still_improving = cur < 0.85 * prev
+            prev = cur
+            if not still_improving:
+                break
         samples = []
         for _ in range(max(1, runs)):
             t0 = time.perf_counter()

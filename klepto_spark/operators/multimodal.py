@@ -242,3 +242,86 @@ SELECT media_id, CAST(win_idx AS INT) AS win_idx,
          range(win_idx * {w}, least((win_idx + 1) * {w}, n)),
          i -> {byte})) AS BIGINT) AS byte_sum
 FROM wins"""
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_ts", LongType(), False),
+    StructField("frame_byte", IntegerType(), False),
+    StructField("frame_sig", StringType(), False),
+])
+
+
+def extract_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """EXECUTE the frame-sampling plan against the payloads — the second
+    half of the pattern :func:`frame_sample_plan` begins: plan on
+    metadata, then touch each blob exactly once. The plan's
+    (media_id, frame_ts) rows are grouped back into a per-media frame
+    LIST and joined onto the payload row, so one ``mapInPandas`` pass
+    decodes all of a video's frames together — the blob is never
+    duplicated per frame row, which is the difference between reading
+    each 100 MB video once and reading it once per sampled frame.
+
+    The decode is STUBBED deterministically (no video libs in this
+    container): frame(ts) = the payload byte at offset ``ts mod len``
+    plus a 4-byte signature from that offset — pure byte math, so the
+    DuckDB oracle replays it exactly. Swap the stub for a real
+    ffmpeg/pyav seek in deployment; the plan->group->single-pass-join
+    plumbing is the production shape. Empty/NULL payloads emit no
+    frames (their plan rows drop in the join)."""
+    plan = frame_sample_plan(df, every_ms)
+    lists = plan.groupBy("media_id").agg(
+        F.array_sort(F.collect_list("frame_ts")).alias("_fts"))
+    joined = (df.filter(F.col("kind") == "video")
+              .filter(F.col("payload").isNotNull()
+                      & (F.length("payload") > 0))
+              .select("media_id", "payload")
+              .join(lists, "media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_ts": [], "frame_byte": [],
+                   "frame_sig": []}
+            for mid, payload, fts in zip(pdf["media_id"], pdf["payload"],
+                                         pdf["_fts"]):
+                p = bytes(payload)
+                n = len(p)
+                hx = p.hex()
+                for ts in fts:
+                    off = int(ts) % n
+                    out["media_id"].append(int(mid))
+                    out["frame_ts"].append(int(ts))
+                    out["frame_byte"].append(p[off])
+                    out["frame_sig"].append(hx[2 * off:2 * off + 8])
+            yield pd.DataFrame(out)
+
+    from klepto_spark.operators.dedup import fan_out
+    n_part = max(4, min(8, df.sparkSession.sparkContext.defaultParallelism))
+    return fan_out(joined, "media_id", target=n_part).mapInPandas(
+        run, schema=FRAME_SCHEMA)
+
+
+def extract_frames_sql(every_ms: int = 1000, table: str = "documents",
+                       text_col: str = "text", id_col: str = "doc_id",
+                       duration_sql: str | None = None) -> str:
+    """DuckDB oracle for :func:`extract_frames` over utf-8 payloads with
+    the m02 fixture's deterministic duration (``duration_sql`` defaults
+    to the m02 contract: (id % 30) * 1000 + 500)."""
+    dur = duration_sql or f"(CAST({id_col} AS BIGINT) % 30) * 1000 + 500"
+    nibble = "strpos('0123456789abcdef', substr(hx, 2*off + {o}, 1)) - 1"
+    byte = f"({nibble.format(o=1)}) * 16 + {nibble.format(o=2)}"
+    return f"""
+WITH b AS (SELECT CAST({id_col} AS BIGINT) AS media_id,
+                  encode({text_col}) AS p, {dur} AS dur FROM {table}),
+h AS (SELECT media_id, dur, octet_length(p) AS n, lower(hex(p)) AS hx
+      FROM b WHERE octet_length(p) > 0),
+pl AS (SELECT media_id, n, hx,
+              CAST(unnest(range(0, greatest(dur - 1, 0) + 1, {every_ms}))
+                   AS BIGINT) AS frame_ts
+       FROM h),
+o AS (SELECT media_id, frame_ts, n, hx,
+             CAST(frame_ts % n AS BIGINT) AS off FROM pl)
+SELECT media_id, frame_ts,
+       CAST({byte} AS INT) AS frame_byte,
+       substr(hx, 2*off + 1, 8) AS frame_sig
+FROM o"""

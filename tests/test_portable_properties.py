@@ -177,3 +177,42 @@ def test_mixture_sample_limiting_group_property(spark, weights, seed):
     counts = {g: 100 for g in ["a", "b", "c", "d"]}  # 500/5 per group
     limiting = min((g for g in weights), key=lambda g: counts[g] / weights[g])
     assert got.get(limiting, 0) == counts[limiting]
+
+
+@pytest.mark.slow
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 10_000),
+                          st.sampled_from(["a", "b", "c"]),
+                          st.integers(1, 50)),
+                min_size=1, max_size=30,
+                unique_by=lambda t: t[0]),
+       st.integers(10, 200))
+def test_token_budget_matches_driver_side_greedy(spark, rows, budget):
+    """token_budget_sample property: for arbitrary (key, stratum, tokens)
+    rows and budgets, the distributed window result equals a pure-python
+    greedy replay of the same (md5-hash, key) order — the determinism
+    contract p06 rides on."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from klepto_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(rows, ["doc_id", "source", "tok"])
+    got = {r["doc_id"] for r in
+           token_budget_sample(df, "source", "doc_id", F.col("tok"),
+                               budget=budget, salt="prop").collect()}
+    kept = set()
+    by_s: dict[str, list] = {}
+    for k, s, t in rows:
+        by_s.setdefault(s, []).append((k, t))
+    for docs in by_s.values():
+        docs.sort(key=lambda kt: (
+            hashlib.md5(f"prop|{kt[0]}".encode()).hexdigest()[:8], kt[0]))
+        cum = 0
+        for k, t in docs:
+            cum += t
+            if cum > budget:
+                break
+            kept.add(k)
+    assert got == kept

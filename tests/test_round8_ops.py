@@ -342,3 +342,43 @@ def test_references_counts_orphans_and_sql_twin_needs_name(spark):
         ("references", 1, False)
     with pytest.raises(ValueError, match="other_name"):
         V.validate_sql("child", [V.references(["fk"], parent, ["pk"])])
+
+
+# ---------------------------------------------------------------------------
+# extract_frames — plan -> single-blob-pass execution
+# ---------------------------------------------------------------------------
+
+def test_extract_frames_values_and_tail_wrap(spark):
+    from klepto_spark.operators.multimodal import (attach_media,
+                                                   extract_frames)
+    p = bytes(range(7))
+    media = (attach_media(
+        spark.createDataFrame([Row(doc_id=1, payload=p)],
+                              "doc_id long, payload binary"),
+        "payload", "doc_id", kind="video")
+        .withColumn("duration_ms", F.lit(2500).cast("long")))
+    rows = {r["frame_ts"]: r for r in extract_frames(media, 1000).collect()}
+    # plan: ts 0, 1000, 2000; offsets ts % 7 = 0, 6, 5
+    assert set(rows) == {0, 1000, 2000}
+    assert rows[0]["frame_byte"] == 0 and rows[0]["frame_sig"] == "00010203"
+    assert rows[1000]["frame_byte"] == 6
+    # offset 6 is the last byte: the signature truncates like the oracle
+    assert rows[1000]["frame_sig"] == "06"
+    assert rows[2000]["frame_byte"] == 5 and rows[2000]["frame_sig"] == "0506"
+
+
+def test_extract_frames_skips_empty_and_non_video(spark):
+    from klepto_spark.operators.multimodal import (attach_media,
+                                                   extract_frames)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=b""), Row(doc_id=2, payload=None),
+         Row(doc_id=3, payload=b"abc")], "doc_id long, payload binary")
+    media = (attach_media(df, "payload", "doc_id", kind="video")
+             .withColumn("duration_ms", F.lit(1500).cast("long")))
+    audio = (attach_media(df.filter("doc_id = 3"), "payload", "doc_id",
+                          kind="audio")
+             .withColumn("duration_ms", F.lit(1500).cast("long")))
+    got = extract_frames(media.unionByName(audio), 1000).collect()
+    # only doc 3's VIDEO row emits (2 frames); empty/null/audio drop
+    assert {(r["media_id"], r["frame_ts"]) for r in got} == \
+        {(3, 0), (3, 1000)}
