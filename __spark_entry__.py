@@ -962,6 +962,23 @@ def q_extract_frames(spark, sf_dir):
     return M.extract_frames(media, every_ms=1000)
 
 
+def q_priority_late_orders(spark, sf_dir):
+    """a23: TPC-H Q4 shape — correlated EXISTS with a cross-table
+    inequality (orders having ANY lineitem shipped >60 days after the
+    order date), counted by priority. Compiles to ONE left-semi hash
+    join on the order key with the inequality as a residual condition —
+    no decorrelation pass, no nested loop; the count aggregate rides a
+    second keyed exchange. Oracle is the literal EXISTS subquery."""
+    orders = _load(spark, sf_dir)("orders")
+    li = _load(spark, sf_dir)("lineitem")
+    late = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
 C03_BUDGET = 300
 
 
@@ -1743,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v03_validate_fk": q_validate_fk,
         "m04_extract_frames": q_extract_frames,
         "c03_corpus_recipe": q_corpus_recipe,
+        "a23_priority_late_orders": q_priority_late_orders,
     }
 
 
@@ -2330,6 +2348,14 @@ FROM documents""",
         "v03_validate_fk": _v03_oracle(),
         "m04_extract_frames": multimodal.extract_frames_sql(),
         "c03_corpus_recipe": _c03_oracle(),
+        "a23_priority_late_orders": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate
+                                               + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority""",
         # rows-only (no oracle entry) by design: t06 (DuckDB has a
         # different HLL sketch) and a16 (no t-digest) — their error and
         # mergeability contracts are pytest-pinned instead.

@@ -300,3 +300,14 @@ def test_exact_append_probe_plan_shape(spark, sf_dir, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_priority_late_orders_semi_join_no_nested_loop(spark, sf_dir):
+    """a23: the correlated EXISTS with a cross-table inequality must
+    compile to ONE semi hash join with the inequality as a residual —
+    never a nested loop."""
+    df = entry.q_priority_late_orders(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
