@@ -979,6 +979,20 @@ def q_priority_late_orders(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_orders")))
 
 
+T16_CHUNK = 100
+
+
+def q_shared_chunks(spark, sf_dir):
+    """t16: C4-style cross-document duplicate-SPAN signal — per doc, the
+    fraction of its fixed-size chunks that also occur in another
+    document (shared boilerplate/quoted spans that doc-level dedup
+    misses). Chunk explode is map-side; chunk TEXT never shuffles (md5
+    projected first); cross-doc count is one hash-keyed aggregate
+    (operators.text.shared_chunk_stats)."""
+    docs = _load(spark, sf_dir)("documents")
+    return T.shared_chunk_stats(docs, "text", "doc_id", size=T16_CHUNK)
+
+
 C03_BUDGET = 300
 
 
@@ -1761,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m04_extract_frames": q_extract_frames,
         "c03_corpus_recipe": q_corpus_recipe,
         "a23_priority_late_orders": q_priority_late_orders,
+        "t16_shared_chunks": q_shared_chunks,
     }
 
 
@@ -2356,6 +2371,7 @@ FROM documents""",
                             AND l.l_shipdate > o.o_orderdate
                                                + INTERVAL 60 DAY)
             GROUP BY o_orderpriority""",
+        "t16_shared_chunks": T.shared_chunk_stats_sql(size=T16_CHUNK),
         # rows-only (no oracle entry) by design: t06 (DuckDB has a
         # different HLL sketch) and a16 (no t-digest) — their error and
         # mergeability contracts are pytest-pinned instead.

@@ -54,9 +54,11 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          "d09_cross_dedup_indexed", "d10_semantic_append",
          # round-8: every heavy-family query carries a trend ratio
          "d03_dedup_simhash",
-         # round-8 additions: bigram+trigram explode (t15) and the
-         # at-rest exact-fp probe (d11) — both corpus-scale-sensitive
-         "t15_gopher_signals", "d11_exact_append"]
+         # round-8 additions: bigram+trigram explode (t15), the at-rest
+         # exact-fp probe (d11), the composite recipe (c03) and the
+         # frame-plan execution (m04) — all corpus-scale-sensitive
+         "t15_gopher_signals", "d11_exact_append",
+         "c03_corpus_recipe", "m04_extract_frames"]
 COPIES = 10
 
 # Interpretation note for scaling_vs_10x_sf01: the rehearsal corpus is 10

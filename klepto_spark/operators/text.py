@@ -693,3 +693,58 @@ def score_novelty(df: "DataFrame", vocab: "DataFrame",
     novelty = ((F.col("n_tri") - F.col("hits")).cast("double")
                / F.col("n_tri").cast("double"))
     return agg.select(key_col, "n_tri", "hits", novelty.alias("novelty"))
+
+
+def shared_chunk_stats(df: "DataFrame", text_col: str = "text",
+                       key_col: str = "doc_id",
+                       size: int = 100) -> "DataFrame":
+    """C4-style cross-document duplicate-SPAN signal: chunk every
+    document into fixed ``size``-char pieces (:func:`chunk_documents`,
+    no overlap), fingerprint each chunk, and report per document how
+    many of its chunks also occur in ANOTHER document — the
+    chunk-level analogue of C4's repeated-three-sentence rule, catching
+    shared boilerplate/quoted spans that doc-level dedup (exact or
+    near) misses because the surrounding text differs. High
+    ``shared_frac`` docs are recombination/boilerplate candidates.
+
+    Scale shape: the chunk explode is map-side; chunks project to md5
+    HASHES before any shuffle (the chunk text never moves), the
+    cross-doc count is one hash-aggregate on the chunk hash, and the
+    join back is hash-keyed — all stages linear in total chunk count.
+    Empty chunks are excluded in both engines (an empty tail chunk must
+    not read as shared boilerplate)."""
+    chunks = (chunk_documents(df, size, 0, text_col, key_col)
+              .filter(F.col("n_chunk_chars") > 0)
+              .select(F.col(key_col), F.md5("chunk").alias("h")))
+    cross = (chunks.groupBy("h")
+             .agg(F.countDistinct(key_col).alias("nd")))
+    return (chunks.join(cross, "h")
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                 .cast("long").alias("shared_chunks"))
+            .select(F.col(key_col), F.col("n_chunks"),
+                    F.col("shared_chunks"),
+                    (F.col("shared_chunks") / F.col("n_chunks"))
+                    .alias("shared_frac")))
+
+
+def shared_chunk_stats_sql(table_sql: str = "documents",
+                           text_col: str = "text",
+                           key_col: str = "doc_id",
+                           size: int = 100) -> str:
+    """DuckDB oracle for :func:`shared_chunk_stats` (same chunking, same
+    empty-chunk exclusion, exact-integer fraction)."""
+    inner = chunk_documents_sql(table_sql, size, 0, text_col, key_col)
+    return f"""
+WITH __c AS (SELECT {key_col}, md5(chunk) AS h
+             FROM ({inner}) WHERE n_chunk_chars > 0),
+__g AS (SELECT h, count(DISTINCT {key_col}) AS nd FROM __c GROUP BY h)
+SELECT __c.{key_col},
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN __g.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_chunks,
+       sum(CASE WHEN __g.nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*)
+         AS shared_frac
+FROM __c JOIN __g USING (h)
+GROUP BY __c.{key_col}"""

@@ -382,3 +382,35 @@ def test_extract_frames_skips_empty_and_non_video(spark):
     # only doc 3's VIDEO row emits (2 frames); empty/null/audio drop
     assert {(r["media_id"], r["frame_ts"]) for r in got} == \
         {(3, 0), (3, 1000)}
+
+
+# ---------------------------------------------------------------------------
+# shared_chunk_stats — cross-doc duplicate spans
+# ---------------------------------------------------------------------------
+
+def test_shared_chunk_stats_flags_cross_doc_spans(spark):
+    from klepto_spark.operators.text import shared_chunk_stats
+    boiler = "x" * 10                       # one full chunk, shared
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=boiler + "aaaaabbbbb"),   # chunks: boiler, aaaaabbbbb
+        Row(doc_id=2, text=boiler + "cccccddddd"),   # chunks: boiler, cccccddddd
+        Row(doc_id=3, text="eeeeefffff"),            # unique single chunk
+    ])
+    out = {r["doc_id"]: r for r in
+           shared_chunk_stats(docs, size=10).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["shared_chunks"] == 1
+    assert out[1]["shared_frac"] == 0.5
+    assert out[2]["shared_chunks"] == 1
+    assert out[3]["n_chunks"] == 1 and out[3]["shared_chunks"] == 0
+    assert out[3]["shared_frac"] == 0.0
+
+
+def test_shared_chunk_stats_intra_doc_repeat_not_shared(spark):
+    """A chunk repeated WITHIN one document is not cross-doc shared —
+    the signal counts distinct-document occurrences, not occurrences."""
+    from klepto_spark.operators.text import shared_chunk_stats
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="zzzzz" + "zzzzz"), Row(doc_id=2, text="qqqqq")])
+    out = {r["doc_id"]: r for r in
+           shared_chunk_stats(docs, size=5).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["shared_chunks"] == 0
