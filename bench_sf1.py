@@ -280,14 +280,23 @@ def ann_recall_sweep(spark) -> dict:
                         emb, q, pcents, pbooks, n_probe=p, k=K,
                         n_candidates=cand))
         emb.unpersist()
-        # the knee: cheapest config in each family reaching >= 0.9
+        # The knee: cheapest config in each family reaching >= 0.9,
+        # under an EXPLICIT cost order — scanned-vector count first
+        # (nprobe/16 of the corpus dominates), rerank shortlist second.
+        # Declaration order is not cost-monotone across the nprobe
+        # branches, so picking "first key >= 0.9" would track an
+        # ordering artifact; all qualifying configs are also listed so
+        # a different cost model can re-derive its own knee.
         knee = {}
         for fam, keys in (
-                ("ivf", [f"ivf_nprobe{p}_of16" for p in (1, 2, 4, 8)]),
-                ("ivfpq", [f"ivfpq_nprobe{p}_c{c}"
+                ("ivf", [(p, 0, f"ivf_nprobe{p}_of16")
+                         for p in (1, 2, 4, 8)]),
+                ("ivfpq", [(p, c, f"ivfpq_nprobe{p}_c{c}")
                            for p in (1, 4) for c in (10, 50, 200, 500)])):
-            ok = [k2 for k2 in keys if curve[k2] >= 0.9]
-            knee[fam] = ok[0] if ok else "none_reached_0.9"
+            ok = sorted((p, c, k2) for p, c, k2 in keys
+                        if curve[k2] >= 0.9)
+            knee[fam] = ok[0][2] if ok else "none_reached_0.9"
+            knee[f"{fam}_all_at_0.9"] = [k2 for _, _, k2 in ok]
         out[regime] = {"curve": curve, "knee_at_0.9": knee}
         for k2, v in curve.items():
             print(f"ann_sweep {regime} {k2}: {v}", file=sys.stderr)

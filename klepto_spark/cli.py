@@ -366,25 +366,42 @@ def _cmd_dedup_index(args: argparse.Namespace) -> int:
         return 0
     batch = spark.read.parquet(args.batch)
     commit = not args.no_commit
+    # Probe with commit=False regardless of the flag: the fold must
+    # happen AFTER the pairs output succeeds, or a failed --pairs-out
+    # write leaves the index mutated and a retry double-folds the batch
+    # (self-pairs + duplicated fingerprints forever).
     if mode == "exact":
         pairs = D.exact_append(spark, args.index, batch, args.text,
-                               args.key, args.prefix_words, commit=commit,
+                               args.key, args.prefix_words, commit=False,
                                max_group=args.max_group)
     elif mode == "minhash":
         pairs = D.minhash_append(spark, args.index, batch, args.text,
                                  args.key, args.k, args.num_hashes,
                                  args.bands, args.max_bucket,
-                                 commit=commit)
+                                 commit=False)
     else:
         pairs = D.semantic_append(spark, args.index, batch,
                                   args.threshold, args.vec, args.key,
                                   args.bits, args.dim, args.max_bucket,
-                                  commit=commit)
+                                  commit=False)
     if args.pairs_out:
         pairs.write.mode("overwrite").parquet(args.pairs_out)
         n = spark.read.parquet(args.pairs_out).count()
     else:
         n = pairs.count()
+    if commit:
+        # the batch is re-fingerprinted once — O(batch), never O(corpus)
+        D._refuse_epoch_layout(spark, args.index, "dedup-index append")
+        if mode == "exact":
+            D.exact_write_index(batch, args.index, args.text, args.key,
+                                args.prefix_words, mode="append")
+        elif mode == "minhash":
+            D.minhash_write_index(batch, args.index, args.text, args.key,
+                                  args.k, args.num_hashes, args.bands,
+                                  mode="append")
+        else:
+            D.semantic_write_index(batch, args.index, args.vec, args.key,
+                                   args.bits, args.dim, mode="append")
     print(json.dumps({"mode": mode, "pairs": n, "committed": commit,
                       "ok": True}))
     return 0

@@ -604,16 +604,20 @@ PG_CHECK_CONSTRAINTS_SQL = """
     ORDER BY rel.relname, con.conname"""
 
 # trigger functions first (a trigger references its function at CREATE
-# time); DISTINCT because several triggers can share one function
+# time); DISTINCT because several triggers can share one function.
+# The FUNCTION side is deliberately NOT schema-filtered: the dumped set
+# is "functions referenced by a dumped trigger", wherever they live — a
+# trigger on a current-schema table backed by util.audit() must dump the
+# function or the CREATE TRIGGER fails on replay. The namespace column
+# lets the renderer emit CREATE SCHEMA for out-of-schema functions.
 PG_TRIGGER_FUNCTIONS_SQL = """
-    SELECT DISTINCT p.proname, pg_get_functiondef(p.oid)
+    SELECT DISTINCT p.proname, pg_get_functiondef(p.oid), n.nspname
     FROM pg_trigger t
     JOIN pg_proc p ON p.oid = t.tgfoid
     JOIN pg_class c ON c.oid = t.tgrelid
     JOIN pg_namespace n ON n.oid = p.pronamespace
     WHERE NOT t.tgisinternal
       AND c.relnamespace = current_schema()::regnamespace
-      AND n.nspname = current_schema()
     ORDER BY p.proname"""
 
 PG_TRIGGERS_SQL = """
@@ -668,10 +672,22 @@ def pg_check_statements(rows) -> list[str]:
             for rel, name, cdef in rows]
 
 
-def pg_trigger_statements(func_rows, trigger_rows) -> list[str]:
+def pg_trigger_statements(func_rows, trigger_rows,
+                          current_schema: str = "public") -> list[str]:
     # pg_get_functiondef ends at the closing dollar-quote (no ';');
-    # pg_get_triggerdef is a single CREATE TRIGGER line, also bare
-    out = [d.rstrip().rstrip(";") + ";" for _, d in func_rows]
+    # pg_get_triggerdef is a single CREATE TRIGGER line, also bare.
+    # Functions living outside the dumped schema (pg_get_functiondef
+    # schema-qualifies them) need their schema to exist on replay.
+    out = []
+    seen_ns = set()
+    for row in func_rows:
+        name, d = row[0], row[1]
+        ns = row[2] if len(row) > 2 else None
+        if ns and ns not in (current_schema, "public", "pg_catalog") \
+                and ns not in seen_ns:
+            seen_ns.add(ns)
+            out.append(f'CREATE SCHEMA IF NOT EXISTS "{ns}";')
+        out.append(d.rstrip().rstrip(";") + ";")
     out += [d.rstrip().rstrip(";") + ";" for _, d in trigger_rows]
     return out
 

@@ -322,12 +322,14 @@ def exact_fingerprint(text_col: Column | str,
 
 def exact_fingerprint_sql(text_col: str = "text",
                           prefix_words: int | None = None) -> str:
-    """DuckDB twin of :func:`exact_fingerprint` (1-indexed list slice;
-    array_to_string joins like concat_ws)."""
+    """DuckDB twin of :func:`exact_fingerprint`. DuckDB list slices are
+    END-INCLUSIVE (``[1:k]`` is k elements), unlike Python — ``[1:k+1]``
+    would hash one extra word and silently diverge from Spark's
+    ``F.slice(words, 1, k)`` on any pair differing at word k+1."""
     if prefix_words is None:
         return f"md5({text_col})"
     return (f"md5(array_to_string(string_split_regex(trim({text_col}), "
-            f"'\\s+')[1:{prefix_words + 1}], ' '))")
+            f"'\\s+')[1:{prefix_words}], ' '))")
 
 
 def exact_write_index(df: DataFrame, path: str, text_col: str = "text",
@@ -395,18 +397,33 @@ def exact_append(spark, path: str, new_docs: DataFrame,
         # group size = touched olds + batch members sharing the fp; the
         # count shuffles (fp, key) rows only — never text
         members = (touched_old.select(key_col, "fp")
-                   .unionByName(new_fp.select(key_col, "fp")))
+                   .withColumn("_new", F.lit(False))
+                   .unionByName(new_fp.select(key_col, "fp")
+                                .withColumn("_new", F.lit(True))))
+        # struct min carries the representative AND whether it is a
+        # new-batch key (key ties between an old and a re-appended new
+        # copy break to False — the old one, deterministically)
         sizes = (members.groupBy("fp")
                  .agg(F.count(F.lit(1)).alias("_gsz"),
-                      F.min(key_col).alias("_rep")))
+                      F.min(F.struct(F.col(key_col).alias("k"),
+                                     F.col("_new").alias("n")))
+                      .alias("_rep")))
         flagged = all_pairs.join(F.broadcast(sizes), "fp")
         small = (flagged.filter(F.col("_gsz") <= max_group)
                  .select("a", "b"))
-        # star: each NEW member once, paired with the group representative
+        # Star over ALL touched members, not just the batch: when a new
+        # doc becomes the group's minimum key, the (new_rep, old_member)
+        # pairs are what reconnect the group's HISTORICAL component
+        # (anchored at the previous minimum) to the new representative —
+        # pairing only new members would split one duplicate class in
+        # two across appends. Old-old pairs (rep old AND member old)
+        # stay excluded: they were connected when those members were
+        # appended (inductively, to this same representative).
         big_fp = sizes.filter(F.col("_gsz") > max_group)
-        star = (new_fp.join(F.broadcast(big_fp), "fp")
-                .filter(F.col(key_col) != F.col("_rep"))
-                .select(F.col("_rep").alias("a"),
+        star = (members.join(F.broadcast(big_fp), "fp")
+                .filter(F.col(key_col) != F.col("_rep.k"))
+                .filter(F.col("_new") | F.col("_rep.n"))
+                .select(F.col("_rep.k").alias("a"),
                         F.col(key_col).alias("b")))
         out = small.unionByName(star)
     if commit:

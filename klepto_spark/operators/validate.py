@@ -139,9 +139,10 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
 
 
 def validate_sql(table: str, checks: list[Check]) -> str:
-    """Portable-SQL twin (DuckDB oracle) for the row-local + unique
-    check kinds; references needs the other table's name passed via
-    ``expression`` instead."""
+    """Portable-SQL twin (DuckDB oracle) for the row-local, unique, and
+    references check kinds; a references check renders a NOT EXISTS
+    scalar subquery and needs its parent's SQL table name
+    (``references(cols, df, other_cols, other_name='parent')``)."""
     selects = []
     for c in checks:
         if c.kind == "not_null":

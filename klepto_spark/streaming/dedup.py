@@ -440,6 +440,26 @@ def compact_index_epochs(spark, index_path: str,
     out.close()
     for sp, n in zip(staged, news):
         fs.rename(sp, P(root, n))
+        # Lease-expiry race guard: if the rename phase outlives the
+        # journal lease (object-store copies, GC pause), a concurrent
+        # probe's _recover_fold may decide roll-BACK — deleting landed
+        # news and the journal — while this loop keeps renaming. Those
+        # later renames would land fold-* files no journal references:
+        # permanent duplicate rows every probe reads twice. Re-checking
+        # the journal after each rename bounds the orphan window to one
+        # file, which the cleanup below removes before raising.
+        if not fs.exists(jp):
+            for n2 in news:
+                p2 = P(root, n2)
+                if fs.exists(p2):
+                    fs.delete(p2, False)
+            raise RuntimeError(
+                f"compact_index_epochs: journal at {index_path!r} "
+                "disappeared mid-publish (a concurrent recovery claimed "
+                "the root after the lease expired); this fold's files "
+                "were removed and the pre-fold layout stands — raise "
+                "KLEPTO_EPOCHFOLD_LEASE_SEC above the worst-case "
+                "publish time and re-run")
     # converge from the post-rename state: all news present -> the olds
     # retire and the journal clears; anything less rolls back intact
     _recover_fold(jvm, fs, root)

@@ -414,3 +414,67 @@ def test_shared_chunk_stats_intra_doc_repeat_not_shared(spark):
     out = {r["doc_id"]: r for r in
            shared_chunk_stats(docs, size=5).collect()}
     assert out[1]["n_chunks"] == 2 and out[1]["shared_chunks"] == 0
+
+
+def test_exact_append_star_reconnects_history_when_rep_is_new(spark,
+                                                              tmp_path):
+    """When a new doc becomes the group's minimum key, the star must
+    also pair the OLD index members with the new representative —
+    otherwise the group's historical component (anchored at the old
+    minimum) splits from the new one and a duplicate survives dedup."""
+    corpus = spark.createDataFrame(
+        [(500 + i, "same same same") for i in range(10)],
+        "doc_id long, text string")
+    idx = str(tmp_path / "ex_newrep")
+    dedup.exact_write_index(corpus, idx)
+    batch = spark.createDataFrame(
+        [(1, "same same same"), (2, "same same same")],
+        "doc_id long, text string")
+    got = {(r["a"], r["b"]) for r in
+           dedup.exact_append(spark, idx, batch, commit=False,
+                              max_group=4).collect()}
+    # rep = 1 (new): every member — old AND new — pairs with it
+    want = {(1, 2)} | {(1, 500 + i) for i in range(10)}
+    assert got == want
+
+
+def test_exact_fingerprint_sql_prefix_length_matches_engine(spark, duck):
+    """The DuckDB twin must hash exactly prefix_words words (DuckDB list
+    slices are end-inclusive — an off-by-one here diverges on any pair
+    differing at word k+1)."""
+    text = "w1 w2 w3 w4 w5 w6 w7 w8 DIVERGES-HERE"
+    sdf = spark.createDataFrame([(text,)], "text string")
+    got_spark = sdf.select(
+        dedup.exact_fingerprint("text", 8).alias("fp")).collect()[0]["fp"]
+    got_duck = duck.execute(
+        "SELECT " + dedup.exact_fingerprint_sql("t", 8)
+        + " FROM (SELECT ? AS t)", [text]).fetchone()[0]
+    import hashlib
+    want = hashlib.md5(b"w1 w2 w3 w4 w5 w6 w7 w8").hexdigest()
+    assert got_spark == want and got_duck == want
+
+
+def test_cli_append_failed_pairs_out_leaves_index_unchanged(spark, sf_dir,
+                                                            tmp_path):
+    """The CLI must fold the batch only AFTER the pairs output lands: a
+    failed --pairs-out write followed by a retry must not double-fold."""
+    from klepto_spark.cli import main as cli_main
+    idx = str(tmp_path / "cliidx")
+    corpus = str(tmp_path / "corpus.parquet")
+    batch = str(tmp_path / "batch.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.filter("doc_id % 5 != 0").write.parquet(corpus)
+    docs.filter("doc_id % 5 = 0").write.parquet(batch)
+    assert cli_main(["dedup-index", "build", "--mode", "exact",
+                     "--source", corpus, "--index", idx,
+                     "--prefix-words", "8"]) == 0
+    before = spark.read.parquet(idx).count()
+    # an unwritable pairs destination: parent is a FILE, not a dir
+    blocker = tmp_path / "blocker"
+    blocker.write_text("x")
+    with pytest.raises(Exception):
+        cli_main(["dedup-index", "append", "--mode", "exact",
+                  "--index", idx, "--batch", batch,
+                  "--pairs-out", str(blocker / "pairs"),
+                  "--prefix-words", "8"])
+    assert spark.read.parquet(idx).count() == before
