@@ -58,7 +58,8 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          # exact-fp probe (d11), the composite recipe (c03) and the
          # frame-plan execution (m04) — all corpus-scale-sensitive
          "t15_gopher_signals", "d11_exact_append",
-         "c03_corpus_recipe", "m04_extract_frames"]
+         "c03_corpus_recipe", "m04_extract_frames",
+         "t16_shared_chunks"]
 COPIES = 10
 
 # Interpretation note for scaling_vs_10x_sf01: the rehearsal corpus is 10
