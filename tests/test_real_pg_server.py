@@ -441,3 +441,50 @@ def test_enum_check_trigger_ddl_roundtrip_on_real_postgres(pg):
     finally:
         for db in ("esrc", "edst"):
             pg(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_cross_schema_trigger_function_dumped_and_replays(pg):
+    """Review finding (round 8): a trigger on a current-schema table
+    backed by a function in ANOTHER schema must dump the function (with
+    its CREATE SCHEMA) — the old function-side namespace filter dropped
+    it and the CREATE TRIGGER failed on replay."""
+    from klepto_spark import jdbc as J
+
+    for db in ("xsrc", "xdst"):
+        pg(f"DROP DATABASE IF EXISTS {db}")
+        pg(f"CREATE DATABASE {db}")
+    try:
+        pg("CREATE SCHEMA util", db="xsrc")
+        pg("CREATE TABLE logs (id INT PRIMARY KEY, stamped_at TIMESTAMP)",
+           db="xsrc")
+        pg("CREATE FUNCTION util.audit() RETURNS trigger LANGUAGE plpgsql"
+           " AS $$ BEGIN NEW.stamped_at := now(); RETURN NEW; END $$",
+           db="xsrc")
+        pg("CREATE TRIGGER audit_trg BEFORE INSERT ON logs "
+           "FOR EACH ROW EXECUTE FUNCTION util.audit()", db="xsrc")
+
+        fn_rows = _rows(pg(
+            "SELECT proname, nspname FROM ("
+            + J.PG_TRIGGER_FUNCTIONS_SQL + ") q(proname, def, nspname)",
+            db="xsrc"))
+        assert ("audit", "util") in fn_rows  # not filtered out anymore
+        fdef = pg("SELECT pg_get_functiondef(p.oid) FROM pg_proc p "
+                  "JOIN pg_namespace n ON n.oid = p.pronamespace "
+                  "WHERE p.proname = 'audit' AND n.nspname = 'util'",
+                  db="xsrc")
+        trig_rows = _rows(pg(J.PG_TRIGGERS_SQL, db="xsrc"))
+        stmts = J.pg_trigger_statements([("audit", fdef, "util")],
+                                        trig_rows)
+        assert stmts[0] == 'CREATE SCHEMA IF NOT EXISTS "util";'
+        tables = J.pg_create_table_statements(
+            [tuple(None if v == "" else v for v in r)
+             for r in _rows(pg(J.PG_COLUMNS_SQL, db="xsrc"))],
+            _rows(pg(J.PG_PRIMARY_KEYS_SQL, db="xsrc")))
+        for s in tables + stmts:
+            pg(s, db="xdst")
+        pg("INSERT INTO logs (id) VALUES (1)", db="xdst")
+        assert pg("SELECT stamped_at IS NOT NULL FROM logs WHERE id = 1",
+                  db="xdst") == "t"
+    finally:
+        for db in ("xsrc", "xdst"):
+            pg(f"DROP DATABASE IF EXISTS {db}")
