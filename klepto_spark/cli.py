@@ -350,6 +350,18 @@ def _cmd_dedup_index(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="klepto_spark_dedup_index")
     spark.sparkContext.setLogLevel("WARN")
     mode = args.mode
+    # the index's fingerprint scheme: persisted at build, validated on
+    # append — a mismatched append (e.g. built --prefix-words 8,
+    # appended with the default) probes a DIFFERENT fingerprint space
+    # (zero/wrong pairs) and a commit would mix two schemes in one
+    # index permanently (ADVICE r08)
+    scheme = {"exact": {"key": args.key, "text": args.text,
+                        "prefix_words": args.prefix_words},
+              "minhash": {"key": args.key, "text": args.text, "k": args.k,
+                          "num_hashes": args.num_hashes,
+                          "bands": args.bands},
+              "semantic": {"key": args.key, "vec": args.vec,
+                           "bits": args.bits, "dim": args.dim}}[mode]
     if args.action == "build":
         df = spark.read.parquet(args.source)
         if mode == "exact":
@@ -361,9 +373,15 @@ def _cmd_dedup_index(args: argparse.Namespace) -> int:
         else:
             D.semantic_write_index(df, args.index, args.vec, args.key,
                                    args.bits, args.dim)
+        D.write_index_meta(spark, args.index, mode, scheme)
         n = spark.read.parquet(args.index).count()
         print(json.dumps({"mode": mode, "index_rows": n, "ok": True}))
         return 0
+    try:
+        D.check_index_meta(spark, args.index, mode, scheme)
+    except ValueError as exc:
+        print(str(exc), file=sys.stderr)
+        return 2
     batch = spark.read.parquet(args.batch)
     commit = not args.no_commit
     # Probe with commit=False regardless of the flag: the fold must

@@ -306,6 +306,56 @@ def _refuse_epoch_layout(spark, path: str, caller: str) -> None:
             f"or call {caller} with commit=False")
 
 
+INDEX_META = "_dedupmeta.json"
+
+
+def write_index_meta(spark, path: str, mode: str, params: dict) -> None:
+    """Persist the fingerprint/LSH scheme an at-rest dedup index was
+    built with (``_dedupmeta.json`` next to the index files — the ``_``
+    prefix keeps parquet readers from touching it). Appends validate
+    against it (:func:`check_index_meta`): probing an index with a
+    different scheme silently produces zero/wrong pairs, and a committed
+    append would mix two schemes in the same index forever (ADVICE r08)."""
+    import json as _json
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(root, INDEX_META), True)
+    out.write(bytearray(_json.dumps(
+        {"mode": mode, **params}).encode("utf-8")))
+    out.close()
+
+
+def check_index_meta(spark, path: str, mode: str, params: dict) -> None:
+    """Refuse an append whose scheme differs from the index's recorded
+    build parameters. Indexes without a meta file (built before the meta
+    existed, or assembled by hand) pass unchecked — the guard protects
+    indexes this code built."""
+    import json as _json
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    jp = jvm.org.apache.hadoop.fs.Path(root, INDEX_META)
+    if not fs.exists(jp):
+        return
+    stream = fs.open(jp)
+    try:
+        meta = _json.loads(
+            jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
+    finally:
+        stream.close()
+    want = {"mode": mode, **params}
+    bad = {k: (meta.get(k), v) for k, v in want.items()
+           if k in meta and meta[k] != v}
+    if bad:
+        detail = ", ".join(f"{k}: index={i!r} append={a!r}"
+                           for k, (i, a) in sorted(bad.items()))
+        raise ValueError(
+            f"index at {path!r} was built with a different scheme "
+            f"({detail}); pass the build-time parameters, or rebuild "
+            "the index")
+
+
 def exact_fingerprint(text_col: Column | str,
                       prefix_words: int | None = None) -> Column:
     """Content fingerprint for exact dedup: md5 of the full text, or —
@@ -382,8 +432,12 @@ def exact_append(spark, path: str, new_docs: DataFrame,
     idx = spark.read.parquet(*paths).select(key_col, "fp")
     probe = new_fp.select("fp").distinct()
     touched_old = idx.join(F.broadcast(probe), "fp", "left_semi")
+    # a != b: a re-run of an append whose commit landed re-contains its
+    # own keys in the index — without the filter each would emit a
+    # self-pair (x, x) (ADVICE r08). new_new enforces a < b already.
     old_new = (touched_old.withColumnRenamed(key_col, "a")
                .join(new_fp.withColumnRenamed(key_col, "b"), "fp")
+               .filter(F.col("a") != F.col("b"))
                .select("a", "b", "fp"))
     nf2 = new_fp.withColumnRenamed(key_col, "b")
     new_new = (new_fp.withColumnRenamed(key_col, "a")

@@ -518,17 +518,25 @@ def vacuum_epochs(spark: SparkSession, directory: str, table: str,
     # otherwise resolve folded epochs against the ALREADY-folded base)
     meta["base_epoch"] = max(meta.get("base_epoch", 0), fold[-1]["id"])
     _write_json(fs, _meta_path(jvm, tgt), meta)
-    _write_json(fs, _sub_path(jvm, tgt, "_binpack.json"),
-                {"olds": olds, "news": news})
+    from klepto_spark.sinks.journal import publish_renames, write_plan
+    write_plan(fs, _sub_path(jvm, tgt, "_binpack.json"), olds, news)
     # Hadoop rename reports failure as a False return, not an exception
     # (e.g. destination exists). A failed publish must abort BEFORE the
     # retirement loop or the folded epochs' upserts vanish from the
     # current view (ADVICE r06 medium). The abort decision is made from
     # the POST-recovery state below, not these return values.
-    for s, n in zip(staged, news):
-        fs.rename(jvm.org.apache.hadoop.fs.Path(s),
-                  jvm.org.apache.hadoop.fs.Path(n))
-    _recover_binpack(jvm, fs, tgt)  # deletes olds + plan + staging
+    to_path = lambda s: jvm.org.apache.hadoop.fs.Path(s)  # noqa: E731
+    outcome = publish_renames(
+        jvm, fs, tgt, "_binpack.json", to_path,
+        [to_path(s) for s in staged], news, olds,
+        lost_journal_msg=(
+            f"vacuum_epochs: journal for table {table!r} disappeared "
+            "mid-publish (a concurrent recovery rolled the fold back); "
+            "this fold's files were removed, the pre-fold base stands "
+            "and the folded epochs were NOT retired — re-run "
+            "vacuum_epochs"))
+    if outcome == "renamed":
+        _recover_binpack(jvm, fs, tgt)  # deletes olds + plan + staging
     news_paths = [jvm.org.apache.hadoop.fs.Path(n) for n in news]
     # Decide from the POST-recovery state, not the rename return values
     # (ADVICE r07): a rename can report False because the destination

@@ -271,37 +271,16 @@ def _recover_binpack(jvm, fs, tgt) -> None:
     """Finish or roll back a half-applied bin-pack publish. Old files are
     deleted only AFTER every replacement landed, so recovery is simple:
     all news present -> finish deleting olds; otherwise drop partial news
-    and keep the olds (nothing was lost either way)."""
-    plan_path = _sub_path(jvm, tgt, _BINPACK_PLAN)
-    if not fs.exists(plan_path):
-        stage = _sub_path(jvm, tgt, "_bpstage")
-        if fs.exists(stage):
-            fs.delete(stage, True)
-        return
-    import json as _json
-    stream = fs.open(plan_path)
-    try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    plan = _json.loads(text)
-    news = [jvm.org.apache.hadoop.fs.Path(p) for p in plan["news"]]
-    olds = [jvm.org.apache.hadoop.fs.Path(p) for p in plan["olds"]]
-    if all(fs.exists(p) for p in news):
-        for p in olds:
-            if fs.exists(p):
-                fs.delete(p, False)
-    else:
-        for p in news:
-            if fs.exists(p):
-                fs.delete(p, False)
-    stage = _sub_path(jvm, tgt, "_bpstage")
-    if fs.exists(stage):
-        fs.delete(stage, True)
-    # either branch changed the table's file set (news moved in, or olds
-    # survived a rollback the manifest may predate) — stand the index down
-    invalidate_manifest(jvm, fs, tgt)
-    fs.delete(plan_path, False)
+    and keep the olds (nothing was lost either way). Either branch
+    changed the table's file set (news moved in, or olds survived a
+    rollback the manifest may predate), so the min/max manifest stands
+    down. Shared protocol: :mod:`klepto_spark.sinks.journal`; journal
+    entries are absolute path strings."""
+    from klepto_spark.sinks.journal import recover
+    recover(jvm, fs, tgt, _BINPACK_PLAN, "_bpstage",
+            to_path=lambda s: jvm.org.apache.hadoop.fs.Path(s),
+            on_change=lambda: invalidate_manifest(jvm, fs, tgt),
+            clean_stage_without_journal=True)
 
 
 def _sub_path(jvm, base, name: str):
@@ -359,13 +338,17 @@ def compact_small_files(spark: SparkSession, directory: str, table: str,
               if st.getPath().getName().endswith(".parquet")]
     news = [f"{target}/bp-{i}-{p.rsplit('/', 1)[1]}"
             for i, p in enumerate(staged)]
-    import json as _json
-    out = fs.create(_sub_path(jvm, tgt, _BINPACK_PLAN), True)
-    out.write(bytearray(_json.dumps(
-        {"olds": small, "news": news}).encode("utf-8")))
-    out.close()
-    for s, n in zip(staged, news):
-        fs.rename(jvm.org.apache.hadoop.fs.Path(s),
-                  jvm.org.apache.hadoop.fs.Path(n))
-    _recover_binpack(jvm, fs, tgt)  # deletes olds + plan + staging
+    from klepto_spark.sinks.journal import publish_renames, write_plan
+    write_plan(fs, _sub_path(jvm, tgt, _BINPACK_PLAN), small, news)
+    to_path = lambda s: jvm.org.apache.hadoop.fs.Path(s)  # noqa: E731
+    outcome = publish_renames(
+        jvm, fs, tgt, _BINPACK_PLAN, to_path,
+        [to_path(s) for s in staged], news, small,
+        lost_journal_msg=(
+            f"compact_small_files: journal for {table!r} disappeared "
+            "mid-publish (a concurrent recovery rolled the plan back); "
+            "this pack's files were removed and the pre-pack layout "
+            "stands — re-run compact_small_files"))
+    if outcome == "renamed":
+        _recover_binpack(jvm, fs, tgt)  # deletes olds + plan + staging
     return len(small)

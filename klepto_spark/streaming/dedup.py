@@ -269,7 +269,6 @@ def process_semantic_batch(batch_df: DataFrame, epoch_id: int,
 # journal check in _prior_index_paths -- converges forward or back.
 # ---------------------------------------------------------------------------
 
-import json as _json  # noqa: E402
 import os as _os  # noqa: E402
 import time as _time  # noqa: E402
 
@@ -284,41 +283,19 @@ def _fold_lease() -> float:
                                  FOLD_LEASE_SEC))
 
 
-def _read_plan(jvm, fs, jp) -> dict:
-    stream = fs.open(jp)
-    try:
-        return _json.loads(
-            jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
-    finally:
-        stream.close()
-
-
 def _recover_fold(jvm, fs, root) -> None:
     """Converge a crashed fold. The journal lists old entries (flat base
     files + folded ep dirs) and the new base file names; olds are only
     deleted AFTER every new file landed, so the journal state decides:
     all news present -> roll forward (delete remaining olds); any news
     missing -> roll back (delete partial news, olds intact). Either way
-    the journal and stage clear, and probe results are unchanged."""
+    the journal and stage clear, and probe results are unchanged.
+    Shared protocol: :mod:`klepto_spark.sinks.journal`; journal entries
+    are names relative to the index root."""
+    from klepto_spark.sinks.journal import recover
     P = jvm.org.apache.hadoop.fs.Path
-    jp = P(root, _FOLD_JOURNAL)
-    if not fs.exists(jp):
-        return
-    plan = _read_plan(jvm, fs, jp)
-    news = [P(root, n) for n in plan["news"]]
-    if news and all(fs.exists(p) for p in news):
-        for name in plan["olds"]:
-            op = P(root, name)
-            if fs.exists(op):
-                fs.delete(op, True)
-    else:
-        for p in news:
-            if fs.exists(p):
-                fs.delete(p, False)
-    stage = P(root, _FOLD_STAGE)
-    if fs.exists(stage):
-        fs.delete(stage, True)
-    fs.delete(jp, False)
+    recover(jvm, fs, root, _FOLD_JOURNAL, _FOLD_STAGE,
+            to_path=lambda s: P(root, s))
 
 
 def _prior_index_paths(jvm, fs, root, epoch_id: int) -> list[str]:
@@ -434,35 +411,32 @@ def compact_index_epochs(spark, index_path: str,
     olds += dest_files
     news = [f"{dest}/fold-{max_epoch_exclusive}-{i}-{p.getName()}"
             for i, p in enumerate(staged)]
-    plan = _json.dumps({"olds": olds, "news": news})
-    out = fs.create(jp, True)
-    out.write(bytearray(plan.encode("utf-8")))
-    out.close()
-    for sp, n in zip(staged, news):
-        fs.rename(sp, P(root, n))
-        # Lease-expiry race guard: if the rename phase outlives the
-        # journal lease (object-store copies, GC pause), a concurrent
-        # probe's _recover_fold may decide roll-BACK — deleting landed
-        # news and the journal — while this loop keeps renaming. Those
-        # later renames would land fold-* files no journal references:
-        # permanent duplicate rows every probe reads twice. Re-checking
-        # the journal after each rename bounds the orphan window to one
-        # file, which the cleanup below removes before raising.
-        if not fs.exists(jp):
-            for n2 in news:
-                p2 = P(root, n2)
-                if fs.exists(p2):
-                    fs.delete(p2, False)
-            raise RuntimeError(
-                f"compact_index_epochs: journal at {index_path!r} "
-                "disappeared mid-publish (a concurrent recovery claimed "
-                "the root after the lease expired); this fold's files "
-                "were removed and the pre-fold layout stands — raise "
-                "KLEPTO_EPOCHFOLD_LEASE_SEC above the worst-case "
-                "publish time and re-run")
-    # converge from the post-rename state: all news present -> the olds
-    # retire and the journal clears; anything less rolls back intact
-    _recover_fold(jvm, fs, root)
+    from klepto_spark.sinks.journal import publish_renames, write_plan
+    write_plan(fs, jp, olds, news)
+    # Lease-expiry race guard: if the rename phase outlives the journal
+    # lease (object-store copies, GC pause), a concurrent probe's
+    # _recover_fold may converge the root while this loop keeps
+    # renaming. The shared helper re-checks the journal after each
+    # rename and reads the OLDS to decide which way the peer went:
+    # roll-forward (olds gone) means the fold is already published and
+    # the news must stand; roll-back (olds intact) means this fold's
+    # landed files are orphans to remove before raising (ADVICE r08
+    # high: deleting news after a peer's roll-forward destroyed both
+    # copies).
+    outcome = publish_renames(
+        jvm, fs, root, _FOLD_JOURNAL, lambda s: P(root, s),
+        staged, news, olds,
+        lost_journal_msg=(
+            f"compact_index_epochs: journal at {index_path!r} "
+            "disappeared mid-publish (a concurrent recovery rolled the "
+            "fold back after the lease expired); this fold's files were "
+            "removed and the pre-fold layout stands — raise "
+            "KLEPTO_EPOCHFOLD_LEASE_SEC above the worst-case publish "
+            "time and re-run"))
+    if outcome == "renamed":
+        # converge from the post-rename state: all news present -> the
+        # olds retire and the journal clears; anything less rolls back
+        _recover_fold(jvm, fs, root)
     if not all(fs.exists(P(root, n)) for n in news):
         raise RuntimeError(
             f"compact_index_epochs: publish did not land at "

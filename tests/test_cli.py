@@ -282,6 +282,36 @@ def test_cli_dedup_index_build_and_append(spark, sf_dir, tmp_path, capsys):
     assert not re["committed"] and re["pairs"] > ap["pairs"]
 
 
+def test_cli_dedup_index_scheme_mismatch_refused(spark, sf_dir, tmp_path,
+                                                 capsys):
+    """A build persists its fingerprint scheme in _dedupmeta.json; an
+    append with different parameters (here: built --prefix-words 8,
+    appended with the default) must refuse instead of silently probing
+    a different fingerprint space and mixing two schemes into one index
+    (ADVICE r08)."""
+    idx = str(tmp_path / "mxidx")
+    corpus = str(tmp_path / "mxcorpus.parquet")
+    batch = str(tmp_path / "mxbatch.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.filter("doc_id % 5 != 0").write.parquet(corpus)
+    docs.filter("doc_id % 5 = 0").write.parquet(batch)
+    assert main(["dedup-index", "build", "--mode", "exact",
+                 "--source", corpus, "--index", idx,
+                 "--prefix-words", "8"]) == 0
+    capsys.readouterr()
+    rc = main(["dedup-index", "append", "--mode", "exact", "--index", idx,
+               "--batch", batch])  # prefix_words defaults to None
+    captured = capsys.readouterr()
+    assert rc == 2
+    assert "different scheme" in captured.err
+    assert "prefix_words" in captured.err
+    rc = main(["dedup-index", "append", "--mode", "exact", "--index", idx,
+               "--batch", batch, "--prefix-words", "8", "--no-commit"])
+    assert rc == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["ok"]
+
+
 def test_cli_dedup_index_missing_args(capsys):
     assert main(["dedup-index", "build", "--mode", "exact",
                  "--index", "/tmp/x"]) == 2

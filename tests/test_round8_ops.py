@@ -67,6 +67,28 @@ def test_exact_append_commit_is_seen_by_next_batch(spark, tmp_path):
     assert p2 == {(1, 20), (10, 20), (2, 21)}
 
 
+def test_exact_append_rerun_emits_no_self_pairs(spark, tmp_path):
+    """Re-running an append whose commit landed re-contains the batch's
+    own keys in the index with the same fingerprint; the old-new join
+    must not emit (x, x) self-pairs for them (ADVICE r08)."""
+    mk = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in [
+            (1, "alpha beta gamma delta"),
+            (10, "alpha beta gamma delta"),
+        ]])
+    idx = str(tmp_path / "ex_rerun")
+    dedup.exact_write_index(mk.filter("doc_id < 10"), idx, prefix_words=PFX)
+    batch = mk.filter("doc_id = 10")
+    first = {(r["a"], r["b"]) for r in dedup.exact_append(
+        spark, idx, batch, prefix_words=PFX, commit=True).collect()}
+    assert first == {(1, 10)}
+    # accidental re-append of the committed batch: 10 is now 'old' too
+    again = {(r["a"], r["b"]) for r in dedup.exact_append(
+        spark, idx, batch, prefix_words=PFX, commit=False).collect()}
+    assert (10, 10) not in again
+    assert again == {(1, 10)}
+
+
 def test_exact_append_no_commit_leaves_index_untouched(spark, sf_dir,
                                                        tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -100,7 +122,10 @@ def test_exact_append_refuses_commit_into_epoch_layout(spark, tmp_path):
     with pytest.raises(ValueError, match="epoch-partitioned"):
         dedup.exact_append(spark, idx, mk, commit=True)
     # commit=False must still probe fine through the partitioned layout
-    assert dedup.exact_append(spark, idx, mk, commit=False).count() == 1
+    # (distinct batch key: same-key re-probes emit no self-pair, ADVICE r08)
+    probe = spark.createDataFrame([Row(doc_id=2, text="a b c")])
+    got = dedup.exact_append(spark, idx, probe, commit=False).collect()
+    assert [(r["a"], r["b"]) for r in got] == [(1, 2)]
 
 
 def test_exact_fingerprint_full_vs_prefix(spark):
