@@ -63,6 +63,11 @@ class TableSpec:
     # the operators.pii rule set AFTER anonymise — emails/IPs/long digit
     # runs inside text bodies, where column-level fakers can't reach
     pii_redact: list[str] = field(default_factory=list)
+    # parallel-scan tuning for JDBC sources (engine extension): None =
+    # auto-derive from the integral PK; "" = force single-partition;
+    # a column name = partition on it (JdbcCatalog.apply_read_overrides)
+    partition_column: str | None = None
+    read_partitions: int | None = None
 
     def __post_init__(self) -> None:
         if self.cast_policy not in ("string", "keep"):
@@ -118,6 +123,10 @@ def _parse_table(raw: dict) -> TableSpec:
         relationships=rels,
         cast_policy=str(raw.get("CastPolicy", "string")),
         pii_redact=list(raw.get("PiiRedact", [])),
+        partition_column=(str(raw["PartitionColumn"])
+                          if "PartitionColumn" in raw else None),
+        read_partitions=(int(raw["ReadPartitions"])
+                         if "ReadPartitions" in raw else None),
     )
 
 

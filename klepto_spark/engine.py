@@ -69,6 +69,11 @@ def steal(spec: Spec, source, sink_dsn: str, *, concurrency: int | None = None,
 
     t0 = time.time()
     report = RunReport()
+    # per-table read tuning from the spec (JDBC parallel scans): the
+    # catalog owns the read path, the spec owns the user's intent
+    apply_overrides = getattr(source, "apply_read_overrides", None)
+    if apply_overrides is not None:
+        apply_overrides(spec)
     if not data_only:
         report.structure_sql = source.structure()
 

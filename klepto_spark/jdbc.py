@@ -301,6 +301,45 @@ def _foreign_keys_meta(meta, stored: str):
     return out
 
 
+# java.sql.Types codes usable as a Spark partitionColumn with integer
+# bounds: TINYINT, SMALLINT, INTEGER, BIGINT — plus NUMERIC/DECIMAL at
+# scale 0 (how Oracle and some pg schemas spell their integer ids)
+_INTEGRAL_JDBC_TYPES = {-6, 5, 4, -5}
+_DECIMAL_JDBC_TYPES = {2, 3}
+
+
+def partition_column(spark: SparkSession, dsn: DSN, table: str) -> str | None:
+    """The table's integral primary-key column, if one exists — the
+    auto-derived ``partitionColumn`` for parallel JDBC scans
+    (:meth:`JdbcCatalog.load`). Single-column integral PK: that column.
+    Composite PK: the first integral member (stride-partitioning a PK
+    prefix still spreads rows, it just may skew). No PK or no integral
+    member: None (single-partition fallback)."""
+    conn = connect_raw(spark, dsn)
+    try:
+        meta = conn.getMetaData()
+        stored = _stored_name(meta, table) or table
+        pk_cols: list[tuple[int, str]] = []
+        rs = meta.getPrimaryKeys(None, None, stored)
+        while rs.next():
+            pk_cols.append((rs.getInt("KEY_SEQ"),
+                            rs.getString("COLUMN_NAME")))
+        rs.close()
+        for _, name in sorted(pk_cols):
+            rs = meta.getColumns(None, None, stored, name)
+            dtype, scale = None, None
+            while rs.next():
+                dtype = rs.getInt("DATA_TYPE")
+                scale = rs.getInt("DECIMAL_DIGITS")
+            rs.close()
+            if dtype in _INTEGRAL_JDBC_TYPES or (
+                    dtype in _DECIMAL_JDBC_TYPES and scale == 0):
+                return name
+        return None
+    finally:
+        conn.close()
+
+
 def foreign_keys(spark: SparkSession, dsn: DSN, table: str):
     """Public FK introspection: (name, local_cols, ref_table, ref_cols)
     tuples — what the RDS drop/re-add hook cycle saves and restores."""

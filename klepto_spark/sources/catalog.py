@@ -391,15 +391,41 @@ class JdbcCatalog:
 
     ``read_timeout`` maps the reference's per-read timeout (default 5 min,
     cmd/steal.go:72, enforced pkg/reader/engine/engine.go:106-130) onto the
-    JDBC ``queryTimeout`` option, enforced by the driver per statement."""
+    JDBC ``queryTimeout`` option, enforced by the driver per statement.
+
+    Scale posture (VERDICT r08 #1 — the reference reads each table over
+    one cursor, pkg/reader/engine/engine.go:82-133; at 100 TB that is
+    the steal path's bottleneck):
+
+    * ``fetchsize`` is ALWAYS set (default 10k). Spark's default of 0
+      means "driver default", and pgjdbc's default is to buffer the
+      ENTIRE result set in the reading task's memory — a guaranteed OOM
+      on any large table.
+    * reads are PARTITIONED when the table has an integral primary key
+      (:func:`klepto_spark.jdbc.partition_column`): one min/max probe
+      derives ``partitionColumn/lowerBound/upperBound/numPartitions``,
+      so the scan runs ``read_partitions`` concurrent range queries
+      instead of one cursor. PK-less tables (or empty ones) fall back to
+      a single partition — correct, just not parallel.
+    * per-table override via ``partition_overrides``: map a table to a
+      column name to force it, or to ``None`` to disable partitioning
+      (e.g. a PK the optimizer can't range-scan). TOML surface:
+      ``PartitionColumn`` on the table spec (``apply_read_overrides``).
+    """
 
     def __init__(self, spark: SparkSession, dsn: DSN,
-                 read_timeout: int = 300):
+                 read_timeout: int = 300, fetchsize: int = 10_000,
+                 read_partitions: int | None = None,
+                 partition_overrides: dict[str, str | None] | None = None):
         self.spark = spark
         self.dsn = dsn
         self.url = jdbc_url(dsn)
         self.read_timeout = read_timeout
+        self.fetchsize = fetchsize
+        self.read_partitions = read_partitions
+        self.partition_overrides = dict(partition_overrides or {})
         self._columns_cache: dict[str, list[str]] = {}
+        self._bounds_cache: dict[str, dict[str, str]] = {}
 
     def tables(self) -> list[str]:
         # base tables only — DatabaseMetaData's TABLE type filter excludes
@@ -413,11 +439,64 @@ class JdbcCatalog:
             self._columns_cache[table] = self.load(table).columns
         return self._columns_cache[table]
 
+    def apply_read_overrides(self, spec) -> None:
+        """Adopt per-table read tuning from a pipeline Spec
+        (TableSpec.partition_column / read_partitions); called by the
+        steal engine so TOML users steer the parallel scan without
+        touching catalog construction."""
+        for t in getattr(spec, "tables", []):
+            col = getattr(t, "partition_column", None)
+            if col is not None:
+                # "" disables partitioning for the table explicitly
+                self.partition_overrides[t.name] = col or None
+            n = getattr(t, "read_partitions", None)
+            if n:
+                self.read_partitions = self.read_partitions or int(n)
+
+    def _partition_options(self, table: str) -> dict[str, str]:
+        """``partitionColumn/lowerBound/upperBound/numPartitions`` for a
+        parallel scan, or {} for the single-partition fallback. The
+        min/max probe runs ONCE per table per catalog (cached) and is
+        bounded by ``read_timeout`` like every other source statement."""
+        from klepto_spark import jdbc as J
+        if table in self._bounds_cache:
+            return self._bounds_cache[table]
+        if table in self.partition_overrides:
+            col = self.partition_overrides[table]
+        else:
+            col = J.partition_column(self.spark, self.dsn, table)
+        opts: dict[str, str] = {}
+        if col:
+            rows = J.query_rows(
+                self.spark, self.dsn,
+                f"SELECT MIN({col}), MAX({col}) FROM {table}",
+                query_timeout=self.read_timeout)
+            lo_s, hi_s = rows[0] if rows else (None, None)
+            if lo_s is not None and hi_s is not None:
+                lo, hi = int(lo_s), int(hi_s)
+                n = (self.read_partitions
+                     or self.spark.sparkContext.defaultParallelism)
+                # cap at the key range: Spark's columnPartition silently
+                # reduces numPartitions to (upper - lower) when the range
+                # is narrower — capping here keeps the requested count
+                # and the actual count identical (and avoids empty range
+                # slices, each of which still opens a connection)
+                n = max(1, min(int(n), hi - lo))
+                if n > 1 and hi > lo:
+                    opts = {"partitionColumn": col,
+                            "lowerBound": str(lo), "upperBound": str(hi),
+                            "numPartitions": str(n)}
+        self._bounds_cache[table] = opts
+        return opts
+
     def load(self, table: str) -> DataFrame:
         reader = (self.spark.read.format("jdbc")
                   .option("url", self.url)
                   .option("dbtable", table)
-                  .option("queryTimeout", str(self.read_timeout)))
+                  .option("queryTimeout", str(self.read_timeout))
+                  .option("fetchsize", str(self.fetchsize)))
+        for k, v in self._partition_options(table).items():
+            reader = reader.option(k, v)
         if self.dsn.username:
             reader = (reader.option("user", self.dsn.username)
                       .option("password", self.dsn.password))

@@ -452,3 +452,95 @@ def test_enum_check_trigger_ddl_empty_offpath(spark, src):
         assert J.enum_ddl(spark, dsn) == []
         assert J.check_constraint_ddl(spark, dsn) == []
         assert J.trigger_ddl(spark, dsn) == []
+
+
+# ---------------------------------------------------------------------------
+# Partitioned JDBC reads + fetchsize (VERDICT r08 #1): the single-task,
+# unfetchsized source scan was the last 100 TB scale-killer in the steal
+# path. The read derives partitionColumn/bounds/numPartitions from the
+# integral PK with one min/max probe; PK-less tables fall back to one
+# partition; a TableSpec override steers both.
+# ---------------------------------------------------------------------------
+
+
+def test_jdbc_partitioned_read_matches_single_task_read(spark, src):
+    J.execute(spark, src, [
+        "CREATE TABLE wide (id INT NOT NULL PRIMARY KEY, v VARCHAR(10))",
+        "INSERT INTO wide VALUES " + ", ".join(
+            f"({i}, 'r{i}')" for i in range(1, 21)),
+    ], transactional=False)
+    try:
+        cat = JdbcCatalog(spark, src, read_partitions=4)
+        wide = next(t for t in cat.tables() if t.lower() == "wide")
+        df = cat.load(wide)
+        # plan-level: the scan really is 4 range queries, not one cursor
+        assert df.rdd.getNumPartitions() == 4
+        assert "JDBCRelation" in \
+            df._jdf.queryExecution().executedPlan().toString()
+        single = JdbcCatalog(spark, src,
+                             partition_overrides={wide: None}).load(wide)
+        assert single.rdd.getNumPartitions() == 1
+        assert sorted(map(tuple, df.collect())) == \
+            sorted(map(tuple, single.collect()))
+    finally:
+        J.execute(spark, src, ["DROP TABLE wide"], transactional=False)
+
+
+def test_jdbc_partition_count_capped_by_key_range(spark, src):
+    """Requested partitions are capped at the PK range so the count we
+    ask Spark for is the count we get (columnPartition silently shrinks
+    narrower ranges), and no empty range slice ever opens a connection."""
+    cat = JdbcCatalog(spark, src, read_partitions=64)
+    users = next(t for t in cat.tables() if t.lower() == "users")
+    # ids 10..12: range 2 < 64 requested
+    assert cat.load(users).rdd.getNumPartitions() == 2
+
+
+def test_jdbc_pkless_table_falls_back_to_single_partition(spark, src):
+    J.execute(spark, src, [
+        "CREATE TABLE notes (body VARCHAR(40))",
+        "INSERT INTO notes VALUES ('a'), ('b'), ('c')",
+    ], transactional=False)
+    try:
+        cat = JdbcCatalog(spark, src, read_partitions=8)
+        notes = next(t for t in cat.tables() if t.lower() == "notes")
+        assert J.partition_column(spark, src, notes) is None
+        df = cat.load(notes)
+        assert df.rdd.getNumPartitions() == 1
+        assert df.count() == 3
+    finally:
+        J.execute(spark, src, ["DROP TABLE notes"], transactional=False)
+
+
+def test_jdbc_varchar_pk_not_used_for_partitioning(spark, src):
+    """A non-integral PK cannot stride-partition: fall back rather than
+    let Spark cast-compare strings as numbers."""
+    J.execute(spark, src, [
+        "CREATE TABLE tags (slug VARCHAR(20) NOT NULL PRIMARY KEY,"
+        " n INT)",
+        "INSERT INTO tags VALUES ('x', 1), ('y', 2)",
+    ], transactional=False)
+    try:
+        tags = next(t for t in JdbcCatalog(spark, src).tables()
+                    if t.lower() == "tags")
+        assert J.partition_column(spark, src, tags) is None
+    finally:
+        J.execute(spark, src, ["DROP TABLE tags"], transactional=False)
+
+
+def test_jdbc_spec_overrides_partitioning(spark, src):
+    from klepto_spark.config import load_spec
+    cat = JdbcCatalog(spark, src, read_partitions=3)
+    users = next(t for t in cat.tables() if t.lower() == "users")
+    spec = load_spec(text=(
+        f'[[Tables]]\n  Name = "{users}"\n  PartitionColumn = ""\n'))
+    cat.apply_read_overrides(spec)
+    assert cat.load(users).rdd.getNumPartitions() == 1  # forced serial
+    spec2 = load_spec(text=(
+        f'[[Tables]]\n  Name = "{users}"\n  PartitionColumn = "ID"\n'
+        '  ReadPartitions = 2\n'))
+    cat2 = JdbcCatalog(spark, src)
+    cat2.apply_read_overrides(spec2)
+    df = cat2.load(users)
+    assert df.rdd.getNumPartitions() == 2  # ids 10..12, range 2
+    assert df.count() == 3
