@@ -492,6 +492,36 @@ def check_constraint_ddl(spark: SparkSession, dsn: DSN) -> list[str]:
         query_rows(spark, dsn, PG_CHECK_CONSTRAINTS_SQL))
 
 
+def domain_ddl(spark: SparkSession, dsn: DSN) -> list[str]:
+    """CREATE DOMAIN statements (postgres only) — domain-typed columns
+    reference them at CREATE TABLE time, so these run with the enums,
+    before any table DDL (pg_dump emits types first for the same
+    reason)."""
+    if dsn.type not in ("postgres", "postgresql"):
+        return []
+    return pg_domain_statements(query_rows(spark, dsn, PG_DOMAINS_SQL))
+
+
+def function_ddl(spark: SparkSession, dsn: DSN) -> list[str]:
+    """Non-trigger functions/procedures (postgres only) — column
+    DEFAULTs, CHECK constraints and views may call them, so they run
+    before the table DDL. Trigger functions stay with the trigger
+    section; extension-installed functions are excluded (CREATE
+    EXTENSION re-creates them)."""
+    if dsn.type not in ("postgres", "postgresql"):
+        return []
+    return pg_function_statements(
+        query_rows(spark, dsn, PG_FUNCTIONS_SQL))
+
+
+def matview_ddl(spark: SparkSession, dsn: DSN) -> list[str]:
+    """CREATE MATERIALIZED VIEW ... WITH NO DATA (postgres only), after
+    the tables and plain views they select from."""
+    if dsn.type not in ("postgres", "postgresql"):
+        return []
+    return pg_matview_statements(query_rows(spark, dsn, PG_MATVIEWS_SQL))
+
+
 def trigger_ddl(spark: SparkSession, dsn: DSN) -> list[str]:
     """Trigger-function bodies + CREATE TRIGGER statements (postgres
     only), in dependency order — the last piece of ``pg_dump
@@ -667,12 +697,105 @@ PG_TRIGGERS_SQL = """
       AND c.relnamespace = current_schema()::regnamespace
     ORDER BY t.tgname"""
 
+# --- domains / functions / matviews / partitioned tables (the final
+# pg_dump --schema-only residue: reference pkg/reader/postgres/
+# pg_dump.go:32-59 gets these for free from pg_dump itself; VERDICT
+# r08 #4) ----------------------------------------------------------------
+
+PG_DOMAINS_SQL = """
+    SELECT t.typname, pg_catalog.format_type(t.typbasetype, t.typtypmod),
+           t.typnotnull, t.typdefault,
+           COALESCE((SELECT string_agg(pg_get_constraintdef(c.oid), ' '
+                                       ORDER BY c.conname)
+                     FROM pg_constraint c WHERE c.contypid = t.oid), '')
+    FROM pg_type t
+    JOIN pg_namespace n ON n.oid = t.typnamespace
+    WHERE t.typtype = 'd' AND n.nspname = current_schema()
+    ORDER BY t.typname"""
+
+# non-trigger functions and procedures: what column DEFAULTs, CHECKs,
+# views and application code call. Trigger functions are excluded (the
+# trigger section owns them), as are functions an extension installed
+# (pg_depend deptype 'e' — CREATE EXTENSION re-creates those).
+PG_FUNCTIONS_SQL = """
+    SELECT p.proname, pg_get_functiondef(p.oid)
+    FROM pg_proc p
+    JOIN pg_namespace n ON n.oid = p.pronamespace
+    WHERE n.nspname = current_schema()
+      AND p.prokind IN ('f', 'p')
+      AND p.prorettype <> 'trigger'::regtype
+      AND NOT EXISTS (SELECT 1 FROM pg_depend d
+                      WHERE d.objid = p.oid AND d.deptype = 'e')
+    ORDER BY p.proname"""
+
+PG_MATVIEWS_SQL = """
+    SELECT c.relname, pg_get_viewdef(c.oid, true)
+    FROM pg_class c
+    WHERE c.relkind = 'm'
+      AND c.relnamespace = current_schema()::regnamespace
+    ORDER BY c.relname"""
+
+# declaratively partitioned parents (relkind 'p') render with their
+# PARTITION BY clause; partitions render as PARTITION OF with their
+# bound. A sub-partitioned table appears in both (PARTITION OF ...
+# PARTITION BY ...), exactly as pg_dump emits it.
+PG_PARTITIONED_TABLES_SQL = """
+    SELECT c.relname, pg_get_partkeydef(c.oid)
+    FROM pg_class c
+    WHERE c.relkind = 'p'
+      AND c.relnamespace = current_schema()::regnamespace
+    ORDER BY c.relname"""
+
+PG_PARTITIONS_SQL = """
+    SELECT c.relname, p.relname, pg_get_expr(c.relpartbound, c.oid)
+    FROM pg_class c
+    JOIN pg_inherits i ON i.inhrelid = c.oid
+    JOIN pg_class p ON p.oid = i.inhparent
+    WHERE c.relispartition
+      AND c.relnamespace = current_schema()::regnamespace
+    ORDER BY c.relname"""
+
+
+def pg_domain_statements(rows) -> list[str]:
+    """CREATE DOMAIN from pg_type rows (typtype 'd'): base type, DEFAULT,
+    NOT NULL, and CHECK constraints. Emitted with the enum types, before
+    any table DDL — domain-typed columns reference the domain at CREATE
+    TABLE time."""
+    out = []
+    for name, base, notnull, default, checks in rows:
+        s = f"CREATE DOMAIN {name} AS {base}"
+        if default not in (None, ""):
+            s += f" DEFAULT {default}"
+        if str(notnull).lower() in ("t", "true", "1"):
+            s += " NOT NULL"
+        if checks:
+            s += " " + checks
+        out.append(s + ";")
+    return out
+
+
+def pg_function_statements(rows) -> list[str]:
+    """Bare pg_get_functiondef bodies terminated — same rendering as the
+    trigger functions (one CREATE OR REPLACE FUNCTION/PROCEDURE each)."""
+    return [d.rstrip().rstrip(";") + ";" for _, d in rows]
+
+
+def pg_matview_statements(rows) -> list[str]:
+    """CREATE MATERIALIZED VIEW ... WITH NO DATA — schema-only, exactly
+    pg_dump's shape (its data section REFRESHes them; a structure
+    restore leaves the refresh to the operator after the data copy)."""
+    return [f"CREATE MATERIALIZED VIEW {name} AS\n"
+            f"{d.rstrip().rstrip(';')}\n  WITH NO DATA;"
+            for name, d in rows]
+
+
 # the pure pg table-DDL path: information_schema already decomposes
 # SERIAL into int + DEFAULT nextval and names enum columns by their udt,
 # so DDL assembled from these rows never fights sequence_ddl/enum_ddl
 PG_COLUMNS_SQL = """
     SELECT table_name, column_name,
-           CASE WHEN data_type = 'USER-DEFINED' THEN udt_name
+           CASE WHEN domain_name IS NOT NULL THEN domain_name
+                WHEN data_type = 'USER-DEFINED' THEN udt_name
                 WHEN data_type IN ('character varying', 'character')
                      AND character_maximum_length IS NOT NULL
                   THEN data_type || '(' || character_maximum_length || ')'
@@ -731,7 +854,8 @@ def pg_trigger_statements(func_rows, trigger_rows,
     return out
 
 
-def pg_create_table_statements(col_rows, pk_rows) -> list[str]:
+def pg_create_table_statements(col_rows, pk_rows, partkey_rows=(),
+                               partition_rows=()) -> list[str]:
     """CREATE TABLE DDL assembled from information_schema rows — column
     fidelity the pg_dump way: SERIAL arrives decomposed (plain int +
     DEFAULT nextval, never re-creating the sequence sequence_ddl emits —
@@ -739,12 +863,26 @@ def pg_create_table_statements(col_rows, pk_rows) -> list[str]:
     IDENTITY (their internal sequence is deliberately absent from
     sequence_ddl), enum columns carry the udt name (enum_ddl runs
     first). Used by the real-pg structure-replay suite; the JDBC path
-    assembles the same shape from DatabaseMetaData."""
+    assembles the same shape from DatabaseMetaData.
+
+    Declarative partitioning (VERDICT r08 #4): ``partkey_rows`` —
+    (table, partkeydef) for relkind 'p' parents, rendered as
+    ``) PARTITION BY <def>``; ``partition_rows`` — (child, parent,
+    bound) per partition, rendered as ``CREATE TABLE child PARTITION OF
+    parent <bound>;`` in parents-first order (the parent's DDL must run
+    before its children attach). Children never restate columns or PK —
+    PARTITION OF inherits both, and pg_dump emits the same shape."""
     pks: dict[str, list[str]] = {}
     for tab, col, _n in pk_rows:
         pks.setdefault(tab, []).append(col)
+    partkeys = {tab: d for tab, d in partkey_rows}
+    children = {child: (parent, bound)
+                for child, parent, bound in partition_rows}
     tables: dict[str, list[str]] = {}
     for tab, col, typ, nullable, default, is_ident, ident_gen in col_rows:
+        if tab in children:
+            tables.setdefault(tab, [])  # keep ordering; columns inherited
+            continue
         line = f"  {col} {typ}"
         if str(is_ident).upper() == "YES":
             gen = ("ALWAYS" if str(ident_gen).upper() == "ALWAYS"
@@ -756,8 +894,29 @@ def pg_create_table_statements(col_rows, pk_rows) -> list[str]:
             line += " NOT NULL"
         tables.setdefault(tab, []).append(line)
     out = []
+    deferred: list[tuple[str, str, str]] = []
     for tab, lines in tables.items():
+        if tab in children:
+            parent, bound = children[tab]
+            s = f"CREATE TABLE {tab} PARTITION OF {parent} {bound}"
+            if tab in partkeys:  # sub-partitioned level
+                s += f" PARTITION BY {partkeys[tab]}"
+            deferred.append((tab, parent, s + ";"))
+            continue
         if tab in pks:
             lines = lines + [f"  PRIMARY KEY ({', '.join(pks[tab])})"]
-        out.append(f"CREATE TABLE {tab} (\n" + ",\n".join(lines) + "\n);")
+        s = f"CREATE TABLE {tab} (\n" + ",\n".join(lines) + "\n)"
+        if tab in partkeys:
+            s += f" PARTITION BY {partkeys[tab]}"
+        out.append(s + ";")
+    # partitions attach parents-first: a sub-partition's parent is
+    # itself a partition and must exist before the child's PARTITION OF
+    remaining = deferred
+    while remaining:
+        pending = {tab for tab, _, _ in remaining}
+        # a cycle can't happen in pg_inherits; the fallback is defensive
+        ready = [t for t in remaining if t[1] not in pending] or remaining
+        out += [stmt for _, _, stmt in ready]
+        done = {t[0] for t in ready}
+        remaining = [t for t in remaining if t[0] not in done]
     return out

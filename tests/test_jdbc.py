@@ -544,3 +544,48 @@ def test_jdbc_spec_overrides_partitioning(spark, src):
     df = cat2.load(users)
     assert df.rdd.getNumPartitions() == 2  # ids 10..12, range 2
     assert df.count() == 3
+
+
+def test_pg_domain_function_matview_partition_renderers():
+    """Pure-renderer coverage for the final pg_dump residue (domains,
+    functions, matviews, declarative partitioning) — runs without a PG
+    server; tests/test_real_pg_server.py replays the same output live."""
+    doms = J.pg_domain_statements([
+        ("price", "numeric(8,2)", "t", "1.00", "CHECK ((VALUE > 0))"),
+        ("slug", "text", "f", None, ""),
+    ])
+    assert doms == [
+        "CREATE DOMAIN price AS numeric(8,2) DEFAULT 1.00 NOT NULL "
+        "CHECK ((VALUE > 0));",
+        "CREATE DOMAIN slug AS text;",
+    ]
+    fns = J.pg_function_statements([
+        ("f1", "CREATE OR REPLACE FUNCTION f1() ... $function$\n")])
+    assert fns == ["CREATE OR REPLACE FUNCTION f1() ... $function$;"]
+    mv = J.pg_matview_statements([("mv1", "SELECT 1;\n")])
+    assert mv == ["CREATE MATERIALIZED VIEW mv1 AS\nSELECT 1\n"
+                  "  WITH NO DATA;"]
+
+    # partitioning: parent PARTITION BY, children PARTITION OF in
+    # dependency order even when a sub-partition sorts first
+    cols = [
+        ("aa_sub", "id", "integer", "NO", None, "NO", None),
+        ("events", "id", "integer", "NO", None, "NO", None),
+        ("zz_child", "id", "integer", "NO", None, "NO", None),
+    ]
+    pks = [("events", "id", "1")]
+    stmts = J.pg_create_table_statements(
+        cols, pks,
+        partkey_rows=[("events", "RANGE (id)"),
+                      ("zz_child", "HASH (id)")],
+        partition_rows=[
+            ("aa_sub", "zz_child", "FOR VALUES WITH (modulus 2, remainder 0)"),
+            ("zz_child", "events", "FOR VALUES FROM (1) TO (10)"),
+        ])
+    assert stmts[0] == ("CREATE TABLE events (\n  id integer NOT NULL,\n"
+                        "  PRIMARY KEY (id)\n) PARTITION BY RANGE (id);")
+    assert stmts[1] == ("CREATE TABLE zz_child PARTITION OF events "
+                        "FOR VALUES FROM (1) TO (10) "
+                        "PARTITION BY HASH (id);")
+    assert stmts[2] == ("CREATE TABLE aa_sub PARTITION OF zz_child "
+                        "FOR VALUES WITH (modulus 2, remainder 0);")

@@ -488,3 +488,157 @@ def test_cross_schema_trigger_function_dumped_and_replays(pg):
     finally:
         for db in ("xsrc", "xdst"):
             pg(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_domain_and_function_ddl_roundtrip_on_real_postgres(pg):
+    """VERDICT r08 #4 (domains + non-trigger functions): a schema whose
+    table uses a CHECK-constrained domain column and a function-backed
+    DEFAULT dumps through the engine's catalog SQL and replays with both
+    ENFORCED."""
+    from klepto_spark import jdbc as J
+
+    for db in ("dsrc", "ddst"):
+        pg(f"DROP DATABASE IF EXISTS {db}")
+        pg(f"CREATE DATABASE {db}")
+    try:
+        pg("CREATE DOMAIN price AS numeric(8,2) DEFAULT 1.00 NOT NULL "
+           "CHECK (VALUE > 0)", db="dsrc")
+        pg("CREATE FUNCTION next_code(i int) RETURNS int LANGUAGE sql "
+           "IMMUTABLE AS $$ SELECT i + 1 $$", db="dsrc")
+        pg("CREATE TABLE items (id INT PRIMARY KEY, cost price, "
+           "code INT DEFAULT next_code(41))", db="dsrc")
+
+        domains = J.pg_domain_statements(
+            _rows(pg(J.PG_DOMAINS_SQL, db="dsrc")))
+        assert domains == ["CREATE DOMAIN price AS numeric(8,2) "
+                           "DEFAULT 1.00 NOT NULL "
+                           "CHECK ((VALUE > (0)::numeric));"]
+        # function defs are multi-line: names via the catalog SQL, the
+        # def fetched whole (same psql workaround as the trigger test)
+        fn_names = _rows(pg("SELECT proname FROM ("
+                            + J.PG_FUNCTIONS_SQL + ") q", db="dsrc"))
+        assert [n for n, *_ in fn_names] == ["next_code"]
+        fdef = pg("SELECT pg_get_functiondef(p.oid) FROM pg_proc p "
+                  "JOIN pg_namespace n ON n.oid = p.pronamespace "
+                  "WHERE p.proname = 'next_code' "
+                  "AND n.nspname = current_schema()", db="dsrc")
+        funcs = J.pg_function_statements([("next_code", fdef)])
+        tables = J.pg_create_table_statements(
+            [tuple(None if v == "" else v for v in r)
+             for r in _rows(pg(J.PG_COLUMNS_SQL, db="dsrc"))],
+            _rows(pg(J.PG_PRIMARY_KEYS_SQL, db="dsrc")))
+        assert any(" cost price" in t for t in tables)
+        for s in domains + funcs + tables:
+            pg(s, db="ddst")
+        # the domain CHECK is enforced, its DEFAULT applies, and the
+        # function-backed column DEFAULT evaluates
+        err = pg("INSERT INTO items (id, cost) VALUES (1, -5)",
+                 db="ddst", check=False)
+        assert "price" in err and "check" in err.lower()
+        pg("INSERT INTO items (id) VALUES (1)", db="ddst")
+        assert _rows(pg("SELECT cost, code FROM items", db="ddst")) == \
+            [("1.00", "42")]
+    finally:
+        for db in ("dsrc", "ddst"):
+            pg(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_matview_ddl_roundtrip_on_real_postgres(pg):
+    """VERDICT r08 #4 (materialized views): dumped WITH NO DATA like
+    pg_dump --schema-only; REFRESH after a data copy populates it."""
+    from klepto_spark import jdbc as J
+
+    for db in ("msrc", "mdst"):
+        pg(f"DROP DATABASE IF EXISTS {db}")
+        pg(f"CREATE DATABASE {db}")
+    try:
+        pg("CREATE TABLE sales (id INT PRIMARY KEY, region TEXT, "
+           "amount NUMERIC(8,2))", db="msrc")
+        pg("CREATE MATERIALIZED VIEW region_totals AS "
+           "SELECT region, sum(amount) AS total FROM sales GROUP BY region",
+           db="msrc")
+        names = _rows(pg("SELECT relname FROM ("
+                         + J.PG_MATVIEWS_SQL + ") q", db="msrc"))
+        assert [n for n, *_ in names] == ["region_totals"]
+        # matview defs are multi-line: fetch whole, like function bodies
+        mdef = pg("SELECT pg_get_viewdef(c.oid, true) FROM pg_class c "
+                  "WHERE c.relkind = 'm' AND c.relname = 'region_totals'",
+                  db="msrc")
+        mviews = J.pg_matview_statements([("region_totals", mdef)])
+        assert mviews[0].startswith("CREATE MATERIALIZED VIEW "
+                                    "region_totals AS")
+        assert mviews[0].rstrip().endswith("WITH NO DATA;")
+        tables = J.pg_create_table_statements(
+            [tuple(None if v == "" else v for v in r)
+             for r in _rows(pg(J.PG_COLUMNS_SQL, db="msrc"))],
+            _rows(pg(J.PG_PRIMARY_KEYS_SQL, db="msrc")))
+        for s in tables + mviews:
+            pg(s, db="mdst")
+        # schema-only: unpopulated until the data lands and REFRESH runs
+        err = pg("SELECT * FROM region_totals", db="mdst", check=False)
+        assert "has not been populated" in err
+        pg("INSERT INTO sales VALUES (1, 'eu', 10.00), (2, 'eu', 5.00)",
+           db="mdst")
+        pg("REFRESH MATERIALIZED VIEW region_totals", db="mdst")
+        assert _rows(pg("SELECT region, total FROM region_totals",
+                        db="mdst")) == [("eu", "15.00")]
+    finally:
+        for db in ("msrc", "mdst"):
+            pg(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_partitioned_table_ddl_roundtrip_on_real_postgres(pg):
+    """VERDICT r08 #4 (declarative partitioning): a range-partitioned
+    parent with a hash sub-partitioned child replays as PARTITION BY /
+    PARTITION OF in parents-first order, and row routing works in the
+    restored schema. The sub-partition is named to sort BEFORE its
+    parent so the dependency ordering (not luck) is what's proven."""
+    from klepto_spark import jdbc as J
+
+    for db in ("psrc", "pdst"):
+        pg(f"DROP DATABASE IF EXISTS {db}")
+        pg(f"CREATE DATABASE {db}")
+    try:
+        pg("CREATE TABLE events (id INT NOT NULL, day DATE NOT NULL, "
+           "PRIMARY KEY (id, day)) PARTITION BY RANGE (day)", db="psrc")
+        pg("CREATE TABLE events_2024 PARTITION OF events FOR VALUES "
+           "FROM ('2024-01-01') TO ('2025-01-01')", db="psrc")
+        pg("CREATE TABLE zz_2025 PARTITION OF events FOR VALUES "
+           "FROM ('2025-01-01') TO ('2026-01-01') PARTITION BY HASH (id)",
+           db="psrc")
+        pg("CREATE TABLE aa_bucket0 PARTITION OF zz_2025 FOR VALUES "
+           "WITH (MODULUS 2, REMAINDER 0)", db="psrc")
+        pg("CREATE TABLE ab_bucket1 PARTITION OF zz_2025 FOR VALUES "
+           "WITH (MODULUS 2, REMAINDER 1)", db="psrc")
+
+        stmts = J.pg_create_table_statements(
+            [tuple(None if v == "" else v for v in r)
+             for r in _rows(pg(J.PG_COLUMNS_SQL, db="psrc"))],
+            _rows(pg(J.PG_PRIMARY_KEYS_SQL, db="psrc")),
+            _rows(pg(J.PG_PARTITIONED_TABLES_SQL, db="psrc")),
+            _rows(pg(J.PG_PARTITIONS_SQL, db="psrc")))
+        # parent carries PARTITION BY; children are PARTITION OF; the
+        # sub-partitioned child carries both
+        assert any("CREATE TABLE events (" in s
+                   and s.rstrip().endswith("PARTITION BY RANGE (day);")
+                   for s in stmts)
+        assert any("zz_2025 PARTITION OF events" in s
+                   and "PARTITION BY HASH (id)" in s for s in stmts)
+        # dependency order: zz_2025 before its aa_/ab_ buckets even
+        # though they sort first alphabetically
+        order = [i for i, s in enumerate(stmts)
+                 if "zz_2025" in s or "aa_bucket0" in s]
+        assert "zz_2025" in stmts[order[0]]
+        for s in stmts:
+            pg(s, db="pdst")
+        pg("INSERT INTO events VALUES (1, '2024-06-01'), "
+           "(2, '2025-06-01'), (3, '2025-07-01')", db="pdst")
+        assert pg("SELECT count(*) FROM events_2024", db="pdst") == "1"
+        assert pg("SELECT count(*) FROM zz_2025", db="pdst") == "2"
+        # rows out of every range REFUSE (the restored bounds are live)
+        err = pg("INSERT INTO events VALUES (9, '2030-01-01')",
+                 db="pdst", check=False)
+        assert "no partition of relation" in err
+    finally:
+        for db in ("psrc", "pdst"):
+            pg(f"DROP DATABASE IF EXISTS {db}")
