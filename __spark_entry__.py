@@ -1602,7 +1602,16 @@ def q_hybrid_rrf(spark, sf_dir):
 
 
 S11_NQ, S11_K = 5, 3
+# bounded (VERDICT r08 nit): in a long-lived serving process every new
+# (applicationId, sf_dir) pair would otherwise pin its plan forever
+_S11_CACHE_MAX = 8
 _S11_CACHE: dict = {}
+
+
+def _s11_cache_put(key, out) -> None:
+    while len(_S11_CACHE) >= _S11_CACHE_MAX:  # FIFO evict oldest plan
+        _S11_CACHE.pop(next(iter(_S11_CACHE)))
+    _S11_CACHE[key] = out
 
 
 def q_batched_ann(spark, sf_dir):
@@ -1642,7 +1651,7 @@ def q_batched_ann(spark, sf_dir):
            .withColumn("rnk", F.row_number().over(w).cast("int"))
            .filter(F.col("rnk") <= S11_K)
            .select(F.col("q_id").cast("int"), "vec_id", "score", "rnk"))
-    _S11_CACHE[key] = out
+    _s11_cache_put(key, out)
     return out
 
 
@@ -1679,6 +1688,26 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's signature pipeline (scan -> FK restrict ->
     filter -> sort -> limit -> anonymise) on sf0.001."""
     return q_anonymise(spark, "/root/testdata/sf0.001")
+
+
+S12_K, S12_SHORTLIST, S12_LAM = 10, 64, 0.6
+
+
+def q_ann_mmr(spark, sf_dir):
+    """s12: MMR-diversified top-k (Carbonell & Goldstein 1998) over the
+    vec_id=0 query — relevance minus a max-similarity-to-selected
+    penalty, the re-rank that stops a retrieval result being k copies of
+    the same chunk. Distributed part: ONE pruned corpus scan shortlists
+    64 candidates (TakeOrderedAndProject, no vector shuffle); the greedy
+    selection is inherently sequential and runs driver-side over those
+    64 rows only (similarity.mmr_rerank). Rows-only contract: greedy
+    selection has no SQL twin — correctness pinned by construction
+    margins in tests/test_score_margins.py (lam=1 == plain top-k,
+    cluster coverage, deterministic ties)."""
+    emb = _load(spark, sf_dir)("embeddings")
+    q = _query_vec(spark, sf_dir)
+    return similarity.topk_mmr(emb, q, k=S12_K,
+                               shortlist_n=S12_SHORTLIST, lam=S12_LAM)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1776,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c03_corpus_recipe": q_corpus_recipe,
         "a23_priority_late_orders": q_priority_late_orders,
         "t16_shared_chunks": q_shared_chunks,
+        "s12_ann_mmr": q_ann_mmr,
     }
 
 

@@ -1357,3 +1357,91 @@ def opq_topk_sql(query: list[float], rotation: list[list[float]],
     rq = _mat_vec(rotation, query, transpose=True)
     return pq_topk_sql(rq, codebooks, k=k, table=table,
                        vec_col=rotated, key_col=key_col)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking (VERDICT r08 #7 / ROADMAP candidate #4)
+# ---------------------------------------------------------------------------
+
+def mmr_rerank(spark, shortlist: DataFrame, query: list[float], k: int,
+               lam: float = 0.5, vec_col: str = "embedding",
+               key_col: str = "vec_id",
+               max_shortlist: int = 10_000) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking of an ANN shortlist
+    (Carbonell & Goldstein 1998): greedily pick the candidate maximising
+    ``lam * cos(query, d) - (1 - lam) * max cos(d, selected)`` — high
+    relevance AND far from everything already chosen. ``lam=1`` is plain
+    top-k; smaller values trade relevance for diversity (a retrieval
+    result of k near-identical chunks wastes its context budget).
+
+    Scale shape: the greedy argmax is inherently SEQUENTIAL over k steps
+    (each pick changes every survivor's penalty), so it runs driver-side
+    over the SHORTLIST — never the corpus. The distributed work is
+    producing the shortlist (brute_force_topk / ivf_probe_index /
+    pq_topk_reranked — one pruned corpus scan); MMR then costs
+    O(M^2 * dim) numpy on M <= max_shortlist rows, independent of corpus
+    size — the same bounded-collect posture as the PQ/OPQ trainers.
+    ``max_shortlist`` is the guard: exceeding it raises rather than
+    silently collecting a corpus.
+
+    Rows-only contract (like the sketches): greedy selection has no SQL
+    twin, so correctness is pinned by pytest margins
+    (tests/test_score_margins.py) instead of a DuckDB oracle.
+
+    Returns (key, score, mmr_score, rank): cosine to the query, the MMR
+    objective at selection time, and the 1-based selection order.
+    Deterministic: ties break on ascending key."""
+    import numpy as np
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    rows = (shortlist.select(key_col, vec_col)
+            .limit(max_shortlist + 1).collect())
+    if len(rows) > max_shortlist:
+        raise ValueError(
+            f"mmr_rerank shortlist exceeds max_shortlist="
+            f"{max_shortlist}: rerank a SHORTLIST (topk output), not a "
+            "corpus — or raise the guard explicitly")
+    rows.sort(key=lambda r: r[key_col])
+    keys = [r[key_col] for r in rows]
+    v = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    rel = vn @ qn                      # cosine(query, d) per candidate
+    sims = vn @ vn.T                   # candidate-candidate cosines
+    selected: list[int] = []
+    penalty = np.zeros(len(rows))      # max cos(d, selected) so far
+    alive = np.ones(len(rows), dtype=bool)
+    out = []
+    while alive.any() and len(selected) < k:
+        obj = lam * rel - (1.0 - lam) * penalty
+        obj[~alive] = -np.inf
+        i = int(np.argmax(obj))        # first hit wins = smallest key
+        alive[i] = False
+        selected.append(i)
+        penalty = np.maximum(penalty, sims[:, i])
+        out.append((keys[i], round(float(rel[i]), 6),
+                    round(float(obj[i]), 6), len(selected)))
+    return spark.createDataFrame(
+        out, f"{key_col} long, score double, mmr_score double, rank int")
+
+
+def topk_mmr(df: DataFrame, query: list[float], k: int,
+             shortlist_n: int | None = None, lam: float = 0.5,
+             vec_col: str = "embedding",
+             key_col: str = "vec_id") -> DataFrame:
+    """Diversified top-k: one pruned corpus scan shortlists
+    ``shortlist_n`` (default 4k) candidates by plain cosine
+    (scan -> project -> TakeOrderedAndProject, no vector shuffle), then
+    :func:`mmr_rerank` greedily diversifies down to k."""
+    n = shortlist_n if shortlist_n is not None else 4 * k
+    if n < k:
+        raise ValueError(f"shortlist_n ({n}) must be >= k ({k})")
+    short = brute_force_topk(df, query, vec_col, key_col, k=n)
+    vecs = df.select(F.col(key_col),
+                     F.col(vec_col).cast("array<double>").alias(vec_col))
+    # the shortlist is tiny by construction: broadcast it into the
+    # vector fetch so no corpus shuffle happens
+    short_vec = vecs.join(F.broadcast(short.select(key_col)), key_col)
+    return mmr_rerank(df.sparkSession, short_vec, query, k, lam,
+                      vec_col, key_col)

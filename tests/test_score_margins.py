@@ -104,3 +104,109 @@ def test_s10_truncated_rrf_equals_full_rank_rrf_at_graded_scale():
                    .replace(f"WHERE rank_v <= {E.S10_M}", "")
                    .replace("FULL OUTER JOIN", "JOIN")).fetchall()
     assert truncated == full
+
+
+def test_s11_plan_cache_is_bounded(spark, sf_dir):
+    """The batched-ANN plan memo must not grow per (app, sf_dir) forever
+    in a long-lived serving process (VERDICT r08 nit): FIFO-evict at the
+    cap, and the evicted key rebuilds correctly on re-request."""
+    import __spark_entry__ as e
+    e._S11_CACHE.clear()
+    first = e.q_batched_ann(spark, sf_dir)
+    n_rows = first.count()
+    # every insert goes through the capped put (the early-return hit
+    # path never grows the dict)
+    for i in range(e._S11_CACHE_MAX + 3):
+        e._s11_cache_put(("fake-app", f"dir{i}"), first)
+    assert len(e._S11_CACHE) <= e._S11_CACHE_MAX
+    # FIFO: the oldest fake keys were evicted, the newest survive
+    assert ("fake-app", "dir0") not in e._S11_CACHE
+    assert ("fake-app", f"dir{e._S11_CACHE_MAX + 2}") in e._S11_CACHE
+    # a rebuilt (evicted) entry still serves the same result
+    assert e.q_batched_ann(spark, sf_dir).count() == n_rows
+
+
+# --- MMR diversity re-ranking (VERDICT r08 #7): rows-only contract,
+# pinned here by construction-margin tests instead of a SQL oracle
+# (greedy selection has no SQL twin).
+
+
+def _clustered_emb(spark):
+    """3 tight clusters in 4-d; query points at cluster A. Within-cluster
+    cosines ~0.999+, cross-cluster <= 0.72 — margins wide enough that no
+    float noise can flip a greedy pick."""
+    base = {
+        "A": [1.0, 0.05, 0.0, 0.0],
+        "B": [0.0, 1.0, 0.05, 0.0],
+        "C": [0.0, 0.0, 1.0, 0.05],
+    }
+    rows, key = [], 0
+    for ci, (_, c) in enumerate(sorted(base.items())):
+        for j in range(4):
+            v = list(c)
+            v[3] += 0.01 * j  # tiny within-cluster jitter
+            rows.append((key, v, ci))
+            key += 1
+    df = spark.createDataFrame(
+        [(k, v) for k, v, _ in rows],
+        "vec_id long, embedding array<double>")
+    cluster_of = {k: ci for k, _, ci in rows}
+    return df, cluster_of, [1.0, 0.05, 0.0, 0.0]
+
+
+def test_mmr_lambda_one_is_plain_topk(spark):
+    from klepto_spark.operators import similarity as S
+    df, _, q = _clustered_emb(spark)
+    plain = [r.vec_id for r in
+             S.brute_force_topk(df, q, k=5).collect()]
+    mmr = S.topk_mmr(df, q, k=5, shortlist_n=12, lam=1.0).collect()
+    assert [r.vec_id for r in sorted(mmr, key=lambda r: r.rank)] == plain
+
+
+def test_mmr_diversifies_across_clusters(spark):
+    """Plain top-3 is swallowed by the query's own cluster; MMR at
+    lam=0.3 must cover all three clusters, first pick still the global
+    best (the first step's objective is lam * relevance alone)."""
+    from klepto_spark.operators import similarity as S
+    df, cluster_of, q = _clustered_emb(spark)
+    plain = [r.vec_id for r in S.brute_force_topk(df, q, k=3).collect()]
+    assert {cluster_of[k] for k in plain} == {0}  # all cluster A
+    got = sorted(S.topk_mmr(df, q, k=3, shortlist_n=12, lam=0.3).collect(),
+                 key=lambda r: r.rank)
+    assert {cluster_of[r.vec_id] for r in got} == {0, 1, 2}
+    assert got[0].vec_id == plain[0]
+    # the greedy objective is non-increasing (penalties only grow)
+    scores = [r.mmr_score for r in got]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
+def test_mmr_deterministic_tie_breaks_on_key(spark):
+    from klepto_spark.operators import similarity as S
+    df = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (3, [1.0, 0.0]), (5, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    got = sorted(S.mmr_rerank(spark, df, [1.0, 0.0], k=3, lam=0.5).collect(),
+                 key=lambda r: r.rank)
+    # exact duplicates tie on every objective: smaller key first; the
+    # orthogonal vector beats the duplicate at step 2 (zero penalty)
+    assert [r.vec_id for r in got] == [3, 5, 7]
+
+
+def test_mmr_shortlist_guard_refuses_corpus(spark, sf_dir):
+    from klepto_spark.operators import similarity as S
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_shortlist"):
+        S.mmr_rerank(spark, emb, [0.0] * 64, k=5, max_shortlist=10)
+
+
+def test_mmr_on_real_embeddings_first_pick_and_k(spark, sf_dir):
+    from klepto_spark.operators import similarity as S
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in
+         emb.filter("vec_id = 1").collect()[0]["embedding"]]
+    top1 = S.brute_force_topk(emb, q, k=1).collect()[0].vec_id
+    got = S.topk_mmr(emb, q, k=8, shortlist_n=64, lam=0.6).collect()
+    by_rank = sorted(got, key=lambda r: r.rank)
+    assert len(got) == 8 and [r.rank for r in by_rank] == list(range(1, 9))
+    assert by_rank[0].vec_id == top1
+    assert len({r.vec_id for r in got}) == 8
