@@ -1690,6 +1690,99 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_anonymise(spark, "/root/testdata/sf0.001")
 
 
+T17_DIVISOR = 8
+
+
+def q_cdc_shared(spark, sf_dir):
+    """t17: content-defined-chunking duplicate spans — the
+    SHIFT-RESISTANT complement of t16: a boundary falls after any word
+    whose md5-prefix integer % 8 == 0 (LBFS/rsync-style CDC at word
+    granularity), so inserting one word re-chunks only its own chunk
+    and every other chunk hash survives — fixed-size chunking loses
+    all of them. Chunking is array-side in one projection; the explode
+    emits (doc, hash) rows only — chunk text never shuffles
+    (operators.text.cdc_shared_stats)."""
+    docs = _load(spark, sf_dir)("documents")
+    return T.cdc_shared_stats(docs, "text", "doc_id",
+                              divisor=T17_DIVISOR)
+
+
+A24_QTY = 300
+
+
+def q_large_volume_orders(spark, sf_dir):
+    """a24: TPC-H Q18 shape (large-volume customers) — orders whose
+    lineitems sum above a quantity threshold, with customer context.
+    The HAVING subquery becomes one partial-aggregated groupBy whose
+    survivors (46 orders at sf0.01) BROADCAST into the orders/customer
+    joins — the classic aggregate-then-semi-join decorrelation; no
+    row-level correlated probe ever runs. Quantities are
+    integral-valued doubles, so the sums are exact in both engines."""
+    load = _load(spark, sf_dir)
+    li, orders, cust = (load("lineitem"), load("orders"),
+                        load("customer"))
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .filter(F.col("total_qty") > A24_QTY))
+    return (orders
+            .join(F.broadcast(big),
+                  orders["o_orderkey"] == big["l_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "total_qty")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"),
+                     F.asc("o_orderkey"))
+            .limit(100))
+
+
+A25_NATIONS = (1, 3, 7, 12, 19)
+
+
+def q_balance_no_urgent(spark, sf_dir):
+    """a25: TPC-H Q22 shape (global-market opportunity) adapted to the
+    test schema (no c_phone column; nation keys play the phone-prefix
+    role; 'never ordered' is empty here so the anti-condition is 'never
+    placed an URGENT order'). The Catalyst shapes under test: a scalar
+    aggregate subquery decorrelated to a broadcast single-row join, plus
+    a LeftAnti against the urgent-order keys. The avg filter boundary is
+    cents-granular while cross-engine sum noise is ~1e-12, so the row
+    set cannot flip."""
+    load = _load(spark, sf_dir)
+    cust, orders = load("customer"), load("orders")
+    pool = cust.filter(F.col("c_nationkey").isin(*A25_NATIONS))
+    avg_bal = (pool.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    urgent = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
+    return (pool.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("ab"))
+            .join(urgent, pool["c_custkey"] == urgent["o_custkey"],
+                  "left_anti")
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
+
+
+M05_PREFIX_BYTES = 64
+
+
+def q_payload_dedup(spark, sf_dir):
+    """m05: duplicate-candidate triage over opaque BINARY payloads —
+    md5 of the first 64 bytes (the blob-store header hash); groups
+    sharing it are the candidate set and the emitted byte length
+    settles most members for free (differing nbytes = proven-distinct
+    header collision) — no payload is ever read twice. Only 48-byte
+    fingerprint rows shuffle; payloads are touched in exactly one
+    projection (operators.multimodal.payload_dedup). Oracle: the
+    corpus payloads are utf-8 of ASCII text, so DuckDB's VARCHAR md5
+    over the text prefix is byte-identical to Spark's binary md5."""
+    from klepto_spark.operators import multimodal as M
+    docs = _load(spark, sf_dir)("documents")
+    media = M.attach_media(
+        docs.withColumn("payload", F.encode("text", "utf-8")),
+        "payload", "doc_id", kind="text", mime="text/plain")
+    return M.payload_dedup(media, prefix_bytes=M05_PREFIX_BYTES,
+                           key_col="media_id")
+
+
 S12_K, S12_SHORTLIST, S12_LAM = 10, 64, 0.6
 
 
@@ -1806,6 +1899,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a23_priority_late_orders": q_priority_late_orders,
         "t16_shared_chunks": q_shared_chunks,
         "s12_ann_mmr": q_ann_mmr,
+        "t17_cdc_shared": q_cdc_shared,
+        "a24_large_volume_orders": q_large_volume_orders,
+        "a25_balance_no_urgent": q_balance_no_urgent,
+        "m05_payload_dedup": q_payload_dedup,
     }
 
 
@@ -2402,7 +2499,41 @@ FROM documents""",
                                                + INTERVAL 60 DAY)
             GROUP BY o_orderpriority""",
         "t16_shared_chunks": T.shared_chunk_stats_sql(size=T16_CHUNK),
+        "t17_cdc_shared": T.cdc_shared_stats_sql(divisor=T17_DIVISOR),
+        "a24_large_volume_orders": f"""
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, total_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > {A24_QTY}) big
+              ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+            LIMIT 100""",
+        "a25_balance_no_urgent": f"""
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal
+            FROM customer
+            WHERE c_nationkey IN {A25_NATIONS}
+              AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0.00
+                                 AND c_nationkey IN {A25_NATIONS})
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')""",
+        "m05_payload_dedup": f"""
+            WITH f AS (
+              SELECT doc_id AS media_id,
+                     md5(substr(text, 1, {M05_PREFIX_BYTES})) AS fp,
+                     CAST(length(text) AS BIGINT) AS nbytes
+              FROM documents),
+            g AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_candidates
+                  FROM f GROUP BY fp)
+            SELECT media_id, fp, nbytes, n_candidates
+            FROM f JOIN g USING (fp)
+            WHERE n_candidates > 1""",
         # rows-only (no oracle entry) by design: t06 (DuckDB has a
-        # different HLL sketch) and a16 (no t-digest) — their error and
-        # mergeability contracts are pytest-pinned instead.
+        # different HLL sketch), a16 (no t-digest), and s12 (greedy MMR
+        # has no SQL twin) — their error/mergeability/margin contracts
+        # are pytest-pinned instead.
     }

@@ -325,3 +325,32 @@ SELECT media_id, frame_ts,
        CAST({byte} AS INT) AS frame_byte,
        substr(hx, 2*off + 1, 8) AS frame_sig
 FROM o"""
+
+
+def payload_dedup(media: DataFrame, prefix_bytes: int = 64,
+                  key_col: str = "media_id") -> DataFrame:
+    """Duplicate-candidate triage for opaque binary payloads — the
+    media-side counterpart of text exact dedup: fingerprint = md5 of
+    the first ``prefix_bytes`` (the header hash blob stores triage
+    with). Payloads sharing a header hash are the candidate set; the
+    emitted byte length then settles most of them for free — equal
+    (fp, nbytes) pairs are byte-compare candidates, differing nbytes
+    members are proven-distinct header collisions (shared boilerplate
+    headers, truncated re-crawls) without either payload ever being
+    read twice. Returns every payload whose header-hash group has >1
+    member: (key, fp, nbytes, n_candidates).
+
+    Scale shape: the ONLY shuffle carries (key, fp, nbytes) — 48-byte
+    rows — never payloads; the group sizes broadcast back. At 100 TB of
+    media the fingerprint projection is the single pass over the blobs,
+    everything after is metadata-sized."""
+    f = media.select(
+        F.col(key_col),
+        F.md5(F.expr(f"substring(payload, 1, {prefix_bytes})"))
+        .alias("fp"),
+        F.length("payload").cast("long").alias("nbytes"))
+    g = (f.groupBy("fp")
+         .agg(F.count(F.lit(1)).alias("n_candidates"))
+         .filter(F.col("n_candidates") > 1))
+    return (f.join(F.broadcast(g), ["fp"])
+            .select(F.col(key_col), "fp", "nbytes", "n_candidates"))

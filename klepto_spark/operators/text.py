@@ -748,3 +748,98 @@ SELECT __c.{key_col},
          AS shared_frac
 FROM __c JOIN __g USING (h)
 GROUP BY __c.{key_col}"""
+
+
+def cdc_shared_stats(df: "DataFrame", text_col: str = "text",
+                     key_col: str = "doc_id",
+                     divisor: int = 8) -> "DataFrame":
+    """Content-defined-chunking duplicate-span signal: the
+    shift-resistant complement of :func:`shared_chunk_stats`. Fixed-size
+    chunking (t16) misses a shared span the moment one document inserts
+    a single word before it — every later chunk boundary moves. Here a
+    chunk boundary falls AFTER any word whose hash ``% divisor == 0``
+    (expected chunk length = ``divisor`` words), so boundaries are a
+    function of LOCAL content only: an insertion re-chunks its own
+    chunk and leaves the rest of the document's chunks — and their
+    hashes — identical. This is the rolling-hash/CDC idea storage
+    dedup uses (LBFS/rsync family), at word granularity so the SQL twin
+    is exact.
+
+    Word hash: the first 8 hex digits of md5, read as an integer —
+    bit-identical in Spark (``conv(substr(md5(w),1,8),16,10)``) and
+    DuckDB (``('0x' || ...)::BIGINT``), the d03 md5-nibble trick.
+
+    Scale shape: chunking is entirely ARRAY-SIDE inside one projection
+    (split -> boundary filter -> slice -> md5 per chunk) — the explode
+    emits (key, hash) rows only, so chunk text never shuffles; the
+    cross-doc count is one hash-aggregate, the join back hash-keyed —
+    linear in total chunk count, same posture as t16.
+
+    Returns (key, n_chunks, shared_chunks, shared_frac): chunks whose
+    hash also occurs in ANOTHER document, per document."""
+    wexpr = f"split(trim({text_col}), '\\\\s+')"
+    bexpr = (f"filter(sequence(1, size(_w)), i -> "
+             f"i < size(_w) AND "
+             f"cast(conv(substring(md5(element_at(_w, i)), 1, 8), "
+             f"16, 10) AS BIGINT) % {divisor} = 0)")
+    chunk_expr = f"""
+transform(sequence(1, size(_b) + 1), j ->
+  md5(concat_ws(' ', slice(_w,
+    CASE WHEN j = 1 THEN 1 ELSE element_at(_b, j - 1) + 1 END,
+    (CASE WHEN j = size(_b) + 1 THEN size(_w)
+          ELSE element_at(_b, j) END)
+    - (CASE WHEN j = 1 THEN 1 ELSE element_at(_b, j - 1) + 1 END)
+    + 1))))"""
+    chunks = (df.select(F.col(key_col), F.expr(wexpr).alias("_w"))
+              .withColumn("_b", F.expr(bexpr))
+              .select(F.col(key_col),
+                      F.explode(F.expr(chunk_expr)).alias("h")))
+    cross = (chunks.groupBy("h")
+             .agg(F.countDistinct(key_col).alias("nd")))
+    return (chunks.join(cross, "h")
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                 .cast("long").alias("shared_chunks"))
+            .select(F.col(key_col), F.col("n_chunks"),
+                    F.col("shared_chunks"),
+                    (F.col("shared_chunks") / F.col("n_chunks"))
+                    .alias("shared_frac")))
+
+
+def cdc_shared_stats_sql(table_sql: str = "documents",
+                         text_col: str = "text",
+                         key_col: str = "doc_id",
+                         divisor: int = 8) -> str:
+    """DuckDB oracle for :func:`cdc_shared_stats` — same boundary rule
+    (word-md5-prefix integer % divisor, never after the last word),
+    END-INCLUSIVE DuckDB list slices, exact-integer fraction."""
+    return f"""
+WITH __w AS (
+  SELECT {key_col},
+         string_split_regex(trim({text_col}), '\\s+') AS words
+  FROM {table_sql}
+), __b AS (
+  SELECT {key_col}, words,
+         list_filter(range(1, len(words) + 1), i ->
+           i < len(words)
+           AND ('0x' || substr(md5(words[i]), 1, 8))::BIGINT
+               % {divisor} = 0) AS bpos
+  FROM __w
+), __c AS (
+  SELECT {key_col},
+         unnest(list_transform(range(1, len(bpos) + 2), j ->
+           md5(array_to_string(
+             words[(CASE WHEN j = 1 THEN 1 ELSE bpos[j - 1] + 1 END):
+                   (CASE WHEN j = len(bpos) + 1 THEN len(words)
+                         ELSE bpos[j] END)], ' ')))) AS h
+  FROM __b
+), __g AS (SELECT h, count(DISTINCT {key_col}) AS nd FROM __c GROUP BY h)
+SELECT __c.{key_col},
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN __g.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_chunks,
+       sum(CASE WHEN __g.nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*)
+         AS shared_frac
+FROM __c JOIN __g USING (h)
+GROUP BY __c.{key_col}"""
