@@ -306,15 +306,19 @@ def _foreign_keys_meta(meta, stored: str):
 # scale 0 (how Oracle and some pg schemas spell their integer ids)
 _INTEGRAL_JDBC_TYPES = {-6, 5, 4, -5}
 _DECIMAL_JDBC_TYPES = {2, 3}
+# DATE / TIMESTAMP also stride-partition (Spark accepts ISO bound
+# strings) — the natural key of event/fact tables
+_TEMPORAL_JDBC_TYPES = {91, 93}
 
 
 def partition_column(spark: SparkSession, dsn: DSN, table: str) -> str | None:
-    """The table's integral primary-key column, if one exists — the
-    auto-derived ``partitionColumn`` for parallel JDBC scans
-    (:meth:`JdbcCatalog.load`). Single-column integral PK: that column.
-    Composite PK: the first integral member (stride-partitioning a PK
-    prefix still spreads rows, it just may skew). No PK or no integral
-    member: None (single-partition fallback)."""
+    """The table's first range-partitionable primary-key column, if one
+    exists — the auto-derived ``partitionColumn`` for parallel JDBC
+    scans (:meth:`JdbcCatalog.load`). Eligible: integral types,
+    scale-0 decimals, DATE and TIMESTAMP. Composite PK: the first
+    eligible member (stride-partitioning a PK prefix still spreads
+    rows, it just may skew). No PK or no eligible member: None
+    (single-partition fallback)."""
     conn = connect_raw(spark, dsn)
     try:
         meta = conn.getMetaData()
@@ -332,8 +336,9 @@ def partition_column(spark: SparkSession, dsn: DSN, table: str) -> str | None:
                 dtype = rs.getInt("DATA_TYPE")
                 scale = rs.getInt("DECIMAL_DIGITS")
             rs.close()
-            if dtype in _INTEGRAL_JDBC_TYPES or (
-                    dtype in _DECIMAL_JDBC_TYPES and scale == 0):
+            if (dtype in _INTEGRAL_JDBC_TYPES
+                    or dtype in _TEMPORAL_JDBC_TYPES
+                    or (dtype in _DECIMAL_JDBC_TYPES and scale == 0)):
                 return name
         return None
     finally:

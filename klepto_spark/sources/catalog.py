@@ -472,19 +472,33 @@ class JdbcCatalog:
                 f"SELECT MIN({col}), MAX({col}) FROM {table}",
                 query_timeout=self.read_timeout)
             lo_s, hi_s = rows[0] if rows else (None, None)
-            if lo_s is not None and hi_s is not None:
-                lo, hi = int(lo_s), int(hi_s)
-                n = (self.read_partitions
-                     or self.spark.sparkContext.defaultParallelism)
+            if lo_s is not None and hi_s is not None and lo_s != hi_s:
+                n = int(self.read_partitions
+                        or self.spark.sparkContext.defaultParallelism)
                 # cap at the key range: Spark's columnPartition silently
                 # reduces numPartitions to (upper - lower) when the range
                 # is narrower — capping here keeps the requested count
                 # and the actual count identical (and avoids empty range
                 # slices, each of which still opens a connection)
-                n = max(1, min(int(n), hi - lo))
-                if n > 1 and hi > lo:
+                try:
+                    lo, hi = int(lo_s), int(hi_s)
+                    n = max(1, min(n, hi - lo))
+                    lo_s, hi_s = str(lo), str(hi)
+                except ValueError:
+                    # DATE/TIMESTAMP bounds pass through as the driver's
+                    # ISO strings (Spark parses them for temporal
+                    # partition columns); cap by day span so a same-day
+                    # range never fans out into empty slices
+                    import datetime as _dt
+                    try:
+                        span = (_dt.date.fromisoformat(hi_s[:10])
+                                - _dt.date.fromisoformat(lo_s[:10])).days
+                        n = max(1, min(n, max(1, span)))
+                    except ValueError:
+                        n = max(1, n)
+                if n > 1:
                     opts = {"partitionColumn": col,
-                            "lowerBound": str(lo), "upperBound": str(hi),
+                            "lowerBound": lo_s, "upperBound": hi_s,
                             "numPartitions": str(n)}
         self._bounds_cache[table] = opts
         return opts

@@ -589,3 +589,30 @@ def test_pg_domain_function_matview_partition_renderers():
                         "PARTITION BY HASH (id);")
     assert stmts[2] == ("CREATE TABLE aa_sub PARTITION OF zz_child "
                         "FOR VALUES WITH (modulus 2, remainder 0);")
+
+
+def test_jdbc_date_pk_partitioned_read(spark, src):
+    """A DATE primary key also stride-partitions (Spark parses ISO
+    bound strings); partition count is capped by the DAY span so a
+    narrow range never fans out into empty slices."""
+    J.execute(spark, src, [
+        "CREATE TABLE byday (d DATE NOT NULL PRIMARY KEY, v INT)",
+        "INSERT INTO byday VALUES " + ", ".join(
+            f"(DATE('2024-01-{i:02d}'), {i})" for i in range(1, 11)),
+    ], transactional=False)
+    try:
+        cat = JdbcCatalog(spark, src, read_partitions=3)
+        byday = next(t for t in cat.tables() if t.lower() == "byday")
+        assert J.partition_column(spark, src, byday) is not None
+        df = cat.load(byday)
+        assert df.rdd.getNumPartitions() == 3
+        assert df.count() == 10
+        single = JdbcCatalog(spark, src,
+                             partition_overrides={byday: None}).load(byday)
+        assert sorted(map(tuple, df.collect())) == \
+            sorted(map(tuple, single.collect()))
+        # day span (9) caps a huge request
+        wide = JdbcCatalog(spark, src, read_partitions=64)
+        assert wide.load(byday).rdd.getNumPartitions() <= 9
+    finally:
+        J.execute(spark, src, ["DROP TABLE byday"], transactional=False)
