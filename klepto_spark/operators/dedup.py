@@ -449,11 +449,18 @@ def exact_append(spark, path: str, new_docs: DataFrame,
         out = all_pairs.select("a", "b")
     else:
         # group size = touched olds + batch members sharing the fp; the
-        # count shuffles (fp, key) rows only — never text
+        # count shuffles (fp, key) rows only — never text. A re-appended
+        # key (present in the index AND the batch with the same fp)
+        # must count ONCE — min(_new) folds the two rows and breaks the
+        # old/new flag to False (the old copy), consistent with the
+        # representative tie-break below (ADVICE r08 family: re-runs
+        # must not inflate group sizes or duplicate star rows).
         members = (touched_old.select(key_col, "fp")
                    .withColumn("_new", F.lit(False))
                    .unionByName(new_fp.select(key_col, "fp")
-                                .withColumn("_new", F.lit(True))))
+                                .withColumn("_new", F.lit(True)))
+                   .groupBy("fp", key_col)
+                   .agg(F.min("_new").alias("_new")))
         # struct min carries the representative AND whether it is a
         # new-batch key (key ties between an old and a re-appended new
         # copy break to False — the old one, deterministically)

@@ -503,3 +503,39 @@ def test_cli_append_failed_pairs_out_leaves_index_unchanged(spark, sf_dir,
                   "--pairs-out", str(blocker / "pairs"),
                   "--prefix-words", "8"])
     assert spark.read.parquet(idx).count() == before
+
+
+def test_exact_append_rerun_star_cap_counts_keys_once(spark, tmp_path):
+    """Under max_group, a re-appended key (index AND batch, same fp)
+    must count once toward the group size and emit one star row — a
+    re-run must not push a group over the cap or duplicate pairs."""
+    rows = [Row(doc_id=i, text="same text for everyone") for i in
+            (1, 2, 3)]
+    mk = spark.createDataFrame(rows)
+    idx = str(tmp_path / "ex_star_rerun")
+    dedup.exact_write_index(mk, idx, prefix_words=PFX)
+    # re-append the full committed batch: true membership stays 3, so
+    # the group must NOT trip a cap of 3 (a double-counted size of 6
+    # would) — the full pair SET survives (the old-new and new-new legs
+    # may each contribute a copy; the set is the contract)
+    # (orientation-normalised: with overlapping sets the old-new leg
+    # emits a = index key, b = batch key, so both directions appear)
+    pairs = dedup.exact_append(spark, idx, mk, prefix_words=PFX,
+                               commit=False, max_group=3).collect()
+    assert {tuple(sorted((r["a"], r["b"]))) for r in pairs} == \
+        {(1, 2), (1, 3), (2, 3)}
+    # above the cap, FULL re-append: every member counts as OLD after
+    # the fold, and old-old star rows are excluded by the inductive
+    # invariant (they were connected when first appended) — a replay
+    # adds NOTHING rather than duplicate rows
+    star = dedup.exact_append(spark, idx, mk, prefix_words=PFX,
+                              commit=False, max_group=2).collect()
+    assert star == []
+    # a genuinely NEW member joining the capped group pairs with the
+    # representative exactly once; re-appended old members stay silent
+    mk2 = spark.createDataFrame(
+        rows + [Row(doc_id=4, text="same text for everyone")])
+    star2 = sorted((r["a"], r["b"]) for r in dedup.exact_append(
+        spark, idx, mk2, prefix_words=PFX, commit=False,
+        max_group=2).collect())
+    assert star2 == [(1, 4)]
