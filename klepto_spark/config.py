@@ -68,12 +68,20 @@ class TableSpec:
     # a column name = partition on it (JdbcCatalog.apply_read_overrides)
     partition_column: str | None = None
     read_partitions: int | None = None
+    # 'uniform' = min/max stride bounds (Spark's native columnPartition);
+    # 'histogram' = one GROUP-BY histogram probe, then quantile range
+    # predicates — balanced partitions even on a hot-tail / sparse PK
+    stride_mode: str | None = None
 
     def __post_init__(self) -> None:
         if self.cast_policy not in ("string", "keep"):
             raise ValueError(
                 f"invalid cast_policy {self.cast_policy!r} for table "
                 f"{self.name!r} (expected 'string' or 'keep')")
+        if self.stride_mode not in (None, "uniform", "histogram"):
+            raise ValueError(
+                f"invalid stride_mode {self.stride_mode!r} for table "
+                f"{self.name!r} (expected 'uniform' or 'histogram')")
 
 
 @dataclass
@@ -127,6 +135,8 @@ def _parse_table(raw: dict) -> TableSpec:
                           if "PartitionColumn" in raw else None),
         read_partitions=(int(raw["ReadPartitions"])
                          if "ReadPartitions" in raw else None),
+        stride_mode=(str(raw["StrideMode"])
+                     if "StrideMode" in raw else None),
     )
 
 

@@ -138,6 +138,42 @@ def _stored_name(meta, table: str) -> str | None:
     return None
 
 
+def stored_table_name(spark: SparkSession, dsn: DSN, table: str
+                      ) -> str | None:
+    """The table's exact stored-case name (what a quoted identifier must
+    say) — resolves the unquoted-fold mismatch between the user's spelling
+    and the engine's catalog (derby/oracle fold up, postgres down)."""
+    conn = connect_raw(spark, dsn)
+    try:
+        return _stored_name(conn.getMetaData(), table)
+    finally:
+        conn.close()
+
+
+def stored_column_name(spark: SparkSession, dsn: DSN, table: str,
+                       col: str) -> str | None:
+    """Exact stored-case column name within ``table`` (exact COLUMN_NAME
+    match — getColumns patterns treat '_' as a wildcard)."""
+    conn = connect_raw(spark, dsn)
+    try:
+        meta = conn.getMetaData()
+        stored = _stored_name(meta, table) or table
+        for cand in _case_variants(col):
+            rs = meta.getColumns(None, None, stored, cand)
+            found = None
+            while rs.next():
+                name = rs.getString("COLUMN_NAME")
+                if name == cand:
+                    found = name
+                    break
+            rs.close()
+            if found:
+                return found
+        return None
+    finally:
+        conn.close()
+
+
 def native_ddl(spark: SparkSession, dsn: DSN, table: str) -> str:
     """CREATE TABLE with constraint fidelity, captured from the source.
 
@@ -330,11 +366,18 @@ def partition_column(spark: SparkSession, dsn: DSN, table: str) -> str | None:
                             rs.getString("COLUMN_NAME")))
         rs.close()
         for _, name in sorted(pk_cols):
+            # getColumns treats the name as a SEARCH PATTERN ('_' is a
+            # single-char wildcard): a sibling column like orderXid can
+            # match order_id and supply the wrong DATA_TYPE. Match the
+            # exact COLUMN_NAME inside the loop instead of keeping the
+            # last row (ADVICE r09).
             rs = meta.getColumns(None, None, stored, name)
             dtype, scale = None, None
             while rs.next():
-                dtype = rs.getInt("DATA_TYPE")
-                scale = rs.getInt("DECIMAL_DIGITS")
+                if rs.getString("COLUMN_NAME") == name:
+                    dtype = rs.getInt("DATA_TYPE")
+                    scale = rs.getInt("DECIMAL_DIGITS")
+                    break
             rs.close()
             if (dtype in _INTEGRAL_JDBC_TYPES
                     or dtype in _TEMPORAL_JDBC_TYPES

