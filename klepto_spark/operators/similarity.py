@@ -1422,8 +1422,16 @@ def mmr_rerank(spark, shortlist: DataFrame, query: list[float], k: int,
         penalty = np.maximum(penalty, sims[:, i])
         out.append((keys[i], round(float(rel[i]), 6),
                     round(float(obj[i]), 6), len(selected)))
-    return spark.createDataFrame(
-        out, f"{key_col} long, score double, mmr_score double, rank int")
+    # the key's type comes from the SHORTLIST schema — string doc ids
+    # are as legitimate as long vec ids (VERDICT r09 #4)
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+    key_field = shortlist.schema[key_col]
+    return spark.createDataFrame(out, StructType([
+        StructField(key_col, key_field.dataType, key_field.nullable),
+        StructField("score", DoubleType(), False),
+        StructField("mmr_score", DoubleType(), False),
+        StructField("rank", IntegerType(), False)]))
 
 
 def topk_mmr(df: DataFrame, query: list[float], k: int,

@@ -117,11 +117,20 @@ def publish_renames(jvm, fs, root, journal_name: str,
     for sp, n in zip(staged, news):
         fs.rename(sp, to_path(n))
         if not fs.exists(jp):
-            if any(not fs.exists(to_path(o)) for o in olds):
+            if olds and any(not fs.exists(to_path(o)) for o in olds):
                 # Roll-forward deletes olds before the journal: a
                 # missing old proves every new file had landed and the
                 # concurrent recovery completed THIS publish. The news
                 # are the only copy now — leave them.
+                return "published"
+            if not olds and all(fs.exists(to_path(n2)) for n2 in news):
+                # With ZERO olds (e.g. vacuum over an empty base) the
+                # olds give no signal — but a roll-BACK deletes every
+                # news it finds before clearing the journal, so all
+                # news present proves the recovery rolled FORWARD (or
+                # this loop out-renamed a roll-back that saw nothing,
+                # which converges to the same published file set)
+                # (ADVICE r09).
                 return "published"
             for n2 in news:
                 p2 = to_path(n2)

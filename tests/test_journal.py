@@ -222,3 +222,44 @@ def test_fold_live_lease_refuses(spark, tmp_path):
         json.dump({"olds": [], "news": ["never.parquet"]}, fh)
     with pytest.raises(RuntimeError, match="in flight"):
         compact_index_epochs(spark, root, 1)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r09 low: with ZERO olds (vacuum over an empty base) the olds give
+# no roll-forward/roll-back signal — the news themselves decide.
+# ---------------------------------------------------------------------------
+
+def test_publish_renames_empty_olds_all_news_present_is_published(
+        spark, tmp_path):
+    """Empty olds + every new file present: a roll-BACK would have
+    deleted the news it found, so the concurrent recovery rolled
+    FORWARD — the publish is live, the news must stand."""
+    from klepto_spark.sinks.journal import publish_renames
+    jvm, P, fs, root = _hfs(spark, str(tmp_path))
+    (tmp_path / "n0.parquet").write_bytes(b"the only copy")
+    out = publish_renames(
+        jvm, fs, root, "_j.json", lambda s: P(root, s),
+        staged=[P(root, "_stage/s0.parquet")],  # already renamed earlier
+        news=["n0.parquet"], olds=[],
+        lost_journal_msg="boom")
+    assert out == "published"
+    assert (tmp_path / "n0.parquet").read_bytes() == b"the only copy"
+
+
+def test_publish_renames_empty_olds_partial_news_rolls_back(
+        spark, tmp_path):
+    """Empty olds + a missing new file proves a roll-BACK deleted it:
+    the files this fold landed afterwards are orphans — removed before
+    raising, exactly like the nonempty-olds branch."""
+    from klepto_spark.sinks.journal import publish_renames
+    jvm, P, fs, root = _hfs(spark, str(tmp_path))
+    (tmp_path / "_stage").mkdir()
+    (tmp_path / "_stage" / "s1.parquet").write_bytes(b"late arrival")
+    # n0 was deleted by the concurrent roll-back; s1 renames to n1 AFTER
+    with pytest.raises(RuntimeError, match="boom"):
+        publish_renames(
+            jvm, fs, root, "_j.json", lambda s: P(root, s),
+            staged=[P(root, "_stage/s1.parquet")],
+            news=["n0.parquet", "n1.parquet"], olds=[],
+            lost_journal_msg="boom")
+    assert not (tmp_path / "n1.parquet").exists()

@@ -210,3 +210,18 @@ def test_mmr_on_real_embeddings_first_pick_and_k(spark, sf_dir):
     assert len(got) == 8 and [r.rank for r in by_rank] == list(range(1, 9))
     assert by_rank[0].vec_id == top1
     assert len({r.vec_id for r in got}) == 8
+
+
+def test_mmr_string_keys_round_trip(spark):
+    """mmr_rerank derives the key column's type from the shortlist
+    schema — string doc ids work, not just long vec ids (VERDICT r09)."""
+    import klepto_spark.operators.similarity as S
+    df = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0]), ("doc-b", [0.9, 0.1]),
+         ("doc-c", [0.0, 1.0])],
+        "doc_id string, embedding array<double>")
+    got = sorted(S.mmr_rerank(spark, df, [1.0, 0.0], k=2, lam=0.3,
+                              key_col="doc_id").collect(),
+                 key=lambda r: r.rank)
+    assert [r.doc_id for r in got] == ["doc-a", "doc-c"]
+    assert dict(got[0].asDict())["rank"] == 1
