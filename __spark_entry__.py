@@ -1707,6 +1707,26 @@ def q_cdc_shared(spark, sf_dir):
                               divisor=T17_DIVISOR)
 
 
+D12_MIN_SHARED = 2
+D12_MIN_WORDS = 3
+
+
+def q_cdc_near_dup(spark, sf_dir):
+    """d12: shift-resistant near-duplicate pairs via content-defined
+    chunking — the d-family twin of t17 and the recall complement of
+    d02's fixed-shingle MinHash (an early insertion moves every
+    k-shingle after it; CDC boundaries are local, so untouched spans
+    keep their chunk hashes). Docs sharing >= 2 distinct chunks of
+    >= 3 words pair up, with the shared-chunk count as agreement
+    strength. Pair generation is bucket-local on the chunk hash with
+    the d02 star cap — chunk hashes shuffle, text never does
+    (operators.dedup.cdc_near_dup_pairs)."""
+    docs = _load(spark, sf_dir)("documents")
+    return dedup.cdc_near_dup_pairs(
+        docs, "text", "doc_id", divisor=T17_DIVISOR,
+        min_shared=D12_MIN_SHARED, min_words=D12_MIN_WORDS)
+
+
 A24_QTY = 300
 
 
@@ -1889,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d10_semantic_append": q_semantic_append,
         "c02_ingest_pipeline": q_ingest_pipeline,
         "d11_exact_append": q_exact_append,
+        "d12_cdc_near_dup": q_cdc_near_dup,
         "t15_gopher_signals": q_gopher_signals,
         "p06_token_budget": q_token_budget,
         "m03_frame_energy": q_frame_energy,
@@ -2500,6 +2521,9 @@ FROM documents""",
             GROUP BY o_orderpriority""",
         "t16_shared_chunks": T.shared_chunk_stats_sql(size=T16_CHUNK),
         "t17_cdc_shared": T.cdc_shared_stats_sql(divisor=T17_DIVISOR),
+        "d12_cdc_near_dup": dedup.cdc_near_dup_pairs_sql(
+            divisor=T17_DIVISOR, min_shared=D12_MIN_SHARED,
+            min_words=D12_MIN_WORDS),
         "a24_large_volume_orders": f"""
             SELECT c_name, c_custkey, o_orderkey, o_orderdate,
                    o_totalprice, total_qty

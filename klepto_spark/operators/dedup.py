@@ -666,6 +666,73 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
             .filter(F.col("jaccard") >= threshold))
 
 
+def cdc_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                       key_col: str = "doc_id", divisor: int = 8,
+                       min_shared: int = 2, min_words: int = 3,
+                       max_bucket: int = 64) -> DataFrame:
+    """Shift-resistant near-duplicate pairs via content-defined chunking
+    — the d-family twin of t17 (``text.cdc_shared_stats``), closing the
+    recall hole fixed-shingle MinHash leaves: an insertion early in a
+    near-copy moves every k-shingle after it, but CDC chunk boundaries
+    are a function of LOCAL content (boundary after any word whose
+    md5-prefix integer ``% divisor == 0``), so the untouched spans keep
+    identical chunk hashes. Docs sharing >= ``min_shared`` DISTINCT
+    chunk hashes become a pair — the CDC analogue of "docs sharing any
+    LSH band", with agreement strength attached.
+
+    Scale shape — same discipline as :func:`minhash_lsh_pairs`: chunking
+    is array-side in one projection and only (key, hash) rows shuffle
+    (the chunk text never moves); pair generation is bucket-local on the
+    chunk hash with the :func:`capped_bucket_pairs` star cap, so a
+    boilerplate chunk shared by 100k docs emits O(m) star edges, never
+    O(m^2); the agreement count is one hash-aggregate on (a, b). No
+    corpus self-join anywhere. ``min_words`` (default 3) drops
+    stopword-grade 1-2-word chunks BEFORE hashing — without it, their
+    buckets grow with the corpus (df >1000 by sf0.1) and everything
+    star-caps; with it, bucket sizes stay O(true duplication). CAP
+    TRADE (same as LSH): pairs elided inside a star-capped bucket lose
+    that bucket's vote, so ``shared_chunks`` is exact only while
+    buckets stay under ``max_bucket`` — connected-components clustering
+    still recovers the class through the representative.
+
+    Returns (a, b, shared_chunks) with a < b, ordered semantics exact vs
+    the DuckDB twin (:func:`cdc_near_dup_pairs_sql`) for un-capped
+    buckets."""
+    from klepto_spark.operators.text import cdc_chunk_rows
+    # distinct (key, h): a chunk repeated WITHIN a doc must not inflate
+    # the pair's agreement count
+    chunks = cdc_chunk_rows(df, text_col, key_col, divisor,
+                            min_words).distinct()
+    buckets = (chunks.groupBy("h")
+               .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    # dedup=False keeps one row per (bucket, pair): the groupBy below is
+    # the same shuffle a distinct() would pay, but keeps the vote count
+    weighted = (capped_bucket_pairs(buckets, max_bucket, dedup=False)
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).cast("long").alias("shared_chunks")))
+    return weighted.filter(F.col("shared_chunks") >= min_shared)
+
+
+def cdc_near_dup_pairs_sql(table_sql: str = "documents",
+                           text_col: str = "text",
+                           key_col: str = "doc_id", divisor: int = 8,
+                           min_shared: int = 2, min_words: int = 3) -> str:
+    """DuckDB oracle for :func:`cdc_near_dup_pairs`: exact all-pairs
+    semantics (no star cap — the oracle corpus is small), same boundary
+    rule via the bit-portable md5-prefix trick."""
+    from klepto_spark.operators.text import cdc_chunk_rows_sql
+    inner = cdc_chunk_rows_sql(table_sql, text_col, key_col, divisor,
+                               min_words)
+    return f"""
+WITH __c AS (SELECT DISTINCT {key_col}, h FROM ({inner}))
+SELECT x.{key_col} AS a, y.{key_col} AS b,
+       CAST(count(*) AS BIGINT) AS shared_chunks
+FROM __c x JOIN __c y ON x.h = y.h AND x.{key_col} < y.{key_col}
+GROUP BY x.{key_col}, y.{key_col}
+HAVING count(*) >= {min_shared}"""
+
+
 def semantic_dedup(docs: DataFrame, emb: DataFrame, threshold: float,
                    bits: int = 16, dim: int | None = None,
                    doc_key: str = "doc_id", vec_key: str = "vec_id",

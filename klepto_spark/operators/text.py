@@ -750,6 +750,78 @@ FROM __c JOIN __g USING (h)
 GROUP BY __c.{key_col}"""
 
 
+def cdc_chunk_rows(df: "DataFrame", text_col: str = "text",
+                   key_col: str = "doc_id",
+                   divisor: int = 8, min_words: int = 1) -> "DataFrame":
+    """(key, h) — one row per content-defined chunk, ``h`` = md5 of the
+    chunk's words. The shared unit of :func:`cdc_shared_stats` (t17's
+    duplicate-span signal) and the d-family near-dup pair generator
+    (``operators.dedup.cdc_near_dup_pairs``): a boundary falls AFTER any
+    word whose md5-prefix integer ``% divisor == 0`` (never after the
+    last word), so boundaries depend on LOCAL content only and an
+    insertion re-chunks just its own chunk. Chunking runs ARRAY-SIDE in
+    one projection; the explode emits hashes only — chunk text never
+    shuffles.
+
+    ``min_words`` drops chunks shorter than that many words BEFORE
+    hashing: 1-2-word chunks are stopword-grade boilerplate whose
+    buckets grow with the corpus (df in the hundreds by sf0.1) without
+    carrying near-dup signal — the pair generator filters them the way
+    TF-IDF drops stopwords. ``min_words=1`` (default) keeps every chunk
+    (t17's duplicate-span stats count them all)."""
+    wexpr = f"split(trim({text_col}), '\\\\s+')"
+    bexpr = (f"filter(sequence(1, size(_w)), i -> "
+             f"i < size(_w) AND "
+             f"cast(conv(substring(md5(element_at(_w, i)), 1, 8), "
+             f"16, 10) AS BIGINT) % {divisor} = 0)")
+    start = "(CASE WHEN j = 1 THEN 1 ELSE element_at(_b, j - 1) + 1 END)"
+    end = ("(CASE WHEN j = size(_b) + 1 THEN size(_w) "
+           "ELSE element_at(_b, j) END)")
+    seq = "sequence(1, size(_b) + 1)"
+    if min_words > 1:
+        seq = f"filter({seq}, j -> {end} - {start} + 1 >= {min_words})"
+    chunk_expr = f"""
+transform({seq}, j ->
+  md5(concat_ws(' ', slice(_w, {start}, {end} - {start} + 1))))"""
+    return (df.select(F.col(key_col), F.expr(wexpr).alias("_w"))
+            .withColumn("_b", F.expr(bexpr))
+            .select(F.col(key_col),
+                    F.explode(F.expr(chunk_expr)).alias("h")))
+
+
+def cdc_chunk_rows_sql(table_sql: str = "documents",
+                       text_col: str = "text",
+                       key_col: str = "doc_id",
+                       divisor: int = 8, min_words: int = 1) -> str:
+    """DuckDB twin of :func:`cdc_chunk_rows` — same boundary rule via the
+    bit-portable md5-prefix integer, END-INCLUSIVE DuckDB list slices,
+    same pre-hash ``min_words`` chunk filter."""
+    start = "(CASE WHEN j = 1 THEN 1 ELSE bpos[j - 1] + 1 END)"
+    end = ("(CASE WHEN j = len(bpos) + 1 THEN len(words) "
+           "ELSE bpos[j] END)")
+    seq = "range(1, len(bpos) + 2)"
+    if min_words > 1:
+        seq = (f"list_filter({seq}, j -> "
+               f"{end} - {start} + 1 >= {min_words})")
+    return f"""
+WITH __w AS (
+  SELECT {key_col},
+         string_split_regex(trim({text_col}), '\\s+') AS words
+  FROM {table_sql}
+), __b AS (
+  SELECT {key_col}, words,
+         list_filter(range(1, len(words) + 1), i ->
+           i < len(words)
+           AND ('0x' || substr(md5(words[i]), 1, 8))::BIGINT
+               % {divisor} = 0) AS bpos
+  FROM __w
+)
+SELECT {key_col},
+       unnest(list_transform({seq}, j ->
+         md5(array_to_string(words[{start}:{end}], ' ')))) AS h
+FROM __b"""
+
+
 def cdc_shared_stats(df: "DataFrame", text_col: str = "text",
                      key_col: str = "doc_id",
                      divisor: int = 8) -> "DataFrame":
@@ -777,23 +849,7 @@ def cdc_shared_stats(df: "DataFrame", text_col: str = "text",
 
     Returns (key, n_chunks, shared_chunks, shared_frac): chunks whose
     hash also occurs in ANOTHER document, per document."""
-    wexpr = f"split(trim({text_col}), '\\\\s+')"
-    bexpr = (f"filter(sequence(1, size(_w)), i -> "
-             f"i < size(_w) AND "
-             f"cast(conv(substring(md5(element_at(_w, i)), 1, 8), "
-             f"16, 10) AS BIGINT) % {divisor} = 0)")
-    chunk_expr = f"""
-transform(sequence(1, size(_b) + 1), j ->
-  md5(concat_ws(' ', slice(_w,
-    CASE WHEN j = 1 THEN 1 ELSE element_at(_b, j - 1) + 1 END,
-    (CASE WHEN j = size(_b) + 1 THEN size(_w)
-          ELSE element_at(_b, j) END)
-    - (CASE WHEN j = 1 THEN 1 ELSE element_at(_b, j - 1) + 1 END)
-    + 1))))"""
-    chunks = (df.select(F.col(key_col), F.expr(wexpr).alias("_w"))
-              .withColumn("_b", F.expr(bexpr))
-              .select(F.col(key_col),
-                      F.explode(F.expr(chunk_expr)).alias("h")))
+    chunks = cdc_chunk_rows(df, text_col, key_col, divisor)
     cross = (chunks.groupBy("h")
              .agg(F.countDistinct(key_col).alias("nd")))
     return (chunks.join(cross, "h")
@@ -814,27 +870,10 @@ def cdc_shared_stats_sql(table_sql: str = "documents",
     """DuckDB oracle for :func:`cdc_shared_stats` — same boundary rule
     (word-md5-prefix integer % divisor, never after the last word),
     END-INCLUSIVE DuckDB list slices, exact-integer fraction."""
+    inner = cdc_chunk_rows_sql(table_sql, text_col, key_col, divisor)
     return f"""
-WITH __w AS (
-  SELECT {key_col},
-         string_split_regex(trim({text_col}), '\\s+') AS words
-  FROM {table_sql}
-), __b AS (
-  SELECT {key_col}, words,
-         list_filter(range(1, len(words) + 1), i ->
-           i < len(words)
-           AND ('0x' || substr(md5(words[i]), 1, 8))::BIGINT
-               % {divisor} = 0) AS bpos
-  FROM __w
-), __c AS (
-  SELECT {key_col},
-         unnest(list_transform(range(1, len(bpos) + 2), j ->
-           md5(array_to_string(
-             words[(CASE WHEN j = 1 THEN 1 ELSE bpos[j - 1] + 1 END):
-                   (CASE WHEN j = len(bpos) + 1 THEN len(words)
-                         ELSE bpos[j] END)], ' ')))) AS h
-  FROM __b
-), __g AS (SELECT h, count(DISTINCT {key_col}) AS nd FROM __c GROUP BY h)
+WITH __c AS (SELECT * FROM ({inner})),
+__g AS (SELECT h, count(DISTINCT {key_col}) AS nd FROM __c GROUP BY h)
 SELECT __c.{key_col},
        CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(CASE WHEN __g.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)

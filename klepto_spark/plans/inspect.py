@@ -99,6 +99,16 @@ def shuffle_count(df: DataFrame) -> int:
     return plan.count("Exchange") - plan.count("BroadcastExchange")
 
 
+def exchange_inputs(df: DataFrame) -> list[str]:
+    """The input attribute list of every shuffle Exchange (formatted
+    plan) — what actually CROSSES the wire. The cheapest scale audit:
+    assert wide payload columns (document text, blobs, embeddings)
+    never appear here."""
+    fmt = formatted_plan(df)
+    return re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", fmt)
+
+
 def plan_report(df: DataFrame) -> dict:
     return {
         "pushed_filters": pushed_filters(df),
