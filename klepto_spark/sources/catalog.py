@@ -699,13 +699,14 @@ class JdbcCatalog:
         same one-sided way (SURVEY §4.3.7).
 
         pg_dump parity (reference pg_dump.go:36-41): extensions first
-        (table DDL may reference their types), then types (enums +
-        domains — columns reference them), then non-trigger functions/
-        procedures (DEFAULTs and views may call them), then sequences
-        (``DEFAULT nextval(...)`` needs them) with ownership + position,
-        then tables, then CHECK constraints + views + materialized views
-        + trigger functions/triggers. Comments are OFF by default — the
-        reference passes ``--no-comments`` — and opt-in via
+        (table DDL may reference their types), then collations + types
+        (enums + domains — columns reference them), then non-trigger
+        functions/procedures (DEFAULTs and views may call them), then
+        sequences (``DEFAULT nextval(...)`` needs them) with ownership +
+        position, then tables, then CHECK constraints + views +
+        materialized views + rewrite rules + RLS policies + trigger
+        functions/triggers. Comments are OFF by default — the reference
+        passes ``--no-comments`` — and opt-in via
         ``include_comments=True``."""
         from klepto_spark import jdbc as J
         from klepto_spark.sinks.ddl import create_table_sql
@@ -713,6 +714,7 @@ class JdbcCatalog:
         seq_pre, seq_post = J.split_sequence_statements(
             J.sequence_ddl(self.spark, self.dsn))
         for stmts in (J.extension_ddl(self.spark, self.dsn),
+                      J.collation_ddl(self.spark, self.dsn),
                       J.enum_ddl(self.spark, self.dsn),
                       J.domain_ddl(self.spark, self.dsn),
                       J.function_ddl(self.spark, self.dsn), seq_pre):
@@ -735,6 +737,10 @@ class JdbcCatalog:
         mviews = J.matview_ddl(self.spark, self.dsn)
         if mviews:
             parts.append("\n".join(mviews))
+        for stmts in (J.rule_ddl(self.spark, self.dsn),
+                      J.policy_ddl(self.spark, self.dsn)):
+            if stmts:
+                parts.append("\n".join(stmts))
         trig = J.trigger_ddl(self.spark, self.dsn)
         if trig:
             parts.append("\n".join(trig))

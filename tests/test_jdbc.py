@@ -798,3 +798,53 @@ def test_partition_column_exact_name_not_pattern(spark, src):
         assert J.stored_column_name(spark, src, t, "order_id") == "ORDER_ID"
     finally:
         J.execute(spark, src, ["DROP TABLE pat"], transactional=False)
+
+
+def test_pg_policy_rule_collation_renderers():
+    """Pure-renderer coverage for the pg_dump tail (RLS policies,
+    rewrite rules, collations) — runs without a PG server;
+    tests/test_real_pg_server.py replays the same output live."""
+    pols = J.pg_policy_statements(
+        rls_rows=[("accounts", "t"), ("notes", "f")],
+        policy_rows=[
+            ("accounts", "tenant_iso", "PERMISSIVE", "public", "ALL",
+             "tenant = 1", ""),
+            ("accounts", "ins_guard", "RESTRICTIVE", "app_rw", "INSERT",
+             "", "tenant = 1"),
+        ])
+    assert pols == [
+        "ALTER TABLE accounts ENABLE ROW LEVEL SECURITY;",
+        "ALTER TABLE accounts FORCE ROW LEVEL SECURITY;",
+        "ALTER TABLE notes ENABLE ROW LEVEL SECURITY;",
+        "CREATE POLICY tenant_iso ON accounts TO public "
+        "USING (tenant = 1);",
+        "CREATE POLICY ins_guard ON accounts AS RESTRICTIVE FOR INSERT "
+        "TO app_rw WITH CHECK (tenant = 1);",
+    ]
+    rules = J.pg_rule_statements(
+        [("protect_del",
+          "CREATE RULE protect_del AS\n ON DELETE TO t DO INSTEAD "
+          "NOTHING;\n")])
+    assert rules == ["CREATE RULE protect_del AS\n ON DELETE TO t "
+                     "DO INSTEAD NOTHING;"]
+    colls = J.pg_collation_statements([
+        ("c_sort", "libc", "C", "C", "", "t"),
+        ("num_ci", "icu", "", "", "und-u-ks-level2", "f"),
+        ("mixed", "libc", "en_US.utf8", "C", "", "true"),
+    ])
+    assert colls == [
+        "CREATE COLLATION c_sort (provider = libc, locale = 'C');",
+        "CREATE COLLATION num_ci (provider = icu, "
+        "locale = 'und-u-ks-level2', deterministic = false);",
+        "CREATE COLLATION mixed (provider = libc, "
+        "lc_collate = 'en_US.utf8', lc_ctype = 'C');",
+    ]
+
+
+def test_policy_rule_collation_ddl_empty_offpath(spark, src):
+    """policy/rule/collation DDL is pg-only: Derby and MySQL no-op."""
+    my = parse("mysql://u:p@localhost:3306/db")
+    for dsn in (src, my):
+        assert J.policy_ddl(spark, dsn) == []
+        assert J.rule_ddl(spark, dsn) == []
+        assert J.collation_ddl(spark, dsn) == []
