@@ -1,0 +1,46 @@
+"""Bench-artifact contract (VERDICT r09 #7): the graded medians carry
+their own noise provenance — start AND end loadavg, plus which queries
+were re-measured because their median was contamination-shaped."""
+
+import json
+import os
+
+import pytest
+
+from bench import outlier_queries
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_outlier_rule_selects_contamination_shape():
+    """median >> best with a material gap is noise-shaped; a uniform
+    slowdown (best and median both high) is a regression and must NOT
+    requeue."""
+    best = {"clean": 1.0, "noisy": 1.0, "regressed": 5.0, "tiny": 0.05}
+    med = {"clean": 1.05, "noisy": 2.5, "regressed": 5.4, "tiny": 0.11}
+    assert outlier_queries(best, med) == ["noisy"]
+
+
+def test_outlier_rule_gap_floor_and_cap():
+    # sub-min_gap ratios don't requeue (0.2s gap on a 0.1s query is
+    # ratio 3 but immaterial to the round's sum)
+    assert outlier_queries({"q": 0.1}, {"q": 0.25}) == []
+    # worst absolute gaps first, bounded at cap
+    best = {f"q{i}": 1.0 for i in range(20)}
+    med = {f"q{i}": 2.0 + i * 0.1 for i in range(20)}
+    got = outlier_queries(best, med, cap=5)
+    assert len(got) == 5 and got[0] == "q19"
+
+
+def test_bench_detail_artifact_carries_load_provenance():
+    path = os.path.join(REPO, "BENCH_DETAIL.json")
+    if not os.path.exists(path):
+        pytest.skip("BENCH_DETAIL.json not generated yet")
+    with open(path) as fh:
+        detail = json.load(fh)
+    for field in ("loadavg_1m_start", "loadavg_1m_end", "requeued",
+                  "best", "spread", "runs"):
+        assert field in detail, f"BENCH_DETAIL.json missing {field!r}"
+    assert isinstance(detail["requeued"], list)
+    # every requeued name must be a benched query
+    assert set(detail["requeued"]) <= set(detail["best"])
