@@ -1727,6 +1727,41 @@ def q_cdc_near_dup(spark, sf_dir):
         min_shared=D12_MIN_SHARED, min_words=D12_MIN_WORDS)
 
 
+# d13 knobs: same proportional batch split as d10/d11; d12's chunking
+# scheme (divisor 8, 3-word chunk floor, >=2 shared chunks)
+D13_MOD = 5
+
+
+def q_cdc_append(spark, sf_dir):
+    """d13: incremental CDC near-dup against the at-rest chunk-hash
+    index — the fourth family joins the incremental matrix (exact d11 /
+    minhash / semantic d10 / cdc d13: every dedup mode now has a
+    no-corpus-re-read append path). The corpus's distinct (key, h) rows
+    live in the derived store; the batch's chunk hashes broadcast as
+    the probe and the index is scanned once through the semi-join;
+    agreement counts stay exact because a shared chunk is by definition
+    in the new doc, so every voting bucket is touched
+    (dedup.cdc_append). Oracle: the full-corpus d12 pair join
+    restricted to pairs with a batch endpoint."""
+    from klepto_spark.sinks import derived
+    src = f"{sf_dir}/documents.parquet"
+    docs = _load(spark, sf_dir)("documents")
+    kind = (f"cdcidx-d{T17_DIVISOR}-w{D12_MIN_WORDS}-m{D13_MOD}")
+
+    def _build():
+        from klepto_spark.operators.text import cdc_chunk_rows
+        return cdc_chunk_rows(
+            docs.filter(F.col("doc_id") % D13_MOD != 0), "text",
+            "doc_id", T17_DIVISOR, D12_MIN_WORDS).distinct()
+
+    path = derived.derived_path(src, kind)
+    derived.read_or_build(spark, src, kind, _build)
+    return dedup.cdc_append(
+        spark, path, docs.filter(F.col("doc_id") % D13_MOD == 0),
+        divisor=T17_DIVISOR, min_shared=D12_MIN_SHARED,
+        min_words=D12_MIN_WORDS, commit=False)
+
+
 A24_QTY = 300
 
 
@@ -1910,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c02_ingest_pipeline": q_ingest_pipeline,
         "d11_exact_append": q_exact_append,
         "d12_cdc_near_dup": q_cdc_near_dup,
+        "d13_cdc_append": q_cdc_append,
         "t15_gopher_signals": q_gopher_signals,
         "p06_token_budget": q_token_budget,
         "m03_frame_energy": q_frame_energy,
@@ -2524,6 +2560,12 @@ FROM documents""",
         "d12_cdc_near_dup": dedup.cdc_near_dup_pairs_sql(
             divisor=T17_DIVISOR, min_shared=D12_MIN_SHARED,
             min_words=D12_MIN_WORDS),
+        "d13_cdc_append": f"""
+            WITH __p AS ({dedup.cdc_near_dup_pairs_sql(
+                divisor=T17_DIVISOR, min_shared=D12_MIN_SHARED,
+                min_words=D12_MIN_WORDS)})
+            SELECT a, b, shared_chunks FROM __p
+            WHERE a % {D13_MOD} = 0 OR b % {D13_MOD} = 0""",
         "a24_large_volume_orders": f"""
             SELECT c_name, c_custkey, o_orderkey, o_orderdate,
                    o_totalprice, total_qty

@@ -733,6 +733,82 @@ GROUP BY x.{key_col}, y.{key_col}
 HAVING count(*) >= {min_shared}"""
 
 
+def cdc_write_index(df: DataFrame, path: str, text_col: str = "text",
+                    key_col: str = "doc_id", divisor: int = 8,
+                    min_words: int = 3, mode: str = "overwrite") -> None:
+    """Persist DISTINCT (key, h) CDC chunk-hash rows — the at-rest index
+    that makes shift-resistant dedup INCREMENTAL, completing the
+    at-rest matrix for the fourth dedup family (exact / minhash /
+    semantic / cdc): appending a batch later never re-chunks or
+    re-hashes the existing corpus. The chunking scheme is recorded in
+    ``_dedupmeta.json`` so appends with a different divisor/min_words
+    refuse instead of silently probing with incompatible hashes."""
+    from klepto_spark.operators.text import cdc_chunk_rows
+    (cdc_chunk_rows(df, text_col, key_col, divisor, min_words)
+     .distinct().write.mode(mode).parquet(path))
+    write_index_meta(df.sparkSession, path, "cdc",
+                     {"divisor": divisor, "min_words": min_words})
+
+
+def cdc_append(spark, path, new_docs: DataFrame,
+               text_col: str = "text", key_col: str = "doc_id",
+               divisor: int = 8, min_shared: int = 2,
+               min_words: int = 3, max_bucket: int = 64,
+               commit: bool = True) -> DataFrame:
+    """CDC near-dup a NEW batch against an indexed corpus and
+    (optionally) fold the batch's chunk hashes into the index. Returns
+    (a, b, shared_chunks) pairs with a < b and at least one new-batch
+    endpoint — old–old pairs were already known when the index was
+    built.
+
+    Scale shape — the :func:`minhash_append` posture applied to chunk
+    hashes: the batch is chunked once and its DISTINCT hashes BROADCAST;
+    the index is scanned exactly once through that broadcast semi-join
+    (no index shuffle, no corpus re-chunk). Agreement counts are EXACT
+    for every returned pair despite the touched-buckets restriction: a
+    shared chunk is by definition in the new document, so every bucket
+    that could vote for a batch-endpoint pair IS touched. Giant buckets
+    star-cap as in the batch operator."""
+    from klepto_spark.operators.text import cdc_chunk_rows
+    check_index_meta(spark, path if not isinstance(path, (list, tuple))
+                     else path[0], "cdc",
+                     {"divisor": divisor, "min_words": min_words})
+    new_chunks = cdc_chunk_rows(new_docs, text_col, key_col, divisor,
+                                min_words).distinct()
+    # the parquet relation snapshots its file list at read time, so the
+    # returned pair frame keeps probing the PRE-append index even after
+    # the commit below (same isolation as minhash_append); the column
+    # projection tolerates epoch-partitioned layouts
+    paths = list(path) if isinstance(path, (list, tuple)) else [path]
+    idx = spark.read.parquet(*paths).select(key_col, "h")
+    probe = new_chunks.select("h").distinct()
+    touched_old = idx.join(F.broadcast(probe), "h", "left_semi")
+    members = touched_old.unionByName(new_chunks)
+    buckets = (members.groupBy("h")
+               .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    weighted = (capped_bucket_pairs(buckets, max_bucket, dedup=False)
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).cast("long").alias("shared_chunks"))
+                .filter(F.col("shared_chunks") >= min_shared))
+    new_keys = new_chunks.select(F.col(key_col).alias("__nk")).distinct()
+    flagged = (weighted
+               .join(F.broadcast(new_keys.withColumnRenamed("__nk", "a"))
+                     .withColumn("__fa", F.lit(1)), "a", "left")
+               .join(F.broadcast(new_keys.withColumnRenamed("__nk", "b"))
+                     .withColumn("__fb", F.lit(1)), "b", "left"))
+    out = (flagged
+           .filter(F.col("__fa").isNotNull() | F.col("__fb").isNotNull())
+           .select("a", "b", "shared_chunks"))
+    if commit:
+        if isinstance(path, (list, tuple)):
+            raise ValueError("commit=True needs a single index root, "
+                             "not a path list")
+        _refuse_epoch_layout(spark, path, "cdc_append")
+        new_chunks.write.mode("append").parquet(path)
+    return out
+
+
 def semantic_dedup(docs: DataFrame, emb: DataFrame, threshold: float,
                    bits: int = 16, dim: int | None = None,
                    doc_key: str = "doc_id", vec_key: str = "vec_id",

@@ -190,6 +190,61 @@ def process_exact_batch(batch_df: DataFrame, epoch_id: int,
     fp.write.mode("overwrite").parquet(f"{index_path}/ep={epoch_id}")
 
 
+def cdc_stream_writer(docs: DataFrame, index_path: str, pairs_path: str,
+                      checkpoint: str, text_col: str = "text",
+                      key_col: str = "doc_id", divisor: int = 8,
+                      min_shared: int = 2, min_words: int = 3,
+                      max_bucket: int = 64):
+    """A configured ``DataStreamWriter`` for document streams:
+    shift-resistant CDC near-dup pairs (>= one endpoint in the arriving
+    batch, with shared-chunk agreement counts) appear under
+    ``pairs_path`` partitioned by batch epoch; the batch's (key, h)
+    chunk-hash rows commit to ``index_path/ep=<batch>`` — the fourth
+    dedup family's streaming twin (exact / minhash / semantic / cdc)."""
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        process_cdc_batch(batch_df, int(epoch_id), index_path,
+                          pairs_path, text_col, key_col, divisor,
+                          min_shared, min_words, max_bucket)
+
+    return (docs.writeStream.foreachBatch(_batch)
+            .option("checkpointLocation", checkpoint))
+
+
+def process_cdc_batch(batch_df: DataFrame, epoch_id: int,
+                      index_path: str, pairs_path: str,
+                      text_col: str = "text", key_col: str = "doc_id",
+                      divisor: int = 8, min_shared: int = 2,
+                      min_words: int = 3, max_bucket: int = 64) -> None:
+    """One micro-batch of the streaming CDC near-dup (retry-idempotent
+    by the same contract as :func:`process_batch`: same ``epoch_id`` =>
+    same index view probed, same outputs replaced)."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = p.getFileSystem(conf)
+    from klepto_spark.operators.text import cdc_chunk_rows
+    chunks = cdc_chunk_rows(batch_df, text_col, key_col, divisor,
+                            min_words).distinct()
+    prior = _prior_index_paths(jvm, fs, p, epoch_id)
+    if not prior:
+        # bootstrap epoch: intra-batch pairs only
+        pairs = D.cdc_near_dup_pairs(batch_df, text_col, key_col,
+                                     divisor, min_shared, min_words,
+                                     max_bucket)
+    else:
+        pairs = D.cdc_append(spark, sorted(prior), batch_df, text_col,
+                             key_col, divisor, min_shared, min_words,
+                             max_bucket, commit=False)
+    (pairs.withColumn("ep", F.lit(epoch_id))
+     .write.mode("overwrite").partitionBy("ep")
+     .option("partitionOverwriteMode", "dynamic").parquet(pairs_path))
+    chunks.write.mode("overwrite").parquet(f"{index_path}/ep={epoch_id}")
+
+
 # ---------------------------------------------------------------------------
 # SEMANTIC twin (round 7): the same foreachBatch shape over the at-rest
 # signature index (operators.dedup.semantic_append) -- an embedding

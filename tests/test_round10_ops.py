@@ -92,3 +92,72 @@ def test_cdc_pairs_agreement_is_distinct_chunks(spark):
     n1 = (cdc_chunk_rows(docs.filter("doc_id = 1"), divisor=4)
           .distinct().count())
     assert rows[0]["shared_chunks"] <= n1
+
+
+def _mini_corpus(spark):
+    """Six docs: 1 & 4 near-copies (insertion), 2 & 5 near-copies,
+    the rest unrelated — split into index (odd keys) and batch (even)."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    base2 = " ".join(f"alt{i}" for i in range(60))
+    ins = lambda t, w: " ".join(t.split()[:7] + [w] + t.split()[7:])  # noqa: E731
+    return _docs(spark, [
+        (1, base), (2, base2),
+        (3, " ".join(f"solo{i}" for i in range(60))),
+        (4, ins(base, "EDIT")), (5, ins(base2, "TWEAK")),
+        (6, " ".join(f"lone{i}" for i in range(60))),
+    ])
+
+
+def test_cdc_append_matches_full_restriction(spark, tmp_path):
+    """Incremental probe ≡ the full batch operator restricted to pairs
+    with a batch endpoint — including the agreement COUNTS (exact by
+    construction: every voting bucket contains a batch hash)."""
+    corpus = _mini_corpus(spark)
+    idx_docs = corpus.filter("doc_id % 2 = 1")
+    batch = corpus.filter("doc_id % 2 = 0")
+    path = str(tmp_path / "cdcidx")
+    D.cdc_write_index(idx_docs, path, divisor=4, min_words=1)
+    got = sorted(map(tuple,
+                     D.cdc_append(spark, path, batch, divisor=4,
+                                  min_shared=2, min_words=1,
+                                  commit=False).collect()))
+    full = D.cdc_near_dup_pairs(corpus, divisor=4, min_shared=2,
+                                min_words=1)
+    want = sorted(map(tuple,
+                      full.filter("a % 2 = 0 OR b % 2 = 0").collect()))
+    assert got == want and len(got) >= 2  # both near-copy pairs found
+
+
+def test_cdc_append_commit_visibility_and_isolation(spark, tmp_path):
+    """commit=True folds the batch so the NEXT append sees it, while the
+    returned frame keeps probing the pre-append snapshot; commit=False
+    leaves the index untouched."""
+    corpus = _mini_corpus(spark)
+    path = str(tmp_path / "cdcidx2")
+    D.cdc_write_index(corpus.filter("doc_id = 1"), path,
+                      divisor=4, min_words=1)
+    batch4 = corpus.filter("doc_id = 4")
+    D.cdc_append(spark, path, batch4, divisor=4, min_shared=2,
+                 min_words=1, commit=False).collect()
+    # no-commit: doc 4 absent, a fresh identical append still pairs 1-4
+    again = D.cdc_append(spark, path, batch4, divisor=4, min_shared=2,
+                         min_words=1, commit=True)
+    assert [(r["a"], r["b"]) for r in again.collect()] == [(1, 4)]
+    # committed: a batch near doc 4's text now pairs with BOTH 1 and 4
+    batch6 = _docs(spark, [(8, corpus.filter("doc_id = 4")
+                            .collect()[0]["text"] + " tail")])
+    pairs = {(r["a"], r["b"]) for r in
+             D.cdc_append(spark, path, batch6, divisor=4, min_shared=2,
+                          min_words=1, commit=False).collect()}
+    assert pairs == {(1, 8), (4, 8)}
+
+
+def test_cdc_append_scheme_meta_refusal(spark, tmp_path):
+    """An append with a different chunking scheme must refuse: probing
+    divisor-8 hashes against a divisor-4 index silently finds nothing."""
+    corpus = _mini_corpus(spark)
+    path = str(tmp_path / "cdcidx3")
+    D.cdc_write_index(corpus, path, divisor=4, min_words=1)
+    with pytest.raises(ValueError, match="different scheme"):
+        D.cdc_append(spark, path, corpus.limit(1), divisor=8,
+                     min_shared=1, min_words=1, commit=False)

@@ -1017,3 +1017,86 @@ def test_compact_exact_index_epochs_probe_identical(spark, tmp_path):
     n_dirs_after = len([d for d in _o.listdir(idx) if d.startswith("ep=")])
     assert after == before and before == {(1, 99), (10, 99), (21, 99)}
     assert n_dirs_after < n_dirs_before
+
+
+def _cdc_docs(lo, hi):
+    """Docs where id i shares a long word run with i - (i % 2), but the
+    odd twin inserts one word EARLY — the shift CDC chunking absorbs."""
+    words = [f"w{j}" for j in range(48)]
+    out = []
+    for i in range(lo, hi):
+        w = list(words) + [f"tail{i - (i % 2)}"]
+        if i % 2:
+            w = w[:3] + [f"ins{i}"] + w[3:]
+        out.append((i, " ".join(w)))
+    return out
+
+
+def test_streaming_cdc_batches_union_to_full_restriction(spark, tmp_path):
+    """Two micro-batches through cdc_stream_writer == the batch
+    operators by hand (bootstrap cdc_near_dup_pairs, then cdc_append
+    against the batch-1 index): same pairs WITH the same agreement
+    counts, and the committed index covers every doc."""
+    from klepto_spark.operators import dedup as D
+    from klepto_spark.streaming.dedup import cdc_stream_writer
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    pairs_out = str(tmp_path / "pairs")
+    schema = "doc_id bigint, text string"
+    b1, b2 = _cdc_docs(0, 12), _cdc_docs(12, 24)
+
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, schema).write.mode("append") \
+            .parquet(src)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1000").parquet(src))
+        q = (cdc_stream_writer(stream, idx, pairs_out,
+                               str(tmp_path / "ck"), divisor=4,
+                               min_shared=2, min_words=1)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    got = {(r.a, r.b, r.shared_chunks) for r in
+           spark.read.parquet(pairs_out)
+           .select("a", "b", "shared_chunks").collect()}
+
+    df1 = spark.createDataFrame(b1, schema)
+    df2 = spark.createDataFrame(b2, schema)
+    expect = {(r.a, r.b, r.shared_chunks) for r in
+              D.cdc_near_dup_pairs(df1, divisor=4, min_shared=2,
+                                   min_words=1).collect()}
+    ref_idx = str(tmp_path / "ref_idx")
+    D.cdc_write_index(df1, ref_idx, divisor=4, min_words=1)
+    expect |= {(r.a, r.b, r.shared_chunks) for r in
+               D.cdc_append(spark, ref_idx, df2, divisor=4,
+                            min_shared=2, min_words=1,
+                            commit=False).collect()}
+    assert got == expect and got
+    assert (spark.read.parquet(idx).select("doc_id").distinct().count()
+            == 24)
+
+
+def test_streaming_cdc_retry_is_idempotent(spark, tmp_path):
+    """Replaying the SAME batch with the SAME epoch id leaves index and
+    pairs exactly as a single run (epoch-keyed dynamic overwrite)."""
+    from klepto_spark.streaming.dedup import process_cdc_batch
+
+    idx = str(tmp_path / "idx")
+    pairs_out = str(tmp_path / "pairs")
+    schema = "doc_id bigint, text string"
+    df1 = spark.createDataFrame(_cdc_docs(0, 12), schema)
+    df2 = spark.createDataFrame(_cdc_docs(12, 24), schema)
+
+    process_cdc_batch(df1, 0, idx, pairs_out, divisor=4, min_words=1)
+    process_cdc_batch(df2, 1, idx, pairs_out, divisor=4, min_words=1)
+    once = sorted((r.a, r.b, r.shared_chunks, r.ep) for r in
+                  spark.read.parquet(pairs_out).collect())
+    rows_once = spark.read.parquet(idx).count()
+
+    process_cdc_batch(df2, 1, idx, pairs_out, divisor=4, min_words=1)
+    process_cdc_batch(df1, 0, idx, pairs_out, divisor=4, min_words=1)
+    again = sorted((r.a, r.b, r.shared_chunks, r.ep) for r in
+                   spark.read.parquet(pairs_out).collect())
+    assert again == once
+    assert spark.read.parquet(idx).count() == rows_once
