@@ -62,7 +62,8 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          "t16_shared_chunks",
          # round-9: CDC chunking (corpus-scale-sensitive like t16) and
          # the binary payload fingerprint pass
-         "t17_cdc_shared", "m05_payload_dedup", "d12_cdc_near_dup"]
+         "t17_cdc_shared", "m05_payload_dedup", "d12_cdc_near_dup",
+         "d13_cdc_append"]
 COPIES = 10
 
 # Interpretation note for scaling_vs_10x_sf01: the rehearsal corpus is 10
