@@ -113,17 +113,20 @@ def list_tables(spark: SparkSession, dsn: DSN) -> list[str]:
         conn.close()
 
 
+def _name_matches(got: str | None, cand: str) -> bool:
+    """A metadata-pattern hit counts only when it IS the asked-for name:
+    getTables/getColumns treat '_' as a single-char wildcard, so
+    ORDER_ITEMS also matches a sibling ORDERXITEMS — equality (exact, or
+    case-insensitive for engines that fold on lookup, e.g. MySQL on
+    case-insensitive filesystems) rejects wildcard strays while keeping
+    legitimate case-folded matches."""
+    return got is not None and (got == cand or got.lower() == cand.lower())
+
+
 def table_exists(spark: SparkSession, dsn: DSN, table: str) -> bool:
     conn = connect_raw(spark, dsn)
     try:
-        meta = conn.getMetaData()
-        for cand in _case_variants(table):
-            rs = meta.getTables(None, None, cand, None)
-            found = rs.next()
-            rs.close()
-            if found:
-                return True
-        return False
+        return _stored_name(conn.getMetaData(), table) is not None
     finally:
         conn.close()
 
@@ -131,7 +134,12 @@ def table_exists(spark: SparkSession, dsn: DSN, table: str) -> bool:
 def _stored_name(meta, table: str) -> str | None:
     for cand in _case_variants(table):
         rs = meta.getTables(None, None, cand, None)
-        name = rs.getString("TABLE_NAME") if rs.next() else None
+        name = None
+        while rs.next():
+            got = rs.getString("TABLE_NAME")
+            if _name_matches(got, cand):
+                name = got
+                break
         rs.close()
         if name:
             return name
@@ -163,7 +171,7 @@ def stored_column_name(spark: SparkSession, dsn: DSN, table: str,
             found = None
             while rs.next():
                 name = rs.getString("COLUMN_NAME")
-                if name == cand:
+                if _name_matches(name, cand):
                     found = name
                     break
             rs.close()
@@ -195,6 +203,8 @@ def native_ddl(spark: SparkSession, dsn: DSN, table: str) -> str:
         stored = _stored_name(meta, table) or table
 
         is_pg = dsn.type in ("postgres", "postgresql")
+        collations = (_pg_column_collations(spark, dsn, stored)
+                      if is_pg else {})
         cols = []
         rs = meta.getColumns(None, None, stored, None)
         while rs.next():
@@ -217,6 +227,13 @@ def native_ddl(spark: SparkSession, dsn: DSN, table: str) -> str:
                 # DEFAULT nextval('...') expression.
                 type_name = _PG_SERIAL_TYPES[type_name.lower()]
             line = f"  {name} {type_name}"
+            if name in collations:
+                # non-default column collation (DatabaseMetaData has no
+                # collation surface, so pg columns are looked up once
+                # through information_schema) — without this the
+                # restored column silently falls back to the database
+                # default collation
+                line += f' COLLATE "{collations[name]}"'
             if default is not None:
                 line += f" DEFAULT {default}"
             elif is_pg and _is_autoincrement(rs):
@@ -263,6 +280,24 @@ def native_ddl(spark: SparkSession, dsn: DSN, table: str) -> str:
 _PG_SERIAL_TYPES = {"serial": "INTEGER", "serial4": "INTEGER",
                     "bigserial": "BIGINT", "serial8": "BIGINT",
                     "smallserial": "SMALLINT", "serial2": "SMALLINT"}
+
+
+def pg_column_collations_sql(stored: str) -> str:
+    """Catalog SQL for one table's non-default column collations (shared
+    with the real-server suite, like the other PG_*_SQL constants)."""
+    esc = stored.replace("'", "''")
+    return ("SELECT column_name, collation_name FROM "
+            "information_schema.columns "
+            "WHERE table_schema = current_schema() "
+            f"AND table_name = '{esc}' AND collation_name IS NOT NULL")
+
+
+def _pg_column_collations(spark: SparkSession, dsn: DSN,
+                          stored: str) -> dict[str, str]:
+    """column -> non-default collation name for one pg table
+    (DatabaseMetaData carries no collation info; collation_ddl emits the
+    CREATE COLLATION these references point at)."""
+    return dict(query_rows(spark, dsn, pg_column_collations_sql(stored)))
 
 
 def _is_autoincrement(rs) -> bool:
@@ -599,7 +634,7 @@ def collation_ddl(spark: SparkSession, dsn: DSN) -> list[str]:
     if dsn.type not in ("postgres", "postgresql"):
         return []
     for sql in (PG_COLLATIONS_SQL_V15, PG_COLLATIONS_SQL_V17,
-                PG_COLLATIONS_SQL_LEGACY):
+                PG_COLLATIONS_SQL_PRE15, PG_COLLATIONS_SQL_LEGACY):
         try:
             return pg_collation_statements(query_rows(spark, dsn, sql))
         except Exception:  # noqa: BLE001 — version-dependent columns
@@ -882,8 +917,13 @@ PG_COLLATIONS_SQL_V15 = """
 PG_COLLATIONS_SQL_V17 = PG_COLLATIONS_SQL_V15.replace(
     "c.colliculocale", "c.colllocale")
 
-PG_COLLATIONS_SQL_LEGACY = PG_COLLATIONS_SQL_V15.replace(
-    "c.colliculocale", "NULL").replace(
+# PG 12-14: no ICU-locale column yet, but collisdeterministic EXISTS
+# (since 12) — dropping it there would silently dump nondeterministic
+# (e.g. case-insensitive) collations as deterministic
+PG_COLLATIONS_SQL_PRE15 = PG_COLLATIONS_SQL_V15.replace(
+    "c.colliculocale", "NULL")
+
+PG_COLLATIONS_SQL_LEGACY = PG_COLLATIONS_SQL_PRE15.replace(
     "c.collisdeterministic", "true")
 
 
@@ -893,13 +933,18 @@ def pg_policy_statements(rls_rows, policy_rows) -> list[str]:
     call functions). pg_policies' qual/with_check are pg_get_expr text —
     re-parenthesised here (double parens are valid), roles arrive
     pre-joined by array_to_string."""
+    from klepto_spark.sinks.ddl import quote_ident as _q
     out = []
     for tab, force in rls_rows:
-        out.append(f"ALTER TABLE {tab} ENABLE ROW LEVEL SECURITY;")
+        qt = _q(tab, "postgres")
+        out.append(f"ALTER TABLE {qt} ENABLE ROW LEVEL SECURITY;")
         if str(force).lower() in ("t", "true", "1"):
-            out.append(f"ALTER TABLE {tab} FORCE ROW LEVEL SECURITY;")
+            out.append(f"ALTER TABLE {qt} FORCE ROW LEVEL SECURITY;")
     for tab, name, permissive, roles, cmd, qual, check in policy_rows:
-        s = f"CREATE POLICY {name} ON {tab}"
+        # table/policy names arrive in STORED case (pg_policies) —
+        # quote them or a mixed-case table folds on replay (the same
+        # OrderItems shape the partitioned-read path handles)
+        s = f"CREATE POLICY {_q(name, 'postgres')} ON {_q(tab, 'postgres')}"
         if str(permissive).upper().startswith("RESTRICT"):
             s += " AS RESTRICTIVE"
         if cmd and str(cmd).upper() != "ALL":
@@ -926,6 +971,7 @@ def pg_collation_statements(rows) -> list[str]:
     (name, provider, collate, ctype, iculocale, deterministic).
     Emitted with the types, BEFORE any table DDL — collated columns
     reference the collation at CREATE TABLE time."""
+    from klepto_spark.sinks.ddl import quote_ident as _q
     out = []
     for name, provider, collate, ctype, iculocale, det in rows:
         opts = []
@@ -941,7 +987,14 @@ def pg_collation_statements(rows) -> list[str]:
             opts.append(f"locale = '{loc}'")
         if str(det).lower() in ("f", "false", "0"):
             opts.append("deterministic = false")
-        out.append(f"CREATE COLLATION {name} ({', '.join(opts)});")
+        qn = _q(name, "postgres")
+        if not opts:
+            # provider 'default' with no recorded locale (a collation
+            # copied from the database default): `()` is a syntax
+            # error — FROM "default" reproduces it
+            out.append(f'CREATE COLLATION {qn} FROM "default";')
+        else:
+            out.append(f"CREATE COLLATION {qn} ({', '.join(opts)});")
     return out
 
 

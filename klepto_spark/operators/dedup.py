@@ -226,6 +226,26 @@ def minhash_write_index(df: DataFrame, path: str, text_col: str = "text",
      .write.mode(mode).parquet(path))
 
 
+def _pairs_with_batch_endpoint(pairs: DataFrame,
+                               new_keys: DataFrame) -> DataFrame:
+    """Keep pairs with >= one endpoint in ``new_keys`` (a single-column
+    ``__nk`` frame of the arriving batch's keys) — old–old pairs were
+    already known when the index was built. Two broadcast flag joins;
+    the pair set itself never shuffles. Shared by the minhash and cdc
+    append operators so an endpoint-flag fix reaches both."""
+    flagged = (pairs
+               .join(F.broadcast(new_keys.withColumnRenamed("__nk", "a"))
+                     .withColumn("__fa", F.lit(1)), "a", "left")
+               .join(F.broadcast(new_keys.withColumnRenamed("__nk", "b"))
+                     .withColumn("__fb", F.lit(1)), "b", "left"))
+    # re-select the INPUT column order: joining on "a" then "b" moves
+    # the join keys to the front, and positional consumers (collect
+    # tuples, unions) must see the caller's schema unchanged
+    return (flagged
+            .filter(F.col("__fa").isNotNull() | F.col("__fb").isNotNull())
+            .select(*pairs.columns))
+
+
 def minhash_append(spark, path: str, new_docs: DataFrame,
                    text_col: str = "text", key_col: str = "doc_id",
                    k: int = 5, num_hashes: int = 16, bands: int = 4,
@@ -270,14 +290,7 @@ def minhash_append(spark, path: str, new_docs: DataFrame,
                     .groupBy("a", "b").agg(F.count(F.lit(1)).alias("w")))
         pairs = cap_pairs_per_doc(weighted, per_doc_cap)
     new_keys = new_bands.select(F.col(key_col).alias("__nk")).distinct()
-    flagged = (pairs
-               .join(F.broadcast(new_keys.withColumnRenamed("__nk", "a"))
-                     .withColumn("__fa", F.lit(1)), "a", "left")
-               .join(F.broadcast(new_keys.withColumnRenamed("__nk", "b"))
-                     .withColumn("__fb", F.lit(1)), "b", "left"))
-    out = (flagged
-           .filter(F.col("__fa").isNotNull() | F.col("__fb").isNotNull())
-           .select("a", "b"))
+    out = _pairs_with_batch_endpoint(pairs, new_keys).select("a", "b")
     if commit:
         if isinstance(path, (list, tuple)):
             raise ValueError("commit=True needs a single index root, "
@@ -703,15 +716,23 @@ def cdc_near_dup_pairs(df: DataFrame, text_col: str = "text",
     # the pair's agreement count
     chunks = cdc_chunk_rows(df, text_col, key_col, divisor,
                             min_words).distinct()
+    return (_chunk_weighted_pairs(chunks, key_col, max_bucket)
+            .filter(F.col("shared_chunks") >= min_shared))
+
+
+def _chunk_weighted_pairs(chunks: DataFrame, key_col: str,
+                          max_bucket: int) -> DataFrame:
+    """(a, b, shared_chunks) from distinct (key, h) rows: bucket-local
+    pair generation on the chunk hash under the star cap. dedup=False
+    keeps one row per (bucket, pair), so the groupBy — the same shuffle
+    a distinct() would pay — yields the agreement count for free.
+    Shared by the batch and append CDC operators."""
     buckets = (chunks.groupBy("h")
                .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
                .filter(F.size("ids") > 1))
-    # dedup=False keeps one row per (bucket, pair): the groupBy below is
-    # the same shuffle a distinct() would pay, but keeps the vote count
-    weighted = (capped_bucket_pairs(buckets, max_bucket, dedup=False)
-                .groupBy("a", "b")
-                .agg(F.count(F.lit(1)).cast("long").alias("shared_chunks")))
-    return weighted.filter(F.col("shared_chunks") >= min_shared)
+    return (capped_bucket_pairs(buckets, max_bucket, dedup=False)
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("shared_chunks")))
 
 
 def cdc_near_dup_pairs_sql(table_sql: str = "documents",
@@ -784,22 +805,10 @@ def cdc_append(spark, path, new_docs: DataFrame,
     probe = new_chunks.select("h").distinct()
     touched_old = idx.join(F.broadcast(probe), "h", "left_semi")
     members = touched_old.unionByName(new_chunks)
-    buckets = (members.groupBy("h")
-               .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
-               .filter(F.size("ids") > 1))
-    weighted = (capped_bucket_pairs(buckets, max_bucket, dedup=False)
-                .groupBy("a", "b")
-                .agg(F.count(F.lit(1)).cast("long").alias("shared_chunks"))
+    weighted = (_chunk_weighted_pairs(members, key_col, max_bucket)
                 .filter(F.col("shared_chunks") >= min_shared))
     new_keys = new_chunks.select(F.col(key_col).alias("__nk")).distinct()
-    flagged = (weighted
-               .join(F.broadcast(new_keys.withColumnRenamed("__nk", "a"))
-                     .withColumn("__fa", F.lit(1)), "a", "left")
-               .join(F.broadcast(new_keys.withColumnRenamed("__nk", "b"))
-                     .withColumn("__fb", F.lit(1)), "b", "left"))
-    out = (flagged
-           .filter(F.col("__fa").isNotNull() | F.col("__fb").isNotNull())
-           .select("a", "b", "shared_chunks"))
+    out = _pairs_with_batch_endpoint(weighted, new_keys)
     if commit:
         if isinstance(path, (list, tuple)):
             raise ValueError("commit=True needs a single index root, "

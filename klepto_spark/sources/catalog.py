@@ -549,9 +549,8 @@ class JdbcCatalog:
         lo_s, hi_s = rows[0] if rows else (None, None)
         if lo_s is None or hi_s is None or lo_s == hi_s:
             return {}
-        n = int(self._per_table(table, self.partition_counts)
-                if self._per_table(table, self.partition_counts)
-                is not _MISSING else
+        cnt = self._per_table(table, self.partition_counts)
+        n = int(cnt if cnt is not _MISSING else
                 (self.read_partitions
                  or self.spark.sparkContext.defaultParallelism))
         # cap at the key range: Spark's columnPartition silently
@@ -594,10 +593,19 @@ class JdbcCatalog:
         mode = self._per_table(table, self.stride_modes)
         if mode is _MISSING:
             mode = self.stride_mode
-        if mode == "histogram" and lo is not None:
-            preds = self._histogram_predicates(qtable, qcol, lo, hi, n)
-            if preds:
-                return {"predicates": preds, "partitionColumn": col}
+        if mode == "histogram":
+            if lo is not None:
+                preds = self._histogram_predicates(qtable, qcol, lo, hi, n)
+                if preds:
+                    return {"predicates": preds, "partitionColumn": col}
+            else:
+                # the bucket arithmetic is integral-only; say so instead
+                # of silently leaving the user's skew mitigation off
+                import warnings
+                warnings.warn(
+                    f"stride_mode='histogram' for table {table!r} needs "
+                    f"an integral partition key; {col!r} is temporal — "
+                    "using uniform day-span strides", stacklevel=3)
         return {"partitionColumn": qcol,
                 "lowerBound": lo_s, "upperBound": hi_s,
                 "numPartitions": str(n)}

@@ -813,14 +813,19 @@ def test_pg_policy_rule_collation_renderers():
              "", "tenant = 1"),
         ])
     assert pols == [
-        "ALTER TABLE accounts ENABLE ROW LEVEL SECURITY;",
-        "ALTER TABLE accounts FORCE ROW LEVEL SECURITY;",
-        "ALTER TABLE notes ENABLE ROW LEVEL SECURITY;",
-        "CREATE POLICY tenant_iso ON accounts TO public "
+        'ALTER TABLE "accounts" ENABLE ROW LEVEL SECURITY;',
+        'ALTER TABLE "accounts" FORCE ROW LEVEL SECURITY;',
+        'ALTER TABLE "notes" ENABLE ROW LEVEL SECURITY;',
+        'CREATE POLICY "tenant_iso" ON "accounts" TO public '
         "USING (tenant = 1);",
-        "CREATE POLICY ins_guard ON accounts AS RESTRICTIVE FOR INSERT "
-        "TO app_rw WITH CHECK (tenant = 1);",
+        'CREATE POLICY "ins_guard" ON "accounts" AS RESTRICTIVE '
+        "FOR INSERT TO app_rw WITH CHECK (tenant = 1);",
     ]
+    # mixed-case stored names replay quoted (the OrderItems shape)
+    mixed = J.pg_policy_statements(
+        rls_rows=[("OrderItems", "f")], policy_rows=[])
+    assert mixed == ['ALTER TABLE "OrderItems" ENABLE ROW LEVEL '
+                     "SECURITY;"]
     rules = J.pg_rule_statements(
         [("protect_del",
           "CREATE RULE protect_del AS\n ON DELETE TO t DO INSTEAD "
@@ -831,13 +836,16 @@ def test_pg_policy_rule_collation_renderers():
         ("c_sort", "libc", "C", "C", "", "t"),
         ("num_ci", "icu", "", "", "und-u-ks-level2", "f"),
         ("mixed", "libc", "en_US.utf8", "C", "", "true"),
+        ("bare", "default", "", "", "", "t"),
     ])
     assert colls == [
-        "CREATE COLLATION c_sort (provider = libc, locale = 'C');",
-        "CREATE COLLATION num_ci (provider = icu, "
+        'CREATE COLLATION "c_sort" (provider = libc, locale = \'C\');',
+        'CREATE COLLATION "num_ci" (provider = icu, '
         "locale = 'und-u-ks-level2', deterministic = false);",
-        "CREATE COLLATION mixed (provider = libc, "
+        'CREATE COLLATION "mixed" (provider = libc, '
         "lc_collate = 'en_US.utf8', lc_ctype = 'C');",
+        # empty option list is a syntax error — FROM "default" instead
+        'CREATE COLLATION "bare" FROM "default";',
     ]
 
 
@@ -848,3 +856,29 @@ def test_policy_rule_collation_ddl_empty_offpath(spark, src):
         assert J.policy_ddl(spark, dsn) == []
         assert J.rule_ddl(spark, dsn) == []
         assert J.collation_ddl(spark, dsn) == []
+
+
+def test_stored_table_name_exact_not_pattern(spark, src):
+    """getTables also treats '_' as a wildcard: a sibling ORDERXITEMS
+    (which sorts BEFORE order_items, 'X' < '_') must not hijack the
+    stored-name resolution the quoted-dbtable read path depends on —
+    load() would silently read the wrong table's rows."""
+    J.execute(spark, src, [
+        "CREATE TABLE orderXitems (k INT NOT NULL PRIMARY KEY)",
+        "CREATE TABLE order_items (id INT NOT NULL PRIMARY KEY,"
+        " v VARCHAR(8))",
+        "INSERT INTO orderXitems VALUES (99)",
+        "INSERT INTO order_items VALUES (1, 'right'), (2, 'rows')",
+    ], transactional=False)
+    try:
+        assert J.stored_table_name(spark, src, "order_items") \
+            == "ORDER_ITEMS"
+        assert J.table_exists(spark, src, "order_items")
+        assert not J.table_exists(spark, src, "order_xtems_")  # pure pattern
+        df = JdbcCatalog(spark, src).load("order_items")
+        assert sorted(map(tuple, df.collect())) == \
+            [(1, "right"), (2, "rows")]
+    finally:
+        J.execute(spark, src, ["DROP TABLE orderXitems",
+                               "DROP TABLE order_items"],
+                  transactional=False)

@@ -254,12 +254,18 @@ def test_publish_renames_empty_olds_partial_news_rolls_back(
     from klepto_spark.sinks.journal import publish_renames
     jvm, P, fs, root = _hfs(spark, str(tmp_path))
     (tmp_path / "_stage").mkdir()
-    (tmp_path / "_stage" / "s1.parquet").write_bytes(b"late arrival")
-    # n0 was deleted by the concurrent roll-back; s1 renames to n1 AFTER
+    (tmp_path / "_stage" / "s0.parquet").write_bytes(b"first")
+    (tmp_path / "_stage" / "s1.parquet").write_bytes(b"second")
+    # the peer's roll-back ran BEFORE any rename landed (journal gone,
+    # no news yet): after this fold renames s0 -> n0 it must see n1
+    # still missing, recognise the roll-back, and remove its own
+    # just-landed n0 as an orphan before raising
     with pytest.raises(RuntimeError, match="boom"):
         publish_renames(
             jvm, fs, root, "_j.json", lambda s: P(root, s),
-            staged=[P(root, "_stage/s1.parquet")],
+            staged=[P(root, "_stage/s0.parquet"),
+                    P(root, "_stage/s1.parquet")],
             news=["n0.parquet", "n1.parquet"], olds=[],
             lost_journal_msg="boom")
+    assert not (tmp_path / "n0.parquet").exists()
     assert not (tmp_path / "n1.parquet").exists()

@@ -675,8 +675,12 @@ def test_policy_rule_collation_roundtrip_on_real_postgres(pg):
         # --- extract with the engine's catalog SQL ---
         coll_rows = _rows(pg(J.PG_COLLATIONS_SQL_V15, db="rlssrc"))
         coll_stmts = J.pg_collation_statements(coll_rows)
-        assert coll_stmts == ["CREATE COLLATION csort "
+        assert coll_stmts == ['CREATE COLLATION "csort" '
                               "(provider = libc, locale = 'C');"]
+        # the native_ddl column-collation lookup (product path) finds
+        # the collated column through the same catalog SQL
+        assert _rows(pg(J.pg_column_collations_sql("accounts"),
+                        db="rlssrc")) == [("label", "csort")]
         col_rows = _rows(pg(J.PG_COLUMNS_SQL, db="rlssrc"))
         pk_rows = _rows(pg(J.PG_PRIMARY_KEYS_SQL, db="rlssrc"))
         table_stmts = J.pg_create_table_statements(col_rows, pk_rows)
@@ -685,9 +689,9 @@ def test_policy_rule_collation_roundtrip_on_real_postgres(pg):
         pol_stmts = J.pg_policy_statements(
             _rows(pg(J.PG_RLS_TABLES_SQL, db="rlssrc")),
             _rows(pg(J.PG_POLICIES_SQL, db="rlssrc")))
-        assert ("ALTER TABLE accounts ENABLE ROW LEVEL SECURITY;"
+        assert ('ALTER TABLE "accounts" ENABLE ROW LEVEL SECURITY;'
                 in pol_stmts)
-        assert ("ALTER TABLE accounts FORCE ROW LEVEL SECURITY;"
+        assert ('ALTER TABLE "accounts" FORCE ROW LEVEL SECURITY;'
                 in pol_stmts)
         # multi-line rule definitions: fetch the single def whole (same
         # psql workaround as the trigger/function tests)
