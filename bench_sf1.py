@@ -371,21 +371,34 @@ def main() -> None:
     materialise(spark, out_dir)
 
     qs = entry_mod.queries()
-    medians: dict[str, float] = {}
-    for name in HEAVY:
-        samples = []
-        for _ in range(max(1, runs)):
-            t0 = time.perf_counter()
-            qs[name](spark, out_dir).write.format("noop").mode(
-                "overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        samples.sort()
+
+    def _median(samples: list) -> float:
+        samples = sorted(samples)
         n = len(samples)
-        medians[name] = round(
-            samples[n // 2] if n % 2
-            else (samples[n // 2 - 1] + samples[n // 2]) / 2, 3)
-        print(f"{name}: median={medians[name]}s "
-              f"(of {[round(s, 2) for s in samples]})", file=sys.stderr)
+        return round(samples[n // 2] if n % 2
+                     else (samples[n // 2 - 1] + samples[n // 2]) / 2, 3)
+
+    # Both scales are measured in THIS session, interleaved per query
+    # (sf0.1 first — it doubles as the JVM/codegen warm-up for the sf1
+    # runs). Round 10's ratios divided by the OTHER session's
+    # BENCH_DETAIL medians, where bench.py's larger run count and hotter
+    # caches made sf0.1 look faster than the same query measured here —
+    # t09_tfidf read 1.11 cross-session but is 0.4-0.5 same-session.
+    # The cross-session ratio is still recorded (scaling_vs_bench_detail)
+    # for continuity with rounds <= 10.
+    medians: dict[str, float] = {}
+    base01: dict[str, float] = {}
+    for name in HEAVY:
+        for sf_dir, sink in ((SRC, base01), (out_dir, medians)):
+            samples = []
+            for _ in range(max(1, runs)):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            sink[name] = _median(samples)
+        print(f"{name}: sf1 median={medians[name]}s "
+              f"sf0.1 median={base01[name]}s", file=sys.stderr)
 
     # d04's capped twin (VERDICT r08 #5): the uncapped contract query is
     # the one super-linear heavy entry (candidate-driven); per_doc_cap
@@ -417,22 +430,26 @@ def main() -> None:
     d04c_sf01 = _med(_d04_capped, SRC, runs)
     d04c_sf1 = _med(_d04_capped, out_dir, runs)
     medians[f"d04_capped_c{D04_CAP}"] = d04c_sf1
+    base01[f"d04_capped_c{D04_CAP}"] = d04c_sf01
     print(f"d04_capped_c{D04_CAP}: sf0.1={d04c_sf01}s sf1={d04c_sf1}s",
           file=sys.stderr)
 
-    scaling = {}
+    # <= ~1.0 means the 10x input cost at most 10x the time; both sides
+    # of the ratio come from THIS session (same warmth, same box state).
+    scaling = {name: round(med / (COPIES * base01[name]), 2)
+               for name, med in medians.items() if base01.get(name)}
+    # Continuity ratio vs bench.py's sf0.1 medians (rounds <= 10 graded
+    # this one): cross-session, so warmth asymmetry can push it past 1.0
+    # for queries whose same-session ratio is well under — see notes.
+    scaling_xsession = {}
     try:
         base = json.load(open("BENCH_DETAIL.json"))["spread"]
         for name, med in medians.items():
             b = base.get(name, {}).get("median")
             if b:
-                # <= ~1.0 means the 10x input cost at most 10x the time
-                scaling[name] = round(med / (COPIES * b), 2)
+                scaling_xsession[name] = round(med / (COPIES * b), 2)
     except (OSError, KeyError, json.JSONDecodeError):
         pass
-    if d04c_sf01:
-        scaling[f"d04_capped_c{D04_CAP}"] = round(
-            d04c_sf1 / (COPIES * d04c_sf01), 2)
 
     stress = stress_near_copy(spark)
     recall = ann_recall_sf1(spark, out_dir)
@@ -441,11 +458,28 @@ def main() -> None:
     result = {"metric": "sf1_heavy_total_sec",
               "value": round(sum(medians.values()), 3), "unit": "sec",
               "sf": 1.0, "runs": runs, "queries": medians,
+              "baseline_sf01_same_session": base01,
               "scaling_vs_10x_sf01": scaling,
+              "scaling_vs_bench_detail": scaling_xsession,
               "stress_near_copy": stress,
               "ann_recall": recall,
               "ann_recall_sweep": sweep,
-              "notes": {"ann_recall":
+              "notes": {"scaling_methodology":
+                        "scaling_vs_10x_sf01 divides by an sf0.1 median "
+                        "measured in THIS session, interleaved before "
+                        "each query's sf1 runs (the d04_capped rule, "
+                        "now applied to every heavy query). Rounds <= "
+                        "10 divided by bench.py's BENCH_DETAIL medians "
+                        "instead — a different session whose higher run "
+                        "count and hotter caches deflate the sf0.1 "
+                        "side: t09_tfidf read 1.11 under that rule "
+                        "while same-session measurement puts it at "
+                        "0.4-0.5 (VERDICT r10 #3 — the superlinearity "
+                        "was warmth asymmetry, not a plan term; the "
+                        "plan is one scan + one (doc,term) shuffle "
+                        "reused by tf, df and N). The old ratio stays "
+                        "recorded as scaling_vs_bench_detail",
+                        "ann_recall":
                         "the near-copy corpus makes neighbourhoods easy "
                         "(a query's true top-10 is dominated by its 9 "
                         "perturbed replicas), so 1.0 recall here means "
