@@ -1100,3 +1100,35 @@ def test_streaming_cdc_retry_is_idempotent(spark, tmp_path):
                    spark.read.parquet(pairs_out).collect())
     assert again == once
     assert spark.read.parquet(idx).count() == rows_once
+
+
+def test_compact_cdc_index_epochs_probe_identical(spark, tmp_path):
+    """Folding the streaming CDC index's committed epochs must change
+    nothing a probe sees — the fourth family's twin of the minhash /
+    semantic / exact fold-identity pins (VERDICT r10 #4): cdc_append
+    against the folded index returns the SAME (a, b, shared_chunks)
+    rows as against the unfolded epochs, with fewer ep= dirs."""
+    import os as _o
+    from klepto_spark.operators import dedup as D
+    from klepto_spark.streaming.dedup import (compact_index_epochs,
+                                              process_cdc_batch)
+
+    idx = str(tmp_path / "cdcidx5")
+    pairs_out = str(tmp_path / "cdcpairs5")
+    schema = "doc_id bigint, text string"
+    for ep, (lo, hi) in enumerate([(0, 8), (8, 16), (16, 24)]):
+        process_cdc_batch(spark.createDataFrame(_cdc_docs(lo, hi), schema),
+                          ep, idx, pairs_out, divisor=4, min_words=1)
+
+    probe = spark.createDataFrame(_cdc_docs(24, 28), schema)
+    before = {(r.a, r.b, r.shared_chunks) for r in
+              D.cdc_append(spark, idx, probe, divisor=4, min_shared=2,
+                           min_words=1, commit=False).collect()}
+    n_before = len([d for d in _o.listdir(idx) if d.startswith("ep=")])
+    assert compact_index_epochs(spark, idx, max_epoch_exclusive=3) > 0
+    after = {(r.a, r.b, r.shared_chunks) for r in
+             D.cdc_append(spark, idx, probe, divisor=4, min_shared=2,
+                          min_words=1, commit=False).collect()}
+    n_after = len([d for d in _o.listdir(idx) if d.startswith("ep=")])
+    assert after == before and before
+    assert n_after < n_before
