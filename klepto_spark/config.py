@@ -70,7 +70,9 @@ class TableSpec:
     read_partitions: int | None = None
     # 'uniform' = min/max stride bounds (Spark's native columnPartition);
     # 'histogram' = one GROUP-BY histogram probe, then quantile range
-    # predicates — balanced partitions even on a hot-tail / sparse PK
+    # predicates — balanced partitions even on a hot-tail / sparse PK;
+    # 'auto' = COUNT(*) rides the min/max probe and key-span sparsity
+    # (span > 2x rows) picks histogram, else uniform
     stride_mode: str | None = None
 
     def __post_init__(self) -> None:
@@ -78,10 +80,11 @@ class TableSpec:
             raise ValueError(
                 f"invalid cast_policy {self.cast_policy!r} for table "
                 f"{self.name!r} (expected 'string' or 'keep')")
-        if self.stride_mode not in (None, "uniform", "histogram"):
+        if self.stride_mode not in (None, "uniform", "histogram", "auto"):
             raise ValueError(
                 f"invalid stride_mode {self.stride_mode!r} for table "
-                f"{self.name!r} (expected 'uniform' or 'histogram')")
+                f"{self.name!r} (expected 'uniform', 'histogram' or "
+                "'auto')")
 
 
 @dataclass

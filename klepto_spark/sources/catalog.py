@@ -26,6 +26,10 @@ CORRUPT_COL = "_corrupt_record"
 
 _MISSING = object()  # "no per-table entry" (None is a stored value)
 
+#: stride_mode="auto" switches to histogram strides when the key span
+#: exceeds this multiple of COUNT(*) — see _derive_partition_options
+_AUTO_SPARSITY_FACTOR = 2
+
 
 class FileCatalog:
     """Directory-of-files catalog (parquet/csv/json).
@@ -420,7 +424,7 @@ class JdbcCatalog:
                  read_partitions: int | None = None,
                  partition_overrides: dict[str, str | None] | None = None,
                  stride_mode: str = "uniform"):
-        if stride_mode not in ("uniform", "histogram"):
+        if stride_mode not in ("uniform", "histogram", "auto"):
             raise ValueError(f"unknown stride_mode {stride_mode!r}")
         self.spark = spark
         self.dsn = dsn
@@ -542,11 +546,28 @@ class JdbcCatalog:
         # the probe SQL and its generated WHERE clauses verbatim.
         qtable = quote_ident(self._stored(table) or table, self._dialect)
         qcol = quote_ident(col, self._dialect)
-        rows = J.query_rows(
-            self.spark, self.dsn,
-            f"SELECT MIN({qcol}), MAX({qcol}) FROM {qtable}",
-            query_timeout=self.read_timeout)
-        lo_s, hi_s = rows[0] if rows else (None, None)
+        mode = self._per_table(table, self.stride_modes)
+        if mode is _MISSING:
+            mode = self.stride_mode
+        # auto mode needs COUNT(*) for its sparsity signal; it rides the
+        # SAME probe statement, so auto pays one aggregate pass (the
+        # COUNT forfeits the index-only MIN/MAX shortcut — that is the
+        # explicit cost of asking for skew detection), never two
+        n_rows = None
+        if mode == "auto":
+            rows = J.query_rows(
+                self.spark, self.dsn,
+                f"SELECT MIN({qcol}), MAX({qcol}), COUNT(*) FROM {qtable}",
+                query_timeout=self.read_timeout)
+            lo_s, hi_s, cnt_s = rows[0] if rows else (None, None, None)
+            if cnt_s is not None:
+                n_rows = int(cnt_s)
+        else:
+            rows = J.query_rows(
+                self.spark, self.dsn,
+                f"SELECT MIN({qcol}), MAX({qcol}) FROM {qtable}",
+                query_timeout=self.read_timeout)
+            lo_s, hi_s = rows[0] if rows else (None, None)
         if lo_s is None or hi_s is None or lo_s == hi_s:
             return {}
         cnt = self._per_table(table, self.partition_counts)
@@ -590,9 +611,19 @@ class JdbcCatalog:
                 return {}
         if n <= 1:
             return {}
-        mode = self._per_table(table, self.stride_modes)
-        if mode is _MISSING:
-            mode = self.stride_mode
+        if mode == "auto":
+            # sparsity signal (VERDICT r10 #5): a dense uniform key has
+            # span ~= COUNT(*), so uniform strides are row-balanced and
+            # the histogram probe would be a wasted table pass; id gaps
+            # or a hot tail inflate span past the row count and uniform
+            # strides go empty/overweight. 2x covers benign fragmentation
+            # (a half-dense key is at worst 2x imbalanced) before paying
+            # the GROUP-BY probe. Temporal keys stay uniform — the
+            # bucket arithmetic is integral-only.
+            mode = ("histogram"
+                    if (lo is not None and n_rows
+                        and hi - lo + 1 > _AUTO_SPARSITY_FACTOR * n_rows)
+                    else "uniform")
         if mode == "histogram":
             if lo is not None:
                 preds = self._histogram_predicates(qtable, qcol, lo, hi, n)

@@ -882,3 +882,46 @@ def test_stored_table_name_exact_not_pattern(spark, src):
         J.execute(spark, src, ["DROP TABLE orderXitems",
                                "DROP TABLE order_items"],
                   transactional=False)
+
+
+def test_jdbc_auto_stride_mode_picks_by_sparsity(spark, src):
+    """stride_mode='auto' (VERDICT r10 #5): COUNT(*) rides the min/max
+    probe and key-span sparsity decides — a sparse hot-tail PK (span >>
+    rows) auto-selects histogram strides, a dense contiguous PK stays
+    on Spark's native min/max strides (no GROUP-BY probe paid), and
+    both read exactly the single-partition rows."""
+    sparse_ids = list(range(1, 181)) + [1000 * i for i in range(1, 21)]
+    J.execute(spark, src, [
+        "CREATE TABLE autosparse (id INT NOT NULL PRIMARY KEY,"
+        " v VARCHAR(4))",
+        "INSERT INTO autosparse VALUES " + ", ".join(
+            f"({i}, 'r')" for i in sparse_ids),
+        "CREATE TABLE autodense (id INT NOT NULL PRIMARY KEY, v INT)",
+        "INSERT INTO autodense VALUES " + ", ".join(
+            f"({i}, {i})" for i in range(1, 41)),
+    ], transactional=False)
+    try:
+        cat = JdbcCatalog(spark, src, read_partitions=4,
+                          stride_mode="auto")
+        sp = next(x for x in cat.tables() if x.lower() == "autosparse")
+        de = next(x for x in cat.tables() if x.lower() == "autodense")
+        sp_opts = cat._partition_options(sp)
+        de_opts = cat._partition_options(de)
+        assert "predicates" in sp_opts           # histogram selected
+        assert "predicates" not in de_opts       # uniform kept
+        assert de_opts["numPartitions"] == "4"
+        for t in (sp, de):
+            part = cat.load(t)
+            single = JdbcCatalog(
+                spark, src,
+                partition_overrides={t: None}).load(t)
+            assert sorted(map(tuple, part.collect())) == \
+                sorted(map(tuple, single.collect()))
+        sizes = cat.load(sp).rdd.mapPartitions(
+            lambda it: [sum(1 for _ in it)]).collect()
+        even = sum(sizes) / len(sizes)
+        assert max(sizes) <= 2 * even, sizes
+    finally:
+        J.execute(spark, src, ["DROP TABLE autosparse",
+                               "DROP TABLE autodense"],
+                  transactional=False)
