@@ -728,3 +728,56 @@ def test_cross_corpus_cap_keeps_orientation(spark):
     assert got
     assert all(r.a < 100 <= r.b for r in got)
     assert len(got) <= 2 * 3 * 40
+
+
+def test_decode_images_pil_gate(spark, monkeypatch):
+    """The image-decode feature gate (VERDICT r10 #6). Three pins:
+    (1) the decode kernel fills width/height through any PIL-compatible
+    module — monkeypatched fake here, real Pillow in a deployment, zero
+    code change; (2) undecodable/NULL payloads degrade to NULL dims, no
+    raise; (3) end-to-end decode_images in THIS container (no PIL on
+    the workers) keeps every row and schema with NULL dims."""
+    import io
+    import sys
+    import types
+
+    class _FakeImg:
+        def __init__(self, size):
+            self.size = size
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _FakeImageMod:
+        @staticmethod
+        def open(buf):
+            data = buf.read()
+            if not data.startswith(b"IMG"):
+                raise OSError("cannot identify image file")
+            return _FakeImg((int(data[3:6]), int(data[6:9])))
+
+    # (1)+(2): kernel with a fake PIL.Image
+    w, h = M._decode_image_batch(
+        [b"IMG640480", b"junk", None], _FakeImageMod)
+    assert (w, h) == ([640, None, None], [480, None, None])
+
+    # the gate itself resolves through `from PIL import Image`
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = _FakeImageMod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    assert M._pil_image() is _FakeImageMod
+
+    # (3): worker-side gate finds no PIL here -> NULL dims, rows kept
+    monkeypatch.delitem(sys.modules, "PIL")
+    df = spark.createDataFrame([(1, bytearray(b"IMG640480")), (2, None)],
+                               "media_id long, payload binary")
+    media = M.attach_media(df, "payload", "media_id", kind="image")
+    out = {r.media_id: r for r in M.decode_images(media).collect()}
+    assert len(out) == 2
+    assert [f.name for f in M.decode_images(media).schema.fields] == \
+        [f.name for f in M.MEDIA_SCHEMA.fields]
+    assert out[1].width is None and out[1].height is None
+    assert bytes(out[1].payload) == b"IMG640480"  # payload rides through
