@@ -132,18 +132,33 @@ def table_exists(spark: SparkSession, dsn: DSN, table: str) -> bool:
 
 
 def _stored_name(meta, table: str) -> str | None:
+    hits: list[str] = []
     for cand in _case_variants(table):
         rs = meta.getTables(None, None, cand, None)
-        name = None
         while rs.next():
             got = rs.getString("TABLE_NAME")
-            if _name_matches(got, cand):
-                name = got
-                break
+            if _name_matches(got, cand) and got not in hits:
+                hits.append(got)
         rs.close()
-        if name:
-            return name
-    return None
+    if len(hits) <= 1:
+        return hits[0] if hits else None
+    # Multiple case variants coexist (e.g. PG holding both order_items
+    # and "ORDER_ITEMS"): resolve like the ENGINE would resolve the
+    # unquoted name — its fold variant — because that is the table the
+    # pre-resolution unquoted read (and the reference, which never
+    # quotes) would have returned (ADVICE r10). The JDBC metadata says
+    # which way the engine folds; tie-break to the first (exact-
+    # spelling) hit when the fold variant isn't among them.
+    try:
+        if meta.storesLowerCaseIdentifiers():
+            fold = table.lower()
+        elif meta.storesUpperCaseIdentifiers():
+            fold = table.upper()
+        else:
+            fold = table
+    except Exception:  # noqa: BLE001 — driver quirk: keep first hit
+        fold = table
+    return next((h for h in hits if h == fold), hits[0])
 
 
 def stored_table_name(spark: SparkSession, dsn: DSN, table: str
@@ -625,6 +640,27 @@ def rule_ddl(spark: SparkSession, dsn: DSN) -> list[str]:
     return pg_rule_statements(query_rows(spark, dsn, PG_RULES_SQL))
 
 
+def _is_catalog_shape_error(exc: Exception) -> bool:
+    """True when ``exc`` is an undefined-column / syntax error — i.e.
+    "this server version lacks that catalog column, try the next
+    shape" — not a transient failure. Prefers the SQLState when the
+    wrapped java SQLException exposes one (42703 undefined column,
+    42P01 undefined table, 42601 syntax, 42883 undefined function);
+    falls back to message matching for non-JDBC transports."""
+    je = getattr(exc, "java_exception", None)
+    while je is not None:
+        try:
+            state = je.getSQLState() if hasattr(je, "getSQLState") else None
+        except Exception:  # noqa: BLE001 — py4j access is best-effort
+            state = None
+        if state:
+            return str(state) in ("42703", "42P01", "42601", "42883")
+        je = je.getCause() if hasattr(je, "getCause") else None
+    msg = str(exc).lower()
+    return ("does not exist" in msg or "syntax error" in msg
+            or "undefined column" in msg or "column unknown" in msg)
+
+
 def collation_ddl(spark: SparkSession, dsn: DSN) -> list[str]:
     """User-defined CREATE COLLATION statements (postgres only) —
     collated columns reference them at CREATE TABLE time, so they run
@@ -633,12 +669,25 @@ def collation_ddl(spark: SparkSession, dsn: DSN) -> list[str]:
     in turn (15/16 -> 17+ -> pre-15)."""
     if dsn.type not in ("postgres", "postgresql"):
         return []
+    last_exc: Exception | None = None
     for sql in (PG_COLLATIONS_SQL_V15, PG_COLLATIONS_SQL_V17,
                 PG_COLLATIONS_SQL_PRE15, PG_COLLATIONS_SQL_LEGACY):
         try:
             return pg_collation_statements(query_rows(spark, dsn, sql))
-        except Exception:  # noqa: BLE001 — version-dependent columns
-            continue
+        except Exception as exc:  # noqa: BLE001 — classified below
+            # only a catalog-SHAPE mismatch (the locale columns moved
+            # across server versions) tries the next shape; a transient
+            # failure (timeout, permissions, dropped connection) would
+            # fail EVERY shape and silently drop user collations — the
+            # replay then references collations that were never created
+            # (ADVICE r10). Surface those to the caller instead.
+            if not _is_catalog_shape_error(exc):
+                raise
+            last_exc = exc
+    import warnings
+    warnings.warn(
+        "no pg_collation catalog shape matched; user collations are NOT "
+        f"in the dump (last shape error: {last_exc})", stacklevel=2)
     return []
 
 
@@ -890,7 +939,9 @@ PG_RLS_TABLES_SQL = """
 
 PG_POLICIES_SQL = """
     SELECT tablename, policyname, permissive,
-           array_to_string(roles, ', '), cmd, qual, with_check
+           array_to_string(ARRAY(SELECT quote_ident(r)
+                                 FROM unnest(roles) AS r), ', '),
+           cmd, qual, with_check
     FROM pg_policies
     WHERE schemaname = current_schema()
     ORDER BY tablename, policyname"""
@@ -931,8 +982,11 @@ def pg_policy_statements(rls_rows, policy_rows) -> list[str]:
     """ENABLE/FORCE ROW LEVEL SECURITY + CREATE POLICY from catalog rows.
     Emitted AFTER the table DDL (policies reference their table and may
     call functions). pg_policies' qual/with_check are pg_get_expr text —
-    re-parenthesised here (double parens are valid), roles arrive
-    pre-joined by array_to_string."""
+    re-parenthesised here (double parens are valid). Roles arrive
+    server-quoted (quote_ident per element, ADVICE r10: a mixed-case or
+    reserved-word role must not fold at replay) and pre-joined;
+    quote_ident leaves all-lowercase names like ``public`` bare, so the
+    PUBLIC role-spec keyword still parses as the keyword."""
     from klepto_spark.sinks.ddl import quote_ident as _q
     out = []
     for tab, force in rls_rows:

@@ -925,3 +925,76 @@ def test_jdbc_auto_stride_mode_picks_by_sparsity(spark, src):
         J.execute(spark, src, ["DROP TABLE autosparse",
                                "DROP TABLE autodense"],
                   transactional=False)
+
+
+def test_collation_ddl_transient_failures_surface(monkeypatch):
+    """collation_ddl's shape fallback must not eat transient failures
+    (ADVICE r10): an undefined-column error means 'try the next server
+    version's catalog SQL'; a timeout/permission/connection error on
+    every shape would silently drop user collations and the replayed
+    tables would reference collations never created. Transients RAISE;
+    exhausted shapes warn visibly before returning []."""
+    import warnings
+
+    dsn = parse("postgres://u:p@localhost:5432/db")
+
+    def transient(*a, **k):
+        raise RuntimeError("connection reset by peer")
+    monkeypatch.setattr(J, "query_rows", transient)
+    with pytest.raises(RuntimeError, match="connection reset"):
+        J.collation_ddl(None, dsn)
+
+    def shape_mismatch(*a, **k):
+        raise RuntimeError('column "colliculocale" does not exist')
+    monkeypatch.setattr(J, "query_rows", shape_mismatch)
+    with warnings.catch_warnings(record=True) as seen:
+        warnings.simplefilter("always")
+        assert J.collation_ddl(None, dsn) == []
+    assert any("collations are NOT" in str(w.message) for w in seen)
+
+    # SQLState beats message text when a wrapped SQLException carries one
+    class _JE:
+        def __init__(self, state):
+            self._s = state
+
+        def getSQLState(self):
+            return self._s
+
+        def getCause(self):
+            return None
+
+    class _Py4JErr(Exception):
+        def __init__(self, state, msg):
+            super().__init__(msg)
+            self.java_exception = _JE(state)
+
+    assert J._is_catalog_shape_error(_Py4JErr("42703", "boom"))
+    assert not J._is_catalog_shape_error(
+        _Py4JErr("57014", "canceling statement due to timeout"))
+
+
+def test_stored_name_prefers_engine_fold_on_case_collision(spark, src):
+    """Two case variants of one name coexisting (ADVICE r10): the
+    resolved stored name must be the variant the ENGINE's unquoted fold
+    would read — Derby folds UP, so asking for lowercase must resolve
+    the upper table, exactly what `SELECT * FROM order_items2` unquoted
+    returns — not whichever case-insensitive candidate matched first.
+    A lone mixed-case table still resolves to itself."""
+    J.execute(spark, src, [
+        "CREATE TABLE ORDER_ITEMS2 (id INT PRIMARY KEY, v VARCHAR(8))",
+        "INSERT INTO ORDER_ITEMS2 VALUES (1, 'upper')",
+        'CREATE TABLE "order_items2" (id INT PRIMARY KEY, v VARCHAR(8))',
+        "INSERT INTO \"order_items2\" VALUES (2, 'lower')",
+    ], transactional=False)
+    try:
+        # both spellings fold-resolve to the engine's (upper) table
+        assert J.stored_table_name(spark, src, "order_items2") \
+            == "ORDER_ITEMS2"
+        assert J.stored_table_name(spark, src, "ORDER_ITEMS2") \
+            == "ORDER_ITEMS2"
+        rows = JdbcCatalog(spark, src).load("order_items2").collect()
+        assert [(r[0], r[1]) for r in rows] == [(1, "upper")]
+    finally:
+        J.execute(spark, src, ["DROP TABLE ORDER_ITEMS2",
+                               'DROP TABLE "order_items2"'],
+                  transactional=False)

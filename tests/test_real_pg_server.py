@@ -658,6 +658,8 @@ def test_policy_rule_collation_roundtrip_on_real_postgres(pg):
         pg(f"CREATE DATABASE {db}")
     pg("DROP ROLE IF EXISTS app_user")
     pg("CREATE ROLE app_user LOGIN")
+    pg('DROP ROLE IF EXISTS "AppRW"')
+    pg('CREATE ROLE "AppRW" LOGIN')  # mixed-case: folds if unquoted
     try:
         pg("CREATE COLLATION csort (provider = libc, locale = 'C')",
            db="rlssrc")
@@ -669,6 +671,11 @@ def test_policy_rule_collation_roundtrip_on_real_postgres(pg):
            "USING (tenant = 1)", db="rlssrc")
         pg("CREATE POLICY ins_guard ON accounts AS RESTRICTIVE FOR "
            "INSERT WITH CHECK (tenant = 1)", db="rlssrc")
+        # ADVICE r10: a mixed-case role in TO must survive the dump —
+        # unquoted it folds to apprw at replay and the policy targets a
+        # missing role
+        pg('CREATE POLICY rw_extra ON accounts FOR SELECT TO "AppRW" '
+           "USING (tenant = 2)", db="rlssrc")
         pg("CREATE RULE protect_del AS ON DELETE TO accounts "
            "DO INSTEAD NOTHING", db="rlssrc")
 
@@ -693,6 +700,9 @@ def test_policy_rule_collation_roundtrip_on_real_postgres(pg):
                 in pol_stmts)
         assert ('ALTER TABLE "accounts" FORCE ROW LEVEL SECURITY;'
                 in pol_stmts)
+        # the role arrives server-quoted, lowercase roles stay bare
+        assert any('TO "AppRW"' in s for s in pol_stmts), pol_stmts
+        assert any("TO public " in s for s in pol_stmts), pol_stmts
         # multi-line rule definitions: fetch the single def whole (same
         # psql workaround as the trigger/function tests)
         rdef = pg("SELECT definition FROM pg_rules WHERE "
@@ -705,6 +715,7 @@ def test_policy_rule_collation_roundtrip_on_real_postgres(pg):
             pg(s, db="rlsdst")
         pg("GRANT SELECT, INSERT, DELETE ON accounts TO app_user",
            db="rlsdst")
+        pg('GRANT SELECT ON accounts TO "AppRW"', db="rlsdst")
         pg("INSERT INTO accounts VALUES (1, 1, 'mine'), (2, 2, 'other')",
            db="rlsdst")  # superuser bypasses RLS for seeding
 
@@ -712,6 +723,12 @@ def test_policy_rule_collation_roundtrip_on_real_postgres(pg):
         seen = pg("SET ROLE app_user; SELECT count(*) FROM accounts",
                   db="rlsdst")
         assert seen.splitlines()[-1] == "1"
+        # the mixed-case role's restored policy is ENFORCED for it:
+        # permissive tenant_iso (public) OR rw_extra (tenant = 2) —
+        # AppRW sees both tenants where app_user sees one
+        rw = pg('SET ROLE "AppRW"; SELECT count(*) FROM accounts',
+                db="rlsdst")
+        assert rw.splitlines()[-1] == "2"
         # the RESTRICTIVE insert guard blocks the wrong tenant
         bad = pg("SET ROLE app_user; INSERT INTO accounts VALUES "
                  "(3, 2, 'smuggled')", db="rlsdst", check=False)
@@ -729,3 +746,4 @@ def test_policy_rule_collation_roundtrip_on_real_postgres(pg):
         for db in ("rlssrc", "rlsdst"):
             pg(f"DROP DATABASE IF EXISTS {db}")
         pg("DROP ROLE IF EXISTS app_user")
+        pg('DROP ROLE IF EXISTS "AppRW"')
