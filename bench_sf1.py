@@ -390,6 +390,13 @@ def main() -> None:
     base01: dict[str, float] = {}
     for name in HEAVY:
         for sf_dir, sink in ((SRC, base01), (out_dir, medians)):
+            # SYMMETRIC untimed warmup per (query, scale): without it
+            # the sf0.1 pass eats the plan's codegen compile while the
+            # sf1 pass starts pre-warmed — the same warmth-asymmetry
+            # class the same-session rule exists to kill, inverted
+            # (review finding, round 11)
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
             samples = []
             for _ in range(max(1, runs)):
                 t0 = time.perf_counter()
@@ -416,16 +423,15 @@ def main() -> None:
             threshold=0.5)
 
     def _med(fn, sf_dir, n_runs):
+        fn(spark, sf_dir).write.format("noop").mode(  # untimed warmup
+            "overwrite").save()
         samples = []
         for _ in range(max(1, n_runs)):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite").save()
             samples.append(time.perf_counter() - t0)
-        samples.sort()
-        m = len(samples)
-        return round(samples[m // 2] if m % 2
-                     else (samples[m // 2 - 1] + samples[m // 2]) / 2, 3)
+        return _median(samples)
 
     d04c_sf01 = _med(_d04_capped, SRC, runs)
     d04c_sf1 = _med(_d04_capped, out_dir, runs)

@@ -143,12 +143,18 @@ def _stored_name(meta, table: str) -> str | None:
     if len(hits) <= 1:
         return hits[0] if hits else None
     # Multiple case variants coexist (e.g. PG holding both order_items
-    # and "ORDER_ITEMS"): resolve like the ENGINE would resolve the
-    # unquoted name — its fold variant — because that is the table the
-    # pre-resolution unquoted read (and the reference, which never
-    # quotes) would have returned (ADVICE r10). The JDBC metadata says
-    # which way the engine folds; tie-break to the first (exact-
-    # spelling) hit when the fold variant isn't among them.
+    # and "ORDER_ITEMS"). An EXACT-case hit always wins: catalog-driven
+    # callers (engine.steal iterates tables()' exact stored names) must
+    # resolve every listed table to itself, or one variant becomes
+    # unreachable and the other's data silently copies twice. Only an
+    # ambiguous spelling (no exact hit) resolves like the ENGINE would
+    # resolve the unquoted name — its fold variant — because that is
+    # the table the pre-resolution unquoted read (and the reference,
+    # which never quotes) would have returned (ADVICE r10). Tie-break
+    # to the first hit when the fold variant isn't among them either.
+    exact = next((h for h in hits if h == table), None)
+    if exact is not None:
+        return exact
     try:
         if meta.storesLowerCaseIdentifiers():
             fold = table.lower()
@@ -647,18 +653,31 @@ def _is_catalog_shape_error(exc: Exception) -> bool:
     wrapped java SQLException exposes one (42703 undefined column,
     42P01 undefined table, 42601 syntax, 42883 undefined function);
     falls back to message matching for non-JDBC transports."""
+    shape_states = ("42703", "42P01", "42601", "42883")
+    states: list[str] = []
     je = getattr(exc, "java_exception", None)
-    while je is not None:
+    seen = 0
+    while je is not None and seen < 8:  # cause chains are short; bound it
+        seen += 1
         try:
             state = je.getSQLState() if hasattr(je, "getSQLState") else None
         except Exception:  # noqa: BLE001 — py4j access is best-effort
             state = None
         if state:
-            return str(state) in ("42703", "42P01", "42601", "42883")
+            states.append(str(state))
         je = je.getCause() if hasattr(je, "getCause") else None
+    if states:
+        # ANY shape state in the chain counts: wrappers often carry a
+        # generic state above the root-cause 42703
+        return any(s in shape_states for s in states)
+    # message fallback for non-JDBC transports — anchored on the OBJECT
+    # kind so connection-time errors ('database "x" does not exist',
+    # 'role "y" does not exist') stay transient
+    import re
     msg = str(exc).lower()
-    return ("does not exist" in msg or "syntax error" in msg
-            or "undefined column" in msg or "column unknown" in msg)
+    return bool(re.search(
+        r'(column|relation|table|function)\b[^\n]{0,120}does not exist'
+        r"|syntax error|undefined column|column unknown", msg))
 
 
 def collation_ddl(spark: SparkSession, dsn: DSN) -> list[str]:

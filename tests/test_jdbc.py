@@ -971,15 +971,38 @@ def test_collation_ddl_transient_failures_surface(monkeypatch):
     assert J._is_catalog_shape_error(_Py4JErr("42703", "boom"))
     assert not J._is_catalog_shape_error(
         _Py4JErr("57014", "canceling statement due to timeout"))
+    # a connection-time 'does not exist' is NOT a shape error: a wrong
+    # database/role would otherwise eat all four shapes silently
+    assert not J._is_catalog_shape_error(
+        RuntimeError('FATAL: database "nope" does not exist'))
+    assert not J._is_catalog_shape_error(
+        RuntimeError('FATAL: role "nobody" does not exist'))
+    # a wrapper's generic state above a root-cause 42703 still classes
+    # as a shape error (the whole cause chain is consulted)
+    class _JEChain:
+        def __init__(self, state, cause=None):
+            self._s, self._c = state, cause
+
+        def getSQLState(self):
+            return self._s
+
+        def getCause(self):
+            return self._c
+
+    wrapped = _Py4JErr("XX000", "wrapper")
+    wrapped.java_exception = _JEChain("XX000", _JEChain("42703"))
+    assert J._is_catalog_shape_error(wrapped)
 
 
-def test_stored_name_prefers_engine_fold_on_case_collision(spark, src):
-    """Two case variants of one name coexisting (ADVICE r10): the
-    resolved stored name must be the variant the ENGINE's unquoted fold
-    would read — Derby folds UP, so asking for lowercase must resolve
-    the upper table, exactly what `SELECT * FROM order_items2` unquoted
-    returns — not whichever case-insensitive candidate matched first.
-    A lone mixed-case table still resolves to itself."""
+def test_stored_name_case_collision_exact_then_engine_fold(spark, src):
+    """Two case variants of one name coexisting (ADVICE r10). Rules:
+    an EXACT-case spelling resolves to itself — engine.steal iterates
+    tables()' exact stored names, and each must resolve to its own
+    table or one variant becomes unreachable and the other's rows copy
+    twice (review finding, round 11). Only an AMBIGUOUS spelling (no
+    exact hit) resolves to the variant the ENGINE's unquoted fold would
+    read (Derby folds UP), matching what the pre-resolution unquoted
+    read returned."""
     J.execute(spark, src, [
         "CREATE TABLE ORDER_ITEMS2 (id INT PRIMARY KEY, v VARCHAR(8))",
         "INSERT INTO ORDER_ITEMS2 VALUES (1, 'upper')",
@@ -987,13 +1010,22 @@ def test_stored_name_prefers_engine_fold_on_case_collision(spark, src):
         "INSERT INTO \"order_items2\" VALUES (2, 'lower')",
     ], transactional=False)
     try:
-        # both spellings fold-resolve to the engine's (upper) table
-        assert J.stored_table_name(spark, src, "order_items2") \
-            == "ORDER_ITEMS2"
+        # exact spellings: each variant reachable as itself
         assert J.stored_table_name(spark, src, "ORDER_ITEMS2") \
             == "ORDER_ITEMS2"
-        rows = JdbcCatalog(spark, src).load("order_items2").collect()
-        assert [(r[0], r[1]) for r in rows] == [(1, "upper")]
+        assert J.stored_table_name(spark, src, "order_items2") \
+            == "order_items2"
+        # ambiguous spelling (matches neither exactly): engine fold wins
+        assert J.stored_table_name(spark, src, "Order_Items2") \
+            == "ORDER_ITEMS2"
+        # the steal path reads each listed variant's OWN rows, once
+        cat = JdbcCatalog(spark, src)
+        both = [t for t in cat.tables() if t.lower() == "order_items2"]
+        assert sorted(both) == ["ORDER_ITEMS2", "order_items2"]
+        got = {t: [(r[0], r[1]) for r in cat.load(t).collect()]
+               for t in both}
+        assert got == {"ORDER_ITEMS2": [(1, "upper")],
+                       "order_items2": [(2, "lower")]}
     finally:
         J.execute(spark, src, ["DROP TABLE ORDER_ITEMS2",
                                'DROP TABLE "order_items2"'],
