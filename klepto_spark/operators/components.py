@@ -276,3 +276,33 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, *,
                     F.col("canonical"),
                     (F.col(key_col) != F.col("canonical"))
                     .alias("is_duplicate")))
+
+
+def leakage_safe_split(df: DataFrame, pairs: DataFrame,
+                       weights: dict[str, float], *,
+                       key_col: str = "doc_id", salt: str = "",
+                       algorithm: str = "auto") -> DataFrame:
+    """Train/valid/test assignment that can never leak a near-duplicate
+    across splits: the split is a pure function of the CLUSTER's
+    canonical id (min key of the near-dup component), so every member of
+    a cluster lands in the same split by construction — the guard plain
+    per-document hash splitting (p01) cannot give, because two near-copy
+    documents hash independently and a test doc's twin in train is
+    exactly the contamination eval suites are ruined by (the split-level
+    complement of d08's corpus decontamination).
+
+    Output: (key, canonical, is_duplicate, split). Membership depends
+    only on (salt, canonical), so it inherits split_assign's growth
+    stability: adding documents never moves an existing CLUSTER between
+    splits — unless new edges merge two clusters, which is precisely
+    when re-assignment is semantically required.
+
+    Scale shape: :func:`dedup_clusters` resolves components over the
+    LSH pair set (edges ~ near-dup rate x corpus, not corpus²; the
+    driver union-find path is budget-guarded with a distributed
+    fallback), and the split itself is one md5 projection — no extra
+    shuffle beyond the cluster labelling."""
+    from klepto_spark.operators.sampling import split_assign
+    clusters = dedup_clusters(df, pairs, key_col=key_col,
+                              algorithm=algorithm)
+    return split_assign(clusters, "canonical", weights, salt=salt)

@@ -14,6 +14,7 @@ the parquet scan untouched.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 # Top stopwords per language for the n-gram/stopword-ratio language ID
 # heuristic. Counting via split-size keeps it expressible in plain SQL for
@@ -882,3 +883,94 @@ SELECT __c.{key_col},
          AS shared_frac
 FROM __c JOIN __g USING (h)
 GROUP BY __c.{key_col}"""
+
+
+def dup_span_stats(df: "DataFrame", text_col: str = "text",
+                   key_col: str = "doc_id",
+                   k: int = 8, min_count: int = 2) -> "DataFrame":
+    """Duplicated-span coverage (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"), word-granular: the fraction of
+    each document's words covered by ANY length-``k`` word window that
+    occurs at least ``min_count`` times in the corpus (across documents
+    OR repeated inside one). This is the sliding-window complement of
+    t16/t17's chunk signals — a duplicated span is caught at EVERY
+    alignment, so a verbatim quote buried mid-paragraph can't dodge a
+    chunk grid or a CDC boundary. High ``dup_frac`` docs are the
+    train-set memorisation risk the paper's ExactSubstr rule targets.
+
+    Exactness: covered-word counting is an interval union done with
+    integer arithmetic only. Duplicated windows at positions p cover
+    words [p, p+k-1]; since all intervals have equal length, sorting by
+    start makes ends monotone, so the union collapses to
+    sum(min(k, pos - prev_pos)) with the first interval contributing k —
+    no floats until the final fraction (exact IEEE division of two
+    small integers, replayed bit-identically by the DuckDB oracle).
+
+    Scale shape: windows are materialised array-side in ONE projection
+    (sequence + transform + slice — no per-row Python); each occurrence
+    leaves the scan as (key, pos, md5) — 48-byte rows, the window TEXT
+    never shuffles. The duplicate filter is a hash-aggregate on the md5
+    plus a semi-join back; the interval union is one window pass keyed
+    on the document. Everything is linear in total word count."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    docs = df.select(F.col(key_col), words.alias("ws"),
+                     F.size(words).cast("long").alias("n_words"))
+    grams = (docs.filter(F.col("n_words") >= k)
+             .select(key_col, F.explode(F.transform(
+                 F.sequence(F.lit(1), (F.col("n_words") - (k - 1)).cast("int")),
+                 lambda i: F.struct(
+                     i.alias("pos"),
+                     F.md5(F.concat_ws(
+                         " ", F.slice(F.col("ws"), i, F.lit(k))))
+                     .alias("h")))).alias("g"))
+             .select(key_col, F.col("g.pos").alias("pos"),
+                     F.col("g.h").alias("h")))
+    dup_h = (grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+             .filter(F.col("cnt") >= min_count).select("h"))
+    win = Window.partitionBy(key_col).orderBy("pos")
+    covered = (grams.join(dup_h, "h", "left_semi")
+               .withColumn("prev", F.lag("pos").over(win))
+               .groupBy(key_col)
+               .agg(F.sum(F.when(F.col("prev").isNull(), F.lit(k))
+                          .otherwise(F.least(F.lit(k),
+                                             F.col("pos") - F.col("prev"))))
+                    .cast("long").alias("dup_words")))
+    return (docs.select(key_col, "n_words")
+            .join(covered, key_col, "left")
+            .select(F.col(key_col), F.col("n_words"),
+                    F.coalesce(F.col("dup_words"), F.lit(0)).cast("long")
+                    .alias("dup_words"),
+                    (F.coalesce(F.col("dup_words"), F.lit(0))
+                     / F.col("n_words")).alias("dup_frac")))
+
+
+def dup_span_stats_sql(table_sql: str = "documents",
+                       text_col: str = "text", key_col: str = "doc_id",
+                       k: int = 8, min_count: int = 2) -> str:
+    """DuckDB oracle for :func:`dup_span_stats` — same whitespace split,
+    same md5-of-space-joined-words window identity (END-INCLUSIVE DuckDB
+    list slices), the same integer interval-union identity, exact
+    division last. The WHERE-before-window evaluation order in __o
+    mirrors Spark's filter-then-lag."""
+    return f"""
+WITH __w AS (SELECT {key_col},
+                    string_split_regex(trim({text_col}), '\\s+') AS ws
+             FROM {table_sql}),
+__n AS (SELECT {key_col}, CAST(len(ws) AS BIGINT) AS n_words FROM __w),
+__g AS (SELECT {key_col}, pos,
+               md5(array_to_string(ws[pos:pos+{k - 1}], ' ')) AS h
+        FROM (SELECT {key_col}, ws,
+                     unnest(generate_series(1, len(ws) - {k - 1})) AS pos
+              FROM __w WHERE len(ws) >= {k})),
+__dup AS (SELECT h FROM __g GROUP BY h HAVING count(*) >= {min_count}),
+__o AS (SELECT {key_col}, pos,
+               lag(pos) OVER (PARTITION BY {key_col} ORDER BY pos) AS prev
+        FROM __g WHERE h IN (SELECT h FROM __dup)),
+__c AS (SELECT {key_col},
+               SUM(CASE WHEN prev IS NULL THEN {k}
+                        ELSE LEAST({k}, pos - prev) END) AS dup_words
+        FROM __o GROUP BY {key_col})
+SELECT __n.{key_col}, __n.n_words,
+       CAST(coalesce(__c.dup_words, 0) AS BIGINT) AS dup_words,
+       coalesce(__c.dup_words, 0) * 1.0 / __n.n_words AS dup_frac
+FROM __n LEFT JOIN __c USING ({key_col})"""

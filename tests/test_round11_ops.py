@@ -1,0 +1,164 @@
+"""Round-11 operators: duplicated n-gram span coverage (t18, the Lee et
+al. 2021 ExactSubstr signal at word granularity) and the leakage-safe
+cluster split (c04). The properties under test are the reasons the
+operators exist: a duplicated span is caught at EVERY alignment and
+counted once per covered word (interval union, exact integers), and a
+near-dup cluster can never straddle train/valid/test."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+
+from klepto_spark.operators import text as T
+from klepto_spark.operators.components import leakage_safe_split
+from klepto_spark.plans import inspect as I
+
+pytestmark = pytest.mark.slow
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def _spans(spark, rows, **kw):
+    out = T.dup_span_stats(_docs(spark, rows), **kw).collect()
+    return {r["doc_id"]: (r["n_words"], r["dup_words"], r["dup_frac"])
+            for r in out}
+
+
+def test_dup_spans_cross_doc_interval_union(spark):
+    """Docs 1 and 2 share the 4-word run ``a b c d``: with k=3 that is
+    two overlapping duplicated 3-grams per doc, whose union covers
+    exactly 4 words — counted once, not twice. Doc 3 is untouched."""
+    got = _spans(spark, [
+        (1, "a b c d e f"),
+        (2, "x y a b c d z"),
+        (3, "p q r s t u"),
+    ], k=3)
+    assert got[1] == (6, 4, 4 / 6)
+    assert got[2] == (7, 4, 4 / 7)
+    assert got[3] == (6, 0, 0.0)
+
+
+def test_dup_spans_intra_doc_repetition_counts(spark):
+    """min_count=2 is a GLOBAL occurrence count: a phrase repeated inside
+    one document is a duplicated span too (Lee et al. count any repeated
+    window). ``m n o`` repeated three times tiles the whole doc."""
+    got = _spans(spark, [(1, "m n o m n o m n o")], k=3)
+    assert got[1] == (9, 9, 1.0)
+
+
+def test_dup_spans_alignment_blind(spark):
+    """The t18 raison d'etre: the duplicated run sits at DIFFERENT
+    offsets in each doc (mid-paragraph quote), where a fixed chunk grid
+    (t16) can miss it — the sliding window cannot."""
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    got = _spans(spark, [
+        (1, "intro words here " + quote),
+        (2, quote + " trailing words after it all ends"),
+    ], k=8)
+    n_quote = len(quote.split())
+    for d in (1, 2):
+        assert got[d][1] == n_quote, got
+
+
+def test_dup_spans_short_and_empty_docs(spark):
+    """Docs shorter than k emit no windows (dup_words=0); an empty text
+    splits to one empty token in BOTH engines (pinned artifact)."""
+    got = _spans(spark, [(1, "only two"), (2, "")], k=3)
+    assert got[1] == (2, 0, 0.0)
+    assert got[2][:2] == (1, 0)
+
+
+def test_dup_spans_duckdb_twin_on_adversarial_rows(spark):
+    """The SQL twin replays split/window/md5/interval-union identically
+    on rows exercising every edge at once: overlapping islands, disjoint
+    islands, intra-doc repeats, sub-k docs, whitespace runs."""
+    import duckdb
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "z z a b c d q r a b c d"),     # two disjoint islands + repeats
+        (3, "a  b\tc d   e f"),              # whitespace runs collapse
+        (4, "tiny"),
+        (5, "a b c d e f g h"),              # exact twin of doc 1
+    ]
+    sgot = _spans(spark, rows, k=3)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    dgot = {r[0]: (r[1], r[2], r[3])
+            for r in con.execute(T.dup_span_stats_sql(k=3)).fetchall()}
+    con.close()
+    assert sgot == dgot
+
+
+def test_dup_spans_only_hashes_shuffle(spark, sf_dir):
+    """Plan pin (the 100 TB posture): occurrences shuffle as
+    (doc, pos, md5) — neither the text nor the token array crosses an
+    exchange, and no Python appears in the plan."""
+    import __spark_entry__ as entry
+    df = entry.q_dup_spans(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert "Python" not in plan
+    for ex in I.exchange_inputs(df):
+        assert "text" not in ex and "ws" not in ex.split(", "), ex
+
+
+WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def _expected_split(canonical, salt="s"):
+    h = hashlib.md5(f"{salt}|{canonical}".encode()).hexdigest()[:8]
+    # cumulative thresholds for WEIGHTS, mirroring sampling._threshold_hex
+    t_train = format(int(0.8 * 16**8), "08x")
+    t_valid = format(int(0.9 * 16**8), "08x")
+    return "train" if h < t_train else ("valid" if h < t_valid else "test")
+
+
+def test_leakage_split_clusters_never_straddle(spark):
+    """Every member of a near-dup cluster gets the CANONICAL's split —
+    the invariant per-doc hashing can't give. Singletons keep their own
+    id as canonical and hash independently."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in range(1, 11)])
+    pairs = spark.createDataFrame(
+        [Row(a=1, b=2), Row(a=2, b=3), Row(a=5, b=6)])
+    out = {r["doc_id"]: r for r in
+           leakage_safe_split(docs, pairs, WEIGHTS, salt="s").collect()}
+    assert len(out) == 10
+    for d in (1, 2, 3):
+        assert out[d]["canonical"] == 1
+        assert out[d]["split"] == out[1]["split"]
+    for d in (5, 6):
+        assert out[d]["canonical"] == 5
+        assert out[d]["split"] == out[5]["split"]
+    for d in (4, 7, 8, 9, 10):
+        assert out[d]["canonical"] == d and not out[d]["is_duplicate"]
+    for d, r in out.items():
+        assert r["split"] == _expected_split(r["canonical"]), (d, r)
+
+
+def test_leakage_split_growth_stability(spark):
+    """Adding unrelated documents (and even a NEW cluster) never moves an
+    existing cluster between splits — split depends only on
+    (salt, canonical)."""
+    docs1 = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in range(1, 5)])
+    pairs1 = spark.createDataFrame([Row(a=1, b=2)])
+    before = {r["doc_id"]: r["split"] for r in
+              leakage_safe_split(docs1, pairs1, WEIGHTS, salt="s").collect()}
+    docs2 = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in range(1, 9)])
+    pairs2 = spark.createDataFrame([Row(a=1, b=2), Row(a=7, b=8)])
+    after = {r["doc_id"]: r["split"] for r in
+             leakage_safe_split(docs2, pairs2, WEIGHTS, salt="s").collect()}
+    for d, s in before.items():
+        assert after[d] == s
+
+
+def test_leakage_split_rejects_bad_weights(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="x")])
+    pairs = spark.createDataFrame([], "a long, b long")
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, {"train": 0.5, "test": 0.4})
