@@ -1754,6 +1754,20 @@ def q_leakage_split(spark, sf_dir):
                               SPLIT_WEIGHTS, salt=SEED)
 
 
+def q_dup_span_strip(spark, sf_dir):
+    """t19: the ACTION to t18's signal — Lee et al.'s ExactSubstr rule
+    CUTS the duplicated spans instead of dropping documents, so the
+    unique remainder of a partially-copied page still trains. Same
+    window/duplicate set as t18 (n_removed == t18's dup_words by
+    construction, pytest-pinned); duplicated positions fold to
+    per-doc islands and the rewrite is one array-side filter-by-index —
+    document text crosses an exchange exactly once, per-word rows never
+    carry text (operators.text.dup_span_strip)."""
+    docs = _load(spark, sf_dir)("documents")
+    return T.dup_span_strip(docs, "text", "doc_id",
+                            k=T18_K, min_count=T18_MIN_COUNT)
+
+
 D12_MIN_SHARED = 2
 D12_MIN_WORDS = 3
 
@@ -1976,8 +1990,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c03_corpus_recipe": q_corpus_recipe,
         "c04_leakage_split": q_leakage_split,
         "k15_pii_pipeline": q_pii_pipeline,
-        # ---- entries below are outside the driver's 50-query window
-        # ---- (all driver-graded green in rounds 1-10)
+        # ---- entries below are outside the driver's 50-query window ----
+        # t19 waits for the round-12 rotation (the 50 slots above are all
+        # never-graded queries too); the rest are driver-green from r1-r10
+        "t19_dup_span_strip": q_dup_span_strip,
         "k01_scan": q_scan,
         "a01_pricing_summary": q_agg_pricing_summary,
         "k02_filter_topk": q_filter_topk,
@@ -2635,6 +2651,8 @@ FROM documents""",
         "t17_cdc_shared": T.cdc_shared_stats_sql(divisor=T17_DIVISOR),
         "t18_dup_spans": T.dup_span_stats_sql(k=T18_K,
                                               min_count=T18_MIN_COUNT),
+        "t19_dup_span_strip": T.dup_span_strip_sql(k=T18_K,
+                                                   min_count=T18_MIN_COUNT),
         "c04_leakage_split": f"""
 WITH RECURSIVE pairs AS ({_lsh_oracle()}),
 edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),

@@ -885,6 +885,55 @@ FROM __c JOIN __g USING (h)
 GROUP BY __c.{key_col}"""
 
 
+def _dup_occurrences(df: "DataFrame", text_col: str, key_col: str,
+                     k: int, min_count: int
+                     ) -> tuple["DataFrame", "DataFrame"]:
+    """Shared core of t18/t19: ``(docs, occ)`` where ``docs`` carries
+    (key, ws, n_words) — the whitespace-token array — and ``occ`` is one
+    (key, pos) row per sliding k-word window whose corpus-wide occurrence
+    count reaches ``min_count`` (1-based positions; the window covers
+    words [pos, pos+k-1]).
+
+    Windows materialise array-side in ONE projection (sequence +
+    transform + slice); each occurrence leaves the scan as
+    (key, pos, md5) — the window text never shuffles. The duplicate
+    filter is a hash-aggregate on the md5 plus a semi-join back."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    docs = df.select(F.col(key_col), words.alias("ws"),
+                     F.size(words).cast("long").alias("n_words"))
+    grams = (docs.filter(F.col("n_words") >= k)
+             .select(key_col, F.explode(F.transform(
+                 F.sequence(F.lit(1), (F.col("n_words") - (k - 1)).cast("int")),
+                 lambda i: F.struct(
+                     i.alias("pos"),
+                     F.md5(F.concat_ws(
+                         " ", F.slice(F.col("ws"), i, F.lit(k))))
+                     .alias("h")))).alias("g"))
+             .select(key_col, F.col("g.pos").alias("pos"),
+                     F.col("g.h").alias("h")))
+    dup_h = (grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+             .filter(F.col("cnt") >= min_count).select("h"))
+    occ = grams.join(dup_h, "h", "left_semi").select(key_col, "pos")
+    return docs, occ
+
+
+def _dup_occ_ctes(table_sql: str, text_col: str, key_col: str,
+                  k: int, min_count: int) -> str:
+    """The shared __w/__n/__g/__dup CTE prefix of the t18/t19 oracles —
+    same whitespace split, same md5-of-space-joined-words window identity
+    (END-INCLUSIVE DuckDB list slices)."""
+    return f"""__w AS (SELECT {key_col},
+                    string_split_regex(trim({text_col}), '\\s+') AS ws
+             FROM {table_sql}),
+__n AS (SELECT {key_col}, CAST(len(ws) AS BIGINT) AS n_words FROM __w),
+__g AS (SELECT {key_col}, pos,
+               md5(array_to_string(ws[pos:pos+{k - 1}], ' ')) AS h
+        FROM (SELECT {key_col}, ws,
+                     unnest(generate_series(1, len(ws) - {k - 1})) AS pos
+              FROM __w WHERE len(ws) >= {k})),
+__dup AS (SELECT h FROM __g GROUP BY h HAVING count(*) >= {min_count})"""
+
+
 def dup_span_stats(df: "DataFrame", text_col: str = "text",
                    key_col: str = "doc_id",
                    k: int = 8, min_count: int = 2) -> "DataFrame":
@@ -912,24 +961,9 @@ def dup_span_stats(df: "DataFrame", text_col: str = "text",
     never shuffles. The duplicate filter is a hash-aggregate on the md5
     plus a semi-join back; the interval union is one window pass keyed
     on the document. Everything is linear in total word count."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    docs = df.select(F.col(key_col), words.alias("ws"),
-                     F.size(words).cast("long").alias("n_words"))
-    grams = (docs.filter(F.col("n_words") >= k)
-             .select(key_col, F.explode(F.transform(
-                 F.sequence(F.lit(1), (F.col("n_words") - (k - 1)).cast("int")),
-                 lambda i: F.struct(
-                     i.alias("pos"),
-                     F.md5(F.concat_ws(
-                         " ", F.slice(F.col("ws"), i, F.lit(k))))
-                     .alias("h")))).alias("g"))
-             .select(key_col, F.col("g.pos").alias("pos"),
-                     F.col("g.h").alias("h")))
-    dup_h = (grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
-             .filter(F.col("cnt") >= min_count).select("h"))
+    docs, occ = _dup_occurrences(df, text_col, key_col, k, min_count)
     win = Window.partitionBy(key_col).orderBy("pos")
-    covered = (grams.join(dup_h, "h", "left_semi")
-               .withColumn("prev", F.lag("pos").over(win))
+    covered = (occ.withColumn("prev", F.lag("pos").over(win))
                .groupBy(key_col)
                .agg(F.sum(F.when(F.col("prev").isNull(), F.lit(k))
                           .otherwise(F.least(F.lit(k),
@@ -953,16 +987,7 @@ def dup_span_stats_sql(table_sql: str = "documents",
     division last. The WHERE-before-window evaluation order in __o
     mirrors Spark's filter-then-lag."""
     return f"""
-WITH __w AS (SELECT {key_col},
-                    string_split_regex(trim({text_col}), '\\s+') AS ws
-             FROM {table_sql}),
-__n AS (SELECT {key_col}, CAST(len(ws) AS BIGINT) AS n_words FROM __w),
-__g AS (SELECT {key_col}, pos,
-               md5(array_to_string(ws[pos:pos+{k - 1}], ' ')) AS h
-        FROM (SELECT {key_col}, ws,
-                     unnest(generate_series(1, len(ws) - {k - 1})) AS pos
-              FROM __w WHERE len(ws) >= {k})),
-__dup AS (SELECT h FROM __g GROUP BY h HAVING count(*) >= {min_count}),
+WITH {_dup_occ_ctes(table_sql, text_col, key_col, k, min_count)},
 __o AS (SELECT {key_col}, pos,
                lag(pos) OVER (PARTITION BY {key_col} ORDER BY pos) AS prev
         FROM __g WHERE h IN (SELECT h FROM __dup)),
@@ -974,3 +999,94 @@ SELECT __n.{key_col}, __n.n_words,
        CAST(coalesce(__c.dup_words, 0) AS BIGINT) AS dup_words,
        coalesce(__c.dup_words, 0) * 1.0 / __n.n_words AS dup_frac
 FROM __n LEFT JOIN __c USING ({key_col})"""
+
+
+def dup_span_strip(df: "DataFrame", text_col: str = "text",
+                   key_col: str = "doc_id",
+                   k: int = 8, min_count: int = 2) -> "DataFrame":
+    """The ACTION to t18's signal: rewrite every document with its
+    duplicated spans REMOVED — Lee et al. 2021's ExactSubstr rule cuts
+    the repeated substrings rather than dropping whole documents, so
+    the unique remainder of a partially-copied page still trains. A
+    word is removed iff it is covered by any length-``k`` window
+    occurring >= ``min_count`` times in the corpus (exactly t18's
+    coverage set, so ``n_removed`` here equals t18's ``dup_words`` by
+    construction). Output: (key, clean_text, n_words, n_removed);
+    fully-duplicated documents survive as empty strings for the caller
+    to drop or keep.
+
+    Scale shape: duplicated positions fold to per-document ISLANDS
+    (maximal covered intervals — one window pass + one aggregate, rows
+    = islands, not positions), which collect to a per-doc array that
+    joins back to the token array; the rewrite is then a single
+    array-side filter-by-index — the document text crosses the join's
+    exchange ONCE, and no per-word rows ever carry text. Word order is
+    preserved; inter-word whitespace normalises to single spaces (the
+    tokenisation is whitespace-splitting, identical in the oracle)."""
+    docs, occ = _dup_occurrences(df, text_col, key_col, k, min_count)
+    win = Window.partitionBy(key_col).orderBy("pos")
+    run = win.rowsBetween(Window.unboundedPreceding, 0)
+    islands = (occ.withColumn("prev", F.lag("pos").over(win))
+               .withColumn("new_isl",
+                           F.when(F.col("prev").isNull()
+                                  | (F.col("pos") - F.col("prev") >= k),
+                                  1).otherwise(0))
+               .withColumn("isl", F.sum("new_isl").over(run))
+               .groupBy(key_col, "isl")
+               .agg(F.min("pos").alias("s"),
+                    (F.max("pos") + (k - 1)).alias("e"))
+               .groupBy(key_col)
+               .agg(F.sort_array(F.collect_list(F.struct("s", "e")))
+                    .alias("spans")))
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+    kept = F.filter(
+        "ws", lambda w, i: ~F.exists(
+            "spans", lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"])))
+    return (docs.join(islands, key_col, "left")
+            .withColumn("spans", F.coalesce(F.col("spans"), empty))
+            .withColumn("kept", kept)
+            .select(F.col(key_col),
+                    F.concat_ws(" ", F.col("kept")).alias("clean_text"),
+                    F.col("n_words"),
+                    (F.col("n_words") - F.size("kept")).cast("long")
+                    .alias("n_removed")))
+
+
+def dup_span_strip_sql(table_sql: str = "documents",
+                       text_col: str = "text", key_col: str = "doc_id",
+                       k: int = 8, min_count: int = 2) -> str:
+    """DuckDB oracle for :func:`dup_span_strip` — shares t18's CTE prefix
+    (same windows, same duplicate set), folds positions to islands with
+    the identical gap rule (pos - prev >= k), excludes covered words via
+    NOT EXISTS, and reassembles with an ORDER BY pos string_agg. Empty
+    survivors coalesce to '' exactly like Spark's concat_ws over an
+    empty array."""
+    return f"""
+WITH {_dup_occ_ctes(table_sql, text_col, key_col, k, min_count)},
+__o AS (SELECT {key_col}, pos,
+               lag(pos) OVER (PARTITION BY {key_col} ORDER BY pos) AS prev
+        FROM __g WHERE h IN (SELECT h FROM __dup)),
+__il AS (SELECT {key_col}, pos,
+                SUM(CASE WHEN prev IS NULL OR pos - prev >= {k}
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY {key_col} ORDER BY pos) AS isl
+         FROM __o),
+__i AS (SELECT {key_col}, isl, min(pos) AS s, max(pos) + {k - 1} AS e
+        FROM __il GROUP BY {key_col}, isl),
+__t AS (SELECT {key_col}, unnest(ws) AS w,
+               unnest(generate_series(1, len(ws))) AS pos
+        FROM __w),
+__keep AS (SELECT t.{key_col}, t.pos, t.w
+           FROM __t t
+           WHERE NOT EXISTS (SELECT 1 FROM __i i
+                             WHERE i.{key_col} = t.{key_col}
+                               AND t.pos BETWEEN i.s AND i.e)),
+__r AS (SELECT {key_col},
+               string_agg(w, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM __keep GROUP BY {key_col})
+SELECT __n.{key_col},
+       coalesce(__r.clean_text, '') AS clean_text,
+       __n.n_words,
+       CAST(__n.n_words - coalesce(__r.n_kept, 0) AS BIGINT) AS n_removed
+FROM __n LEFT JOIN __r USING ({key_col})"""

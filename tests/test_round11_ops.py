@@ -162,3 +162,81 @@ def test_leakage_split_rejects_bad_weights(spark):
     pairs = spark.createDataFrame([], "a long, b long")
     with pytest.raises(ValueError):
         leakage_safe_split(docs, pairs, {"train": 0.5, "test": 0.4})
+
+
+def _strips(spark, rows, **kw):
+    out = T.dup_span_strip(_docs(spark, rows), **kw).collect()
+    return {r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed"])
+            for r in out}
+
+
+def test_dup_span_strip_cuts_exactly_the_covered_words(spark):
+    """The t18 scenario, acted on: docs 1/2 share ``a b c d`` — strip
+    removes those four words from each and keeps the unique remainder
+    in order. Doc 3 is untouched."""
+    got = _strips(spark, [
+        (1, "a b c d e f"),
+        (2, "x y a b c d z"),
+        (3, "p q r s t u"),
+    ], k=3)
+    assert got[1] == ("e f", 6, 4)
+    assert got[2] == ("x y z", 7, 4)
+    assert got[3] == ("p q r s t u", 6, 0)
+
+
+def test_dup_span_strip_fully_duplicated_doc_survives_empty(spark):
+    """A doc that is one big duplicated span strips to '' (the caller
+    decides whether to drop it) — it must not disappear from output."""
+    same = "w1 w2 w3 w4 w5 w6"
+    got = _strips(spark, [(1, same), (2, same)], k=3)
+    assert got[1] == ("", 6, 6) and got[2] == ("", 6, 6)
+
+
+def test_dup_span_strip_matches_t18_coverage(spark):
+    """n_removed == t18's dup_words on every doc by construction: the
+    strip acts on exactly the coverage set the signal reports."""
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "z z a b c d q r a b c d"),
+        (3, "unique words only here today"),
+        (4, "a b c d e f g h"),
+    ]
+    stats = _spans(spark, rows, k=3)
+    stripped = _strips(spark, rows, k=3)
+    for d in stats:
+        assert stripped[d][2] == stats[d][1], d
+
+
+def test_dup_span_strip_duckdb_twin(spark):
+    """The SQL twin replays island folding, NOT-EXISTS exclusion and
+    ordered reassembly — including disjoint islands inside one doc and
+    whitespace-run normalisation."""
+    import duckdb
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "z z a b c d q r a b c d"),
+        (3, "a  b\tc d   e f"),
+        (4, "tiny"),
+        (5, "a b c d e f g h"),
+    ]
+    sgot = _strips(spark, rows, k=3)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    dgot = {r[0]: (r[1], r[2], r[3])
+            for r in con.execute(T.dup_span_strip_sql(k=3)).fetchall()}
+    con.close()
+    assert sgot == dgot
+
+
+def test_dup_span_strip_text_shuffles_once(spark, sf_dir):
+    """Plan pin: the token array crosses an exchange exactly once (the
+    islands join back to the docs) — per-word rows never carry text,
+    and no Python appears in the plan."""
+    import __spark_entry__ as entry
+    df = entry.q_dup_span_strip(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert "Python" not in plan
+    text_crossings = sum(1 for ex in I.exchange_inputs(df)
+                         if "ws" in [c.split("#")[0] for c in ex.split(", ")])
+    assert text_crossings <= 1, I.exchange_inputs(df)
