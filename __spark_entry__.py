@@ -1754,6 +1754,40 @@ def q_leakage_split(spark, sf_dir):
                               SPLIT_WEIGHTS, salt=SEED)
 
 
+T20_MOD = 10
+
+
+def q_span_append(spark, sf_dir):
+    """t20: incremental duplicated-span coverage against the at-rest
+    window-count index — the FIFTH member of the at-rest probe matrix
+    (exact d11 / minhash / semantic d10 / cdc d13 / span t20). The
+    corpus's (h, cnt) window-count rows live in the derived store; the
+    batch's per-hash counts broadcast as the probe, the index is
+    scanned once through the semi-join, and a window is duplicated iff
+    batch + indexed occurrences reach min_count — identical by
+    construction to running t18 over old ∪ new and keeping the batch
+    rows (text.span_append). Oracle: the full-corpus t18 SQL
+    restricted to batch keys."""
+    from klepto_spark.sinks import derived
+    src = f"{sf_dir}/documents.parquet"
+    docs = _load(spark, sf_dir)("documents")
+    kind = f"spanidx-k{T18_K}-m{T20_MOD}"
+
+    def _build():
+        from klepto_spark.operators.text import _window_grams
+        _, grams = _window_grams(
+            docs.filter(F.col("doc_id") % T20_MOD != 3),
+            "text", "doc_id", T18_K)
+        return grams.groupBy("h").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"))
+
+    path = derived.derived_path(src, kind)
+    derived.read_or_build(spark, src, kind, _build)
+    return T.span_append(
+        spark, path, docs.filter(F.col("doc_id") % T20_MOD == 3),
+        k=T18_K, min_count=T18_MIN_COUNT, commit=False)
+
+
 def q_dup_span_strip(spark, sf_dir):
     """t19: the ACTION to t18's signal — Lee et al.'s ExactSubstr rule
     CUTS the duplicated spans instead of dropping documents, so the
@@ -1994,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t19 waits for the round-12 rotation (the 50 slots above are all
         # never-graded queries too); the rest are driver-green from r1-r10
         "t19_dup_span_strip": q_dup_span_strip,
+        "t20_span_append": q_span_append,
         "k01_scan": q_scan,
         "a01_pricing_summary": q_agg_pricing_summary,
         "k02_filter_topk": q_filter_topk,
@@ -2653,6 +2688,9 @@ FROM documents""",
                                               min_count=T18_MIN_COUNT),
         "t19_dup_span_strip": T.dup_span_strip_sql(k=T18_K,
                                                    min_count=T18_MIN_COUNT),
+        "t20_span_append": f"""
+SELECT * FROM ({T.dup_span_stats_sql(k=T18_K, min_count=T18_MIN_COUNT)})
+WHERE doc_id % {T20_MOD} = 3""",
         "c04_leakage_split": f"""
 WITH RECURSIVE pairs AS ({_lsh_oracle()}),
 edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),

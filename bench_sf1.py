@@ -63,7 +63,11 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          # round-9: CDC chunking (corpus-scale-sensitive like t16) and
          # the binary payload fingerprint pass
          "t17_cdc_shared", "m05_payload_dedup", "d12_cdc_near_dup",
-         "d13_cdc_append"]
+         "d13_cdc_append",
+         # round-11: the sliding-window span family (every word emits a
+         # k-gram occurrence — linear in tokens, corpus-scale-sensitive)
+         # and the cluster-split composite over the LSH pair graph
+         "t18_dup_spans", "t19_dup_span_strip", "c04_leakage_split"]
 COPIES = 10
 
 # Interpretation note for scaling_vs_10x_sf01: the rehearsal corpus is 10

@@ -885,19 +885,16 @@ FROM __c JOIN __g USING (h)
 GROUP BY __c.{key_col}"""
 
 
-def _dup_occurrences(df: "DataFrame", text_col: str, key_col: str,
-                     k: int, min_count: int
-                     ) -> tuple["DataFrame", "DataFrame"]:
-    """Shared core of t18/t19: ``(docs, occ)`` where ``docs`` carries
-    (key, ws, n_words) — the whitespace-token array — and ``occ`` is one
-    (key, pos) row per sliding k-word window whose corpus-wide occurrence
-    count reaches ``min_count`` (1-based positions; the window covers
-    words [pos, pos+k-1]).
+def _window_grams(df: "DataFrame", text_col: str, key_col: str,
+                  k: int) -> tuple["DataFrame", "DataFrame"]:
+    """``(docs, grams)``: ``docs`` carries (key, ws, n_words) — the
+    whitespace-token array — and ``grams`` one (key, pos, h) row per
+    sliding k-word window (1-based positions; md5 of the space-joined
+    words; the window covers words [pos, pos+k-1]).
 
     Windows materialise array-side in ONE projection (sequence +
     transform + slice); each occurrence leaves the scan as
-    (key, pos, md5) — the window text never shuffles. The duplicate
-    filter is a hash-aggregate on the md5 plus a semi-join back."""
+    (key, pos, md5) — the window text never shuffles."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     docs = df.select(F.col(key_col), words.alias("ws"),
                      F.size(words).cast("long").alias("n_words"))
@@ -911,10 +908,44 @@ def _dup_occurrences(df: "DataFrame", text_col: str, key_col: str,
                      .alias("h")))).alias("g"))
              .select(key_col, F.col("g.pos").alias("pos"),
                      F.col("g.h").alias("h")))
+    return docs, grams
+
+
+def _dup_occurrences(df: "DataFrame", text_col: str, key_col: str,
+                     k: int, min_count: int
+                     ) -> tuple["DataFrame", "DataFrame"]:
+    """Shared core of t18/t19: ``(docs, occ)`` where ``occ`` is one
+    (key, pos) row per sliding k-word window whose corpus-wide occurrence
+    count reaches ``min_count``. The duplicate filter is a
+    hash-aggregate on the md5 plus a semi-join back."""
+    docs, grams = _window_grams(df, text_col, key_col, k)
     dup_h = (grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
              .filter(F.col("cnt") >= min_count).select("h"))
     occ = grams.join(dup_h, "h", "left_semi").select(key_col, "pos")
     return docs, occ
+
+
+def _span_coverage(docs: "DataFrame", occ: "DataFrame",
+                   key_col: str, k: int) -> "DataFrame":
+    """(key, n_words, dup_words, dup_frac) from duplicated-window
+    occurrence positions: the exact integer interval union (equal-length
+    intervals sorted by start have monotone ends, so the union collapses
+    to sum(min(k, pos - prev)) with the first interval contributing k),
+    left-joined back so uncovered docs report zero."""
+    win = Window.partitionBy(key_col).orderBy("pos")
+    covered = (occ.withColumn("prev", F.lag("pos").over(win))
+               .groupBy(key_col)
+               .agg(F.sum(F.when(F.col("prev").isNull(), F.lit(k))
+                          .otherwise(F.least(F.lit(k),
+                                             F.col("pos") - F.col("prev"))))
+                    .cast("long").alias("dup_words")))
+    return (docs.select(key_col, "n_words")
+            .join(covered, key_col, "left")
+            .select(F.col(key_col), F.col("n_words"),
+                    F.coalesce(F.col("dup_words"), F.lit(0)).cast("long")
+                    .alias("dup_words"),
+                    (F.coalesce(F.col("dup_words"), F.lit(0))
+                     / F.col("n_words")).alias("dup_frac")))
 
 
 def _dup_occ_ctes(table_sql: str, text_col: str, key_col: str,
@@ -962,20 +993,7 @@ def dup_span_stats(df: "DataFrame", text_col: str = "text",
     plus a semi-join back; the interval union is one window pass keyed
     on the document. Everything is linear in total word count."""
     docs, occ = _dup_occurrences(df, text_col, key_col, k, min_count)
-    win = Window.partitionBy(key_col).orderBy("pos")
-    covered = (occ.withColumn("prev", F.lag("pos").over(win))
-               .groupBy(key_col)
-               .agg(F.sum(F.when(F.col("prev").isNull(), F.lit(k))
-                          .otherwise(F.least(F.lit(k),
-                                             F.col("pos") - F.col("prev"))))
-                    .cast("long").alias("dup_words")))
-    return (docs.select(key_col, "n_words")
-            .join(covered, key_col, "left")
-            .select(F.col(key_col), F.col("n_words"),
-                    F.coalesce(F.col("dup_words"), F.lit(0)).cast("long")
-                    .alias("dup_words"),
-                    (F.coalesce(F.col("dup_words"), F.lit(0))
-                     / F.col("n_words")).alias("dup_frac")))
+    return _span_coverage(docs, occ, key_col, k)
 
 
 def dup_span_stats_sql(table_sql: str = "documents",
@@ -1090,3 +1108,70 @@ SELECT __n.{key_col},
        __n.n_words,
        CAST(__n.n_words - coalesce(__r.n_kept, 0) AS BIGINT) AS n_removed
 FROM __n LEFT JOIN __r USING ({key_col})"""
+
+
+def span_write_index(df: "DataFrame", path: str, text_col: str = "text",
+                     key_col: str = "doc_id", k: int = 8,
+                     mode: str = "overwrite") -> None:
+    """Persist (h, cnt) window-hash COUNT rows — the at-rest index that
+    makes duplicated-span coverage (t18) INCREMENTAL, the FIFTH member
+    of the at-rest probe matrix (exact / minhash / semantic / cdc /
+    span): scoring a new batch later never re-windows the existing
+    corpus. Counts (not per-occurrence rows) are what coverage needs —
+    the index is corpus-DISTINCT-window sized, and folding an append is
+    a sum-on-read over appended count rows, so commits are pure parquet
+    appends with no rewrite. The window scheme is recorded in
+    ``_dedupmeta.json`` so appends with a different ``k`` refuse instead
+    of silently probing incompatible hashes."""
+    from klepto_spark.operators.dedup import write_index_meta
+    _, grams = _window_grams(df, text_col, key_col, k)
+    (grams.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+     .write.mode(mode).parquet(path))
+    write_index_meta(df.sparkSession, path, "span", {"k": k})
+
+
+def span_append(spark, path, new_docs: "DataFrame",
+                text_col: str = "text", key_col: str = "doc_id",
+                k: int = 8, min_count: int = 2,
+                commit: bool = True) -> "DataFrame":
+    """Duplicated-span coverage for a NEW batch against an indexed
+    corpus, and (optionally) fold the batch's window counts into the
+    index. Returns t18's (key, n_words, dup_words, dup_frac) for the
+    BATCH documents — identical by construction to running
+    :func:`dup_span_stats` over old ∪ new and keeping the batch rows,
+    because a window's total occurrence count is exactly
+    (batch occurrences) + (indexed count).
+
+    Scale shape — the ``minhash_append`` posture applied to window
+    hashes: the batch is windowed once, its per-hash counts BROADCAST as
+    the probe, and the index is scanned exactly once through that
+    semi-join (no index shuffle, no corpus re-window); only touched
+    hash groups aggregate. The returned frame keeps probing the
+    PRE-append snapshot even after the commit below (the parquet
+    relation pins its file list at read time)."""
+    from klepto_spark.operators.dedup import (_refuse_epoch_layout,
+                                              check_index_meta)
+    check_index_meta(spark, path if not isinstance(path, (list, tuple))
+                     else path[0], "span", {"k": k})
+    docs, grams = _window_grams(new_docs, text_col, key_col, k)
+    batch_cnt = (grams.groupBy("h")
+                 .agg(F.count(F.lit(1)).cast("long").alias("bc")))
+    paths = list(path) if isinstance(path, (list, tuple)) else [path]
+    idx = spark.read.parquet(*paths).select("h", "cnt")
+    probe = batch_cnt.select("h")
+    idx_cnt = (idx.join(F.broadcast(probe), "h", "left_semi")
+               .groupBy("h").agg(F.sum("cnt").alias("ic")))
+    dup_h = (batch_cnt.join(idx_cnt, "h", "left")
+             .filter(F.col("bc") + F.coalesce(F.col("ic"), F.lit(0))
+                     >= min_count)
+             .select("h"))
+    occ = grams.join(dup_h, "h", "left_semi").select(key_col, "pos")
+    out = _span_coverage(docs, occ, key_col, k)
+    if commit:
+        if isinstance(path, (list, tuple)):
+            raise ValueError("commit=True needs a single index root, "
+                             "not a path list")
+        _refuse_epoch_layout(spark, path, "span_append")
+        (batch_cnt.select("h", F.col("bc").alias("cnt"))
+         .write.mode("append").parquet(path))
+    return out

@@ -240,3 +240,63 @@ def test_dup_span_strip_text_shuffles_once(spark, sf_dir):
     text_crossings = sum(1 for ex in I.exchange_inputs(df)
                          if "ws" in [c.split("#")[0] for c in ex.split(", ")])
     assert text_crossings <= 1, I.exchange_inputs(df)
+
+
+def test_span_append_matches_full_recompute(spark, tmp_path):
+    """The incremental-matrix identity, span edition: probing the
+    at-rest window-count index scores a batch EXACTLY like running t18
+    over old ∪ new and keeping the batch rows — including windows that
+    are unique in each side but duplicated only across the union."""
+    old = [(i, f"old{i} " + "shared span common words here " + f"tail{i}")
+           for i in range(1, 6)]
+    new = [(11, "shared span common words here and fresh stuff"),
+           (12, "totally novel content nothing repeated anywhere at all")]
+    idx = str(tmp_path / "spanidx")
+    T.span_write_index(_docs(spark, old), idx, k=3)
+    got = {r["doc_id"]: (r["n_words"], r["dup_words"])
+           for r in T.span_append(spark, idx, _docs(spark, new),
+                                  k=3, min_count=2, commit=False).collect()}
+    full = {r["doc_id"]: (r["n_words"], r["dup_words"])
+            for r in T.dup_span_stats(_docs(spark, old + new), k=3)
+            .collect() if r["doc_id"] in (11, 12)}
+    assert got == full
+
+
+def test_span_append_commit_visible_to_next_batch(spark, tmp_path):
+    """A committed batch's window counts fold into the index: a span
+    that exists once in batch 1 and once in batch 2 (never in the base
+    corpus) is unduplicated for batch 1 but duplicated for batch 2."""
+    phrase = "rare phrase seen exactly twice overall"
+    idx = str(tmp_path / "spanidx")
+    T.span_write_index(
+        _docs(spark, [(1, "base corpus words entirely unrelated")]),
+        idx, k=3)
+    b1 = T.span_append(spark, idx, _docs(spark, [(2, phrase)]),
+                       k=3, min_count=2, commit=True)
+    assert {r["dup_words"] for r in b1.collect()} == {0}
+    b2 = T.span_append(spark, idx, _docs(spark, [(3, phrase)]),
+                       k=3, min_count=2, commit=False)
+    [r3] = b2.collect()
+    assert r3["dup_words"] == r3["n_words"] == 6
+
+
+def test_span_append_snapshot_isolated_from_own_commit(spark, tmp_path):
+    """commit=True folds the batch in, but the RETURNED frame keeps
+    probing the pre-append snapshot: collecting it after the commit
+    must not double-count the batch's own occurrences."""
+    idx = str(tmp_path / "spanidx")
+    T.span_write_index(
+        _docs(spark, [(1, "base corpus words entirely unrelated")]),
+        idx, k=3)
+    out = T.span_append(
+        spark, idx, _docs(spark, [(2, "once only never repeated phrase")]),
+        k=3, min_count=2, commit=True)
+    # collected AFTER the commit landed: still zero coverage
+    assert {r["dup_words"] for r in out.collect()} == {0}
+
+
+def test_span_append_refuses_mismatched_k(spark, tmp_path):
+    idx = str(tmp_path / "spanidx")
+    T.span_write_index(_docs(spark, [(1, "a b c d e f")]), idx, k=3)
+    with pytest.raises(ValueError, match="different scheme"):
+        T.span_append(spark, idx, _docs(spark, [(2, "a b c d")]), k=4)
