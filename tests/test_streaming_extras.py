@@ -1132,3 +1132,129 @@ def test_compact_cdc_index_epochs_probe_identical(spark, tmp_path):
     n_after = len([d for d in _o.listdir(idx) if d.startswith("ep=")])
     assert after == before and before
     assert n_after < n_before
+
+
+def _span_docs(lo, hi):
+    """Docs i in [lo, hi): even ids share one 4-word span (plus a unique
+    tail), odd ids are fully unique — duplication emerges both within a
+    batch and across batches."""
+    out = []
+    for i in range(lo, hi):
+        if i % 2 == 0:
+            out.append((i, f"head{i} shared span common words tail{i} x{i}"))
+        else:
+            out.append((i, f"solo{i} alpha{i} beta{i} gamma{i} delta{i} "
+                           f"eps{i} zeta{i}"))
+    return out
+
+
+def test_streaming_span_batches_union_to_full_restriction(spark, tmp_path):
+    """Two micro-batches through span_stream_writer == the batch
+    operators by hand (bootstrap dup_span_stats, then span_append
+    against the batch-1 count index): same per-doc coverage, and the
+    committed index carries every window count."""
+    from klepto_spark.operators import text as T
+    from klepto_spark.streaming.dedup import span_stream_writer
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    stats_out = str(tmp_path / "stats")
+    schema = "doc_id bigint, text string"
+    b1, b2 = _span_docs(0, 8), _span_docs(8, 16)
+
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, schema).write.mode("append") \
+            .parquet(src)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1000").parquet(src))
+        q = (span_stream_writer(stream, idx, stats_out,
+                                str(tmp_path / "ck"), k=3)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    got = {(r.doc_id, r.n_words, r.dup_words) for r in
+           spark.read.parquet(stats_out).collect()}
+
+    df1 = spark.createDataFrame(b1, schema)
+    df2 = spark.createDataFrame(b2, schema)
+    expect = {(r.doc_id, r.n_words, r.dup_words) for r in
+              T.dup_span_stats(df1, k=3).collect()}
+    ref_idx = str(tmp_path / "ref_idx")
+    T.span_write_index(df1, ref_idx, k=3)
+    expect |= {(r.doc_id, r.n_words, r.dup_words) for r in
+               T.span_append(spark, ref_idx, df2, k=3,
+                             commit=False).collect()}
+    assert got == expect
+    # batch-2 evens duplicate against batch 1 (cross-epoch signal)
+    by_id = {d: w for d, _, w in got}
+    assert by_id[8] > 0 and by_id[9] == 0
+    # index counts fold correctly on read: the shared 3-gram inside the
+    # common span was seen by all 8 even docs
+    idx_rows = spark.read.parquet(idx).groupBy("h").sum("cnt")
+    assert idx_rows.agg({"sum(cnt)": "max"}).first()[0] == 8
+
+
+def test_streaming_span_retry_never_double_counts(spark, tmp_path):
+    """THE span-specific replay hazard: the index stores COUNTS that sum
+    on read, so a replayed epoch must overwrite — not append — its
+    (h, cnt) rows. Replaying both epochs leaves index sums and stats
+    byte-identical to a single run."""
+    from klepto_spark.streaming.dedup import process_span_batch
+
+    idx = str(tmp_path / "idx")
+    stats_out = str(tmp_path / "stats")
+    schema = "doc_id bigint, text string"
+    df1 = spark.createDataFrame(_span_docs(0, 8), schema)
+    df2 = spark.createDataFrame(_span_docs(8, 16), schema)
+
+    process_span_batch(df1, 0, idx, stats_out, k=3)
+    process_span_batch(df2, 1, idx, stats_out, k=3)
+    once = sorted((r.doc_id, r.n_words, r.dup_words, r.ep) for r in
+                  spark.read.parquet(stats_out).collect())
+    sums_once = sorted((r.h, r["sum(cnt)"]) for r in
+                       spark.read.parquet(idx).groupBy("h").sum("cnt")
+                       .collect())
+
+    process_span_batch(df2, 1, idx, stats_out, k=3)
+    process_span_batch(df1, 0, idx, stats_out, k=3)
+    again = sorted((r.doc_id, r.n_words, r.dup_words, r.ep) for r in
+                   spark.read.parquet(stats_out).collect())
+    sums_again = sorted((r.h, r["sum(cnt)"]) for r in
+                        spark.read.parquet(idx).groupBy("h").sum("cnt")
+                        .collect())
+    assert again == once
+    assert sums_again == sums_once
+
+
+def test_compact_span_index_epochs_probe_identical(spark, tmp_path):
+    """Folding the streaming span index's committed epochs must change
+    nothing a probe sees — the FIFTH family's fold-identity pin: the
+    fold is row-preserving and span_append SUMS counts across rows, so
+    coverage against the folded index is identical with fewer ep=
+    dirs."""
+    import os as _o
+    from klepto_spark.operators import text as T
+    from klepto_spark.streaming.dedup import (compact_index_epochs,
+                                              process_span_batch)
+
+    idx = str(tmp_path / "spanidx5")
+    stats_out = str(tmp_path / "spanstats5")
+    schema = "doc_id bigint, text string"
+    for ep, (lo, hi) in enumerate([(0, 6), (6, 12), (12, 18)]):
+        process_span_batch(spark.createDataFrame(_span_docs(lo, hi),
+                                                 schema),
+                           ep, idx, stats_out, k=3)
+
+    probe = spark.createDataFrame(_span_docs(18, 22), schema)
+    before = {(r.doc_id, r.n_words, r.dup_words) for r in
+              T.span_append(spark, idx, probe, k=3,
+                            commit=False).collect()}
+    n_before = len([d for d in _o.listdir(idx) if d.startswith("ep=")])
+    assert compact_index_epochs(spark, idx, max_epoch_exclusive=3) > 0
+    after = {(r.doc_id, r.n_words, r.dup_words) for r in
+             T.span_append(spark, idx, probe, k=3,
+                           commit=False).collect()}
+    n_after = len([d for d in _o.listdir(idx) if d.startswith("ep=")])
+    assert after == before
+    assert any(w > 0 for _, _, w in after)  # cross-epoch duplication seen
+    assert n_after < n_before
