@@ -1754,6 +1754,30 @@ def q_leakage_split(spark, sf_dir):
                               SPLIT_WEIGHTS, salt=SEED)
 
 
+def _v04_oracle() -> str:
+    from klepto_spark.operators.validate import distribution_drift_sql
+    return distribution_drift_sql(
+        "SELECT * FROM documents WHERE doc_id % 2 = 0",
+        "SELECT * FROM documents WHERE doc_id % 2 = 1", "source")
+
+
+def q_distribution_drift(spark, sf_dir):
+    """v04: categorical-mixture drift between two corpus snapshots
+    (even vs odd doc ids standing in for consecutive crawls): per
+    source, counts and shares in each snapshot plus the absolute share
+    difference — the ingest-time mixture monitor beside v01's row
+    checks (did this crawl's source mix move under the recipe's feet?).
+    Counts are BIGINTs, every share one IEEE division of exact
+    integers in a pinned shape (v02's rule); after the two aggregates
+    the frame is category-sized, so the totals window is trivial
+    (operators.validate.distribution_drift)."""
+    from klepto_spark.operators.validate import distribution_drift
+    docs = _load(spark, sf_dir)("documents")
+    return distribution_drift(docs.filter(F.col("doc_id") % 2 == 0),
+                              docs.filter(F.col("doc_id") % 2 == 1),
+                              "source")
+
+
 T20_MOD = 10
 
 
@@ -2029,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-graded queries too); the rest are driver-green from r1-r10
         "t19_dup_span_strip": q_dup_span_strip,
         "t20_span_append": q_span_append,
+        "v04_distribution_drift": q_distribution_drift,
         "k01_scan": q_scan,
         "a01_pricing_summary": q_agg_pricing_summary,
         "k02_filter_topk": q_filter_topk,
@@ -2691,6 +2716,7 @@ FROM documents""",
         "t20_span_append": f"""
 SELECT * FROM ({T.dup_span_stats_sql(k=T18_K, min_count=T18_MIN_COUNT)})
 WHERE doc_id % {T20_MOD} = 3""",
+        "v04_distribution_drift": _v04_oracle(),
         "c04_leakage_split": f"""
 WITH RECURSIVE pairs AS ({_lsh_oracle()}),
 edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),

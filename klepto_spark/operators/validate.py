@@ -192,3 +192,62 @@ def validate_sql(table: str, checks: list[Check]) -> str:
     union = " UNION ALL ".join(f"({s})" for s in selects)
     return (f"SELECT \"check\", target, violations, "
             f"violations = 0 AS \"pass\" FROM ({union})")
+
+
+def distribution_drift(a: DataFrame, b: DataFrame,
+                       col: str) -> DataFrame:
+    """Categorical-mixture drift between two corpus snapshots — the
+    monitor a recurring ingest needs beside v01's row checks: per
+    category of ``col``, the count and share in each snapshot plus the
+    absolute share difference (sum(abs_diff)/2 downstream is the total
+    variation distance; a category present in only one side still
+    reports, with the missing share an exact 0.0).
+
+    Exactness: counts are BIGINTs; every share is one IEEE division of
+    exact integers and ``abs_diff`` one subtraction of those — a pinned
+    expression shape both engines compute bit-identically (the same
+    rule v02 uses to avoid stddev()). No sketches, no sampling.
+
+    Scale shape: one count-aggregate per snapshot (map-side combined),
+    a full outer join on the category, and the totals via an
+    unpartitioned window over the CATEGORY-cardinality frame — after
+    the aggregates, rows = distinct categories, so the window's single
+    partition holds kilobytes at any corpus size. Shuffles carry
+    (category, count) rows only."""
+    ca = a.groupBy(F.col(col).alias("cat")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"))
+    cb = b.groupBy(F.col(col).alias("cat")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy()
+    j = (ca.join(cb, "cat", "full_outer")
+         .select(F.col("cat"),
+                 F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+                 F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b")))
+    frac_a = F.col("n_a") / F.sum("n_a").over(w)
+    frac_b = F.col("n_b") / F.sum("n_b").over(w)
+    return j.select(
+        F.col("cat").alias(col), "n_a", "n_b",
+        frac_a.alias("frac_a"), frac_b.alias("frac_b"),
+        F.abs(frac_a - frac_b).alias("abs_diff"))
+
+
+def distribution_drift_sql(a_sql: str, b_sql: str, col: str) -> str:
+    """DuckDB oracle for :func:`distribution_drift` — identical count
+    aggregates, full outer join, window totals, and the same pinned
+    divide-then-subtract-then-abs expression shape."""
+    return f"""
+WITH __a AS (SELECT {col} AS cat, CAST(count(*) AS BIGINT) AS n_a
+             FROM ({a_sql}) GROUP BY 1),
+__b AS (SELECT {col} AS cat, CAST(count(*) AS BIGINT) AS n_b
+        FROM ({b_sql}) GROUP BY 1),
+__j AS (SELECT coalesce(__a.cat, __b.cat) AS cat,
+               CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+               CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+        FROM __a FULL OUTER JOIN __b ON __a.cat = __b.cat)
+SELECT cat AS {col}, n_a, n_b,
+       n_a * 1.0 / (SUM(n_a) OVER ()) AS frac_a,
+       n_b * 1.0 / (SUM(n_b) OVER ()) AS frac_b,
+       abs(n_a * 1.0 / (SUM(n_a) OVER ())
+           - n_b * 1.0 / (SUM(n_b) OVER ())) AS abs_diff
+FROM __j"""

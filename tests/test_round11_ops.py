@@ -300,3 +300,46 @@ def test_span_append_refuses_mismatched_k(spark, tmp_path):
     T.span_write_index(_docs(spark, [(1, "a b c d e f")]), idx, k=3)
     with pytest.raises(ValueError, match="different scheme"):
         T.span_append(spark, idx, _docs(spark, [(2, "a b c d")]), k=4)
+
+
+def test_distribution_drift_values_and_one_sided_categories(spark):
+    """Hand-computed drift: shares are exact divisions, a category
+    missing from one snapshot reports zero count and 0.0 share, and
+    sum(abs_diff)/2 is the total variation distance."""
+    from klepto_spark.operators.validate import distribution_drift
+    a = spark.createDataFrame(
+        [Row(doc_id=i, src=s) for i, s in
+         enumerate(["web"] * 6 + ["books"] * 3 + ["code"] * 1)])
+    b = spark.createDataFrame(
+        [Row(doc_id=i, src=s) for i, s in
+         enumerate(["web"] * 2 + ["books"] * 2 + ["wiki"] * 1)])
+    got = {r["src"]: r for r in
+           distribution_drift(a, b, "src").collect()}
+    assert got["web"]["n_a"] == 6 and got["web"]["n_b"] == 2
+    assert got["web"]["frac_a"] == 0.6 and got["web"]["frac_b"] == 0.4
+    assert got["code"]["n_b"] == 0 and got["code"]["frac_b"] == 0.0
+    assert got["wiki"]["n_a"] == 0 and got["wiki"]["frac_a"] == 0.0
+    tvd = sum(r["abs_diff"] for r in got.values()) / 2
+    assert abs(tvd - 0.3) < 1e-12  # (.2+.1+.1+.2)/2
+
+
+def test_distribution_drift_duckdb_twin(spark):
+    """The SQL twin computes identical doubles — same divide/subtract/
+    abs shape over the same BIGINTs."""
+    import duckdb
+    from klepto_spark.operators.validate import (distribution_drift,
+                                                 distribution_drift_sql)
+    rows = [(i, ["web", "books", "code"][i % 3]) for i in range(30)] + \
+           [(100 + i, "wiki") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string")
+    sgot = sorted(tuple(r) for r in distribution_drift(
+        df.filter("doc_id % 2 = 0"), df.filter("doc_id % 2 = 1"),
+        "src").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, src VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    dgot = sorted(tuple(r) for r in con.execute(distribution_drift_sql(
+        "SELECT * FROM t WHERE doc_id % 2 = 0",
+        "SELECT * FROM t WHERE doc_id % 2 = 1", "src")).fetchall())
+    con.close()
+    assert sgot == dgot
