@@ -1754,6 +1754,54 @@ def q_leakage_split(spark, sf_dir):
                               SPLIT_WEIGHTS, salt=SEED)
 
 
+def q_revenue_concentration(spark, sf_dir):
+    """a26: TPC-H Q11 shape — groups whose aggregate exceeds a fraction
+    of the GLOBAL total (part revenue concentration: parts earning
+    > 1.2x the average part's share). The classic scalar-subquery-
+    threshold decorrelation: revenue aggregates once per part, the
+    global total and group count come from ONE aggregate over that
+    already-aggregated (part-sized) frame — lineitem is scanned once —
+    and the single-row totals broadcast back. The threshold comparison
+    is pure DECIMAL arithmetic (rev * n * 10 > total * 12), so the
+    boundary decides identically in both engines; doubles appear only
+    in the reported columns. The part-sized aggregate PERSISTS (the
+    d07 pattern) because the totals branch pushes an isnotnull filter
+    the per-part branch lacks, which defeats exchange reuse — without
+    the persist, lineitem scans twice."""
+    li = _load(spark, sf_dir)("lineitem")
+    part = _load(spark, sf_dir)("part")
+    rev = (_dec("l_extendedprice")
+           * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+    pr = (li.groupBy("l_partkey")
+          .agg(F.sum(rev).alias("rev"))).persist()
+    totals = pr.agg(F.sum("rev").alias("total"),
+                    F.count(F.lit(1)).alias("n"))
+    return (pr.crossJoin(F.broadcast(totals))
+            .filter(F.col("rev") * F.col("n") * 10 > F.col("total") * 12)
+            .join(F.broadcast(part),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .select(F.col("p_partkey"), F.col("p_name"),
+                    F.col("rev").cast("double").alias("revenue"),
+                    (F.col("rev").cast("double")
+                     / F.col("total").cast("double")).alias("share")))
+
+
+def _a26_oracle() -> str:
+    return """
+WITH pr AS (SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+            FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT SUM(rev) AS total, COUNT(*) AS n FROM pr)
+SELECT p.p_partkey, p.p_name,
+       CAST(pr.rev AS DOUBLE) AS revenue,
+       CAST(pr.rev AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share
+FROM pr CROSS JOIN tot
+JOIN part p ON p.p_partkey = pr.l_partkey
+WHERE pr.rev * tot.n * 10 > tot.total * 12"""
+
+
 def _v04_oracle() -> str:
     from klepto_spark.operators.validate import distribution_drift_sql
     return distribution_drift_sql(
@@ -2054,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t19_dup_span_strip": q_dup_span_strip,
         "t20_span_append": q_span_append,
         "v04_distribution_drift": q_distribution_drift,
+        "a26_revenue_concentration": q_revenue_concentration,
         "k01_scan": q_scan,
         "a01_pricing_summary": q_agg_pricing_summary,
         "k02_filter_topk": q_filter_topk,
@@ -2717,6 +2766,7 @@ FROM documents""",
 SELECT * FROM ({T.dup_span_stats_sql(k=T18_K, min_count=T18_MIN_COUNT)})
 WHERE doc_id % {T20_MOD} = 3""",
         "v04_distribution_drift": _v04_oracle(),
+        "a26_revenue_concentration": _a26_oracle(),
         "c04_leakage_split": f"""
 WITH RECURSIVE pairs AS ({_lsh_oracle()}),
 edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
