@@ -1802,6 +1802,37 @@ JOIN part p ON p.p_partkey = pr.l_partkey
 WHERE pr.rev * tot.n * 10 > tot.total * 12"""
 
 
+def q_order_count_distribution(spark, sf_dir):
+    """a27: TPC-H Q13 shape — the customer order-count DISTRIBUTION:
+    left-outer join so never-ordered customers land in the zero bucket
+    (the inner-join bug Q13 exists to catch), per-customer counts that
+    only count MATCHED rows (count of the join-side key, not
+    count(*)), then a second aggregate over the counts. All exact
+    BIGINTs; two keyed aggregates whose shuffles carry (key, count)
+    rows. The filter (non-urgent orders) rides the scan."""
+    cust = _load(spark, sf_dir)("customer")
+    orders = (_load(spark, sf_dir)("orders")
+              .filter(F.col("o_orderpriority") != "1-URGENT"))
+    per_cust = (cust.join(orders,
+                          cust.c_custkey == orders.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+def _a27_oracle() -> str:
+    return """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN (SELECT * FROM orders
+                 WHERE o_orderpriority != '1-URGENT') o
+        ON c_custkey = o.o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count"""
+
+
 def _v04_oracle() -> str:
     from klepto_spark.operators.validate import distribution_drift_sql
     return distribution_drift_sql(
@@ -2103,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t20_span_append": q_span_append,
         "v04_distribution_drift": q_distribution_drift,
         "a26_revenue_concentration": q_revenue_concentration,
+        "a27_order_count_distribution": q_order_count_distribution,
         "k01_scan": q_scan,
         "a01_pricing_summary": q_agg_pricing_summary,
         "k02_filter_topk": q_filter_topk,
@@ -2767,6 +2799,7 @@ SELECT * FROM ({T.dup_span_stats_sql(k=T18_K, min_count=T18_MIN_COUNT)})
 WHERE doc_id % {T20_MOD} = 3""",
         "v04_distribution_drift": _v04_oracle(),
         "a26_revenue_concentration": _a26_oracle(),
+        "a27_order_count_distribution": _a27_oracle(),
         "c04_leakage_split": f"""
 WITH RECURSIVE pairs AS ({_lsh_oracle()}),
 edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
