@@ -65,9 +65,10 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          "t17_cdc_shared", "m05_payload_dedup", "d12_cdc_near_dup",
          "d13_cdc_append",
          # round-11: the sliding-window span family (every word emits a
-         # k-gram occurrence — linear in tokens, corpus-scale-sensitive)
-         # and the cluster-split composite over the LSH pair graph
-         "t18_dup_spans", "t19_dup_span_strip", "c04_leakage_split"]
+         # k-gram occurrence — linear in tokens, corpus-scale-sensitive),
+         # its at-rest index probe, and the cluster-split composite
+         "t18_dup_spans", "t19_dup_span_strip", "t20_span_append",
+         "c04_leakage_split"]
 COPIES = 10
 
 # Interpretation note for scaling_vs_10x_sf01: the rehearsal corpus is 10
