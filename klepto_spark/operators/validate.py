@@ -201,7 +201,9 @@ def distribution_drift(a: DataFrame, b: DataFrame,
     category of ``col``, the count and share in each snapshot plus the
     absolute share difference (sum(abs_diff)/2 downstream is the total
     variation distance; a category present in only one side still
-    reports, with the missing share an exact 0.0).
+    reports, with the missing share an exact 0.0 — as does an entirely
+    EMPTY snapshot, whose total clamps to 1 so no div-by-zero artifact
+    diverges between engines).
 
     Exactness: counts are BIGINTs; every share is one IEEE division of
     exact integers and ``abs_diff`` one subtraction of those — a pinned
@@ -224,8 +226,11 @@ def distribution_drift(a: DataFrame, b: DataFrame,
          .select(F.col("cat"),
                  F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
                  F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b")))
-    frac_a = F.col("n_a") / F.sum("n_a").over(w)
-    frac_b = F.col("n_b") / F.sum("n_b").over(w)
+    # greatest(total, 1): an EMPTY snapshot (every count 0) reports exact
+    # 0.0 shares instead of an engine-dependent div-by-zero artifact
+    # (Spark NULL vs DuckDB error) — 0/1 is the only case the clamp hits
+    frac_a = F.col("n_a") / F.greatest(F.sum("n_a").over(w), F.lit(1))
+    frac_b = F.col("n_b") / F.greatest(F.sum("n_b").over(w), F.lit(1))
     return j.select(
         F.col("cat").alias(col), "n_a", "n_b",
         frac_a.alias("frac_a"), frac_b.alias("frac_b"),
@@ -246,8 +251,8 @@ __j AS (SELECT coalesce(__a.cat, __b.cat) AS cat,
                CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
         FROM __a FULL OUTER JOIN __b ON __a.cat = __b.cat)
 SELECT cat AS {col}, n_a, n_b,
-       n_a * 1.0 / (SUM(n_a) OVER ()) AS frac_a,
-       n_b * 1.0 / (SUM(n_b) OVER ()) AS frac_b,
-       abs(n_a * 1.0 / (SUM(n_a) OVER ())
-           - n_b * 1.0 / (SUM(n_b) OVER ())) AS abs_diff
+       n_a * 1.0 / greatest(SUM(n_a) OVER (), 1) AS frac_a,
+       n_b * 1.0 / greatest(SUM(n_b) OVER (), 1) AS frac_b,
+       abs(n_a * 1.0 / greatest(SUM(n_a) OVER (), 1)
+           - n_b * 1.0 / greatest(SUM(n_b) OVER (), 1)) AS abs_diff
 FROM __j"""

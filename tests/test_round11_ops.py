@@ -343,3 +343,28 @@ def test_distribution_drift_duckdb_twin(spark):
         "SELECT * FROM t WHERE doc_id % 2 = 1", "src")).fetchall())
     con.close()
     assert sgot == dgot
+
+
+def test_distribution_drift_empty_snapshot_reports_zero_shares(spark):
+    """An entirely empty snapshot must report exact 0.0 shares (total
+    clamps to 1), not a div-by-zero NULL/error — and the non-empty
+    side's shares stay exact."""
+    import duckdb
+    from klepto_spark.operators.validate import (distribution_drift,
+                                                 distribution_drift_sql)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, src="web"), Row(doc_id=2, src="web"),
+         Row(doc_id=3, src="books"), Row(doc_id=4, src="books")])
+    got = {r["src"]: r for r in distribution_drift(
+        df, df.filter("doc_id < 0"), "src").collect()}
+    assert got["web"]["frac_a"] == 0.5 and got["web"]["frac_b"] == 0.0
+    assert got["web"]["abs_diff"] == 0.5
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, src VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(1, "web"), (2, "web"), (3, "books"), (4, "books")])
+    dgot = {r[0]: r for r in con.execute(distribution_drift_sql(
+        "SELECT * FROM t", "SELECT * FROM t WHERE doc_id < 0",
+        "src")).fetchall()}
+    con.close()
+    assert dgot["web"][3] == 0.5 and dgot["web"][4] == 0.0
