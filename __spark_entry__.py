@@ -1840,6 +1840,37 @@ def _v04_oracle() -> str:
         "SELECT * FROM documents WHERE doc_id % 2 = 1", "source")
 
 
+# d14 (SemDeDup) constants: 8 deterministic centroids x dim=64 = 512
+# unrolled distance terms — exactly the codegen budget, so the
+# assignment stays on the expression path the oracle replays
+# bit-identically (the Arrow argmin's expanded form can differ in the
+# last ulp). Measured for these constants over the contract data:
+# min assignment margin 5.4e-5 (sf0.1) / 5.2e-4 (sf0.001) — orders above
+# summation noise; threshold 0.423 sits in a gap of the cluster-local
+# candidate cosine distribution at ALL graded scales (nearest values
+# 0.420193 / 0.425295), so the round-6 filter can't flip membership.
+D14_CENTROIDS = [[math.sin(0.53 * (j + 1) + 1.3 * c) for j in range(64)]
+                 for c in range(8)]
+D14_THRESHOLD = 0.423
+D14_MAX_CLUSTER = 256
+
+
+def q_semdedup(spark, sf_dir):
+    """d14: SemDeDup (Abbas et al. 2023) — semantic dedup with k-means
+    clusters as the candidate buckets, the trained-codebook twin of
+    d06's data-oblivious hyperplane buckets (the SEVENTH dedup family).
+    Assignment is one codegen'd projection (dedup.semdedup ->
+    similarity.cluster_similar_pairs); only (cluster, key) rows
+    shuffle; clusters past 256 members star-cap; the duplicate-id list
+    broadcasts into the anti-join. Oracle replays assignment, cap and
+    pair arithmetic exactly."""
+    docs = _load(spark, sf_dir)("documents")
+    emb = _load(spark, sf_dir)("embeddings")
+    return dedup.semdedup(docs, emb, D14_CENTROIDS, D14_THRESHOLD,
+                          max_cluster=D14_MAX_CLUSTER
+                          ).select("doc_id", "lang", "source", "n_chars")
+
+
 def q_distribution_drift(spark, sf_dir):
     """v04: categorical-mixture drift between two corpus snapshots
     (even vs odd doc ids standing in for consecutive crawls): per
@@ -2138,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v04_distribution_drift": q_distribution_drift,
         "a26_revenue_concentration": q_revenue_concentration,
         "a27_order_count_distribution": q_order_count_distribution,
+        "d14_semdedup": q_semdedup,
         "k01_scan": q_scan,
         "a01_pricing_summary": q_agg_pricing_summary,
         "k02_filter_topk": q_filter_topk,
@@ -2803,6 +2835,8 @@ WHERE doc_id % {T20_MOD} = 3""",
         "v04_distribution_drift": _v04_oracle(),
         "a26_revenue_concentration": _a26_oracle(),
         "a27_order_count_distribution": _a27_oracle(),
+        "d14_semdedup": dedup.semdedup_sql(D14_CENTROIDS, D14_THRESHOLD,
+                                           max_cluster=D14_MAX_CLUSTER),
         "c04_leakage_split": f"""
 WITH RECURSIVE pairs AS ({_lsh_oracle()}),
 edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),

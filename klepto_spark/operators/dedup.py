@@ -1139,3 +1139,51 @@ def semantic_append(spark, path, new_emb: DataFrame, threshold: float,
                 "epoch id, or call semantic_append with commit=False")
         nb.write.mode("append").parquet(path)
     return out
+
+
+def semdedup(docs: DataFrame, emb: DataFrame,
+             centroids: list[list[float]], threshold: float,
+             doc_key: str = "doc_id", vec_key: str = "vec_id",
+             vec_col: str = "embedding",
+             max_cluster: int = 64) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup with k-means
+    clusters as the candidate buckets — the SEVENTH dedup family and
+    the trained-codebook twin of :func:`semantic_dedup` (d06, whose
+    hyperplane buckets are data-oblivious). Within each cluster, pairs
+    whose exact cosine reaches ``threshold`` mark the larger key a
+    duplicate; the corpus anti-joins the dropped ids out. The paper's
+    pruning is exactly this keep-one-per-similar-group rule applied
+    per cluster.
+
+    Scale shape: pairs come from
+    ``similarity.cluster_similar_pairs`` (assignment is one codegen'd
+    projection; only (cluster, key) rows shuffle; giant clusters
+    star-cap), and the duplicate-id list broadcasts into the anti-join
+    — the corpus is touched by exactly one scan. Documents without an
+    embedding row survive by construction."""
+    from klepto_spark.operators.similarity import cluster_similar_pairs
+    pairs = cluster_similar_pairs(emb, centroids, threshold,
+                                  vec_col=vec_col, key_col=vec_key,
+                                  max_cluster=max_cluster)
+    dups = pairs.select(F.col("b").alias(doc_key)).distinct()
+    return docs.join(F.broadcast(dups), doc_key, "left_anti")
+
+
+def semdedup_sql(centroids: list[list[float]], threshold: float,
+                 doc_table: str = "documents",
+                 emb_table: str = "embeddings",
+                 doc_key: str = "doc_id", vec_key: str = "vec_id",
+                 vec_col: str = "embedding", max_cluster: int = 64,
+                 cols: str = "doc_id, lang, source, n_chars") -> str:
+    """DuckDB oracle for :func:`semdedup`: replays the exact centroid
+    assignment + cluster-local pair generation
+    (similarity.cluster_pairs_sql), then anti-joins the larger-id side
+    of each pair out of the corpus."""
+    from klepto_spark.operators.similarity import cluster_pairs_sql
+    pairs = cluster_pairs_sql(centroids, threshold, table=emb_table,
+                              vec_col=vec_col, key_col=vec_key,
+                              max_cluster=max_cluster)
+    return f"""
+SELECT {cols} FROM {doc_table} d
+WHERE d.{doc_key} NOT IN (SELECT b FROM ({pairs}) pq)
+"""

@@ -1453,3 +1453,80 @@ def topk_mmr(df: DataFrame, query: list[float], k: int,
     short_vec = vecs.join(F.broadcast(short.select(key_col)), key_col)
     return mmr_rerank(df.sparkSession, short_vec, query, k, lam,
                       vec_col, key_col)
+
+
+def cluster_similar_pairs(df: DataFrame, centroids: list[list[float]],
+                          threshold: float, vec_col: str = "embedding",
+                          key_col: str = "vec_id",
+                          max_cluster: int = 64) -> DataFrame:
+    """SemDeDup candidate generation (Abbas et al. 2023,
+    arXiv:2303.09540): k-means CLUSTERS replace the random-hyperplane
+    buckets of :func:`cosine_similar_pairs` — assign each vector to its
+    nearest centroid, expand candidate pairs cluster-locally, verify
+    with exact cosine. Where hyperplanes are data-oblivious, a trained
+    codebook adapts buckets to the corpus's density: that is the trade
+    SemDeDup makes (tighter candidate sets, but a near-dup pair split
+    across a cluster BOUNDARY is invisible — the recall complement is
+    d06's hyperplane path, which has no boundaries).
+
+    Scale shape — identical to :func:`cosine_similar_pairs`: the
+    assignment is :func:`ivf_assign` (codegen'd unrolled distances,
+    oracle-replayable, Arrow past the codegen budget); one groupBy on
+    the cluster id shuffles (cluster, key) rows only; giant clusters
+    star-cap (``dedup.capped_bucket_pairs``); the bounded candidate
+    list joins vectors back for the exact-cosine verify. Per-cluster
+    all-pairs is the method's intrinsic cost — SemDeDup controls it
+    with MORE centroids (smaller clusters), the cap is the backstop."""
+    from klepto_spark.operators.dedup import capped_bucket_pairs, fan_out
+    spread = fan_out(df, key_col)
+    assigned = ivf_assign(spread, centroids, vec_col, key_col)
+    buckets = (assigned.filter(F.col("cluster").isNotNull())
+               .groupBy("cluster")
+               .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    # clusters are disjoint -> pairs already unique, skip the distinct
+    cand = capped_bucket_pairs(buckets, max_cluster, dedup=False)
+    vecs = spread.select(F.col(key_col),
+                         F.col(vec_col).cast("array<double>").alias("v"))
+    joined = (cand
+              .join(vecs.withColumnRenamed(key_col, "a")
+                    .withColumnRenamed("v", "va"), "a")
+              .join(vecs.withColumnRenamed(key_col, "b")
+                    .withColumnRenamed("v", "vb"), "b"))
+    score = cosine(F.col("va"), F.col("vb"))
+    return (joined.select("a", "b", F.round(score, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def cluster_pairs_sql(centroids: list[list[float]], threshold: float,
+                      table: str = "embeddings",
+                      vec_col: str = "embedding", key_col: str = "vec_id",
+                      max_cluster: int = 64) -> str:
+    """DuckDB oracle for :func:`cluster_similar_pairs`: the assignment
+    distances unroll left-associated in element order (bit-identical to
+    ivf_assign's fold; first minimum on ties via list_position), the
+    same a<b cluster-local expansion with the same star cap, the same
+    round-6 cosine filter. Choose centroids with measured assignment
+    margins and a threshold in a measured gap of the candidate cosine
+    distribution (both recorded for the contract constants)."""
+    dists = []
+    for cent in centroids:
+        terms = " + ".join(
+            f"(v[{j + 1}] - {float(cent[j])!r}) * (v[{j + 1}] - {float(cent[j])!r})"
+            for j in range(len(cent)))
+        dists.append(f"({terms})")
+    ds = "[" + ", ".join(dists) + "]"
+    return f"""
+WITH e AS (SELECT {key_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
+a AS (SELECT {key_col}, v, {ds} AS ds FROM e),
+c AS (SELECT {key_col}, v,
+             list_position(ds, list_min(ds)) - 1 AS cluster FROM a),
+st AS (SELECT cluster, count(*) AS n, min({key_col}) AS mn
+       FROM c GROUP BY cluster)
+SELECT l.{key_col} AS a, r.{key_col} AS b,
+       round(list_cosine_similarity(l.v, r.v), 6) AS cosine
+FROM c l JOIN c r ON l.cluster = r.cluster AND l.{key_col} < r.{key_col}
+JOIN st s ON s.cluster = l.cluster
+WHERE (s.n <= {max_cluster} OR l.{key_col} = s.mn)
+  AND round(list_cosine_similarity(l.v, r.v), 6) >= {threshold}
+"""

@@ -368,3 +368,44 @@ def test_distribution_drift_empty_snapshot_reports_zero_shares(spark):
         "src")).fetchall()}
     con.close()
     assert dgot["web"][3] == 0.5 and dgot["web"][4] == 0.0
+
+
+def test_semdedup_within_cluster_pairs_and_boundary_trade(spark):
+    """SemDeDup's contract and its documented trade: same-cluster
+    near-dups pair (larger id dropped), but a near-dup pair SPLIT
+    ACROSS a cluster boundary is invisible — that recall complement
+    belongs to d06's hyperplane path."""
+    from klepto_spark.operators import dedup as D
+    from klepto_spark.operators.similarity import cluster_similar_pairs
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.9, 0.1]),
+         Row(vec_id=2, embedding=[0.88, 0.12]),   # near-dup of 1, cluster 0
+         Row(vec_id=3, embedding=[0.1, 0.9]),     # alone in cluster 1
+         Row(vec_id=4, embedding=[0.72, 0.69]),   # cluster 0 ─┐ near-dups
+         Row(vec_id=5, embedding=[0.69, 0.72])])  # cluster 1 ─┘ split
+    pairs = {(r["a"], r["b"]) for r in
+             cluster_similar_pairs(emb, cents, 0.99).collect()}
+    assert (1, 2) in pairs
+    assert (4, 5) not in pairs  # the boundary trade
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", source="s", n_chars=10)
+         for i in range(1, 7)])  # doc 6 has no embedding -> survives
+    kept = {r["doc_id"] for r in
+            D.semdedup(docs, emb, cents, 0.99).collect()}
+    assert kept == {1, 3, 4, 5, 6}
+
+
+def test_semdedup_star_cap_bounds_giant_clusters(spark):
+    """A cluster past max_cluster emits only star edges from its min
+    key — O(m) pairs, connectivity preserved for downstream CC."""
+    from klepto_spark.operators.similarity import cluster_similar_pairs
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, 0.001 * i]) for i in range(10)])
+    got = sorted((r["a"], r["b"]) for r in
+                 cluster_similar_pairs(emb, cents, 0.9,
+                                       max_cluster=4).collect())
+    assert got == [(0, i) for i in range(1, 10)]
+    full = cluster_similar_pairs(emb, cents, 0.9, max_cluster=64).count()
+    assert full == 45
