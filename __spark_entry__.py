@@ -1871,6 +1871,54 @@ def q_semdedup(spark, sf_dir):
                           ).select("doc_id", "lang", "source", "n_chars")
 
 
+C05_MAX_DUP_FRAC = 0.5
+
+
+def q_curation_recipe(spark, sf_dir):
+    """c05: the round-11 curation capstone — duplicated-span gate (t18:
+    keep docs with dup_frac < 0.5) -> SemDeDup over the survivors'
+    embeddings (d14) -> deterministic train/valid/test assignment
+    (p01's rule). Every stage is an already-verified operator; this
+    query value-checks the COMPOSITION: the gate decides which vectors
+    even enter the clusters (star caps and representatives shift with
+    membership — the oracle recomputes them over the gated set), and
+    the split hashes only survivors. Threshold safety is inherited:
+    0.423 sits in a measured gap of ALL within-cluster pair cosines,
+    so any gated SUBSET of candidates is gap-safe too."""
+    from klepto_spark.operators import sampling as P
+    docs = _load(spark, sf_dir)("documents")
+    emb = _load(spark, sf_dir)("embeddings")
+    gate = (T.dup_span_stats(docs, "text", "doc_id",
+                             k=T18_K, min_count=T18_MIN_COUNT)
+            .filter(F.col("dup_frac") < C05_MAX_DUP_FRAC)
+            .select("doc_id"))
+    kept = docs.join(gate, "doc_id")
+    emb_kept = emb.join(gate.withColumnRenamed("doc_id", "vec_id"),
+                        "vec_id")
+    dd = dedup.semdedup(kept, emb_kept, D14_CENTROIDS, D14_THRESHOLD,
+                        max_cluster=D14_MAX_CLUSTER)
+    return (P.split_assign(dd, "doc_id", SPLIT_WEIGHTS, salt=SEED)
+            .select("doc_id", "lang", "source", "split"))
+
+
+def _c05_oracle() -> str:
+    inner = dedup.semdedup_sql(D14_CENTROIDS, D14_THRESHOLD,
+                               doc_table="__docs", emb_table="__emb",
+                               max_cluster=D14_MAX_CLUSTER,
+                               cols="doc_id, lang, source")
+    return f"""
+WITH __gate AS (SELECT doc_id
+                FROM ({T.dup_span_stats_sql(k=T18_K,
+                                            min_count=T18_MIN_COUNT)})
+                WHERE dup_frac < {C05_MAX_DUP_FRAC}),
+__docs AS (SELECT d.* FROM documents d JOIN __gate USING (doc_id)),
+__emb AS (SELECT e.* FROM embeddings e JOIN __gate g
+          ON e.vec_id = g.doc_id)
+SELECT doc_id, lang, source,
+       {sampling.split_assign_sql('doc_id', SPLIT_WEIGHTS, salt=SEED)}
+FROM ({inner})"""
+
+
 def q_distribution_drift(spark, sf_dir):
     """v04: categorical-mixture drift between two corpus snapshots
     (even vs odd doc ids standing in for consecutive crawls): per
@@ -2170,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a26_revenue_concentration": q_revenue_concentration,
         "a27_order_count_distribution": q_order_count_distribution,
         "d14_semdedup": q_semdedup,
+        "c05_curation_recipe": q_curation_recipe,
         "k01_scan": q_scan,
         "a01_pricing_summary": q_agg_pricing_summary,
         "k02_filter_topk": q_filter_topk,
@@ -2837,6 +2886,7 @@ WHERE doc_id % {T20_MOD} = 3""",
         "a27_order_count_distribution": _a27_oracle(),
         "d14_semdedup": dedup.semdedup_sql(D14_CENTROIDS, D14_THRESHOLD,
                                            max_cluster=D14_MAX_CLUSTER),
+        "c05_curation_recipe": _c05_oracle(),
         "c04_leakage_split": f"""
 WITH RECURSIVE pairs AS ({_lsh_oracle()}),
 edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
