@@ -1871,6 +1871,44 @@ def q_semdedup(spark, sf_dir):
                           ).select("doc_id", "lang", "source", "n_chars")
 
 
+A28_SIZES = [1, 7, 14, 21, 28, 35, 42, 49]
+
+
+def q_supplier_diversity(spark, sf_dir):
+    """a28: TPC-H Q16 shape — distinct-supplier counts per part
+    attribute group, with a NOT-IN supplier exclusion (negative
+    balance standing in for Q16's complaint filter; the base tables
+    carry no comment column). The decorrelation: the excluded-supplier
+    list is a tiny aggregate that BROADCASTS into a left-anti join —
+    never a per-row subquery — and countDistinct shuffles
+    (group, suppkey) pairs only; the brand/size filters ride the part
+    scan as pushed predicates."""
+    li = _load(spark, sf_dir)("lineitem")
+    part = (_load(spark, sf_dir)("part")
+            .filter((F.col("p_brand") != "Brand#13")
+                    & F.col("p_size").isin(A28_SIZES)))
+    bad = (_load(spark, sf_dir)("supplier")
+           .filter(F.col("s_acctbal") < 0)
+           .select(F.col("s_suppkey").alias("l_suppkey")))
+    return (li.join(F.broadcast(part),
+                    li.l_partkey == part.p_partkey)
+            .join(F.broadcast(bad), "l_suppkey", "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct("l_suppkey").alias("supplier_cnt")))
+
+
+def _a28_oracle() -> str:
+    sizes = ", ".join(str(s) for s in A28_SIZES)
+    return f"""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand != 'Brand#13' AND p_size IN ({sizes})
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3"""
+
+
 C05_MAX_DUP_FRAC = 0.5
 
 
@@ -2219,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a27_order_count_distribution": q_order_count_distribution,
         "d14_semdedup": q_semdedup,
         "c05_curation_recipe": q_curation_recipe,
+        "a28_supplier_diversity": q_supplier_diversity,
         "k01_scan": q_scan,
         "a01_pricing_summary": q_agg_pricing_summary,
         "k02_filter_topk": q_filter_topk,
@@ -2887,6 +2926,7 @@ WHERE doc_id % {T20_MOD} = 3""",
         "d14_semdedup": dedup.semdedup_sql(D14_CENTROIDS, D14_THRESHOLD,
                                            max_cluster=D14_MAX_CLUSTER),
         "c05_curation_recipe": _c05_oracle(),
+        "a28_supplier_diversity": _a28_oracle(),
         "c04_leakage_split": f"""
 WITH RECURSIVE pairs AS ({_lsh_oracle()}),
 edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
