@@ -2182,8 +2182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     t06-t17, a14-a25, p05-p07, m03-m05, v01-v03, c01-c03, k15) plus
     this round's t18 (duplicated-span coverage) and c04 (leakage-safe
     split), grouped by family. The back half leads with the rest of
-    this round's additions (t19/t20/v04/a26/a27 — they wait for the
-    round-12 rotation) followed by the queries already driver-graded
+    this round's additions (t19/t20/v04/a26-a28/d14/c05 — they wait
+    for the round-12 rotation) followed by the queries already driver-graded
     in rounds 1-10 (including the k01/a01 anchors, green every round
     since r1); ALL queries stay value-checked every run by
     tests/test_oracle_parity.py regardless of position."""
@@ -2247,9 +2247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c04_leakage_split": q_leakage_split,
         "k15_pii_pipeline": q_pii_pipeline,
         # ---- entries below are outside the driver's 50-query window ----
-        # t19/t20/v04/a26/a27 wait for the round-12 rotation (the 50
-        # slots above are all never-graded queries too); the rest are
-        # driver-green from rounds 1-10
+        # t19/t20/v04/a26-a28/d14/c05 wait for the round-12 rotation
+        # (the 50 slots above are all never-graded queries too); the
+        # rest are driver-green from rounds 1-10
         "t19_dup_span_strip": q_dup_span_strip,
         "t20_span_append": q_span_append,
         "v04_distribution_drift": q_distribution_drift,
