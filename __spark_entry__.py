@@ -1871,6 +1871,43 @@ def q_semdedup(spark, sf_dir):
                           ).select("doc_id", "lang", "source", "n_chars")
 
 
+P08_PER_CLUSTER = 5
+
+
+def q_cluster_sample(spark, sf_dir):
+    """p08: cluster-stratified exact-n sampling — exactly 5 vectors per
+    SEMANTIC cluster (d14's centroids) in deterministic hash order: the
+    balanced-eval-set builder (a uniform sample over-represents dense
+    regions; per-cluster quotas cover the embedding space). Composes
+    the codegen'd centroid assignment with p03's windowed reservoir:
+    one shuffle on the cluster id carrying (cluster, key) rows, the
+    window sorted by (md5 prefix, key)."""
+    from klepto_spark.operators import sampling as P
+    from klepto_spark.operators.similarity import ivf_assign
+    emb = _load(spark, sf_dir)("embeddings")
+    assigned = ivf_assign(emb, D14_CENTROIDS).filter(
+        F.col("cluster").isNotNull())
+    return (P.sample_exact_n(assigned, "cluster", "vec_id",
+                             P08_PER_CLUSTER, salt=SEED)
+            .select("vec_id", "cluster", "rn"))
+
+
+def _p08_oracle() -> str:
+    dists = []
+    for cent in D14_CENTROIDS:
+        terms = " + ".join(
+            f"(v[{j + 1}] - {float(cent[j])!r}) * (v[{j + 1}] - {float(cent[j])!r})"
+            for j in range(len(cent)))
+        dists.append(f"({terms})")
+    ds = "[" + ", ".join(dists) + "]"
+    inner = (f"SELECT vec_id, list_position({ds}, list_min({ds})) - 1 "
+             f"AS cluster FROM (SELECT vec_id, "
+             f"CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+    return sampling.sample_exact_n_sql(
+        f"({inner})", "cluster", "vec_id", P08_PER_CLUSTER, salt=SEED,
+        columns="vec_id, cluster")
+
+
 A28_SIZES = [1, 7, 14, 21, 28, 35, 42, 49]
 
 
@@ -2258,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d14_semdedup": q_semdedup,
         "c05_curation_recipe": q_curation_recipe,
         "a28_supplier_diversity": q_supplier_diversity,
+        "p08_cluster_sample": q_cluster_sample,
         "k01_scan": q_scan,
         "a01_pricing_summary": q_agg_pricing_summary,
         "k02_filter_topk": q_filter_topk,
@@ -2927,6 +2965,7 @@ WHERE doc_id % {T20_MOD} = 3""",
                                            max_cluster=D14_MAX_CLUSTER),
         "c05_curation_recipe": _c05_oracle(),
         "a28_supplier_diversity": _a28_oracle(),
+        "p08_cluster_sample": _p08_oracle(),
         "c04_leakage_split": f"""
 WITH RECURSIVE pairs AS ({_lsh_oracle()}),
 edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
