@@ -1762,12 +1762,17 @@ def q_revenue_concentration(spark, sf_dir):
     global total and group count come from ONE aggregate over that
     already-aggregated (part-sized) frame — lineitem is scanned once —
     and the single-row totals broadcast back. The threshold comparison
-    is pure DECIMAL arithmetic (rev * n * 10 > total * 12), so the
-    boundary decides identically in both engines; doubles appear only
-    in the reported columns. The part-sized aggregate PERSISTS (the
-    d07 pattern) because the totals branch pushes an isnotnull filter
-    the per-part branch lacks, which defeats exchange reuse — without
-    the persist, lineitem scans twice."""
+    is ONE pinned IEEE expression over doubles cast from the exact
+    decimal sums — ((rev*n)*10 > (total)*12) with identical operand
+    order in both engines — so the boundary decides identically (a
+    pure-decimal comparison would NOT: rev*n*10 overflows DECIMAL(38)
+    width and DuckDB silently rebinds it in DOUBLE while Spark keeps
+    decimal, a divergent boundary). The part-sized aggregate PERSISTS
+    (the d07 pattern) because the totals branch pushes an isnotnull
+    filter the per-part branch lacks, which defeats exchange reuse —
+    without the persist, lineitem scans twice; the cached frame is
+    part-cardinality (bounded, MEMORY_AND_DISK, LRU-evictable), the
+    accepted cost of the one-scan plan."""
     li = _load(spark, sf_dir)("lineitem")
     part = _load(spark, sf_dir)("part")
     rev = (_dec("l_extendedprice")
@@ -1777,7 +1782,8 @@ def q_revenue_concentration(spark, sf_dir):
     totals = pr.agg(F.sum("rev").alias("total"),
                     F.count(F.lit(1)).alias("n"))
     return (pr.crossJoin(F.broadcast(totals))
-            .filter(F.col("rev") * F.col("n") * 10 > F.col("total") * 12)
+            .filter(F.col("rev").cast("double") * F.col("n") * F.lit(10.0)
+                    > F.col("total").cast("double") * F.lit(12.0))
             .join(F.broadcast(part),
                   F.col("l_partkey") == F.col("p_partkey"))
             .select(F.col("p_partkey"), F.col("p_name"),
@@ -1799,7 +1805,8 @@ SELECT p.p_partkey, p.p_name,
        CAST(pr.rev AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share
 FROM pr CROSS JOIN tot
 JOIN part p ON p.p_partkey = pr.l_partkey
-WHERE pr.rev * tot.n * 10 > tot.total * 12"""
+WHERE CAST(pr.rev AS DOUBLE) * tot.n * 10.0
+      > CAST(tot.total AS DOUBLE) * 12.0"""
 
 
 def q_order_count_distribution(spark, sf_dir):
@@ -1840,15 +1847,18 @@ def _v04_oracle() -> str:
         "SELECT * FROM documents WHERE doc_id % 2 = 1", "source")
 
 
-# d14 (SemDeDup) constants: 8 deterministic centroids x dim=64 = 512
-# unrolled distance terms — exactly the codegen budget, so the
-# assignment stays on the expression path the oracle replays
-# bit-identically (the Arrow argmin's expanded form can differ in the
-# last ulp). Measured for these constants over the contract data:
-# min assignment margin 5.4e-5 (sf0.1) / 5.2e-4 (sf0.001) — orders above
-# summation noise; threshold 0.423 sits in a gap of the cluster-local
-# candidate cosine distribution at ALL graded scales (nearest values
-# 0.420193 / 0.425295), so the round-6 filter can't flip membership.
+# d14 (SemDeDup) constants: 8 deterministic centroids x dim=64. The
+# argmin inlines the distance array twice, so at 512 terms the
+# expression path would blow janino's method limit and run INTERPRETED
+# (measured 9.8 s vs 1.7 s) — the assignment therefore rides the
+# SUBTRACT-SQUARE Arrow kernel (the ivf_topk precedent), whose values
+# track the unrolled SQL fold to summation order only. That is safe
+# because the margins are measured over the contract data: min
+# assignment margin 5.4e-5 (sf0.1) / 5.2e-4 (sf0.001) — ten orders
+# above summation-order noise; threshold 0.423 sits in a gap of the
+# cluster-local candidate cosine distribution at ALL graded scales
+# (nearest values 0.420193 / 0.425295), so the round-6 filter can't
+# flip membership.
 D14_CENTROIDS = [[math.sin(0.53 * (j + 1) + 1.3 * c) for j in range(64)]
                  for c in range(8)]
 D14_THRESHOLD = 0.423
@@ -1884,7 +1894,7 @@ def q_cluster_sample(spark, sf_dir):
     window sorted by (md5 prefix, key)."""
     from klepto_spark.operators import sampling as P
     from klepto_spark.operators.similarity import ivf_assign
-    emb = _load(spark, sf_dir)("embeddings")
+    emb = dedup.fan_out(_load(spark, sf_dir)("embeddings"), "vec_id")
     assigned = ivf_assign(emb, D14_CENTROIDS).filter(
         F.col("cluster").isNotNull())
     return (P.sample_exact_n(assigned, "cluster", "vec_id",
@@ -1893,16 +1903,15 @@ def q_cluster_sample(spark, sf_dir):
 
 
 def _p08_oracle() -> str:
-    dists = []
-    for cent in D14_CENTROIDS:
-        terms = " + ".join(
-            f"(v[{j + 1}] - {float(cent[j])!r}) * (v[{j + 1}] - {float(cent[j])!r})"
-            for j in range(len(cent)))
-        dists.append(f"({terms})")
-    ds = "[" + ", ".join(dists) + "]"
-    inner = (f"SELECT vec_id, list_position({ds}, list_min({ds})) - 1 "
+    from klepto_spark.operators.similarity import sq_dist_list_sql
+    ds = sq_dist_list_sql(D14_CENTROIDS)
+    # the cluster-IS-NOT-NULL filter mirrors q_cluster_sample's guard:
+    # a NULL/malformed embedding must not form a phantom NULL stratum
+    inner = (f"SELECT vec_id, cluster FROM "
+             f"(SELECT vec_id, list_position({ds}, list_min({ds})) - 1 "
              f"AS cluster FROM (SELECT vec_id, "
-             f"CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+             f"CAST(embedding AS DOUBLE[]) AS v FROM embeddings)) "
+             f"WHERE cluster IS NOT NULL")
     return sampling.sample_exact_n_sql(
         f"({inner})", "cluster", "vec_id", P08_PER_CLUSTER, salt=SEED,
         columns="vec_id, cluster")
@@ -2355,6 +2364,19 @@ def _pipeline_oracle(spec: TableSpec, columns: list[str]) -> str:
     return build_table_sql(spec, columns=columns, seed=SEED)
 
 
+def _closure_prefix() -> str:
+    """Shared recursive-CTE prefix of the d05/d07/c04 oracles: LSH
+    pairs -> symmetric edges -> transitive reach. One definition so
+    the three closure consumers can never drift."""
+    return f"""WITH RECURSIVE pairs AS ({_lsh_oracle()}),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)"""
+
+
 def _lsh_oracle(k: int = 5, num_hashes: int = 16, bands: int = 4,
                 max_bucket: int = 64) -> str:
     rows = num_hashes // bands
@@ -2583,13 +2605,7 @@ FROM events""",
         "d02_dedup_minhash_lsh": _lsh_oracle(),
         "d04_dedup_jaccard_verified": _jaccard_oracle(),
         "d05_dedup_clusters": f"""
-WITH RECURSIVE pairs AS ({_lsh_oracle()}),
-edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
-reach(src, dst) AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
-)
+{_closure_prefix()}
 SELECT d.doc_id,
        least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS canonical,
        least(d.doc_id, coalesce(min(r.dst), d.doc_id)) != d.doc_id AS is_duplicate
@@ -2597,13 +2613,7 @@ FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
 GROUP BY d.doc_id""",
         "d06_dedup_semantic": dedup.semantic_dedup_sql(**ANN_LSH),
         "d07_dedup_keep_best": f"""
-WITH RECURSIVE pairs AS ({_lsh_oracle()}),
-edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
-reach(src, dst) AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
-),
+{_closure_prefix()},
 comp AS (SELECT d.doc_id, d.n_chars,
                 least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS comp
          FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
@@ -2967,13 +2977,7 @@ WHERE doc_id % {T20_MOD} = 3""",
         "a28_supplier_diversity": _a28_oracle(),
         "p08_cluster_sample": _p08_oracle(),
         "c04_leakage_split": f"""
-WITH RECURSIVE pairs AS ({_lsh_oracle()}),
-edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
-reach(src, dst) AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
-),
+{_closure_prefix()},
 comp AS (SELECT d.doc_id,
                 least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS canonical
          FROM documents d LEFT JOIN reach r ON r.src = d.doc_id

@@ -68,7 +68,10 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          # k-gram occurrence — linear in tokens, corpus-scale-sensitive),
          # its at-rest index probe, and the cluster-split composite
          "t18_dup_spans", "t19_dup_span_strip", "t20_span_append",
-         "c04_leakage_split"]
+         "c04_leakage_split",
+         # round-11 continuation: clustered semantic dedup + its
+         # sampling/capstone composites (Arrow assignment kernel)
+         "d14_semdedup", "p08_cluster_sample", "c05_curation_recipe"]
 COPIES = 10
 
 # Interpretation note for scaling_vs_10x_sf01: the rehearsal corpus is 10

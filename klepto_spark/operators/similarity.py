@@ -293,10 +293,24 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
 
 
 def _argmin_cluster(v: Column, centroids: list[list[float]]) -> Column:
-    if len(centroids) * len(centroids[0]) <= _CODEGEN_TERM_BUDGET:
+    # The argmin form inlines the distance ARRAY twice (array_position +
+    # array_min), so the generated method carries 2*k*dim terms — at
+    # k*dim = 512 janino refuses the method and the stage silently runs
+    # INTERPRETED with no codegen at all (measured: 9.8 s vs 1.7 s on
+    # 5k rows x 8x64). Budget the doubled size, and send the mid range
+    # to the SUBTRACT-SQUARE Arrow kernel (the ivf_topk precedent):
+    # ((v-c)^2).sum tracks the unrolled fold / DuckDB oracle to
+    # summation order only — below any measured assignment margin.
+    # The expanded BLAS form (|v|^2 - 2VC^T + |c|^2) stays the
+    # hundreds-of-centroids path; its last-ulp drift vs the oracle is
+    # why it never serves oracle-checked constants.
+    terms = len(centroids) * len(centroids[0])
+    if 2 * terms <= _CODEGEN_TERM_BUDGET:
         ds = F.array(*[_sq_dist_unrolled(v, cent, len(cent))
                        for cent in centroids])
         return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+    if terms <= 8 * _CODEGEN_TERM_BUDGET:
+        return _argmin_sq_pandas(centroids)(v)
     return _argmin_pandas(centroids)(v)
 
 
@@ -327,6 +341,25 @@ def _argmin_pandas(centroids: list[list[float]]):
 
     assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     return pandas_udf(assign, "int")
+
+
+def sq_dist_list_sql(centroids: list[list[float]], vec: str = "v",
+                     offset: int = 0) -> str:
+    """The unrolled squared-distance LIST as DuckDB SQL — THE
+    exactness-critical expression every assignment oracle shares:
+    terms left-associated in element order, bit-identical to
+    ``_sq_dist_unrolled``'s fold (0.0 + t1 == t1 in IEEE). One
+    definition so the oracle call sites (IVF, IVF-PQ subspaces,
+    SemDeDup clusters, cluster-stratified sampling) can never drift
+    apart in float formatting, associativity or indexing."""
+    dists = []
+    for cent in centroids:
+        terms = " + ".join(
+            f"({vec}[{offset + j + 1}] - {float(cent[j])!r})"
+            f" * ({vec}[{offset + j + 1}] - {float(cent[j])!r})"
+            for j in range(len(cent)))
+        dists.append(f"({terms})")
+    return "[" + ", ".join(dists) + "]"
 
 
 def _nearest_clusters(query: list[float], centroids: list[list[float]],
@@ -483,13 +516,7 @@ def ivf_topk_sql(query: list[float], centroids: list[list[float]],
     ivf_assign, list_position finds the first match). Choose centroids
     with clear assignment margins and a k-boundary score gap (both
     measured for the contract constants)."""
-    dists = []
-    for cent in centroids:
-        terms = " + ".join(
-            f"(v[{j + 1}] - {float(cent[j])!r}) * (v[{j + 1}] - {float(cent[j])!r})"
-            for j in range(len(cent)))
-        dists.append(f"({terms})")
-    ds = "[" + ", ".join(dists) + "]"
+    ds = sq_dist_list_sql(centroids)
     qlit = "[" + ", ".join(repr(float(x)) for x in query) + "]"
     probed = ", ".join(str(p) for p in
                        _nearest_clusters(query, centroids, n_probe))
@@ -762,14 +789,8 @@ def pq_topk_sql(query: list[float], codebooks: list[list[list[float]]],
         raise ValueError(f"query dim {len(query)} != {m}x{sub}")
     ds_cols, code_cols, luts = [], [], []
     for i, book in enumerate(codebooks):
-        dists = []
-        for cent in book:
-            terms = " + ".join(
-                f"(v[{i * sub + j + 1}] - {float(cent[j])!r})"
-                f" * (v[{i * sub + j + 1}] - {float(cent[j])!r})"
-                for j in range(sub))
-            dists.append(f"({terms})")
-        ds_cols.append("[" + ", ".join(dists) + f"] AS ds{i}")
+        ds_cols.append(sq_dist_list_sql(book, offset=i * sub)
+                       + f" AS ds{i}")
         code_cols.append(f"list_position(ds{i}, list_min(ds{i})) AS c{i}")
         q_i = query[i * sub:(i + 1) * sub]
         table_i = [sum((float(a) - float(b)) ** 2 for a, b in zip(q_i, cent))
@@ -1509,13 +1530,7 @@ def cluster_pairs_sql(centroids: list[list[float]], threshold: float,
     round-6 cosine filter. Choose centroids with measured assignment
     margins and a threshold in a measured gap of the candidate cosine
     distribution (both recorded for the contract constants)."""
-    dists = []
-    for cent in centroids:
-        terms = " + ".join(
-            f"(v[{j + 1}] - {float(cent[j])!r}) * (v[{j + 1}] - {float(cent[j])!r})"
-            for j in range(len(cent)))
-        dists.append(f"({terms})")
-    ds = "[" + ", ".join(dists) + "]"
+    ds = sq_dist_list_sql(centroids)
     return f"""
 WITH e AS (SELECT {key_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
 a AS (SELECT {key_col}, v, {ds} AS ds FROM e),
