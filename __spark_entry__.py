@@ -1135,13 +1135,24 @@ def q_percentiles(spark, sf_dir):
 
 
 def q_hll_distinct(spark, sf_dir):
-    """Approximate distinct users per event type via DataSketches HLL —
-    the shuffle carries fixed-size sketches, not the value universe. No
-    SQL oracle (DuckDB's approx_count_distinct is a different sketch);
-    the error bound and sketch mergeability are pinned by pytest."""
-    from klepto_spark.operators.sketches import hll_distinct
+    """Approximate distinct users per event type via the PORTABLE HLL
+    (operators/hll_portable.py): md5-derived registers, pure-integer
+    harmonic sums, and a baked-in linear-counting table make the
+    estimate bit-identical in Spark and DuckDB — so t06 is value-checked
+    by the driver like every other query (it was the one rows-only
+    sketch row in CORRECTNESS_r11). The shuffle still carries at most
+    m=256 register rows per group per map partition, never the value
+    universe; the DataSketches path (sketches.hll_distinct) remains for
+    at-rest sketch storage/rollup and stays pytest-pinned."""
+    from klepto_spark.operators.hll_portable import hll_distinct_portable
     events = _load(spark, sf_dir)("events")
-    return hll_distinct(events, "user_id", ["event_type"])
+    return hll_distinct_portable(events, "user_id", ["event_type"])
+
+
+def _hll_oracle() -> str:
+    """DuckDB twin of q_hll_distinct: the same portable HLL fragments."""
+    from klepto_spark.operators import hll_portable
+    return hll_portable.oracle_sql("events", "user_id", ["event_type"])
 
 
 FUNNEL_STEPS = ["view", "click", "purchase"]
@@ -3026,8 +3037,7 @@ FROM comp""",
             SELECT media_id, fp, nbytes, n_candidates
             FROM f JOIN g USING (fp)
             WHERE n_candidates > 1""",
-        # rows-only (no oracle entry) by design: t06 (DuckDB has a
-        # different HLL sketch), a16 (no t-digest), and s12 (greedy MMR
-        # has no SQL twin) — their error/mergeability/margin contracts
-        # are pytest-pinned instead.
+        # t06 oracle: the SAME portable register arithmetic DuckDB-side
+        # (operators/hll_portable.py) — bit-identical, closed in r12.
+        "t06_hll_distinct": _hll_oracle(),
     }

@@ -1,0 +1,145 @@
+"""Portable HyperLogLog — identical register arithmetic in Spark AND DuckDB.
+
+The DataSketches HLL in :mod:`sketches` is the production path, but its
+estimate is engine-specific (DuckDB's ``approx_count_distinct`` is a
+different sketch), so the t06 contract query was "rows-only" — the one
+dedup/sketch query the driver could not value-check. This module closes
+that gap with an HLL whose every step is *portable SQL from
+functions/portable.py*, so the DuckDB oracle computes the **bit-identical**
+estimate:
+
+- hash: ``md5(cast(value as string))`` — same 32 hex chars in both engines;
+- register index: the first 2 hex chars (``hex_int``), m = 256 buckets;
+- rho: leading-zero rank of the next 8 hex chars (a 32-bit word) via a
+  pure integer CASE cascade — no ``log2``, no float;
+- register merge: ``max(rho)`` grouped by (group, bucket) — order-free;
+- harmonic sum: ``sum(2^(33-rho))`` **in BIGINT** (each term is an exact
+  power of two, max total 256·2^33 = 2^41 — exact in int64 AND in the
+  final int->double cast, so the sum is layout/partitioning independent);
+- raw estimate: ONE IEEE division ``C / S`` where C = alpha_m·m²·2^33 is a
+  Python-repr'd double literal both engines parse to the same bits;
+- small-range (linear counting) correction: ``m·ln(m/V)`` has only m
+  possible values (V = empty registers in 1..m), so the whole table is
+  precomputed in Python and baked in as fixed-width string literals
+  (``portable.pick``) — **no transcendental is evaluated at runtime**, the
+  last cross-engine libm-ulp hazard is gone;
+- rounding: ``floor(est + 0.5)`` (portable; Spark round() is HALF_UP while
+  DuckDB rounds half-even — floor+0.5 sidesteps the divergence).
+
+Scale shape (same as the DataSketches path): the first aggregate
+partial-combines map-side, so the shuffle carries at most m=256
+(group, bucket, rho) rows per group per map partition — fixed-size
+register state, never the value universe; the second aggregate reduces
+m rows per group to one.
+
+Reference scope note: hellofresh/klepto has no aggregation engine at all
+(pkg/ has no GROUP BY path); sketches belong to the engine's
+training-data-pipeline extension surface, alongside dedup and sampling.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import portable
+
+# Flajolet et al. 2007 bias-correction constant for m >= 128.
+_P = 8
+M = 1 << _P                       # 256 registers
+_ALPHA = 0.7213 / (1.0 + 1.079 / M)
+# rho is computed from a 32-bit word: 1..32 for the first set bit,
+# 33 when all 32 bits are zero. Harmonic terms are scaled by 2^33 so
+# every 2^(33-rho) is an exact BIGINT.
+_RHO_MAX = 33
+_SCALE = 1 << _RHO_MAX            # 2^33, the empty-register term
+_RAW_C = _ALPHA * M * M * float(_SCALE)   # numerator of the scaled raw estimate
+_SMALL_CUTOFF = 2.5 * M           # Flajolet small-range threshold
+
+# m*ln(m/V) for V = 1..m, precomputed so NO ln() runs at query time.
+# 6 decimals keeps the table term << 1 ulp of the true value at this
+# magnitude while staying an exact-parse literal in both engines.
+_LINEAR_TABLE = [f"{M * math.log(M / v):.6f}" for v in range(1, M + 1)]
+
+
+def hash_sql(value_sql: str) -> str:
+    """md5 over the stringified value — the shared hash for bucket+rho."""
+    return portable.md5_of(f"cast({value_sql} as string)")
+
+
+def bucket_sql(hash_col: str) -> str:
+    """Register index in [0, m) from the first p/4 = 2 hex chars."""
+    return portable.hex_int(hash_col, 1, _P // 4)
+
+
+def word_sql(hash_col: str) -> str:
+    """The 32-bit rho word from hex chars 3..10."""
+    return portable.hex_int(hash_col, 1 + _P // 4, 8)
+
+
+def rho_sql(word_col: str) -> str:
+    """Leading-zero rank of a 32-bit word, 1..33 — pure integer CASE
+    cascade (32 BIGINT comparisons; no log2, whose exact-power-of-two
+    edge rounding could differ between engines)."""
+    whens = " ".join(
+        f"WHEN {word_col} >= {1 << (32 - i)} THEN {i}" for i in range(1, 33))
+    return f"(CASE {whens} ELSE {_RHO_MAX} END)"
+
+
+def estimate_sql(reg_col: str) -> str:
+    """Aggregate expression over per-register rows -> BIGINT estimate.
+
+    ``sum(2^(33-r))`` stays in BIGINT (exact, order-free); absent
+    registers contribute 2^33 each. The only float ops are one division,
+    one <= comparison, and floor(x+0.5) — all single IEEE ops with pinned
+    operand order, identical in Spark and DuckDB.
+    """
+    s = (f"(sum(cast(pow(2, {_RHO_MAX} - {reg_col}) as bigint))"
+         f" + ({M} - count(*)) * {_SCALE})")
+    zeros = f"({M} - count(*))"
+    raw = f"({_RAW_C!r} / cast({s} as double))"
+    linear = f"cast({portable.pick(_LINEAR_TABLE, f'{zeros} - 1')} as double)"
+    est = (f"(CASE WHEN {raw} <= {_SMALL_CUTOFF!r} AND {zeros} > 0 "
+           f"THEN {linear} ELSE {raw} END)")
+    return f"cast(floor({est} + 0.5) as bigint)"
+
+
+def hll_distinct_portable(df: DataFrame, value_col: str,
+                          group_cols: list[str] | None = None) -> DataFrame:
+    """Approximate distinct ``value_col`` per group with the portable
+    register arithmetic above — value-identical to :func:`oracle_sql`'s
+    DuckDB text. Two hash aggregates; the shuffle carries at most m=256
+    register rows per group per map partition."""
+    group_cols = group_cols or []
+    h = hash_sql(value_col)
+    rows = (df.filter(F.col(value_col).isNotNull())
+            .select(*group_cols,
+                    F.expr(bucket_sql(h)).alias("hll_bucket"),
+                    F.expr(word_sql(h)).alias("hll_word"))
+            .select(*group_cols, "hll_bucket",
+                    F.expr(rho_sql("hll_word")).alias("hll_rho")))
+    regs = (rows.groupBy(*group_cols, "hll_bucket")
+            .agg(F.max("hll_rho").alias("hll_r")))
+    agg = F.expr(estimate_sql("hll_r")).alias("approx_distinct")
+    if group_cols:
+        return regs.groupBy(*group_cols).agg(agg)
+    return regs.groupBy().agg(agg)
+
+
+def oracle_sql(table: str, value_col: str,
+               group_cols: list[str] | None = None) -> str:
+    """The DuckDB twin: the SAME portable fragments over the same table."""
+    group_cols = group_cols or []
+    h = hash_sql(value_col)
+    grp = ", ".join(group_cols)
+    grp_pre = f"{grp}, " if grp else ""
+    return f"""
+WITH hll_words AS (
+  SELECT {grp_pre}{bucket_sql(h)} AS hll_bucket, {word_sql(h)} AS hll_word
+  FROM {table} WHERE {value_col} IS NOT NULL),
+hll_regs AS (
+  SELECT {grp_pre}hll_bucket, max({rho_sql('hll_word')}) AS hll_r
+  FROM hll_words GROUP BY {grp_pre}hll_bucket)
+SELECT {grp_pre}{estimate_sql('hll_r')} AS approx_distinct
+FROM hll_regs{f' GROUP BY {grp}' if grp else ''}"""

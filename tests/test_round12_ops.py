@@ -1,0 +1,90 @@
+"""Round-12 operator tests: portable HLL (t06 oracle closure) and the
+other CORRECTNESS_r12 contract changes."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from klepto_spark.operators import hll_portable as H
+
+from tests.conftest import assert_df_matches_duck
+
+
+# --------------------------------------------------------------------------
+# Portable HLL — the t06 no-oracle closure
+# --------------------------------------------------------------------------
+
+def test_portable_hll_matches_duckdb_bit_identically(spark, duck, sf_dir):
+    """The whole point: Spark and DuckDB compute the SAME estimate (no
+    float_cols tolerance — the output is BIGINT and must be equal)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sdf = H.hll_distinct_portable(events, "user_id", ["event_type"])
+    assert_df_matches_duck(
+        sdf, duck, H.oracle_sql("events", "user_id", ["event_type"]))
+
+
+def test_portable_hll_error_bound(spark, sf_dir):
+    """Estimate within the standard HLL envelope of exact (generous 3x
+    the 1.04/sqrt(m) relative error to stay robust across SFs)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = {r["event_type"]: r["approx_distinct"]
+           for r in H.hll_distinct_portable(
+               events, "user_id", ["event_type"]).collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    tol = 3 * 1.04 / (H.M ** 0.5)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(2, tol * n), (k, est[k], n)
+
+
+def test_portable_hll_layout_independent(spark, sf_dir):
+    """max/sum register merges are order-free and the harmonic sum is
+    exact BIGINT, so the estimate cannot depend on partitioning."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = sorted(map(tuple, H.hll_distinct_portable(
+        events.repartition(1), "user_id", ["event_type"]).collect()))
+    b = sorted(map(tuple, H.hll_distinct_portable(
+        events.repartition(7, "user_id"), "user_id",
+        ["event_type"]).collect()))
+    assert a == b
+
+
+def test_portable_hll_both_branches_and_global(spark):
+    """Small cardinality rides linear counting, large rides the raw
+    harmonic estimate; both stay inside the error envelope, and the
+    ungrouped (global) form works. Cross-checked against DuckDB on the
+    same synthetic frame."""
+    small = spark.range(40).select((F.col("id") % 20).alias("v"))
+    big = spark.range(20000).select(F.col("id").alias("v"))
+    tol = 3 * 1.04 / (H.M ** 0.5)
+    con = duckdb.connect()
+    for df, n, name in [(small, 20, "small"), (big, 20000, "big")]:
+        est = H.hll_distinct_portable(df, "v").first()["approx_distinct"]
+        assert abs(est - n) <= max(2, tol * n), (name, est, n)
+        con.execute(f"CREATE OR REPLACE TABLE t AS SELECT * FROM "
+                    f"(VALUES {','.join(f'({r.v})' for r in df.collect())})"
+                    f" AS t(v)")
+        dest = con.execute(H.oracle_sql("t", "v")).fetchone()[0]
+        assert dest == est, (name, dest, est)
+    con.close()
+
+
+def test_portable_hll_null_values_ignored(spark):
+    """NULLs don't hash into registers — matches COUNT(DISTINCT)."""
+    df = spark.range(10).select(
+        F.when(F.col("id") < 5, F.col("id")).alias("v"))
+    est = H.hll_distinct_portable(df, "v").first()["approx_distinct"]
+    assert est == 5
+
+
+def test_portable_hll_shuffle_carries_registers_not_values(spark, sf_dir):
+    """Plan shape: partial aggregation before the exchange (the shuffle
+    carries at most m register rows per group per map partition) and no
+    raw user_id column past the first aggregate."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = H.hll_distinct_portable(
+        events, "user_id", ["event_type"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "partial" in plan.lower()
+    assert plan.lower().count("exchange") <= 2
