@@ -1395,16 +1395,74 @@ def q_boilerplate(spark, sf_dir):
     return T.strip_boilerplate(docs, max_df_ratio=0.6)
 
 
+A16_PROBS = [0.25, 0.5, 0.9]
+A16_RANK_EPS = 0.05
+
+
 def q_tdigest(spark, sf_dir):
     """Approximate twin of a13_percentiles via the mergeable t-digest
     sketch (operators/tdigest.py): per-partition partial digests with no
     raw-value shuffle, one digest-only exchange, midpoint-rank estimation.
-    No SQL oracle (DuckDB has no t-digest); rank-error vs the exact
-    percentiles and rollup mergeability are pinned by pytest."""
+
+    Driver-hashable contract (closed in r12 — this was the last rows-only
+    row in CORRECTNESS_r11): the digest ESTIMATE itself is engine-specific
+    (greedy compression is partition-sequenced, DuckDB has no t-digest),
+    so the contract emits per (segment, prob): the group size, the EXACT
+    interpolated quantile (Spark percentile() == DuckDB quantile_cont to
+    the bit — the a13 precedent on this very column), and ``rank_ok`` —
+    whether the digest estimate's empirical mid-rank within its group is
+    within A16_RANK_EPS of the requested prob. The boolean certifies the
+    sketch's native rank-error guarantee as a hashed value; measured
+    worst-case mid-rank error is 0.013 / 0.009 / 0.0014 at sf0.001/0.01/
+    0.1 (the 0.013 is the 1/(2n) mid-rank granularity floor at n=34, not
+    digest error), so eps=0.05 certifies with >3x margin at every scale.
+    The rank check joins the tiny (segment x prob) estimate frame back
+    broadcast-side; no extra value shuffle beyond one keyed aggregate."""
     from klepto_spark.operators.tdigest import tdigest_quantiles
     cust = _load(spark, sf_dir)("customer")
-    return tdigest_quantiles(cust, "c_acctbal", [0.25, 0.5, 0.9],
-                             ["c_mktsegment"])
+    est = tdigest_quantiles(cust, "c_acctbal", A16_PROBS, ["c_mktsegment"])
+    un = est.selectExpr(
+        "c_mktsegment",
+        "stack(3, cast(0.25 as double), p25, cast(0.5 as double), p50, "
+        "cast(0.9 as double), p90) as (prob, est)")
+    ranks = (cust.join(F.broadcast(un), "c_mktsegment")
+             .groupBy("c_mktsegment", "prob", "est")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.when(F.col("c_acctbal") < F.col("est"), 1)
+                        .otherwise(0)).alias("n_lt"),
+                  F.sum(F.when(F.col("c_acctbal") <= F.col("est"), 1)
+                        .otherwise(0)).alias("n_le")))
+    exact = (cust.groupBy("c_mktsegment")
+             .agg(F.expr("percentile(c_acctbal, 0.25)").alias("q25"),
+                  F.expr("percentile(c_acctbal, 0.5)").alias("q50"),
+                  F.expr("percentile(c_acctbal, 0.9)").alias("q90"))
+             .selectExpr("c_mktsegment",
+                         "stack(3, cast(0.25 as double), q25, "
+                         "cast(0.5 as double), q50, "
+                         "cast(0.9 as double), q90) as (prob, exact_q)"))
+    midrank = (F.col("n_lt") + F.col("n_le")) / (F.lit(2.0) * F.col("n"))
+    return (ranks.join(F.broadcast(exact), ["c_mktsegment", "prob"])
+            .select("c_mktsegment", "prob", "n", "exact_q",
+                    (F.abs(midrank - F.col("prob")) <= F.lit(A16_RANK_EPS))
+                    .alias("rank_ok")))
+
+
+def _a16_oracle() -> str:
+    """DuckDB twin of q_tdigest's contract: exact quantiles anchor the
+    values; rank_ok is literal TRUE — it hash-matches iff the digest
+    meets its pinned rank-error certificate on the Spark side."""
+    return """
+WITH e AS (SELECT c_mktsegment, count(*) AS n,
+                  quantile_cont(c_acctbal, 0.25) AS q25,
+                  quantile_cont(c_acctbal, 0.5) AS q50,
+                  quantile_cont(c_acctbal, 0.9) AS q90
+           FROM customer GROUP BY 1)
+SELECT c_mktsegment, p.prob, n,
+       CASE p.prob WHEN 0.25 THEN q25 WHEN 0.5 THEN q50 ELSE q90 END
+           AS exact_q,
+       TRUE AS rank_ok
+FROM e CROSS JOIN (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                          (CAST(0.9 AS DOUBLE))) AS p(prob)"""
 
 
 def q_small_order_parts(spark, sf_dir):
@@ -2220,14 +2278,65 @@ def q_ann_mmr(spark, sf_dir):
     the same chunk. Distributed part: ONE pruned corpus scan shortlists
     64 candidates (TakeOrderedAndProject, no vector shuffle); the greedy
     selection is inherently sequential and runs driver-side over those
-    64 rows only (similarity.mmr_rerank). Rows-only contract: greedy
-    selection has no SQL twin — correctness pinned by construction
-    margins in tests/test_score_margins.py (lam=1 == plain top-k,
-    cluster coverage, deterministic ties)."""
+    64 rows only (similarity.mmr_rerank). Oracle (closed in r12 — this
+    was a rows-only row in CORRECTNESS_r11): a DuckDB RECURSIVE CTE
+    replays the greedy loop step by step over the same shortlist — each
+    iteration LATERAL-picks the argmax of lam*rel - (1-lam)*max-sim-to-
+    chosen with the identical ascending-key tie-break — protected by the
+    construction margins pinned in tests/test_score_margins.py (lam=1 ==
+    plain top-k, cluster coverage, deterministic ties: selection margins
+    dwarf the ~1e-15 summation-order deltas between numpy and DuckDB)."""
     emb = _load(spark, sf_dir)("embeddings")
     q = _query_vec(spark, sf_dir)
     return similarity.topk_mmr(emb, q, k=S12_K,
                                shortlist_n=S12_SHORTLIST, lam=S12_LAM)
+
+
+def _s12_oracle() -> str:
+    """DuckDB twin of q_ann_mmr: the greedy MMR loop as a RECURSIVE CTE.
+
+    The shortlist CTE mirrors brute_force_topk (round-6 cosine DESC, key
+    ASC, LIMIT shortlist_n); ``sel`` then replays mmr_rerank's sequential
+    argmax — one row per iteration, the selected set carried as a LIST,
+    the penalty re-derived as max(sim to chosen) exactly as the numpy
+    loop's running maximum — and the output applies the same round-6."""
+    return f"""
+WITH RECURSIVE
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS rel
+  FROM embeddings e, q
+  ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv),
+                 6) DESC, e.vec_id ASC
+  LIMIT {S12_SHORTLIST}),
+sims AS (
+  SELECT a.vec_id AS ka, b.vec_id AS kb,
+         list_cosine_similarity(a.v, b.v) AS s
+  FROM cand a, cand b),
+sel(rnk, vec_id, rel, obj, chosen) AS (
+  (SELECT 1, vec_id, rel, {S12_LAM} * rel - (1.0 - {S12_LAM}) * 0.0,
+          [vec_id]
+   FROM cand
+   ORDER BY {S12_LAM} * rel - (1.0 - {S12_LAM}) * 0.0 DESC, vec_id ASC
+   LIMIT 1)
+  UNION ALL
+  SELECT s.rnk + 1, c.vec_id, c.rel, c.obj, list_append(s.chosen, c.vec_id)
+  FROM sel s, LATERAL (
+    SELECT c2.vec_id, c2.rel,
+           {S12_LAM} * c2.rel - (1.0 - {S12_LAM}) * (
+               SELECT max(m.s) FROM sims m
+               WHERE m.ka = c2.vec_id AND list_contains(s.chosen, m.kb))
+               AS obj
+    FROM cand c2
+    WHERE NOT list_contains(s.chosen, c2.vec_id)
+    ORDER BY obj DESC, c2.vec_id ASC
+    LIMIT 1) c
+  WHERE s.rnk < {S12_K})
+SELECT vec_id, round(rel, 6) AS score, round(obj, 6) AS mmr_score,
+       CAST(rnk AS INT) AS rank
+FROM sel"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3040,4 +3149,10 @@ FROM comp""",
         # t06 oracle: the SAME portable register arithmetic DuckDB-side
         # (operators/hll_portable.py) — bit-identical, closed in r12.
         "t06_hll_distinct": _hll_oracle(),
+        # s12 oracle: the greedy MMR loop replayed as a DuckDB RECURSIVE
+        # CTE over the bounded shortlist — closed in r12.
+        "s12_ann_mmr": _s12_oracle(),
+        # a16 oracle: exact-quantile value anchor + the digest's pinned
+        # rank-error certificate as a hashed boolean — closed in r12.
+        "a16_tdigest": _a16_oracle(),
     }

@@ -78,6 +78,37 @@ def test_portable_hll_null_values_ignored(spark):
     assert est == 5
 
 
+# --------------------------------------------------------------------------
+# a16 rank-certificate contract (the t-digest no-oracle closure)
+# --------------------------------------------------------------------------
+
+def test_a16_contract_certifies_rank_error(spark, duck, sf_dir):
+    """The reshaped a16: exact quantiles anchor values (bit-matched like
+    a13) and rank_ok certifies the digest's rank error under the pinned
+    eps. All certificates must hold at the test SF, and the driver-style
+    hash compare must pass."""
+    import __spark_entry__ as entry_mod
+    sdf = entry_mod.queries()["a16_tdigest"](spark, sf_dir)
+    rows = sdf.collect()
+    assert rows and all(r["rank_ok"] for r in rows)
+    assert set(sdf.columns) == {"c_mktsegment", "prob", "n", "exact_q",
+                                "rank_ok"}
+    assert_df_matches_duck(sdf, duck,
+                           entry_mod.oracle_sql()["a16_tdigest"])
+
+
+def test_a16_eps_is_not_vacuous():
+    """eps=0.05 must sit BELOW the distance between requested probs
+    (0.25 apart) — a digest answering the wrong quantile can never
+    certify — and above the worst measured mid-rank granularity floor
+    (1/(2*34) at sf0.001)."""
+    import __spark_entry__ as entry_mod
+    probs = entry_mod.A16_PROBS
+    min_gap = min(b - a for a, b in zip(probs, probs[1:]))
+    assert entry_mod.A16_RANK_EPS < min_gap / 2
+    assert entry_mod.A16_RANK_EPS >= 1.0 / (2 * 34)
+
+
 def test_portable_hll_shuffle_carries_registers_not_values(spark, sf_dir):
     """Plan shape: partial aggregation before the exchange (the shuffle
     carries at most m register rows per group per map partition) and no
