@@ -556,6 +556,37 @@ def q_ivf_topk(spark, sf_dir):
                                n_probe=2, k=10)
 
 
+def q_ivf_index_probe(spark, sf_dir):
+    """s13: s03's query against the AT-REST IVF index (VERDICT r11 #8 —
+    the audited surface scanned only flat parquet, so PLAN_AUDIT's
+    partition-pruning column could never show the capability
+    test_ivf_index_scan_prunes_partitions proves). The index lives in
+    the managed derived store (one copy per source state, staging-swap
+    publish — the d09/d10/d11 pattern), hive-partitioned by cluster id,
+    so the probe's cluster filter is a PARTITION predicate: unprobed
+    clusters never leave storage — n_probe/n_clusters of the corpus is
+    the whole IO bill, the scan-side complement of s03's in-flight form.
+    Same oracle as s03: at-rest probing must return exactly what the
+    scan-everything form returns (equivalence also plan+file-asserted in
+    tests/test_plans.py)."""
+    from klepto_spark.sinks import derived
+    src = f"{sf_dir}/embeddings.parquet"
+    emb = _load(spark, sf_dir)("embeddings")
+
+    def _build():
+        assigned = similarity.ivf_assign(dedup.fan_out(emb, "vec_id"),
+                                         IVF_CENTROIDS)
+        return (emb.join(assigned, "vec_id")
+                .repartition(F.col("cluster")))
+
+    tag = "ivfidx-c4"
+    derived.read_or_build(spark, src, tag, _build,
+                          partition_by=["cluster"])
+    return similarity.ivf_probe_index(
+        spark, derived.derived_path(src, tag), IVF_CENTROIDS[0],
+        IVF_CENTROIDS, n_probe=2, k=10)
+
+
 # PQ contract constants: 8 subspaces x 16 codes over dim=64 (8 doubles ->
 # 1 code byte per subspace = 64x compression). Codebooks and the query are
 # deterministic plan-time constants, so the ADC lookup tables are identical
@@ -2376,6 +2407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s12_ann_mmr": q_ann_mmr,
         "t06_hll_distinct": q_hll_distinct,
         "a16_tdigest": q_tdigest,
+        # -- new in round 12: at-rest IVF probe (partition pruning on
+        #    the audited surface, VERDICT r11 #8) --
+        "s13_ivf_index_probe": q_ivf_index_probe,
         # -- dedup: incremental / cross-corpus / CDC families --
         "d08_cross_dedup": q_cross_dedup,
         "d09_cross_dedup_indexed": q_cross_dedup_indexed,
@@ -2420,10 +2454,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- validation --
         "v01_validate": q_validate,
         "v02_length_outliers": q_length_outliers,
-        "v03_validate_fk": q_validate_fk,
         # ---- entries below are outside the driver's 50-query window ----
         # (all hold driver-green rows from rounds 1-11; the parity sweep
-        # still value-checks every one of them each run)
+        # still value-checks every one of them each run. v03 yielded its
+        # window slot to the new s13 and keeps its r11 green row.)
+        "v03_validate_fk": q_validate_fk,
         "a22_late_sole_suppliers": q_late_sole_suppliers,
         "a23_priority_late_orders": q_priority_late_orders,
         "a24_large_volume_orders": q_large_volume_orders,
@@ -3163,4 +3198,8 @@ FROM comp""",
         # a16 oracle: exact-quantile value anchor + the digest's pinned
         # rank-error certificate as a hashed boolean — closed in r12.
         "a16_tdigest": _a16_oracle(),
+        # s13 oracle: byte-for-byte s03's — at-rest probing must return
+        # exactly what the in-flight scan-everything form returns.
+        "s13_ivf_index_probe": similarity.ivf_topk_sql(
+            IVF_CENTROIDS[0], IVF_CENTROIDS, n_probe=2, k=10),
     }

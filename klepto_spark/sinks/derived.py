@@ -76,17 +76,23 @@ def derived_path(src_path: str, kind: str, root: str | None = None) -> str:
 def read_or_build(spark: SparkSession, src_path: str, kind: str,
                   build: Callable[[], DataFrame],
                   root: str | None = None,
-                  vacuum_superseded: bool = True) -> DataFrame:
+                  vacuum_superseded: bool = True,
+                  partition_by: list[str] | None = None) -> DataFrame:
     """Read the derived dataset for ``src_path``'s CURRENT state, building
     and publishing it first if absent. ``build`` returns the DataFrame to
     persist; it runs only on a miss. Publishing is atomic (stage + one
-    rename) and, by default, drops tags for superseded source states."""
+    rename) and, by default, drops tags for superseded source states.
+    ``partition_by`` hive-partitions the published copy (e.g. the IVF
+    index's cluster directories, so probes prune at the scan)."""
     final = derived_path(src_path, kind, root)
     if not os.path.exists(os.path.join(final, "_SUCCESS")):
         parent = os.path.dirname(final)
         tag = os.path.basename(final)
         stage = os.path.join(parent, f"_stage-{tag}")
-        build().write.mode("overwrite").parquet(stage)
+        writer = build().write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(stage)
         os.makedirs(parent, exist_ok=True)
         try:
             os.rename(stage, final)

@@ -79,6 +79,26 @@ def test_portable_hll_null_values_ignored(spark):
 
 
 # --------------------------------------------------------------------------
+# s13 — at-rest IVF probe on the audited surface
+# --------------------------------------------------------------------------
+
+def test_s13_contract_query_prunes_partitions(spark, sf_dir):
+    """The CONTRACT query (not just the synthetic-path test in
+    test_plans.py) must scan with a cluster partition predicate and
+    return exactly what the in-flight s03 form returns."""
+    import __spark_entry__ as entry_mod
+    from klepto_spark.plans import inspect as I
+    df = entry_mod.queries()["s13_ivf_index_probe"](spark, sf_dir)
+    pf = " ".join(I.partition_filters(df))
+    assert "cluster" in pf
+    at_rest = {(r.vec_id, r.score) for r in df.collect()}
+    in_flight = {(r.vec_id, r.score)
+                 for r in entry_mod.queries()["s03_ivf_topk"](
+                     spark, sf_dir).collect()}
+    assert at_rest == in_flight
+
+
+# --------------------------------------------------------------------------
 # a16 rank-certificate contract (the t-digest no-oracle closure)
 # --------------------------------------------------------------------------
 
