@@ -1186,6 +1186,44 @@ def _hll_oracle() -> str:
     return hll_portable.oracle_sql("events", "user_id", ["event_type"])
 
 
+# t21 split: every 5th event is the "arriving batch", the rest are the
+# at-rest register index — proportional at any scale factor (d10's rule).
+T21_MOD = 5
+
+
+def q_hll_append(spark, sf_dir):
+    """t21: incremental distinct-count estimates against AT-REST portable
+    HLL registers — the SIXTH member of the at-rest probe matrix (exact
+    d11 / minhash / semantic d10 / cdc d13 / span t20 / hll t21), and
+    the incremental form of t06. The historical corpus's (group, bucket,
+    rho) register rows live in the derived store (one copy per source
+    state, staging-swap publish); the batch is register-ised in one pass
+    and max-folded in — historical raw events are NEVER rescanned, the
+    probe's input is register rows (at most 256 per group). Because
+    registers are maxima over disjoint row sets, index ∪ batch registers
+    EQUAL a full recompute's, so the estimates are bit-identical to t06
+    over the whole corpus — which is exactly what the oracle hashes (the
+    full-events portable SQL verbatim, the s13/t20 index-probe-equals-
+    full-recompute contract). The max merge is idempotent and
+    commutative, so a replayed append cannot even double-count — the
+    hazard class the span index needs journaled epochs for vanishes."""
+    from klepto_spark.operators import hll_portable as H
+    from klepto_spark.sinks import derived
+    src = f"{sf_dir}/events.parquet"
+    events = _load(spark, sf_dir)("events")
+    tag = f"hllidx-m{T21_MOD}"
+
+    def _build():
+        return H.hll_registers(
+            events.filter(F.col("event_id") % T21_MOD != 0),
+            "user_id", ["event_type"])
+
+    derived.read_or_build(spark, src, tag, _build)
+    return H.hll_append(spark, derived.derived_path(src, tag),
+                        events.filter(F.col("event_id") % T21_MOD == 0),
+                        "user_id", ["event_type"], commit=False)
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -2284,6 +2322,139 @@ def q_balance_no_urgent(spark, sf_dir):
             .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
 
 
+def q_top_revenue_supplier(spark, sf_dir):
+    """a29: TPC-H Q15 shape (top supplier) — revenue per supplier over a
+    quarter, then the supplier(s) achieving the GLOBAL MAX. The view +
+    scalar-max-subquery pair decorrelates to: one aggregate over the
+    filtered lineitem scan, a single-row max over that PERSISTED
+    supplier-sized frame (the a26 one-scan pattern — without the persist
+    the totals branch re-scans lineitem), and the max broadcast back for
+    an EXACT DECIMAL equality — revenue sums are exact decimals in both
+    engines, so the equality cannot be split by float noise (doubles
+    appear only in the reported column, the a26/v02 rule)."""
+    li = _load(spark, sf_dir)("lineitem")
+    supp = _load(spark, sf_dir)("supplier")
+    rev = (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01")
+                      .cast("timestamp"))
+                     & (F.col("l_shipdate") < F.lit("1996-04-01")
+                        .cast("timestamp")))
+           .groupBy("l_suppkey")
+           .agg(F.sum(_dec("l_extendedprice")
+                      * (F.lit(1).cast("decimal(18,2)")
+                         - _dec("l_discount"))).alias("total_rev"))
+           ).persist()
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_rev") == F.col("max_rev"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.col("total_rev").cast("double").alias("total_rev")))
+
+
+def _a29_oracle() -> str:
+    return """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey),
+mx AS (SELECT MAX(total_rev) AS max_rev FROM rev)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+FROM rev r CROSS JOIN mx
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_rev = mx.max_rev"""
+
+
+def q_promo_disjunction(spark, sf_dir):
+    """a30: TPC-H Q19 shape (discounted revenue) — revenue under an
+    OR-of-ANDs predicate mixing part attributes and lineitem quantities.
+    The Catalyst shapes under test: the disjunction's part-only
+    conjuncts push to the PART SCAN (brand/size reach PushedFilters as
+    an Or — plan surface most engines get wrong), the small filtered
+    part side broadcasts, and the mixed residual evaluates inside the
+    join's codegen span. Quantities/sizes are integral, revenue is an
+    exact decimal sum cast to double last."""
+    li = _load(spark, sf_dir)("lineitem")
+    part = _load(spark, sf_dir)("part")
+    j = li.join(F.broadcast(part),
+                F.col("l_partkey") == F.col("p_partkey"))
+    arm1 = ((F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20))
+    arm2 = ((F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(5, 30)
+            & F.col("l_quantity").between(10, 40))
+    return (j.filter(arm1 | arm2)
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(_dec("l_extendedprice")
+                       * (F.lit(1).cast("decimal(18,2)")
+                          - _dec("l_discount"))).cast("double")
+                 .alias("revenue")))
+
+
+def _a30_oracle() -> str:
+    return """
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 5 AND 30
+       AND l_quantity BETWEEN 10 AND 40)"""
+
+
+def q_concentrated_suppliers(spark, sf_dir):
+    """a31: TPC-H Q20 shape (excess-stock suppliers) adapted to this
+    schema (no partsupp: 'dominates shipments' replaces 'has excess
+    stock') — suppliers for whom SOME 'small'-named part's shipped
+    quantity by them exceeds 20% of that part's corpus-wide shipped
+    quantity. The nested-subquery chain decorrelates to one
+    (part, supplier) aggregate whose PERSISTED frame feeds its own
+    part-level rollup (lineitem scans ONCE — aggregate-over-aggregate,
+    never a second scan), the part-name filter broadcasts into the
+    qualifying join, and the supplier table left-semi-joins the
+    qualifying pairs. Quantities are integral doubles; the 20%
+    comparison is sq * 5.0 > tq — one pinned IEEE multiply per side,
+    identical in both engines (the a26 rule)."""
+    li = _load(spark, sf_dir)("lineitem")
+    part = _load(spark, sf_dir)("part")
+    supp = _load(spark, sf_dir)("supplier")
+    sp = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("l_quantity").alias("sq"))).persist()
+    pt = sp.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    qual = (sp.join(pt, "l_partkey")
+            .join(F.broadcast(part.filter(F.col("p_name")
+                                          .startswith("small"))),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .filter(F.col("sq") * F.lit(5.0) > F.col("tq"))
+            .select("l_suppkey"))
+    return (supp.join(qual, supp["s_suppkey"] == qual["l_suppkey"],
+                      "left_semi")
+            .select("s_suppkey", "s_name", "s_nationkey"))
+
+
+def _a31_oracle() -> str:
+    return """
+WITH sp AS (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+            FROM lineitem GROUP BY l_partkey, l_suppkey),
+pt AS (SELECT l_partkey, SUM(sq) AS tq FROM sp GROUP BY l_partkey)
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT sp.l_suppkey
+  FROM sp JOIN pt USING (l_partkey)
+  JOIN part ON sp.l_partkey = p_partkey
+  WHERE p_name LIKE 'small%' AND sp.sq * 5.0 > pt.tq)"""
+
+
 M05_PREFIX_BYTES = 64
 
 
@@ -2387,11 +2558,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     a real oracle_sql() entry — s12's recursive-CTE MMR replay, t06's
     portable bit-identical HLL, a16's exact-quantile + rank-certificate
     contract — so CORRECTNESS_r12 can be the first artifact with zero
-    err rows AND complete the graded union at 111/111. The remaining 38
-    slots re-grade round-11-green families (d08-d13, s08-s11, t07-t18,
-    a14-a21, p05-p07, m03-m05, v01-v03). Everything after slot 50 holds
-    green rows from earlier rounds; ALL 111 stay value-checked every
-    run by tests/test_oracle_parity.py regardless of position."""
+    err rows AND complete the graded union of the pre-r12 surface. The
+    new s13 (at-rest IVF probe, the audited partition-pruning query)
+    takes the slot v03 vacated; the remaining 37 slots re-grade
+    round-11-green families (d08-d13, s08-s11, t07-t18, a14-a21,
+    p05-p07, m03-m05, v01-v02). Everything after slot 50 holds green
+    rows from earlier rounds except t21/a29/a30/a31 (new this round,
+    wait for the r13 rotation); ALL 116 stay value-checked every run by
+    tests/test_oracle_parity.py regardless of position."""
     return {
         # -- round-11 additions: first driver grading this round --
         "t19_dup_span_strip": q_dup_span_strip,
@@ -2457,8 +2631,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries below are outside the driver's 50-query window ----
         # (all hold driver-green rows from rounds 1-11; the parity sweep
         # still value-checks every one of them each run. v03 yielded its
-        # window slot to the new s13 and keeps its r11 green row.)
+        # window slot to the new s13 and keeps its r11 green row.
+        # t21/a29/a30/a31 are new this round and wait for the round-13
+        # rotation.)
         "v03_validate_fk": q_validate_fk,
+        "t21_hll_append": q_hll_append,
+        "a29_top_revenue_supplier": q_top_revenue_supplier,
+        "a30_promo_disjunction": q_promo_disjunction,
+        "a31_concentrated_suppliers": q_concentrated_suppliers,
         "a22_late_sole_suppliers": q_late_sole_suppliers,
         "a23_priority_late_orders": q_priority_late_orders,
         "a24_large_volume_orders": q_large_volume_orders,
@@ -3202,4 +3382,12 @@ FROM comp""",
         # exactly what the in-flight scan-everything form returns.
         "s13_ivf_index_probe": similarity.ivf_topk_sql(
             IVF_CENTROIDS[0], IVF_CENTROIDS, n_probe=2, k=10),
+        # t21 oracle: t06's full-corpus portable SQL verbatim — register
+        # max-merge over disjoint row sets is lossless, so the
+        # incremental probe must equal the full recompute to the bit.
+        "t21_hll_append": _hll_oracle(),
+        # round-12 TPC-H shapes: Q15 / Q19 / Q20 decorrelations.
+        "a29_top_revenue_supplier": _a29_oracle(),
+        "a30_promo_disjunction": _a30_oracle(),
+        "a31_concentrated_suppliers": _a31_oracle(),
     }

@@ -71,7 +71,11 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          "c04_leakage_split",
          # round-11 continuation: clustered semantic dedup + its
          # sampling/capstone composites (Arrow assignment kernel)
-         "d14_semdedup", "p08_cluster_sample", "c05_curation_recipe"]
+         "d14_semdedup", "p08_cluster_sample", "c05_curation_recipe",
+         # round-12: the at-rest IVF probe — the pruning story IS the
+         # scale claim (probe cost follows the probed clusters, not the
+         # corpus; the one-off index build amortises across queries)
+         "s13_ivf_index_probe"]
 COPIES = 10
 
 # Interpretation note for scaling_vs_10x_sf01: the rehearsal corpus is 10

@@ -112,6 +112,19 @@ def hll_distinct_portable(df: DataFrame, value_col: str,
     DuckDB text. Two hash aggregates; the shuffle carries at most m=256
     register rows per group per map partition."""
     group_cols = group_cols or []
+    regs = hll_registers(df, value_col, group_cols)
+    agg = F.expr(estimate_sql("hll_r")).alias("approx_distinct")
+    if group_cols:
+        return regs.groupBy(*group_cols).agg(agg)
+    return regs.groupBy().agg(agg)
+
+
+def hll_registers(df: DataFrame, value_col: str,
+                  group_cols: list[str] | None = None) -> DataFrame:
+    """Per-group register rows (group..., hll_bucket, hll_r) — the
+    materialisable form of the sketch: at most m=256 rows per group,
+    regardless of how many values fed them."""
+    group_cols = group_cols or []
     h = hash_sql(value_col)
     rows = (df.filter(F.col(value_col).isNotNull())
             .select(*group_cols,
@@ -119,12 +132,60 @@ def hll_distinct_portable(df: DataFrame, value_col: str,
                     F.expr(word_sql(h)).alias("hll_word"))
             .select(*group_cols, "hll_bucket",
                     F.expr(rho_sql("hll_word")).alias("hll_rho")))
-    regs = (rows.groupBy(*group_cols, "hll_bucket")
+    return (rows.groupBy(*group_cols, "hll_bucket")
             .agg(F.max("hll_rho").alias("hll_r")))
+
+
+def _fold_estimate(regs: DataFrame,
+                   group_cols: list[str]) -> DataFrame:
+    """max-fold appended register rows, then estimate per group."""
+    folded = (regs.groupBy(*group_cols, "hll_bucket")
+              .agg(F.max("hll_r").alias("hll_r")))
     agg = F.expr(estimate_sql("hll_r")).alias("approx_distinct")
     if group_cols:
-        return regs.groupBy(*group_cols).agg(agg)
-    return regs.groupBy().agg(agg)
+        return folded.groupBy(*group_cols).agg(agg)
+    return folded.groupBy().agg(agg)
+
+
+def hll_write_registers(df: DataFrame, value_col: str,
+                        group_cols: list[str], path: str,
+                        mode: str = "overwrite") -> None:
+    """Persist the register rows — the SIXTH member of the at-rest probe
+    matrix (exact / minhash / semantic / cdc / span / hll): distinct
+    counts over a growing corpus without ever rescanning history. The
+    register merge is ``max``, which is idempotent AND commutative, so
+    commits are pure parquet appends folded by max-on-read — strictly
+    simpler than the span index's sum-fold (a replayed append cannot
+    even double-count). The hash scheme (p, the md5 derivation) is
+    recorded in ``_dedupmeta.json`` so appends with a different
+    geometry refuse instead of silently merging incompatible registers."""
+    from klepto_spark.operators.dedup import write_index_meta
+    hll_registers(df, value_col, group_cols).write.mode(mode).parquet(path)
+    write_index_meta(df.sparkSession, path, "hll", {"p": _P})
+
+
+def hll_append(spark, path: str, batch: DataFrame, value_col: str,
+               group_cols: list[str], commit: bool = True) -> DataFrame:
+    """Distinct-count estimates over (indexed corpus ∪ batch), touching
+    only REGISTER rows of the index — never historical raw data — and
+    (optionally) folding the batch's registers in.
+
+    Because registers are maxima of disjoint row sets, the union's
+    registers equal the registers of a full recompute EXACTLY, so the
+    returned estimates are bit-identical to :func:`hll_distinct_portable`
+    over old ∪ new — the same index-probe-equals-full-recompute contract
+    as s13/t20, and the property the t21 oracle hashes. The returned
+    frame probes the PRE-append snapshot even after the commit (the
+    parquet relation pins its file list at read time)."""
+    from klepto_spark.operators.dedup import check_index_meta
+    check_index_meta(spark, path, "hll", {"p": _P})
+    batch_regs = hll_registers(batch, value_col, group_cols)
+    idx = spark.read.parquet(path).select(*group_cols, "hll_bucket",
+                                          "hll_r")
+    est = _fold_estimate(idx.unionByName(batch_regs), group_cols)
+    if commit:
+        batch_regs.write.mode("append").parquet(path)
+    return est
 
 
 def oracle_sql(table: str, value_col: str,

@@ -79,6 +79,100 @@ def test_portable_hll_null_values_ignored(spark):
 
 
 # --------------------------------------------------------------------------
+# a29-a31 — round-12 TPC-H shapes (Q15 / Q19 / Q20 decorrelations)
+# --------------------------------------------------------------------------
+
+def test_a30_disjunction_reaches_part_scan(spark, sf_dir):
+    """Q19's point: the OR-of-ANDs' part-only conjuncts must push to the
+    part scan (an Or inside DataFilters/PushedFilters), not evaluate
+    post-join on the full part table."""
+    import __spark_entry__ as entry_mod
+    df = entry_mod.queries()["a30_promo_disjunction"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    part_scans = [ln for ln in plan.splitlines()
+                  if "FileScan" in ln and "p_brand" in ln]
+    assert part_scans and any("Brand#1" in ln for ln in part_scans)
+
+
+def test_a29_a31_scan_lineitem_once(spark, sf_dir):
+    """Q15/Q20's aggregate-over-aggregate decorrelation must not pay a
+    second lineitem scan: the inner aggregate persists and both
+    consumers read the cache (the a26 one-scan pattern)."""
+    import __spark_entry__ as entry_mod
+    from klepto_spark.plans.audit import _strip_cached_subtrees
+    for name in ["a29_top_revenue_supplier", "a31_concentrated_suppliers"]:
+        df = entry_mod.queries()[name](spark, sf_dir)
+        df.count()  # materialise the cache so the display shows reuse
+        plan = _strip_cached_subtrees(
+            df._jdf.queryExecution().executedPlan().toString())
+        n = sum(1 for ln in plan.splitlines()
+                if "FileScan" in ln and "lineitem" in ln)
+        assert n <= 1, (name, n)
+
+
+# --------------------------------------------------------------------------
+# t21 — at-rest portable-HLL register index (sixth at-rest family)
+# --------------------------------------------------------------------------
+
+def test_hll_append_equals_full_recompute(spark, sf_dir, tmp_path):
+    """The index-probe contract: estimates over (indexed ∪ batch) must be
+    BIT-identical to hll_distinct_portable over the whole corpus —
+    register maxima over disjoint row sets are lossless."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    old = events.filter(F.col("event_id") % 5 != 0)
+    new = events.filter(F.col("event_id") % 5 == 0)
+    path = str(tmp_path / "hll_idx")
+    H.hll_write_registers(old, "user_id", ["event_type"], path)
+    inc = sorted(map(tuple, H.hll_append(
+        spark, path, new, "user_id", ["event_type"],
+        commit=False).collect()))
+    full = sorted(map(tuple, H.hll_distinct_portable(
+        events, "user_id", ["event_type"]).collect()))
+    assert inc == full
+
+
+def test_hll_append_commit_visible_and_replay_safe(spark, sf_dir,
+                                                   tmp_path):
+    """After a commit the next probe sees the batch; REPLAYING the same
+    commit changes nothing (max-fold is idempotent — the double-count
+    hazard class the span index needs journaled epochs for)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    old = events.filter(F.col("event_id") % 5 != 0)
+    new = events.filter(F.col("event_id") % 5 == 0)
+    path = str(tmp_path / "hll_idx")
+    H.hll_write_registers(old, "user_id", ["event_type"], path)
+    H.hll_append(spark, path, new, "user_id", ["event_type"],
+                 commit=True).collect()
+    empty = new.filter(F.lit(False))
+    after = sorted(map(tuple, H.hll_append(
+        spark, path, empty, "user_id", ["event_type"],
+        commit=False).collect()))
+    full = sorted(map(tuple, H.hll_distinct_portable(
+        events, "user_id", ["event_type"]).collect()))
+    assert after == full
+    # replay the identical commit: estimates must not move
+    H.hll_append(spark, path, new, "user_id", ["event_type"],
+                 commit=True).collect()
+    replay = sorted(map(tuple, H.hll_append(
+        spark, path, empty, "user_id", ["event_type"],
+        commit=False).collect()))
+    assert replay == full
+
+
+def test_hll_append_refuses_mismatched_scheme(spark, sf_dir, tmp_path):
+    """An index recorded with a different register geometry refuses the
+    append instead of silently merging incompatible registers."""
+    from klepto_spark.operators.dedup import write_index_meta
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = str(tmp_path / "hll_idx")
+    H.hll_write_registers(events, "user_id", ["event_type"], path)
+    write_index_meta(spark, path, "hll", {"p": 4})
+    with pytest.raises(ValueError, match="different scheme"):
+        H.hll_append(spark, path, events, "user_id", ["event_type"],
+                     commit=False)
+
+
+# --------------------------------------------------------------------------
 # s13 — at-rest IVF probe on the audited surface
 # --------------------------------------------------------------------------
 
