@@ -368,6 +368,61 @@ def process_span_batch(batch_df: DataFrame, epoch_id: int,
      .write.mode("overwrite").parquet(f"{index_path}/ep={epoch_id}"))
 
 
+def hll_stream_writer(rows: DataFrame, index_path: str, est_path: str,
+                      checkpoint: str, value_col: str,
+                      group_cols: list[str]):
+    """A configured ``DataStreamWriter`` for value streams: running
+    per-group distinct-count estimates (t06's portable HLL,
+    stream-so-far as of each batch) appear under ``est_path``
+    partitioned by batch epoch; the batch's (group, bucket, rho)
+    register rows commit to ``index_path/ep=<batch>`` — the SIXTH
+    at-rest family's streaming twin (exact / minhash / semantic / cdc /
+    span / hll). Register merge is MAX, so unlike the span family's
+    summed counts a replayed epoch could not double-count even without
+    the epoch-pinned probe view — the ep= protocol is kept anyway so
+    the shared compaction (:func:`compact_index_epochs`) and the
+    deterministic-retry contract apply unchanged."""
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        process_hll_batch(batch_df, int(epoch_id), index_path, est_path,
+                          value_col, group_cols)
+
+    return (rows.writeStream.foreachBatch(_batch)
+            .option("checkpointLocation", checkpoint))
+
+
+def process_hll_batch(batch_df: DataFrame, epoch_id: int,
+                      index_path: str, est_path: str, value_col: str,
+                      group_cols: list[str]) -> None:
+    """One micro-batch of the streaming distinct-count monitor
+    (retry-idempotent: same ``epoch_id`` => same prior register view =>
+    same estimates and the same ep= dir overwritten). The emitted
+    estimates cover everything that arrived AT OR BEFORE the batch and
+    are bit-identical to :func:`hll_distinct_portable` over that union —
+    register maxima over disjoint row sets are lossless, so each epoch's
+    row is exactly what a full recompute would print."""
+    if batch_df.isEmpty():
+        return
+    from klepto_spark.operators.hll_portable import (_fold_estimate,
+                                                     hll_registers)
+    spark = batch_df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = p.getFileSystem(conf)
+    regs = hll_registers(batch_df, value_col, group_cols)
+    prior = _prior_index_paths(jvm, fs, p, epoch_id)
+    cols = [*group_cols, "hll_bucket", "hll_r"]
+    merged = regs.select(*cols)
+    if prior:
+        merged = merged.unionByName(
+            spark.read.parquet(*prior).select(*cols))
+    (_fold_estimate(merged, group_cols)
+     .write.mode("overwrite").parquet(f"{est_path}/ep={epoch_id}"))
+    regs.select(*cols).write.mode("overwrite") \
+        .parquet(f"{index_path}/ep={epoch_id}")
+
+
 # ---------------------------------------------------------------------------
 # Epoch compaction (VERDICT r07 #3): the foreachBatch twins append one
 # ep=<batch> directory per micro-batch FOREVER -- a year of 1-minute

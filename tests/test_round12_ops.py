@@ -173,6 +173,89 @@ def test_hll_append_refuses_mismatched_scheme(spark, sf_dir, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# streaming HLL twin — the sixth family's incremental stream path
+# --------------------------------------------------------------------------
+
+def _hll_rows(lo, hi):
+    return [(i, f"type{i % 3}", i % 40) for i in range(lo, hi)]
+
+
+_HLL_SCHEMA = "event_id bigint, event_type string, user_id bigint"
+
+
+def test_streaming_hll_batches_equal_full_recompute(spark, tmp_path):
+    """Two micro-batches through hll_stream_writer: each epoch's
+    estimates are BIT-identical to hll_distinct_portable over everything
+    arrived so far (register max-merge is lossless), and the committed
+    register index carries the final state."""
+    from klepto_spark.streaming.dedup import hll_stream_writer
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    est = str(tmp_path / "est")
+    b1, b2 = _hll_rows(0, 60), _hll_rows(60, 140)
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, _HLL_SCHEMA).write.mode("append") \
+            .parquet(src)
+        stream = (spark.readStream.schema(_HLL_SCHEMA)
+                  .option("maxFilesPerTrigger", "1000").parquet(src))
+        q = (hll_stream_writer(stream, idx, est, str(tmp_path / "ck"),
+                               "user_id", ["event_type"])
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    df1 = spark.createDataFrame(b1, _HLL_SCHEMA)
+    both = df1.unionByName(spark.createDataFrame(b2, _HLL_SCHEMA))
+    for ep, frame in [(0, df1), (1, both)]:
+        got = sorted(map(tuple, spark.read.parquet(f"{est}/ep={ep}")
+                         .collect()))
+        want = sorted(map(tuple, H.hll_distinct_portable(
+            frame, "user_id", ["event_type"]).collect()))
+        assert got == want, ep
+    # committed registers reproduce the final estimates on their own
+    from klepto_spark.operators.hll_portable import _fold_estimate
+    regs = spark.read.parquet(idx).select("event_type", "hll_bucket",
+                                          "hll_r")
+    final = sorted(map(tuple, _fold_estimate(
+        regs, ["event_type"]).collect()))
+    want = sorted(map(tuple, H.hll_distinct_portable(
+        both, "user_id", ["event_type"]).collect()))
+    assert final == want
+
+
+def test_streaming_hll_replay_and_fold_probe_identical(spark, tmp_path):
+    """Replaying an epoch leaves estimates and index state byte-identical
+    (epoch-pinned probe view + idempotent max registers), and folding
+    committed epochs (compact_index_epochs) changes nothing a later
+    probe sees."""
+    from klepto_spark.operators.hll_portable import _fold_estimate
+    from klepto_spark.streaming.dedup import (compact_index_epochs,
+                                              process_hll_batch)
+    idx = str(tmp_path / "idx")
+    est = str(tmp_path / "est")
+    df1 = spark.createDataFrame(_hll_rows(0, 60), _HLL_SCHEMA)
+    df2 = spark.createDataFrame(_hll_rows(60, 140), _HLL_SCHEMA)
+    process_hll_batch(df1, 0, idx, est, "user_id", ["event_type"])
+    process_hll_batch(df2, 1, idx, est, "user_id", ["event_type"])
+    snap = sorted(map(tuple, spark.read.parquet(est).collect()))
+    # replay both epochs out of order: nothing may move
+    process_hll_batch(df2, 1, idx, est, "user_id", ["event_type"])
+    process_hll_batch(df1, 0, idx, est, "user_id", ["event_type"])
+    assert sorted(map(tuple, spark.read.parquet(est).collect())) == snap
+    # fold epochs 0-1; a fresh epoch-2 probe sees the identical registers
+    before = sorted(map(tuple, _fold_estimate(
+        spark.read.parquet(idx).select("event_type", "hll_bucket",
+                                       "hll_r"),
+        ["event_type"]).collect()))
+    assert compact_index_epochs(spark, idx, 2) == 2
+    after = sorted(map(tuple, _fold_estimate(
+        spark.read.parquet(idx).select("event_type", "hll_bucket",
+                                       "hll_r"),
+        ["event_type"]).collect()))
+    assert after == before
+
+
+# --------------------------------------------------------------------------
 # s13 — at-rest IVF probe on the audited surface
 # --------------------------------------------------------------------------
 
