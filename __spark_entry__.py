@@ -1985,6 +1985,34 @@ def _v04_oracle() -> str:
         "SELECT * FROM documents WHERE doc_id % 2 = 1", "source")
 
 
+V05_BIN_WIDTH = 25.0
+
+
+def q_numeric_drift(spark, sf_dir):
+    """v05: numeric-distribution drift between two event snapshots (even
+    vs odd event ids standing in for consecutive feeds) — the continuous
+    complement of v04: per fixed-width value bin, counts and shares in
+    each snapshot plus the absolute share difference (sum/2 downstream =
+    total variation distance). The binning is floor((x-0)/25) — three
+    IEEE ops, pinned shape, no ln() (a PSI-style statistic would drag
+    cross-engine libm into the hash) — and everything after the per-side
+    count aggregates is bin-cardinality sized
+    (operators.validate.numeric_drift)."""
+    from klepto_spark.operators.validate import numeric_drift
+    events = _load(spark, sf_dir)("events")
+    return numeric_drift(events.filter(F.col("event_id") % 2 == 0),
+                         events.filter(F.col("event_id") % 2 == 1),
+                         "value", V05_BIN_WIDTH)
+
+
+def _v05_oracle() -> str:
+    from klepto_spark.operators.validate import numeric_drift_sql
+    return numeric_drift_sql(
+        "SELECT * FROM events WHERE event_id % 2 = 0",
+        "SELECT * FROM events WHERE event_id % 2 = 1",
+        "value", V05_BIN_WIDTH)
+
+
 # d14 (SemDeDup) constants: 8 deterministic centroids x dim=64. The
 # argmin inlines the distance array twice, so at 512 terms the
 # expression path would blow janino's method limit and run INTERPRETED
@@ -2563,8 +2591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     takes the slot v03 vacated; the remaining 37 slots re-grade
     round-11-green families (d08-d13, s08-s11, t07-t18, a14-a21,
     p05-p07, m03-m05, v01-v02). Everything after slot 50 holds green
-    rows from earlier rounds except t21/a29/a30/a31 (new this round,
-    wait for the r13 rotation); ALL 116 stay value-checked every run by
+    rows from earlier rounds except t21/a29-a31/v05 (new this round,
+    wait for the r13 rotation); ALL 117 stay value-checked every run by
     tests/test_oracle_parity.py regardless of position."""
     return {
         # -- round-11 additions: first driver grading this round --
@@ -2636,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation.)
         "v03_validate_fk": q_validate_fk,
         "t21_hll_append": q_hll_append,
+        "v05_numeric_drift": q_numeric_drift,
         "a29_top_revenue_supplier": q_top_revenue_supplier,
         "a30_promo_disjunction": q_promo_disjunction,
         "a31_concentrated_suppliers": q_concentrated_suppliers,
@@ -3390,4 +3419,5 @@ FROM comp""",
         "a29_top_revenue_supplier": _a29_oracle(),
         "a30_promo_disjunction": _a30_oracle(),
         "a31_concentrated_suppliers": _a31_oracle(),
+        "v05_numeric_drift": _v05_oracle(),
     }

@@ -256,3 +256,53 @@ SELECT cat AS {col}, n_a, n_b,
        abs(n_a * 1.0 / greatest(SUM(n_a) OVER (), 1)
            - n_b * 1.0 / greatest(SUM(n_b) OVER (), 1)) AS abs_diff
 FROM __j"""
+
+
+def numeric_drift(a: DataFrame, b: DataFrame, col: str,
+                  bin_width: float, origin: float = 0.0) -> DataFrame:
+    """Numeric-distribution drift between two corpus snapshots — the
+    continuous complement of :func:`distribution_drift` (v04 monitors a
+    categorical mixture; this monitors a numeric column's SHAPE, the
+    ingest-time check that catches a feed whose lengths/scores/values
+    quietly shifted even when the category mix held still).
+
+    Values bin at fixed width: ``bin = floor((x - origin) / bin_width)``
+    — one subtraction, one division, one floor, each a single IEEE op
+    both engines compute identically (the same pinned-expression rule as
+    v02/v04; no ln(), so no PSI-style cross-engine libm hazard — the
+    total variation distance sum(abs_diff)/2 is the drift statistic and
+    is derivable downstream exactly). NULL values report as NULL-bin
+    rows — one ONE-SIDED row per snapshot, because NULL join keys never
+    merge (the same semantic v04's null categories have, identical in
+    both engines); bin bounds are reported as ``bin * width + origin``
+    for readability.
+
+    Scale shape: identical to v04 — the binning rides the scan
+    projection, one count-aggregate per snapshot (map-side combined),
+    and after the aggregates rows = distinct bins, so the totals window
+    is trivial at any corpus size."""
+    def binned(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.floor((F.col(col) - F.lit(origin)) / F.lit(bin_width))
+            .cast("long").alias("bin"))
+    out = distribution_drift(binned(a), binned(b), "bin")
+    lo = F.col("bin") * F.lit(bin_width) + F.lit(origin)
+    return out.select(
+        "bin", lo.alias("bin_lo"),
+        (lo + F.lit(bin_width)).alias("bin_hi"),
+        "n_a", "n_b", "frac_a", "frac_b", "abs_diff")
+
+
+def numeric_drift_sql(a_sql: str, b_sql: str, col: str,
+                      bin_width: float, origin: float = 0.0) -> str:
+    """DuckDB oracle for :func:`numeric_drift`: the same binning
+    expression spliced into :func:`distribution_drift_sql`'s shape."""
+    def binned(src: str) -> str:
+        return (f"SELECT CAST(floor(({col} - {origin!r}) / {bin_width!r})"
+                f" AS BIGINT) AS bin FROM ({src})")
+    inner = distribution_drift_sql(binned(a_sql), binned(b_sql), "bin")
+    return f"""
+SELECT bin, bin * {bin_width!r} + {origin!r} AS bin_lo,
+       bin * {bin_width!r} + {origin!r} + {bin_width!r} AS bin_hi,
+       n_a, n_b, frac_a, frac_b, abs_diff
+FROM ({inner})"""

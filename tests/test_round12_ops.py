@@ -173,6 +173,42 @@ def test_hll_append_refuses_mismatched_scheme(spark, sf_dir, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# v05 — numeric-distribution drift (continuous complement of v04)
+# --------------------------------------------------------------------------
+
+def test_numeric_drift_edges_match_duckdb(spark):
+    """Hand-built frame covering the hazards: NULL values report (one
+    one-sided NULL-bin row per side — NULL join keys never merge, the
+    same v04 semantic, identical in both engines), negative values floor
+    DOWNWARD (-30 -> bin -2, not -1), bin boundaries are left-closed
+    (25.0 lands in bin 1), and one-sided bins report an exact 0.0
+    share. Full-row equality vs the SQL twin."""
+    import duckdb
+    from klepto_spark.operators.validate import (numeric_drift,
+                                                 numeric_drift_sql)
+    a = spark.createDataFrame(
+        [(x,) for x in [None, -30.0, -1.0, 0.0, 24.9, 25.0, 100.0]],
+        "v double")
+    b = spark.createDataFrame([(x,) for x in [None, None, 5.0]],
+                              "v double")
+    out = {tuple(r) for r in numeric_drift(a, b, "v", 25.0).collect()}
+    by_bin = {r[0]: r for r in out if r[0] is not None}
+    assert by_bin[-2][3:5] == (1, 0)          # -30 floors to bin -2
+    assert by_bin[1][1:3] == (25.0, 50.0)     # left-closed boundary
+    null_rows = sorted(r[3:5] for r in out if r[0] is None)
+    assert null_rows == [(0, 2), (1, 0)]      # one one-sided row per side
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta(v DOUBLE); INSERT INTO ta VALUES "
+                "(NULL),(-30.0),(-1.0),(0.0),(24.9),(25.0),(100.0)")
+    con.execute("CREATE TABLE tb(v DOUBLE); "
+                "INSERT INTO tb VALUES (NULL),(NULL),(5.0)")
+    drows = {tuple(r) for r in con.execute(numeric_drift_sql(
+        "SELECT * FROM ta", "SELECT * FROM tb", "v", 25.0)).fetchall()}
+    con.close()
+    assert out == drows
+
+
+# --------------------------------------------------------------------------
 # streaming HLL twin — the sixth family's incremental stream path
 # --------------------------------------------------------------------------
 
