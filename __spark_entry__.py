@@ -2483,6 +2483,70 @@ WHERE s_suppkey IN (
   WHERE p_name LIKE 'small%' AND sp.sq * 5.0 > pt.tq)"""
 
 
+def q_cheapest_shipper(spark, sf_dir):
+    """a32: TPC-H Q2 shape (minimum-cost supplier) — for each large
+    part, the supplier(s) whose average unit price for that part equals
+    the PART'S MINIMUM average unit price. The correlated
+    min-subquery-with-equality decorrelates to: one (part, supplier)
+    aggregate, its own part-level MIN rollup over the PERSISTED frame
+    (lineitem scans once — the a29/a31 pattern), and an equality join
+    back. The equality compares the aggregate against itself in EXACT
+    DECIMAL (sum and count are exact; avg as sum/count in decimal
+    division would round engine-specifically, so the min-equality is on
+    the (sum*other_count == other_sum*count) cross-multiplied integer
+    form — no division before the decision, the a26 boundary rule).
+    Doubles only in the reported unit price. The p_size restriction
+    broadcast-semi-joins into the LINEITEM scan before any aggregate —
+    min is within-part, so early pruning is semantics-preserving and
+    cuts the aggregate + self-join input ~20x (the oracle keeps the
+    naive whole-corpus NOT EXISTS, cross-validating the rewrite the way
+    a22 does)."""
+    li = _load(spark, sf_dir)("lineitem")
+    part = _load(spark, sf_dir)("part")
+    supp = _load(spark, sf_dir)("supplier")
+    big = part.filter(F.col("p_size") >= 48)
+    li_big = li.join(F.broadcast(big.select("p_partkey")),
+                     F.col("l_partkey") == F.col("p_partkey"),
+                     "left_semi")
+    ps = (li_big.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(_dec("l_extendedprice")).alias("sp"),
+               F.sum(_dec("l_quantity")).alias("sq"))).persist()
+    # min average unit price per part == the (sp, sq) pair minimising
+    # sp/sq: pick via cross-multiplication against every other pair
+    other = ps.select(F.col("l_partkey").alias("pk"),
+                      F.col("sp").alias("osp"), F.col("sq").alias("osq"))
+    beaten = (ps.join(other, (F.col("l_partkey") == F.col("pk"))
+                      & (F.col("sp") * F.col("osq")
+                         > F.col("osp") * F.col("sq")), "left_semi"))
+    best = ps.exceptAll(beaten)
+    return (best.join(F.broadcast(big),
+                      F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("p_partkey", "p_name", "s_suppkey", "s_name",
+                    (F.col("sp").cast("double")
+                     / F.col("sq").cast("double")).alias("unit_price")))
+
+
+def _a32_oracle() -> str:
+    return """
+WITH ps AS (SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+            FROM lineitem GROUP BY l_partkey, l_suppkey),
+best AS (SELECT * FROM ps
+         WHERE NOT EXISTS (
+           SELECT 1 FROM ps o
+           WHERE o.l_partkey = ps.l_partkey
+             AND ps.sp * o.sq > o.sp * ps.sq))
+SELECT p_partkey, p_name, s_suppkey, s_name,
+       CAST(sp AS DOUBLE) / CAST(sq AS DOUBLE) AS unit_price
+FROM best
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size >= 48"""
+
+
 M05_PREFIX_BYTES = 64
 
 
@@ -2591,8 +2655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     takes the slot v03 vacated; the remaining 37 slots re-grade
     round-11-green families (d08-d13, s08-s11, t07-t18, a14-a21,
     p05-p07, m03-m05, v01-v02). Everything after slot 50 holds green
-    rows from earlier rounds except t21/a29-a31/v05 (new this round,
-    wait for the r13 rotation); ALL 117 stay value-checked every run by
+    rows from earlier rounds except t21/a29-a32/v05 (new this round,
+    wait for the r13 rotation); ALL 118 stay value-checked every run by
     tests/test_oracle_parity.py regardless of position."""
     return {
         # -- round-11 additions: first driver grading this round --
@@ -2665,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v03_validate_fk": q_validate_fk,
         "t21_hll_append": q_hll_append,
         "v05_numeric_drift": q_numeric_drift,
+        "a32_cheapest_shipper": q_cheapest_shipper,
         "a29_top_revenue_supplier": q_top_revenue_supplier,
         "a30_promo_disjunction": q_promo_disjunction,
         "a31_concentrated_suppliers": q_concentrated_suppliers,
@@ -3420,4 +3485,5 @@ FROM comp""",
         "a30_promo_disjunction": _a30_oracle(),
         "a31_concentrated_suppliers": _a31_oracle(),
         "v05_numeric_drift": _v05_oracle(),
+        "a32_cheapest_shipper": _a32_oracle(),
     }
