@@ -1186,6 +1186,33 @@ def _hll_oracle() -> str:
     return hll_portable.oracle_sql("events", "user_id", ["event_type"])
 
 
+def q_hll_overlap(spark, sf_dir):
+    """t22: approximate distinct-user OVERLAP between two event
+    snapshots (even vs odd event ids) per event type — the
+    retention/continuity signal (how much of each type's audience
+    persists across feeds?) computed by inclusion-exclusion over
+    portable HLL registers: est(A) + est(B) - est(A∪B), where the union
+    costs ONE max-fold of the two register sets (HLL union is lossless)
+    — never a join or intersect of the user universes. Every estimate
+    is the bit-portable HLL, so the subtraction and >=0 clamp are exact
+    integer ops and the oracle replays the whole thing; each side
+    shuffles at most 256 register rows per group
+    (operators/hll_portable.hll_overlap)."""
+    from klepto_spark.operators.hll_portable import hll_overlap
+    events = _load(spark, sf_dir)("events")
+    return hll_overlap(events.filter(F.col("event_id") % 2 == 0),
+                       events.filter(F.col("event_id") % 2 == 1),
+                       "user_id", ["event_type"])
+
+
+def _t22_oracle() -> str:
+    from klepto_spark.operators.hll_portable import overlap_oracle_sql
+    return overlap_oracle_sql(
+        "SELECT * FROM events WHERE event_id % 2 = 0",
+        "SELECT * FROM events WHERE event_id % 2 = 1",
+        "user_id", ["event_type"])
+
+
 # t21 split: every 5th event is the "arriving batch", the rest are the
 # at-rest register index — proportional at any scale factor (d10's rule).
 T21_MOD = 5
@@ -2655,8 +2682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     takes the slot v03 vacated; the remaining 37 slots re-grade
     round-11-green families (d08-d13, s08-s11, t07-t18, a14-a21,
     p05-p07, m03-m05, v01-v02). Everything after slot 50 holds green
-    rows from earlier rounds except t21/a29-a32/v05 (new this round,
-    wait for the r13 rotation); ALL 118 stay value-checked every run by
+    rows from earlier rounds except t21/t22/a29-a32/v05 (new this
+    round, wait for the r13 rotation); ALL 119 stay value-checked every run by
     tests/test_oracle_parity.py regardless of position."""
     return {
         # -- round-11 additions: first driver grading this round --
@@ -2730,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t21_hll_append": q_hll_append,
         "v05_numeric_drift": q_numeric_drift,
         "a32_cheapest_shipper": q_cheapest_shipper,
+        "t22_hll_overlap": q_hll_overlap,
         "a29_top_revenue_supplier": q_top_revenue_supplier,
         "a30_promo_disjunction": q_promo_disjunction,
         "a31_concentrated_suppliers": q_concentrated_suppliers,
@@ -3486,4 +3514,5 @@ FROM comp""",
         "a31_concentrated_suppliers": _a31_oracle(),
         "v05_numeric_drift": _v05_oracle(),
         "a32_cheapest_shipper": _a32_oracle(),
+        "t22_hll_overlap": _t22_oracle(),
     }

@@ -188,6 +188,99 @@ def hll_append(spark, path: str, batch: DataFrame, value_col: str,
     return est
 
 
+def hll_overlap(a: DataFrame, b: DataFrame, value_col: str,
+                group_cols: list[str] | None = None) -> DataFrame:
+    """Approximate distinct-value OVERLAP between two corpora per group
+    — inclusion-exclusion over portable registers: |A∩B| ≈ est(A) +
+    est(B) - est(A∪B), where est(A∪B) costs one max-fold of the two
+    register sets (HLL union is lossless), never a join of the value
+    universes. This is the corpus-overlap / audience-intersection
+    signal (how many users/documents do two snapshots share?) at
+    register price: each side shuffles at most m=256 rows per group.
+
+    All three estimates are the bit-portable HLL, so the DuckDB twin
+    (:func:`overlap_oracle_sql`) computes the identical BIGINTs — the
+    subtraction and the >=0 clamp are exact integer ops. Estimation
+    error compounds across the three terms (~3x the single-sketch
+    envelope on the overlap when the true intersection is small);
+    pinned by tests. Groups present in only one side report the other
+    side's distinct as 0 and overlap 0."""
+    group_cols = group_cols or []
+    agg = F.expr(estimate_sql("hll_r")).alias("est")
+
+    def est(df: DataFrame) -> DataFrame:
+        regs = hll_registers(df, value_col, group_cols)
+        if group_cols:
+            return regs.groupBy(*group_cols).agg(agg)
+        return regs.groupBy().agg(agg)
+
+    ra = hll_registers(a, value_col, group_cols)
+    rb = hll_registers(b, value_col, group_cols)
+    ea = est(a).withColumnRenamed("est", "distinct_a")
+    eb = est(b).withColumnRenamed("est", "distinct_b")
+    eu = _fold_estimate(ra.unionByName(rb), group_cols) \
+        .withColumnRenamed("approx_distinct", "distinct_union")
+    if group_cols:
+        j = (eu.join(ea, group_cols, "left")
+             .join(eb, group_cols, "left"))
+    else:
+        j = eu.crossJoin(F.broadcast(ea)).crossJoin(F.broadcast(eb))
+    da = F.coalesce("distinct_a", F.lit(0))
+    db = F.coalesce("distinct_b", F.lit(0))
+    return j.select(
+        *group_cols, da.alias("distinct_a"), db.alias("distinct_b"),
+        F.col("distinct_union"),
+        F.greatest(F.lit(0), da + db - F.col("distinct_union"))
+        .cast("long").alias("overlap_est"))
+
+
+def overlap_oracle_sql(a_sql: str, b_sql: str, value_col: str,
+                       group_cols: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`hll_overlap`: the same register CTEs per
+    side, the same max-fold union, the same integer inclusion-exclusion."""
+    group_cols = group_cols or []
+    h = hash_sql(value_col)
+    grp = ", ".join(group_cols)
+    grp_pre = f"{grp}, " if grp else ""
+    by = f" GROUP BY {grp}" if grp else ""
+
+    def regs(src: str, name: str) -> str:
+        return f"""{name}_w AS (
+  SELECT {grp_pre}{bucket_sql(h)} AS hll_bucket, {word_sql(h)} AS hll_word
+  FROM ({src}) WHERE {value_col} IS NOT NULL),
+{name} AS (
+  SELECT {grp_pre}hll_bucket, max({rho_sql('hll_word')}) AS hll_r
+  FROM {name}_w GROUP BY {grp_pre}hll_bucket)"""
+
+    def est(src_regs: str, name: str, col: str) -> str:
+        return (f"{name} AS (SELECT {grp_pre}{estimate_sql('hll_r')} "
+                f"AS {col} FROM {src_regs}{by})")
+
+    union_regs = (f"ru AS (SELECT {grp_pre}hll_bucket, max(hll_r) AS hll_r "
+                  f"FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) "
+                  f"GROUP BY {grp_pre}hll_bucket)")
+    join = (" ".join(
+        f"LEFT JOIN {s} ON " + " AND ".join(
+            f"u.{c} IS NOT DISTINCT FROM {s}.{c}" for c in group_cols)
+        for s in ("ea", "eb"))
+        if group_cols else "CROSS JOIN ea CROSS JOIN eb")
+    sel_grp = "".join(f"u.{c}, " for c in group_cols)
+    return f"""
+WITH {regs(a_sql, 'ra')},
+{regs(b_sql, 'rb')},
+{est('ra', 'ea', 'distinct_a')},
+{est('rb', 'eb', 'distinct_b')},
+{union_regs},
+{est('ru', 'eu', 'distinct_union')}
+SELECT {sel_grp}
+       CAST(coalesce(distinct_a, 0) AS BIGINT) AS distinct_a,
+       CAST(coalesce(distinct_b, 0) AS BIGINT) AS distinct_b,
+       distinct_union,
+       CAST(greatest(0, coalesce(distinct_a, 0) + coalesce(distinct_b, 0)
+                        - distinct_union) AS BIGINT) AS overlap_est
+FROM eu u {join}"""
+
+
 def oracle_sql(table: str, value_col: str,
                group_cols: list[str] | None = None) -> str:
     """The DuckDB twin: the SAME portable fragments over the same table."""

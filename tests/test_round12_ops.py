@@ -173,6 +173,47 @@ def test_hll_append_refuses_mismatched_scheme(spark, sf_dir, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# t22 — HLL overlap (inclusion-exclusion over portable registers)
+# --------------------------------------------------------------------------
+
+def test_hll_overlap_accuracy_and_edges(spark):
+    """Inclusion-exclusion tracks the true intersection within the
+    compounded sketch envelope; disjoint sides clamp to 0 overlap; a
+    group present in only one side reports the other side's distinct as
+    0 and overlap 0."""
+    import duckdb
+    half = spark.range(0, 3000).select(
+        F.lit("x").alias("g"), F.col("id").alias("v"))
+    shifted = spark.range(1500, 4500).select(
+        F.lit("x").alias("g"), F.col("id").alias("v"))
+    row = H.hll_overlap(half, shifted, "v", ["g"]).first()
+    tol = 3 * 3 * 1.04 / (H.M ** 0.5)        # 3 estimates compound
+    assert abs(row["overlap_est"] - 1500) <= tol * 3000, row
+    # disjoint: overlap clamps to >= 0 and stays small
+    lo = spark.range(0, 2000).select(F.col("id").alias("v"))
+    hi = spark.range(100000, 102000).select(F.col("id").alias("v"))
+    d = H.hll_overlap(lo, hi, "v").first()
+    assert 0 <= d["overlap_est"] <= tol * 2000
+    # one-sided group
+    a = spark.createDataFrame([("only_a", 1), ("both", 2)], "g string, v int")
+    b = spark.createDataFrame([("both", 2)], "g string, v int")
+    rows = {r["g"]: r for r in H.hll_overlap(a, b, "v", ["g"]).collect()}
+    assert rows["only_a"]["distinct_b"] == 0
+    assert rows["only_a"]["overlap_est"] == 0
+    assert rows["both"]["overlap_est"] == 1
+    # oracle agreement on the hand frame
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta(g VARCHAR, v INT); "
+                "INSERT INTO ta VALUES ('only_a', 1), ('both', 2)")
+    con.execute("CREATE TABLE tb(g VARCHAR, v INT); "
+                "INSERT INTO tb VALUES ('both', 2)")
+    drows = {r[0]: r for r in con.execute(H.overlap_oracle_sql(
+        "SELECT * FROM ta", "SELECT * FROM tb", "v", ["g"])).fetchall()}
+    con.close()
+    assert {k: tuple(v) for k, v in rows.items()} == drows
+
+
+# --------------------------------------------------------------------------
 # v05 — numeric-distribution drift (continuous complement of v04)
 # --------------------------------------------------------------------------
 
