@@ -39,6 +39,16 @@ from klepto_spark.operators.pipeline import (
 SEED = "klepto"
 CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
 
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist ``df`` AND register it with dedup's pinned-cache list so
+    ``dedup.release_caches()`` frees it between bench/parity runs —
+    every ``.persist()`` in this module goes through here (ADVICE r12:
+    the a29/a31/a32/c05 persists had no release mechanism, so caches
+    accumulated across long multi-query sessions)."""
+    dedup._PINNED_CACHES.append(df)
+    return df.persist()
+
 # --------------------------------------------------------------------------
 # Shared pipeline specs (one spec drives BOTH the Spark query and the oracle)
 # --------------------------------------------------------------------------
@@ -1235,10 +1245,14 @@ def q_hll_append(spark, sf_dir):
     commutative, so a replayed append cannot even double-count — the
     hazard class the span index needs journaled epochs for vanishes."""
     from klepto_spark.operators import hll_portable as H
+    from klepto_spark.operators.dedup import write_index_meta
     from klepto_spark.sinks import derived
     src = f"{sf_dir}/events.parquet"
     events = _load(spark, sf_dir)("events")
-    tag = f"hllidx-m{T21_MOD}"
+    # Tag carries the register geometry (w48 = 48-bit rho words, r13) so
+    # an index cached under the old 32-bit scheme is a MISS, not a
+    # silently-mixed merge.
+    tag = f"hllidx-w{H._RHO_BITS}-m{T21_MOD}"
 
     def _build():
         return H.hll_registers(
@@ -1246,6 +1260,12 @@ def q_hll_append(spark, sf_dir):
             "user_id", ["event_type"])
 
     derived.read_or_build(spark, src, tag, _build)
+    # Stamp the geometry meta on the published index (idempotent
+    # overwrite) so hll_append's scheme guard actually has something to
+    # check — read_or_build alone never writes _dedupmeta.json
+    # (ADVICE r12).
+    write_index_meta(spark, derived.derived_path(src, tag), "hll",
+                     {"p": H._P, "rho_bits": H._RHO_BITS})
     return H.hll_append(spark, derived.derived_path(src, tag),
                         events.filter(F.col("event_id") % T21_MOD == 0),
                         "user_id", ["event_type"], commit=False)
@@ -1942,8 +1962,8 @@ def q_revenue_concentration(spark, sf_dir):
     part = _load(spark, sf_dir)("part")
     rev = (_dec("l_extendedprice")
            * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
-    pr = (li.groupBy("l_partkey")
-          .agg(F.sum(rev).alias("rev"))).persist()
+    pr = _pin(li.groupBy("l_partkey")
+              .agg(F.sum(rev).alias("rev")))
     totals = pr.agg(F.sum("rev").alias("total"),
                     F.count(F.lit(1)).alias("n"))
     return (pr.crossJoin(F.broadcast(totals))
@@ -2175,7 +2195,8 @@ def q_curation_recipe(spark, sf_dir):
     gate = (T.dup_span_stats(docs, "text", "doc_id",
                              k=T18_K, min_count=T18_MIN_COUNT)
             .filter(F.col("dup_frac") < C05_MAX_DUP_FRAC)
-            .select("doc_id")).persist()
+            .select("doc_id"))
+    gate = _pin(gate)
     kept = docs.join(gate, "doc_id")
     emb_kept = emb.join(gate.withColumnRenamed("doc_id", "vec_id"),
                         "vec_id")
@@ -2397,7 +2418,8 @@ def q_top_revenue_supplier(spark, sf_dir):
            .agg(F.sum(_dec("l_extendedprice")
                       * (F.lit(1).cast("decimal(18,2)")
                          - _dec("l_discount"))).alias("total_rev"))
-           ).persist()
+           )
+    rev = _pin(rev)
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     return (rev.crossJoin(F.broadcast(mx))
             .filter(F.col("total_rev") == F.col("max_rev"))
@@ -2482,8 +2504,8 @@ def q_concentrated_suppliers(spark, sf_dir):
     li = _load(spark, sf_dir)("lineitem")
     part = _load(spark, sf_dir)("part")
     supp = _load(spark, sf_dir)("supplier")
-    sp = (li.groupBy("l_partkey", "l_suppkey")
-          .agg(F.sum("l_quantity").alias("sq"))).persist()
+    sp = _pin(li.groupBy("l_partkey", "l_suppkey")
+              .agg(F.sum("l_quantity").alias("sq")))
     pt = sp.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
     qual = (sp.join(pt, "l_partkey")
             .join(F.broadcast(part.filter(F.col("p_name")
@@ -2535,9 +2557,9 @@ def q_cheapest_shipper(spark, sf_dir):
     li_big = li.join(F.broadcast(big.select("p_partkey")),
                      F.col("l_partkey") == F.col("p_partkey"),
                      "left_semi")
-    ps = (li_big.groupBy("l_partkey", "l_suppkey")
-          .agg(F.sum(_dec("l_extendedprice")).alias("sp"),
-               F.sum(_dec("l_quantity")).alias("sq"))).persist()
+    ps = _pin(li_big.groupBy("l_partkey", "l_suppkey")
+              .agg(F.sum(_dec("l_extendedprice")).alias("sp"),
+                   F.sum(_dec("l_quantity")).alias("sq")))
     # min average unit price per part == the (sp, sq) pair minimising
     # sp/sq: pick via cross-multiplication against every other pair
     other = ps.select(F.col("l_partkey").alias("pk"),

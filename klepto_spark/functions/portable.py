@@ -62,8 +62,10 @@ def hex_char_val(char_sql: str) -> str:
 
 def hex_int(hash_sql: str, pos: int, nchars: int) -> str:
     """Integer in [0, 16^nchars) from hex chars [pos, pos+nchars) of a hash
-    expression (pos is 1-indexed). nchars <= 8 keeps it well inside BIGINT."""
-    assert 1 <= nchars <= 8
+    expression (pos is 1-indexed). nchars <= 12 keeps it exact in BIGINT
+    (16^12 = 2^48) AND in a double mantissa, should a caller ever cast —
+    the HLL rho word (hll_portable, 48 bits) is the widest consumer."""
+    assert 1 <= nchars <= 12
     terms = []
     for i in range(nchars):
         weight = 16 ** (nchars - 1 - i)

@@ -10,13 +10,19 @@ estimate:
 
 - hash: ``md5(cast(value as string))`` — same 32 hex chars in both engines;
 - register index: the first 2 hex chars (``hex_int``), m = 256 buckets;
-- rho: leading-zero rank of the next 8 hex chars (a 32-bit word) via a
-  pure integer CASE cascade — no ``log2``, no float;
+- rho: leading-zero rank of the next 12 hex chars (a 48-bit word) via a
+  pure integer CASE cascade — no ``log2``, no float. 48 bits (not the
+  classic 32) puts the hash-collision saturation point at 2^48 ≈ 2.8e14
+  distincts, far above any 100 TB corpus, so the Flajolet 32-bit
+  LARGE-range correction (-2^32·ln(1-E/2^32), a runtime transcendental
+  this module forbids) is never needed (ADVICE r12);
 - register merge: ``max(rho)`` grouped by (group, bucket) — order-free;
-- harmonic sum: ``sum(2^(33-rho))`` **in BIGINT** (each term is an exact
-  power of two, max total 256·2^33 = 2^41 — exact in int64 AND in the
-  final int->double cast, so the sum is layout/partitioning independent);
-- raw estimate: ONE IEEE division ``C / S`` where C = alpha_m·m²·2^33 is a
+- harmonic sum: ``sum(2^(49-rho))`` **in BIGINT** (each term is an exact
+  power of two, max total 256·2^49 = 2^57 — exact in int64, so the sum is
+  layout/partitioning independent; the one int64->double conversion that
+  follows is a single IEEE round-to-nearest op, bit-identical in the JVM
+  and DuckDB);
+- raw estimate: ONE IEEE division ``C / S`` where C = alpha_m·m²·2^49 is a
   Python-repr'd double literal both engines parse to the same bits;
 - small-range (linear counting) correction: ``m·ln(m/V)`` has only m
   possible values (V = empty registers in 1..m), so the whole table is
@@ -49,11 +55,12 @@ from ..functions import portable
 _P = 8
 M = 1 << _P                       # 256 registers
 _ALPHA = 0.7213 / (1.0 + 1.079 / M)
-# rho is computed from a 32-bit word: 1..32 for the first set bit,
-# 33 when all 32 bits are zero. Harmonic terms are scaled by 2^33 so
-# every 2^(33-rho) is an exact BIGINT.
-_RHO_MAX = 33
-_SCALE = 1 << _RHO_MAX            # 2^33, the empty-register term
+# rho is computed from a 48-bit word: 1..48 for the first set bit,
+# 49 when all 48 bits are zero. Harmonic terms are scaled by 2^49 so
+# every 2^(49-rho) is an exact BIGINT (sum <= 256*2^49 = 2^57).
+_RHO_BITS = 48
+_RHO_MAX = _RHO_BITS + 1
+_SCALE = 1 << _RHO_MAX            # 2^49, the empty-register term
 _RAW_C = _ALPHA * M * M * float(_SCALE)   # numerator of the scaled raw estimate
 _SMALL_CUTOFF = 2.5 * M           # Flajolet small-range threshold
 
@@ -74,25 +81,29 @@ def bucket_sql(hash_col: str) -> str:
 
 
 def word_sql(hash_col: str) -> str:
-    """The 32-bit rho word from hex chars 3..10."""
-    return portable.hex_int(hash_col, 1 + _P // 4, 8)
+    """The 48-bit rho word from hex chars 3..14 (48 bits, not the
+    classic 32, so saturation sits at 2^48 distincts and no large-range
+    correction — a transcendental — is ever required; ADVICE r12)."""
+    return portable.hex_int(hash_col, 1 + _P // 4, _RHO_BITS // 4)
 
 
 def rho_sql(word_col: str) -> str:
-    """Leading-zero rank of a 32-bit word, 1..33 — pure integer CASE
-    cascade (32 BIGINT comparisons; no log2, whose exact-power-of-two
+    """Leading-zero rank of a 48-bit word, 1..49 — pure integer CASE
+    cascade (48 BIGINT comparisons; no log2, whose exact-power-of-two
     edge rounding could differ between engines)."""
     whens = " ".join(
-        f"WHEN {word_col} >= {1 << (32 - i)} THEN {i}" for i in range(1, 33))
+        f"WHEN {word_col} >= {1 << (_RHO_BITS - i)} THEN {i}"
+        for i in range(1, _RHO_BITS + 1))
     return f"(CASE {whens} ELSE {_RHO_MAX} END)"
 
 
 def estimate_sql(reg_col: str) -> str:
     """Aggregate expression over per-register rows -> BIGINT estimate.
 
-    ``sum(2^(33-r))`` stays in BIGINT (exact, order-free); absent
-    registers contribute 2^33 each. The only float ops are one division,
-    one <= comparison, and floor(x+0.5) — all single IEEE ops with pinned
+    ``sum(2^(49-r))`` stays in BIGINT (exact, order-free); absent
+    registers contribute 2^49 each. The only float ops are one
+    int64->double conversion, one division, one <= comparison, and
+    floor(x+0.5) — all single IEEE round-to-nearest ops with pinned
     operand order, identical in Spark and DuckDB.
     """
     s = (f"(sum(cast(pow(2, {_RHO_MAX} - {reg_col}) as bigint))"
@@ -161,7 +172,8 @@ def hll_write_registers(df: DataFrame, value_col: str,
     geometry refuse instead of silently merging incompatible registers."""
     from klepto_spark.operators.dedup import write_index_meta
     hll_registers(df, value_col, group_cols).write.mode(mode).parquet(path)
-    write_index_meta(df.sparkSession, path, "hll", {"p": _P})
+    write_index_meta(df.sparkSession, path, "hll",
+                     {"p": _P, "rho_bits": _RHO_BITS})
 
 
 def hll_append(spark, path: str, batch: DataFrame, value_col: str,
@@ -178,7 +190,7 @@ def hll_append(spark, path: str, batch: DataFrame, value_col: str,
     frame probes the PRE-append snapshot even after the commit (the
     parquet relation pins its file list at read time)."""
     from klepto_spark.operators.dedup import check_index_meta
-    check_index_meta(spark, path, "hll", {"p": _P})
+    check_index_meta(spark, path, "hll", {"p": _P, "rho_bits": _RHO_BITS})
     batch_regs = hll_registers(batch, value_col, group_cols)
     idx = spark.read.parquet(path).select(*group_cols, "hll_bucket",
                                           "hll_r")
@@ -200,29 +212,54 @@ def hll_overlap(a: DataFrame, b: DataFrame, value_col: str,
 
     All three estimates are the bit-portable HLL, so the DuckDB twin
     (:func:`overlap_oracle_sql`) computes the identical BIGINTs — the
-    subtraction and the >=0 clamp are exact integer ops. Estimation
-    error compounds across the three terms (~3x the single-sketch
-    envelope on the overlap when the true intersection is small);
-    pinned by tests. Groups present in only one side report the other
-    side's distinct as 0 and overlap 0."""
+    subtraction and the >=0 clamp are exact integer ops, and the
+    per-side joins are NULL-SAFE (``eqNullSafe``, mirroring the
+    oracle's ``IS NOT DISTINCT FROM``) so a NULL group key carries its
+    per-side distincts instead of dropping them (ADVICE r12 medium).
+    Estimation error compounds across the three terms (~3x the
+    single-sketch envelope on the overlap when the true intersection
+    is small); pinned by tests. Groups present in only one side report
+    the other side's distinct as 0 and overlap 0.
+
+    Each input is register-ised exactly ONCE: the two sides' register
+    frames union into one side-tagged persisted frame (at most 2·m rows
+    per group — MEMORY_AND_DISK, registered with dedup's pinned-cache
+    list so ``dedup.release_caches()`` frees it), and the per-side and
+    union estimates all read that cache (ADVICE r12)."""
+    from klepto_spark.operators.dedup import _PINNED_CACHES
     group_cols = group_cols or []
     agg = F.expr(estimate_sql("hll_r")).alias("est")
 
-    def est(df: DataFrame) -> DataFrame:
-        regs = hll_registers(df, value_col, group_cols)
-        if group_cols:
-            return regs.groupBy(*group_cols).agg(agg)
-        return regs.groupBy().agg(agg)
+    ra = hll_registers(a, value_col, group_cols) \
+        .withColumn("hll_side", F.lit("a"))
+    rb = hll_registers(b, value_col, group_cols) \
+        .withColumn("hll_side", F.lit("b"))
+    regs = ra.unionByName(rb).persist()
+    _PINNED_CACHES.append(regs)
 
-    ra = hll_registers(a, value_col, group_cols)
-    rb = hll_registers(b, value_col, group_cols)
-    ea = est(a).withColumnRenamed("est", "distinct_a")
-    eb = est(b).withColumnRenamed("est", "distinct_b")
-    eu = _fold_estimate(ra.unionByName(rb), group_cols) \
+    def est(side: str, name: str) -> DataFrame:
+        r = regs.filter(F.col("hll_side") == side).drop("hll_side")
+        out = (r.groupBy(*group_cols).agg(agg) if group_cols
+               else r.groupBy().agg(agg))
+        return out.withColumnRenamed("est", name)
+
+    ea = est("a", "distinct_a")
+    eb = est("b", "distinct_b")
+    eu = _fold_estimate(regs.drop("hll_side"), group_cols) \
         .withColumnRenamed("approx_distinct", "distinct_union")
     if group_cols:
-        j = (eu.join(ea, group_cols, "left")
-             .join(eb, group_cols, "left"))
+        ea = ea.select(*[F.col(c).alias(f"__a_{c}") for c in group_cols],
+                       "distinct_a")
+        eb = eb.select(*[F.col(c).alias(f"__b_{c}") for c in group_cols],
+                       "distinct_b")
+        cond_a = _all([F.col(c).eqNullSafe(F.col(f"__a_{c}"))
+                       for c in group_cols])
+        cond_b = _all([F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+                       for c in group_cols])
+        j = (eu.join(F.broadcast(ea), cond_a, "left")
+             .drop(*[f"__a_{c}" for c in group_cols])
+             .join(F.broadcast(eb), cond_b, "left")
+             .drop(*[f"__b_{c}" for c in group_cols]))
     else:
         j = eu.crossJoin(F.broadcast(ea)).crossJoin(F.broadcast(eb))
     da = F.coalesce("distinct_a", F.lit(0))
@@ -232,6 +269,14 @@ def hll_overlap(a: DataFrame, b: DataFrame, value_col: str,
         F.col("distinct_union"),
         F.greatest(F.lit(0), da + db - F.col("distinct_union"))
         .cast("long").alias("overlap_est"))
+
+
+def _all(conds):
+    """AND-fold a non-empty list of Column predicates."""
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
 
 
 def overlap_oracle_sql(a_sql: str, b_sql: str, value_col: str,

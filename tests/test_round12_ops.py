@@ -213,6 +213,32 @@ def test_hll_overlap_accuracy_and_edges(spark):
     assert {k: tuple(v) for k, v in rows.items()} == drows
 
 
+def test_hll_overlap_null_group_key(spark):
+    """ADVICE r12 medium: a NULL group key must carry its per-side
+    distincts — the Spark per-side joins are eqNullSafe, mirroring the
+    oracle's IS NOT DISTINCT FROM. The ADVICE repro: side a holds two
+    values under the NULL key, side b one shared value -> (2, 1, 2, 1);
+    the old name-list left join dropped both per-side estimates to 0.
+    The DuckDB twin must return the identical rows."""
+    import duckdb
+    a = spark.createDataFrame([(None, 1), (None, 2), ("g1", 5)],
+                              "g string, v int")
+    b = spark.createDataFrame([(None, 2), ("g1", 5)], "g string, v int")
+    rows = {r["g"]: tuple(r)[1:]
+            for r in H.hll_overlap(a, b, "v", ["g"]).collect()}
+    assert rows[None] == (2, 1, 2, 1), rows
+    assert rows["g1"] == (1, 1, 1, 1), rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta(g VARCHAR, v INT); "
+                "INSERT INTO ta VALUES (NULL, 1), (NULL, 2), ('g1', 5)")
+    con.execute("CREATE TABLE tb(g VARCHAR, v INT); "
+                "INSERT INTO tb VALUES (NULL, 2), ('g1', 5)")
+    drows = {r[0]: tuple(r)[1:] for r in con.execute(H.overlap_oracle_sql(
+        "SELECT * FROM ta", "SELECT * FROM tb", "v", ["g"])).fetchall()}
+    con.close()
+    assert rows == drows
+
+
 # --------------------------------------------------------------------------
 # v05 — numeric-distribution drift (continuous complement of v04)
 # --------------------------------------------------------------------------
