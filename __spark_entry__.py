@@ -8,10 +8,11 @@ engine's M5 extensions: aggregation/window/set-op analytics, exact and
 MinHash-LSH and SimHash dedup, n-gram Jaccard verification, text analysis,
 embedding similarity search.
 
-``oracle_sql()`` gives the DuckDB-equivalent SQL for every query where the
-semantics are SQL-expressible (all but SimHash, whose xxhash64 primitive
-DuckDB lacks). Anonymisation queries share their
-expression text between both engines via the portable-SQL design
+``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY query — the
+rows-only class emptied in round 12 (SimHash replays its bit votes via
+the md5-nibble variant, MMR via a recursive CTE, the sketches via the
+portable HLL / exact-quantile contracts). Anonymisation queries share
+their expression text between both engines via the portable-SQL design
 (klepto_spark/functions/portable.py), so value-hashes match exactly.
 """
 
@@ -2596,6 +2597,70 @@ JOIN supplier ON l_suppkey = s_suppkey
 WHERE p_size >= 48"""
 
 
+def q_nation_profit(spark, sf_dir):
+    """a33: TPC-H Q9 shape (product-line profit) — the contract's first
+    FIVE-relation join (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders),
+    the class where join ORDERING matters most at 100x (VERDICT r12 #5):
+    profit on 'bolt' parts per supplier nation per order year, profit =
+    discounted price minus retail cost (this schema has no partsupp, so
+    p_retailprice*quantity stands in for Q9's ps_supplycost*quantity).
+
+    Plan (pinned in test_plans.py): the selective part predicate (~13%
+    of parts) broadcast-joins INTO the single lineitem scan FIRST — the
+    cheapest input cut — then the supplier⋈nation dimension chain
+    broadcasts (nation is 25 rows, supplier projects to two columns),
+    and only then the orders side joins, both inputs already pruned to
+    the needed columns. The orders join is deliberately UNHINTED: at
+    bench scale AQE broadcasts its two-column projection; on a
+    cluster-scale fact table the same declarative plan shuffle-joins on
+    orderkey — the planner, not the query text, owns that choice. All
+    money math is exact DECIMAL end to end; the one double appears in
+    the reported column (the a26/v02 rule), so the value-hash is
+    FP-order-independent."""
+    load = _load(spark, sf_dir)
+    li, part, supp = load("lineitem"), load("part"), load("supplier")
+    nat, orders = load("nation"), load("orders")
+    bolts = (part.filter(F.col("p_name").contains("bolt"))
+             .select("p_partkey", "p_retailprice"))
+    dims = (supp.join(F.broadcast(nat),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "n_name"))
+    amount = (_dec("l_extendedprice")
+              * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+              - _dec("p_retailprice") * _dec("l_quantity"))
+    return (li.select("l_orderkey", "l_partkey", "l_suppkey",
+                      "l_quantity", "l_extendedprice", "l_discount")
+            .join(F.broadcast(bolts),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(dims),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(orders.select("o_orderkey", "o_orderdate"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(amount).cast("double").alias("sum_profit"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+def _a33_oracle() -> str:
+    return """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+       AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC"""
+
+
 M05_PREFIX_BYTES = 64
 
 
@@ -2692,108 +2757,61 @@ FROM sel"""
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's CORRECTNESS gate grades
     the FIRST 50 entries only (observed cap, stable since round 4).
-    Round-12 rotation (VERDICT r11 #1): the window leads with the NINE
-    queries that have never received a driver row (t19/t20/v04/a26-a28/
-    d14/c05/p08 — round-11 additions graded for the first time here),
-    then the former no-oracle trio (s12/t06/a16), each of which now has
-    a real oracle_sql() entry — s12's recursive-CTE MMR replay, t06's
-    portable bit-identical HLL, a16's exact-quantile + rank-certificate
-    contract — so CORRECTNESS_r12 can be the first artifact with zero
-    err rows AND complete the graded union of the pre-r12 surface. The
-    new s13 (at-rest IVF probe, the audited partition-pruning query)
-    takes the slot v03 vacated; the remaining 37 slots re-grade
-    round-11-green families (d08-d13, s08-s11, t07-t18, a14-a21,
-    p05-p07, m03-m05, v01-v02). Everything after slot 50 holds green
-    rows from earlier rounds except t21/t22/a29-a32/v05 (new this
-    round, wait for the r13 rotation); ALL 119 stay value-checked every run by
-    tests/test_oracle_parity.py regardless of position."""
+
+    ROTATION SCHEDULE (VERDICT r12 #8 — stated policy, no longer a
+    per-round judgement call): each round the window is rebuilt as
+    (1) every query that has never received a driver row, oldest
+    addition first, then (2) the longest-ungraded greens — ascending
+    latest-graded round, ties alphabetical — until the 50 slots fill.
+    With 50 slots per round and <= ~125 queries, every query is
+    re-graded AT LEAST every 3 rounds; queries added mid-round enter
+    the never-graded head of the NEXT round's window. ALL queries stay
+    value-checked every session by tests/test_oracle_parity.py
+    regardless of window position.
+
+    Round-13 window from that policy: the seven never-graded round-12
+    additions (t21/t22/v05/a29-a32), then m01/m02 (last graded r3) and
+    41 of the 50 queries last graded r10 (a01-a13, d01-d07, k01-k14,
+    p01-p04, s01-s03). The r10 leftovers (s04-s07, t01-t05) lead the
+    r14 queue, followed by the r11 cohort (a22-a25, c01-c04, k15, v03)
+    and the r12-graded surface; a33 (new this round) waits for the r14
+    never-graded head."""
     return {
-        # -- round-11 additions: first driver grading this round --
-        "t19_dup_span_strip": q_dup_span_strip,
-        "t20_span_append": q_span_append,
-        "v04_distribution_drift": q_distribution_drift,
-        "a26_revenue_concentration": q_revenue_concentration,
-        "a27_order_count_distribution": q_order_count_distribution,
-        "a28_supplier_diversity": q_supplier_diversity,
-        "d14_semdedup": q_semdedup,
-        "c05_curation_recipe": q_curation_recipe,
-        "p08_cluster_sample": q_cluster_sample,
-        # -- the former no-oracle trio, re-graded with oracles --
-        "s12_ann_mmr": q_ann_mmr,
-        "t06_hll_distinct": q_hll_distinct,
-        "a16_tdigest": q_tdigest,
-        # -- new in round 12: at-rest IVF probe (partition pruning on
-        #    the audited surface, VERDICT r11 #8) --
-        "s13_ivf_index_probe": q_ivf_index_probe,
-        # -- dedup: incremental / cross-corpus / CDC families --
-        "d08_cross_dedup": q_cross_dedup,
-        "d09_cross_dedup_indexed": q_cross_dedup_indexed,
-        "d10_semantic_append": q_semantic_append,
-        "d11_exact_append": q_exact_append,
-        "d12_cdc_near_dup": q_cdc_near_dup,
-        "d13_cdc_append": q_cdc_append,
-        # -- ANN: filtered / hybrid / batched --
-        "s08_filtered_ann": q_filtered_ann,
-        "s09_prenorm_topk": q_prenorm_topk,
-        "s10_hybrid_rrf": q_hybrid_rrf,
-        "s11_batched_ann": q_batched_ann,
-        # -- text analysis --
-        "t07_decontaminate": q_decontaminate,
-        "t08_pii_redact": q_pii_redact,
-        "t09_tfidf": q_tfidf,
-        "t10_heavy_hitters": q_heavy_hitters,
-        "t11_boilerplate": q_boilerplate,
-        "t12_seq_pack": q_seq_pack,
-        "t13_trigram_novelty": q_trigram_novelty,
-        "t14_chunking": q_chunk_documents,
-        "t15_gopher_signals": q_gopher_signals,
-        "t16_shared_chunks": q_shared_chunks,
-        "t17_cdc_shared": q_cdc_shared,
-        "t18_dup_spans": q_dup_spans,
-        # -- analytics --
-        "a14_funnel": q_funnel,
-        "a15_json_props": q_json_props,
-        "a17_window_distribution": q_window_distribution,
-        "a18_cube": q_cube,
-        "a19_small_order_parts": q_small_order_parts,
-        "a20_retention": q_retention,
-        "a21_grouping_sets": q_grouping_sets,
-        # -- sampling / mixtures --
-        "p05_mixture_sample": q_mixture_sample,
-        "p06_token_budget": q_token_budget,
-        "p07_temperature_mixture": q_temperature_mixture,
-        # -- multimodal --
-        "m03_frame_energy": q_frame_energy,
-        "m04_extract_frames": q_extract_frames,
-        "m05_payload_dedup": q_payload_dedup,
-        # -- validation --
-        "v01_validate": q_validate,
-        "v02_length_outliers": q_length_outliers,
-        # ---- entries below are outside the driver's 50-query window ----
-        # (all hold driver-green rows from rounds 1-11; the parity sweep
-        # still value-checks every one of them each run. v03 yielded its
-        # window slot to the new s13 and keeps its r11 green row.
-        # t21/a29/a30/a31 are new this round and wait for the round-13
-        # rotation.)
-        "v03_validate_fk": q_validate_fk,
+        # -- never driver-graded (round-12 additions): first grading --
         "t21_hll_append": q_hll_append,
-        "v05_numeric_drift": q_numeric_drift,
-        "a32_cheapest_shipper": q_cheapest_shipper,
         "t22_hll_overlap": q_hll_overlap,
+        "v05_numeric_drift": q_numeric_drift,
         "a29_top_revenue_supplier": q_top_revenue_supplier,
         "a30_promo_disjunction": q_promo_disjunction,
         "a31_concentrated_suppliers": q_concentrated_suppliers,
-        "a22_late_sole_suppliers": q_late_sole_suppliers,
-        "a23_priority_late_orders": q_priority_late_orders,
-        "a24_large_volume_orders": q_large_volume_orders,
-        "a25_balance_no_urgent": q_balance_no_urgent,
-        "c01_corpus_pipeline": q_corpus_pipeline,
-        "c02_ingest_pipeline": q_ingest_pipeline,
-        "c03_corpus_recipe": q_corpus_recipe,
-        "c04_leakage_split": q_leakage_split,
-        "k15_pii_pipeline": q_pii_pipeline,
-        "k01_scan": q_scan,
+        "a32_cheapest_shipper": q_cheapest_shipper,
+        # -- longest-ungraded greens: last graded r3 --
+        "m01_media_features": q_media_features,
+        "m02_frame_plan": q_frame_plan,
+        # -- last graded r10: analytics core --
         "a01_pricing_summary": q_agg_pricing_summary,
+        "a02_top_customers": q_top_customers,
+        "a03_window_rank": q_window_rank,
+        "a04_customers_without_orders": q_customers_without_orders,
+        "a05_events_rollup": q_events_rollup,
+        "a06_region_rollup": q_region_rollup,
+        "a07_set_ops": q_set_ops,
+        "a08_asof_join": q_asof_join,
+        "a09_sessionize_batch": q_sessionize_batch,
+        "a10_moving_avg": q_moving_avg,
+        "a11_events_pivot": q_events_pivot,
+        "a12_range_join": q_range_join,
+        "a13_percentiles": q_percentiles,
+        # -- last graded r10: dedup core --
+        "d01_dedup_exact": q_dedup_exact,
+        "d02_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "d03_dedup_simhash": q_dedup_simhash,
+        "d04_dedup_jaccard_verified": q_dedup_jaccard_verified,
+        "d05_dedup_clusters": q_dedup_clusters,
+        "d06_dedup_semantic": q_dedup_semantic,
+        "d07_dedup_keep_best": q_dedup_keep_best,
+        # -- last graded r10: reference k-core --
+        "k01_scan": q_scan,
         "k02_filter_topk": q_filter_topk,
         "k03_restrict_semi": q_restrict_semi,
         "k04_restrict_2hop": q_restrict_2hop,
@@ -2807,43 +2825,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k12_anonymise_locale": q_anonymise_locale,
         "k13_anonymise_format": q_anonymise_format,
         "k14_anonymise_luhn": q_anonymise_luhn,
-        "a02_top_customers": q_top_customers,
-        "a03_window_rank": q_window_rank,
-        "a04_customers_without_orders": q_customers_without_orders,
-        "a05_events_rollup": q_events_rollup,
-        "a10_moving_avg": q_moving_avg,
-        "a06_region_rollup": q_region_rollup,
-        "a07_set_ops": q_set_ops,
-        "a08_asof_join": q_asof_join,
-        "a09_sessionize_batch": q_sessionize_batch,
-        "a11_events_pivot": q_events_pivot,
-        "a12_range_join": q_range_join,
-        "a13_percentiles": q_percentiles,
-        "d01_dedup_exact": q_dedup_exact,
-        "d02_dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "d03_dedup_simhash": q_dedup_simhash,
-        "d04_dedup_jaccard_verified": q_dedup_jaccard_verified,
-        "d05_dedup_clusters": q_dedup_clusters,
-        "d06_dedup_semantic": q_dedup_semantic,
-        "d07_dedup_keep_best": q_dedup_keep_best,
+        # -- last graded r10: sampling + ANN head --
+        "p01_sample_split": q_sample_split,
+        "p02_sample_stratified": q_sample_stratified,
+        "p03_sample_exact_n": q_sample_exact_n,
+        "p04_sample_weighted": q_sample_weighted,
+        "s01_ann_cosine": q_ann_cosine,
+        "s02_ann_pairs_lsh": q_ann_pairs_lsh,
+        "s03_ivf_topk": q_ivf_topk,
+        # ---- entries below are outside the driver's 50-query window ----
+        # r14 queue head: the r10 leftovers --
+        "s04_pq_topk": q_pq_topk,
+        "s05_pq_rerank": q_pq_rerank,
+        "s06_ivfpq_topk": q_ivfpq_topk,
+        "s07_opq_topk": q_opq_topk,
         "t01_text_stats": q_text_stats,
         "t02_lang_profile": q_lang_profile,
         "t03_doc_fingerprints": q_doc_fingerprints,
         "t04_ngram_profile": q_ngram_profile,
         "t05_word_repetition": q_word_repetition,
-        "s01_ann_cosine": q_ann_cosine,
-        "s02_ann_pairs_lsh": q_ann_pairs_lsh,
-        "s03_ivf_topk": q_ivf_topk,
-        "s04_pq_topk": q_pq_topk,
-        "s05_pq_rerank": q_pq_rerank,
-        "s06_ivfpq_topk": q_ivfpq_topk,
-        "s07_opq_topk": q_opq_topk,
-        "p01_sample_split": q_sample_split,
-        "p02_sample_stratified": q_sample_stratified,
-        "p03_sample_exact_n": q_sample_exact_n,
-        "p04_sample_weighted": q_sample_weighted,
-        "m01_media_features": q_media_features,
-        "m02_frame_plan": q_frame_plan,
+        # -- r11 cohort --
+        "a22_late_sole_suppliers": q_late_sole_suppliers,
+        "a23_priority_late_orders": q_priority_late_orders,
+        "a24_large_volume_orders": q_large_volume_orders,
+        "a25_balance_no_urgent": q_balance_no_urgent,
+        "c01_corpus_pipeline": q_corpus_pipeline,
+        "c02_ingest_pipeline": q_ingest_pipeline,
+        "c03_corpus_recipe": q_corpus_recipe,
+        "c04_leakage_split": q_leakage_split,
+        "k15_pii_pipeline": q_pii_pipeline,
+        "v03_validate_fk": q_validate_fk,
+        # -- r12-graded surface (freshest rows) --
+        "a14_funnel": q_funnel,
+        "a15_json_props": q_json_props,
+        "a16_tdigest": q_tdigest,
+        "a17_window_distribution": q_window_distribution,
+        "a18_cube": q_cube,
+        "a19_small_order_parts": q_small_order_parts,
+        "a20_retention": q_retention,
+        "a21_grouping_sets": q_grouping_sets,
+        "a26_revenue_concentration": q_revenue_concentration,
+        "a27_order_count_distribution": q_order_count_distribution,
+        "a28_supplier_diversity": q_supplier_diversity,
+        "c05_curation_recipe": q_curation_recipe,
+        "d08_cross_dedup": q_cross_dedup,
+        "d09_cross_dedup_indexed": q_cross_dedup_indexed,
+        "d10_semantic_append": q_semantic_append,
+        "d11_exact_append": q_exact_append,
+        "d12_cdc_near_dup": q_cdc_near_dup,
+        "d13_cdc_append": q_cdc_append,
+        "d14_semdedup": q_semdedup,
+        "m03_frame_energy": q_frame_energy,
+        "m04_extract_frames": q_extract_frames,
+        "m05_payload_dedup": q_payload_dedup,
+        "p05_mixture_sample": q_mixture_sample,
+        "p06_token_budget": q_token_budget,
+        "p07_temperature_mixture": q_temperature_mixture,
+        "p08_cluster_sample": q_cluster_sample,
+        "s08_filtered_ann": q_filtered_ann,
+        "s09_prenorm_topk": q_prenorm_topk,
+        "s10_hybrid_rrf": q_hybrid_rrf,
+        "s11_batched_ann": q_batched_ann,
+        "s12_ann_mmr": q_ann_mmr,
+        "s13_ivf_index_probe": q_ivf_index_probe,
+        "t06_hll_distinct": q_hll_distinct,
+        "t07_decontaminate": q_decontaminate,
+        "t08_pii_redact": q_pii_redact,
+        "t09_tfidf": q_tfidf,
+        "t10_heavy_hitters": q_heavy_hitters,
+        "t11_boilerplate": q_boilerplate,
+        "t12_seq_pack": q_seq_pack,
+        "t13_trigram_novelty": q_trigram_novelty,
+        "t14_chunking": q_chunk_documents,
+        "t15_gopher_signals": q_gopher_signals,
+        "t16_shared_chunks": q_shared_chunks,
+        "t17_cdc_shared": q_cdc_shared,
+        "t18_dup_spans": q_dup_spans,
+        "t19_dup_span_strip": q_dup_span_strip,
+        "t20_span_append": q_span_append,
+        "v01_validate": q_validate,
+        "v02_length_outliers": q_length_outliers,
+        "v04_distribution_drift": q_distribution_drift,
+        # -- new in round 13: waits for the r14 never-graded head --
+        "a33_nation_profit": q_nation_profit,
     }
 
 
@@ -3537,4 +3601,5 @@ FROM comp""",
         "v05_numeric_drift": _v05_oracle(),
         "a32_cheapest_shipper": _a32_oracle(),
         "t22_hll_overlap": _t22_oracle(),
+        "a33_nation_profit": _a33_oracle(),
     }

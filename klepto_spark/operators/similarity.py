@@ -1405,9 +1405,13 @@ def mmr_rerank(spark, shortlist: DataFrame, query: list[float], k: int,
     ``max_shortlist`` is the guard: exceeding it raises rather than
     silently collecting a corpus.
 
-    Rows-only contract (like the sketches): greedy selection has no SQL
-    twin, so correctness is pinned by pytest margins
-    (tests/test_score_margins.py) instead of a DuckDB oracle.
+    Oracle contract (closed round 12): the greedy loop DOES have a SQL
+    twin — a DuckDB RECURSIVE CTE replays the selection step by step
+    over the same shortlist (__spark_entry__._s12_oracle), each
+    iteration LATERAL-picking the argmax with the identical
+    ascending-key tie-break; the construction margins pinned in
+    tests/test_score_margins.py keep the ~1e-15 numpy-vs-DuckDB
+    summation-order deltas away from every selection boundary.
 
     Returns (key, score, mmr_score, rank): cosine to the query, the MMR
     objective at selection time, and the 1-based selection order.

@@ -42,6 +42,26 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_rows_only_class_stays_empty():
+    """Every contract query has a DuckDB oracle — the rows-only class
+    emptied in round 12 (s12/t06/a16 closures) and three rounds of
+    COVERAGE drift taught that prose claiming otherwise outlives the
+    code (VERDICT r12 #3). Equality here is the pre-commit ritual: a
+    new queries() entry without an oracle_sql() twin fails THIS test,
+    and the stale phrase can never describe the surface again."""
+    assert set(ORACLES) == set(QUERIES), (
+        "rows-only queries reappeared: %s" % sorted(
+            set(QUERIES) - set(ORACLES)))
+    import pathlib
+    root = pathlib.Path(__file__).resolve().parent.parent
+    offenders = []
+    for p in [root / "__spark_entry__.py",
+              *sorted((root / "klepto_spark").rglob("*.py"))]:
+        if "Rows-only contract" in p.read_text():
+            offenders.append(str(p))
+    assert not offenders, f"stale 'Rows-only contract' prose: {offenders}"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()

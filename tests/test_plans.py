@@ -302,6 +302,28 @@ def test_exact_append_probe_plan_shape(spark, sf_dir, tmp_path):
     assert "BroadcastNestedLoop" not in plan
 
 
+def test_nation_profit_five_way_join_plan(spark, sf_dir):
+    """a33 (TPC-H Q9 shape): the five-relation join must scan lineitem
+    exactly ONCE and only its five needed columns (pruning survives the
+    join chain), broadcast the part/supplier/nation dimension chain, and
+    never fall back to a nested loop or cartesian product. The filter on
+    p_name must reach the part scan as a pushed filter."""
+    df = entry.q_nation_profit(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert I.has_broadcast_join(df)
+    li_scans = [c for c in I.scan_columns(df) if "l_orderkey" in c]
+    assert len(li_scans) == 1, li_scans
+    assert li_scans[0] <= {"l_orderkey", "l_partkey", "l_suppkey",
+                           "l_quantity", "l_extendedprice", "l_discount"}
+    # the selective part predicate is pushed to the part scan
+    assert any("p_name" in f for f in I.pushed_filters(df))
+    # orders scan pruned to the two needed columns
+    o_scans = [c for c in I.scan_columns(df) if "o_orderkey" in c]
+    assert o_scans and o_scans[0] <= {"o_orderkey", "o_orderdate"}
+
+
 def test_priority_late_orders_semi_join_no_nested_loop(spark, sf_dir):
     """a23: the correlated EXISTS with a cross-table inequality must
     compile to ONE semi hash join with the inequality as a residual —
