@@ -2661,6 +2661,146 @@ GROUP BY n_name, year(o_orderdate)
 ORDER BY nation, o_year DESC"""
 
 
+def q_nation_trade(spark, sf_dir):
+    """a34: TPC-H Q7 shape (volume shipping between two nations) — a
+    SIX-relation join (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation
+    ⋈ nation, the nation table twice under different roles): revenue
+    flowing between NATION_1 and NATION_2 in either direction, per
+    (supplier nation, customer nation, ship year).
+
+    Decorrelation: Q7's pair DISJUNCTION ((n1=A AND n2=B) OR (n1=B AND
+    n2=A)) is rewritten as membership-both-sides + inequality — restrict
+    suppliers AND customers to {A, B} up front (each side keeps 2/25 of
+    its entities, so ~0.6% of lineitem survives the supplier cut times
+    the order cut), then apply supp_nation != cust_nation as a residual.
+    The oracle keeps the original disjunction over the raw six-way join,
+    cross-validating the rewrite (the a22/a32 pattern). Plan: nation
+    broadcasts into supplier and customer; the 2-nation supplier and
+    customer projections broadcast into the lineitem and orders scans
+    (entity tables filtered to 2/25 — broadcastable in any realistic
+    deployment); the one residual fact-fact join (pruned lineitem ⋈
+    pruned orders on orderkey) is left to the planner. Exact-decimal
+    volume, double only in the reported column."""
+    load = _load(spark, sf_dir)
+    li, orders, cust = load("lineitem"), load("orders"), load("customer")
+    supp, nat = load("supplier"), load("nation")
+    pair = nat.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    s2 = (supp.join(F.broadcast(pair),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    c2 = (cust.join(F.broadcast(pair),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+          .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    o2 = (orders.join(F.broadcast(c2),
+                      F.col("o_custkey") == F.col("c_custkey"))
+          .select("o_orderkey", "cust_nation"))
+    vol = (_dec("l_extendedprice")
+           * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+    j = (li.select("l_orderkey", "l_suppkey", "l_shipdate",
+                   "l_extendedprice", "l_discount")
+         .join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(o2, F.col("l_orderkey") == F.col("o_orderkey"))
+         .filter(F.col("supp_nation") != F.col("cust_nation")))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum(vol).cast("double").alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+def _a34_oracle() -> str:
+    return """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) sub
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year"""
+
+
+A35_LATE_DAYS = 160
+
+
+def q_waiting_suppliers(spark, sf_dir):
+    """a35: TPC-H Q21 shape (suppliers who kept waiting) — the hardest
+    classic decorrelation: EXISTS and NOT EXISTS over the SAME relation,
+    correlated on the outer row's order AND anti-correlated on its
+    supplier. Adapted to this schema (no l_receiptdate): a lineitem is
+    LATE when it ships > 160 days after the order date. A supplier
+    earns a wait on a finished ('F') order when they were late on it,
+    the order had at least one OTHER supplier, and NO other supplier
+    was late.
+
+    Decorrelation: both subqueries collapse into ONE (order, supplier)
+    aggregate — max(late) per pair, PERSISTED (the a29/a31 one-scan
+    pattern) — whose own order-level rollup (n_supp, n_late) answers
+    both: EXISTS(other supplier) == n_supp > 1, NOT EXISTS(other late)
+    == n_late = 1 given this row is late. Lineitem is scanned ONCE; the
+    self-correlated subqueries never run row-at-a-time. The oracle
+    keeps the genuine EXISTS / NOT EXISTS pair over the same aggregate,
+    cross-validating the rewrite. Timestamp arithmetic is exact integer
+    microseconds in both engines; counts are exact BIGINTs; the top-20
+    is totally ordered (numwait DESC, s_suppkey ASC), so the LIMIT
+    boundary is deterministic."""
+    load = _load(spark, sf_dir)
+    li, orders, supp = load("lineitem"), load("orders"), load("supplier")
+    fo = (orders.filter(F.col("o_orderstatus") == "F")
+          .select("o_orderkey", "o_orderdate"))
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {A35_LATE_DAYS} DAYS"))
+    sp = _pin(li.select("l_orderkey", "l_suppkey", "l_shipdate")
+              .join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+              .groupBy("l_orderkey", "l_suppkey")
+              .agg(F.max(late.cast("int")).alias("late")))
+    agg = (sp.groupBy("l_orderkey")
+           .agg(F.count(F.lit(1)).alias("n_supp"),
+                F.sum("late").alias("n_late")))
+    qual = (sp.filter(F.col("late") == 1)
+            .join(agg, "l_orderkey")
+            .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)))
+    return (qual.join(F.broadcast(supp),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+            .limit(20))
+
+
+def _a35_oracle() -> str:
+    return f"""
+WITH sp AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate
+                       > o_orderdate + INTERVAL {A35_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM sp l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.late = 1
+  AND EXISTS (SELECT 1 FROM sp l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM sp l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late = 1)
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 20"""
+
+
 M05_PREFIX_BYTES = 64
 
 
@@ -2906,8 +3046,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v01_validate": q_validate,
         "v02_length_outliers": q_length_outliers,
         "v04_distribution_drift": q_distribution_drift,
-        # -- new in round 13: waits for the r14 never-graded head --
+        # -- new in round 13: wait for the r14 never-graded head --
         "a33_nation_profit": q_nation_profit,
+        "a34_nation_trade": q_nation_trade,
+        "a35_waiting_suppliers": q_waiting_suppliers,
     }
 
 
@@ -3602,4 +3744,6 @@ FROM comp""",
         "a32_cheapest_shipper": _a32_oracle(),
         "t22_hll_overlap": _t22_oracle(),
         "a33_nation_profit": _a33_oracle(),
+        "a34_nation_trade": _a34_oracle(),
+        "a35_waiting_suppliers": _a35_oracle(),
     }

@@ -324,6 +324,42 @@ def test_nation_profit_five_way_join_plan(spark, sf_dir):
     assert o_scans and o_scans[0] <= {"o_orderkey", "o_orderdate"}
 
 
+def test_nation_trade_six_way_join_plan(spark, sf_dir):
+    """a34 (TPC-H Q7 shape): six relations (nation twice), one pruned
+    lineitem scan, the 2-nation entity projections broadcast, the pair
+    disjunction decorrelated to membership + residual inequality — and
+    never a nested loop."""
+    df = entry.q_nation_trade(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert I.has_broadcast_join(df)
+    li_scans = [c for c in I.scan_columns(df) if "l_shipdate" in c]
+    assert len(li_scans) == 1, li_scans
+    assert li_scans[0] <= {"l_orderkey", "l_suppkey", "l_shipdate",
+                           "l_extendedprice", "l_discount"}
+    # the nation-pair restriction reaches the nation scan
+    assert any("n_name" in f for f in I.pushed_filters(df))
+
+
+def test_waiting_suppliers_single_lineitem_scan(spark, sf_dir):
+    """a35 (TPC-H Q21 shape): the EXISTS + NOT EXISTS pair must
+    decorrelate to ONE (order, supplier) aggregate over ONE lineitem
+    scan — the persisted frame feeds both its own rollup and the
+    qualifying filter, so the plan shows a single lineitem relation
+    (InMemoryTableScan carries the reuse) and no nested loop. The
+    o_orderstatus predicate is pushed to the orders scan."""
+    df = entry.q_waiting_suppliers(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    li_scans = [c for c in I.scan_columns(df) if "l_shipdate" in c
+                or "l_suppkey" in c]
+    assert len(li_scans) <= 1, li_scans
+    assert any("o_orderstatus" in f for f in I.pushed_filters(df))
+    assert I.has_top_k(df)
+
+
 def test_priority_late_orders_semi_join_no_nested_loop(spark, sf_dir):
     """a23: the correlated EXISTS with a cross-table inequality must
     compile to ONE semi hash join with the inequality as a residual —
