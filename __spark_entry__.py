@@ -2801,6 +2801,92 @@ ORDER BY numwait DESC, s_suppkey ASC
 LIMIT 20"""
 
 
+def q_market_share(spark, sf_dir):
+    """a36: TPC-H Q8 shape (national market share) — the largest join in
+    the contract: EIGHT relation instances (lineitem ⋈ part ⋈ orders ⋈
+    customer ⋈ nation ⋈ region ⋈ supplier ⋈ nation again), computing
+    NATION_1 suppliers' share of PROMO-part revenue sold to ASIA-region
+    customers, per order year.
+
+    The share is a conditional-sum ratio and the division obeys the
+    division-LAST rule: numerator (NATION_1 volume) and denominator
+    (all volume) are both EXACT decimal sums — the numerator via a
+    no-ELSE CASE, whose NULLs both engines' SUM skip identically — and
+    the one double division happens on the exact totals with pinned
+    operand order, so the boundary cannot be split by accumulation
+    order. Plan: the PROMO part keys and the supplier⋈nation chain
+    broadcast into the single pruned lineitem scan; region⋈nation
+    restricts customers to 5/25 nations and that projection broadcasts
+    into orders; the one fact-fact orderkey join is unhinted (the a33
+    rule — AQE broadcasts at bench scale, shuffles at cluster scale)."""
+    load = _load(spark, sf_dir)
+    li, part, orders = load("lineitem"), load("part"), load("orders")
+    cust, supp = load("customer"), load("supplier")
+    nat, region = load("nation"), load("region")
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    s_nat = (supp.join(F.broadcast(nat),
+                       F.col("s_nationkey") == F.col("n_nationkey"))
+             .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    asia_nat = (nat.join(F.broadcast(
+        region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key")))
+    asia_cust = (cust.join(F.broadcast(asia_nat),
+                           F.col("c_nationkey") == F.col("cn_key"))
+                 .select("c_custkey"))
+    o_asia = (orders.join(F.broadcast(asia_cust),
+                          F.col("o_custkey") == F.col("c_custkey"))
+              .select("o_orderkey", F.year("o_orderdate").alias("o_year")))
+    vol = (_dec("l_extendedprice")
+           * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+    j = (li.select("l_orderkey", "l_partkey", "l_suppkey",
+                   "l_extendedprice", "l_discount")
+         .join(F.broadcast(promo),
+               F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+         .join(F.broadcast(s_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(o_asia, F.col("l_orderkey") == F.col("o_orderkey")))
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_1", vol))
+    den = F.sum(vol)
+    return (j.groupBy("o_year")
+            .agg(F.coalesce(num.cast("double"), F.lit(0.0))
+                 .alias("nation_volume"),
+                 den.cast("double").alias("total_volume"))
+            .withColumn("mkt_share",
+                        F.round(F.col("nation_volume")
+                                / F.col("total_volume"), 6))
+            .select("o_year", "nation_volume", "total_volume", "mkt_share")
+            .orderBy("o_year"))
+
+
+def _a36_oracle() -> str:
+    return """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year, n2.n_name AS supp_nation,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2))
+            - CAST(l_discount AS DECIMAL(18,2))) AS volume
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'ASIA')
+SELECT o_year,
+       coalesce(CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                              THEN volume END) AS DOUBLE), 0.0)
+       AS nation_volume,
+       CAST(SUM(volume) AS DOUBLE) AS total_volume,
+       round(coalesce(CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                                    THEN volume END) AS DOUBLE), 0.0)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM j
+GROUP BY o_year
+ORDER BY o_year"""
+
+
 M05_PREFIX_BYTES = 64
 
 
@@ -2914,8 +3000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     41 of the 50 queries last graded r10 (a01-a13, d01-d07, k01-k14,
     p01-p04, s01-s03). The r10 leftovers (s04-s07, t01-t05) lead the
     r14 queue, followed by the r11 cohort (a22-a25, c01-c04, k15, v03)
-    and the r12-graded surface; a33 (new this round) waits for the r14
-    never-graded head."""
+    and the r12-graded surface; a33-a36 (new this round) wait for the
+    r14 never-graded head."""
     return {
         # -- never driver-graded (round-12 additions): first grading --
         "t21_hll_append": q_hll_append,
@@ -3050,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a33_nation_profit": q_nation_profit,
         "a34_nation_trade": q_nation_trade,
         "a35_waiting_suppliers": q_waiting_suppliers,
+        "a36_market_share": q_market_share,
     }
 
 
@@ -3746,4 +3833,5 @@ FROM comp""",
         "a33_nation_profit": _a33_oracle(),
         "a34_nation_trade": _a34_oracle(),
         "a35_waiting_suppliers": _a35_oracle(),
+        "a36_market_share": _a36_oracle(),
     }

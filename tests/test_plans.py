@@ -360,6 +360,25 @@ def test_waiting_suppliers_single_lineitem_scan(spark, sf_dir):
     assert I.has_top_k(df)
 
 
+def test_market_share_eight_way_join_plan(spark, sf_dir):
+    """a36 (TPC-H Q8 shape): eight relation instances, one pruned
+    lineitem scan, the PROMO part restriction as a broadcast LEFT SEMI
+    into that scan, pushed p_type/r_name filters, no nested loop."""
+    df = entry.q_market_share(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert I.has_broadcast_join(df)
+    assert "LeftSemi" in plan
+    li_scans = [c for c in I.scan_columns(df) if "l_extendedprice" in c]
+    assert len(li_scans) == 1, li_scans
+    assert li_scans[0] <= {"l_orderkey", "l_partkey", "l_suppkey",
+                           "l_extendedprice", "l_discount"}
+    pushed = I.pushed_filters(df)
+    assert any("p_type" in f for f in pushed)
+    assert any("r_name" in f for f in pushed)
+
+
 def test_priority_late_orders_semi_join_no_nested_loop(spark, sf_dir):
     """a23: the correlated EXISTS with a cross-table inequality must
     compile to ONE semi hash join with the inequality as a residual —
