@@ -2887,6 +2887,127 @@ GROUP BY o_year
 ORDER BY o_year"""
 
 
+def q_local_supplier_revenue(spark, sf_dir):
+    """a37: TPC-H Q5 shape (local-supplier volume) — six relations with
+    the defining twist: the join predicate c_nationkey = s_nationkey
+    CROSSES the two dimension arms (the customer's nation, reached
+    through orders, must equal the supplier's nation, reached through
+    lineitem), so the planner can only apply it after BOTH chains are
+    attached — the classic residual-placement test. Revenue per
+    ASIA-region nation over one order year.
+
+    Plan: region⋈nation (broadcast) restricts both arms to the 5 ASIA
+    nations; the supplier projection broadcasts into the single pruned
+    lineitem scan, the customer projection broadcasts into the
+    year-filtered orders scan, the fact-fact orderkey join is unhinted
+    (the a33 rule), and the cross-arm equality runs as a residual on
+    the joined row. Exact-decimal revenue, double only in the reported
+    column; ordering (revenue DESC, n_name ASC) is total, so ties
+    cannot reorder across engines."""
+    load = _load(spark, sf_dir)
+    li, orders, cust = load("lineitem"), load("orders"), load("customer")
+    supp, nat, region = load("supplier"), load("nation"), load("region")
+    asia = (nat.join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("n_nationkey", "n_name"))
+    c2 = (cust.join(F.broadcast(asia),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+          .select("c_custkey", "c_nationkey"))
+    o2 = (orders.filter((F.col("o_orderdate")
+                         >= F.lit("1996-01-01").cast("timestamp"))
+                        & (F.col("o_orderdate")
+                           < F.lit("1997-01-01").cast("timestamp")))
+          .join(F.broadcast(c2), F.col("o_custkey") == F.col("c_custkey"))
+          .select("o_orderkey", "c_nationkey"))
+    s2 = (supp.join(F.broadcast(asia),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", "s_nationkey", "n_name"))
+    vol = (_dec("l_extendedprice")
+           * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+    j = (li.select("l_orderkey", "l_suppkey",
+                   "l_extendedprice", "l_discount")
+         .join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(o2, F.col("l_orderkey") == F.col("o_orderkey"))
+         .filter(F.col("c_nationkey") == F.col("s_nationkey")))
+    return (j.groupBy("n_name")
+            .agg(F.sum(vol).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("n_name")))
+
+
+def _a37_oracle() -> str:
+    return """
+SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC"""
+
+
+A38_IDLE_SINCE = "2000-01-01"
+
+
+def q_idle_balances(spark, sf_dir):
+    """a38: TPC-H Q22 shape (global-customer-interest) — customers whose
+    account balance exceeds the GLOBAL average of positive balances and
+    who have placed no order since 2000-01-01 (Q22's "no orders in N
+    years" window; a never-ordered test is vacuous on this synthetic
+    corpus, where nearly every customer has ordered at least once).
+    Two classic pieces composed: an uncorrelated scalar-aggregate
+    threshold and a NOT EXISTS anti-join.
+
+    The threshold comparison is DIVISION-FREE (the a26/a32 boundary
+    rule): avg = sum/count never materialises — the single-row exact
+    DECIMAL (sum, count) broadcasts back and each customer decides via
+    c_acctbal * cnt > total, one exact-decimal product per side, so the
+    boundary cannot be split by a rounding mode. The anti-join streams
+    orders' key column only, with the date window PUSHED to the orders
+    scan. One customer scan feeds both the threshold aggregate and the
+    filtered output (the frame is customer-sized; Spark's exchange
+    reuse covers it without a persist)."""
+    load = _load(spark, sf_dir)
+    cust, orders = load("customer"), load("orders")
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    thresh = pos.agg(F.sum(_dec("c_acctbal")).alias("total"),
+                     F.count(F.lit(1)).cast("decimal(18,0)").alias("cnt"))
+    rich = (cust.crossJoin(F.broadcast(thresh))
+            .filter(_dec("c_acctbal") * F.col("cnt") > F.col("total")))
+    recent = (orders.filter(F.col("o_orderdate")
+                            >= F.lit(A38_IDLE_SINCE).cast("timestamp"))
+              .select("o_custkey"))
+    idle = rich.join(recent,
+                     F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (idle.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"))
+            .orderBy("c_mktsegment"))
+
+
+def _a38_oracle() -> str:
+    return f"""
+WITH t AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total,
+                  CAST(COUNT(*) AS DECIMAL(18,0)) AS cnt
+           FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, t
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * t.cnt > t.total
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '{A38_IDLE_SINCE}')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment"""
+
+
 M05_PREFIX_BYTES = 64
 
 
@@ -3000,7 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     41 of the 50 queries last graded r10 (a01-a13, d01-d07, k01-k14,
     p01-p04, s01-s03). The r10 leftovers (s04-s07, t01-t05) lead the
     r14 queue, followed by the r11 cohort (a22-a25, c01-c04, k15, v03)
-    and the r12-graded surface; a33-a36 (new this round) wait for the
+    and the r12-graded surface; a33-a38 (new this round) wait for the
     r14 never-graded head."""
     return {
         # -- never driver-graded (round-12 additions): first grading --
@@ -3137,6 +3258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a34_nation_trade": q_nation_trade,
         "a35_waiting_suppliers": q_waiting_suppliers,
         "a36_market_share": q_market_share,
+        "a37_local_supplier_revenue": q_local_supplier_revenue,
+        "a38_idle_balances": q_idle_balances,
     }
 
 
@@ -3834,4 +3957,6 @@ FROM comp""",
         "a34_nation_trade": _a34_oracle(),
         "a35_waiting_suppliers": _a35_oracle(),
         "a36_market_share": _a36_oracle(),
+        "a37_local_supplier_revenue": _a37_oracle(),
+        "a38_idle_balances": _a38_oracle(),
     }

@@ -86,7 +86,8 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          "a29_top_revenue_supplier", "a30_promo_disjunction",
          "a31_concentrated_suppliers", "a32_cheapest_shipper",
          "a33_nation_profit", "a34_nation_trade",
-         "a35_waiting_suppliers", "a36_market_share"]
+         "a35_waiting_suppliers", "a36_market_share",
+         "a37_local_supplier_revenue", "a38_idle_balances"]
 COPIES = 10
 
 # Interpretation note for scaling_vs_10x_sf01: the rehearsal corpus is 10

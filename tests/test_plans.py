@@ -379,6 +379,41 @@ def test_market_share_eight_way_join_plan(spark, sf_dir):
     assert any("r_name" in f for f in pushed)
 
 
+def test_local_supplier_revenue_residual_plan(spark, sf_dir):
+    """a37 (TPC-H Q5 shape): the cross-arm equality (customer nation ==
+    supplier nation) must run as a residual on hash joins — never a
+    nested loop — with one pruned lineitem scan and the region/year
+    filters pushed to their scans."""
+    df = entry.q_local_supplier_revenue(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert I.has_broadcast_join(df)
+    li_scans = [c for c in I.scan_columns(df) if "l_extendedprice" in c]
+    assert len(li_scans) == 1, li_scans
+    assert li_scans[0] <= {"l_orderkey", "l_suppkey",
+                           "l_extendedprice", "l_discount"}
+    pushed = I.pushed_filters(df)
+    assert any("r_name" in f for f in pushed)
+    assert any("o_orderdate" in f for f in pushed)
+
+
+def test_idle_balances_threshold_plan(spark, sf_dir):
+    """a38 (TPC-H Q22 shape): the scalar threshold is ONE single-row
+    aggregate broadcast back (a 1-row crossJoin, not a nested loop over
+    customers), the never-ordered test is a broadcast/shuffle anti-join
+    on the orders KEY column only, and no cartesian product exists."""
+    df = entry.q_idle_balances(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    o_scans = [c for c in I.scan_columns(df) if "o_custkey" in c]
+    assert o_scans and o_scans[0] <= {"o_custkey", "o_orderdate"}, o_scans
+    pushed = I.pushed_filters(df)
+    assert any("c_acctbal" in f for f in pushed)
+    assert any("o_orderdate" in f for f in pushed)
+
+
 def test_priority_late_orders_semi_join_no_nested_loop(spark, sf_dir):
     """a23: the correlated EXISTS with a cross-table inequality must
     compile to ONE semi hash join with the inequality as a residual —
