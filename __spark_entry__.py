@@ -1197,6 +1197,60 @@ def _hll_oracle() -> str:
     return hll_portable.oracle_sql("events", "user_id", ["event_type"])
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """t23: membership decontamination against an AT-REST portable
+    Bloom filter — the SEVENTH at-rest probe family (exact / minhash /
+    semantic / cdc / span / hll / bloom). The train half's document
+    fingerprints (md5 of text — 32-char values, so the filter build
+    never shuffles document bodies) set bits in an extensional
+    (bloom_bit) index in the derived store; the eval half probes it:
+    ``maybe_member`` iff all k positions are set — no false negatives
+    ever, false positives at the standard (1-e^(-kn/m))^k rate (~0.1%
+    at sf0.1's n with m=2^18, k=4). Probe cost follows the BATCH (k
+    rows per doc + one broadcast join against the <= m-row filter),
+    never the indexed corpus — the cheap screen in front of the exact
+    cross-corpus join (d08), which only the flagged docs need. Every
+    arithmetic step is portable integer SQL (operators/bloom_portable),
+    so the oracle computes the bit-identical verdicts; because the
+    filter's merge is set UNION (idempotent), the at-rest probe equals
+    a full recompute exactly — the t21 contract, which is what this
+    oracle hashes."""
+    from klepto_spark.operators import bloom_portable as B
+    from klepto_spark.operators.dedup import write_index_meta
+    from klepto_spark.sinks import derived
+    src = f"{sf_dir}/documents.parquet"
+    docs = _load(spark, sf_dir)("documents")
+    train = (docs.filter(F.col("doc_id") % 2 == 1)
+             .select(F.md5("text").alias("fp")))
+    # the probe batch: the eval half PLUS a deterministic tenth of the
+    # train half — the latter are true members, so the no-false-negative
+    # guarantee is exercised at EVERY scale (the eval half alone has
+    # zero cross-half exact dups below sf0.1, which would make the
+    # graded verdict column all-false)
+    probe = (docs.filter((F.col("doc_id") % 2 == 0)
+                         | (F.col("doc_id") % 10 == 1))
+             .select("doc_id", F.md5("text").alias("fp")))
+    tag = f"bloomidx-m{B.M_BITS}-k{B.K_HASHES}"
+
+    def _build():
+        return B.bloom_bits(train, "fp")
+
+    idx = derived.read_or_build(spark, src, tag, _build)
+    write_index_meta(spark, derived.derived_path(src, tag), "bloom",
+                     {"m": B.M_BITS, "k": B.K_HASHES})
+    return (B.bloom_probe(idx, probe, "fp", id_cols=["doc_id"])
+            .select("doc_id", "fp", "maybe_member"))
+
+
+def _t23_oracle() -> str:
+    from klepto_spark.operators import bloom_portable as B
+    return B.probe_oracle_sql(
+        "SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 1",
+        "SELECT doc_id, md5(text) AS fp FROM documents "
+        "WHERE doc_id % 2 = 0 OR doc_id % 10 = 1",
+        "fp", id_cols=["doc_id"])
+
+
 def q_hll_overlap(spark, sf_dir):
     """t22: approximate distinct-user OVERLAP between two event
     snapshots (even vs odd event ids) per event type — the
@@ -3121,7 +3175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     41 of the 50 queries last graded r10 (a01-a13, d01-d07, k01-k14,
     p01-p04, s01-s03). The r10 leftovers (s04-s07, t01-t05) lead the
     r14 queue, followed by the r11 cohort (a22-a25, c01-c04, k15, v03)
-    and the r12-graded surface; a33-a38 (new this round) wait for the
+    and the r12-graded surface; a33-a38 and t23 (new this round) wait for the
     r14 never-graded head."""
     return {
         # -- never driver-graded (round-12 additions): first grading --
@@ -3260,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a36_market_share": q_market_share,
         "a37_local_supplier_revenue": q_local_supplier_revenue,
         "a38_idle_balances": q_idle_balances,
+        "t23_bloom_decontaminate": q_bloom_decontaminate,
     }
 
 
@@ -3959,4 +4014,5 @@ FROM comp""",
         "a36_market_share": _a36_oracle(),
         "a37_local_supplier_revenue": _a37_oracle(),
         "a38_idle_balances": _a38_oracle(),
+        "t23_bloom_decontaminate": _t23_oracle(),
     }

@@ -423,6 +423,69 @@ def process_hll_batch(batch_df: DataFrame, epoch_id: int,
         .parquet(f"{index_path}/ep={epoch_id}")
 
 
+def bloom_stream_writer(rows: DataFrame, index_path: str,
+                        verdict_path: str, checkpoint: str,
+                        value_col: str, group_cols: list[str],
+                        m: int | None = None, k: int | None = None):
+    """A configured ``DataStreamWriter`` for value streams: per-batch
+    membership verdicts against the stream-so-far Bloom filter
+    (t23's portable bits) appear under ``verdict_path`` partitioned by
+    batch epoch; the batch's (group, bloom_bit) rows commit to
+    ``index_path/ep=<batch>`` — the SEVENTH at-rest family's streaming
+    twin (exact / minhash / semantic / cdc / span / hll / bloom). The
+    merge is set UNION (distinct-on-read), so like the HLL twin a
+    replayed epoch cannot change the filter even without the
+    epoch-pinned probe view — the ep= protocol is kept anyway so the
+    shared compaction and the deterministic-retry contract apply
+    unchanged. The per-batch verdict is the streaming decontamination
+    monitor: "has this value been seen in any earlier batch?" (a batch
+    value is probed against the PRIOR epochs' filter, so first
+    occurrences report maybe_member=false)."""
+    from klepto_spark.operators.bloom_portable import K_HASHES, M_BITS
+    m = m or M_BITS
+    k = k or K_HASHES
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        process_bloom_batch(batch_df, int(epoch_id), index_path,
+                            verdict_path, value_col, group_cols, m, k)
+
+    return (rows.writeStream.foreachBatch(_batch)
+            .option("checkpointLocation", checkpoint))
+
+
+def process_bloom_batch(batch_df: DataFrame, epoch_id: int,
+                        index_path: str, verdict_path: str,
+                        value_col: str, group_cols: list[str],
+                        m: int, k: int) -> None:
+    """One micro-batch of the streaming membership monitor
+    (retry-idempotent: same ``epoch_id`` => same prior-filter view =>
+    same verdicts and the same ep= dir overwritten). Verdicts test each
+    batch value against everything that arrived STRICTLY BEFORE the
+    batch and are bit-identical to ``bloom_probe`` over that prior
+    union — set union over disjoint row sets is lossless."""
+    if batch_df.isEmpty():
+        return
+    from klepto_spark.operators.bloom_portable import (bloom_bits,
+                                                       bloom_probe)
+    spark = batch_df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = p.getFileSystem(conf)
+    bits = bloom_bits(batch_df, value_col, group_cols, m, k)
+    prior = _prior_index_paths(jvm, fs, p, epoch_id)
+    cols = [*group_cols, "bloom_bit"]
+    if prior:
+        prior_bits = spark.read.parquet(*prior).select(*cols).distinct()
+    else:
+        prior_bits = bits.select(*cols).limit(0)
+    (bloom_probe(prior_bits, batch_df, value_col, group_cols,
+                 m=m, k=k)
+     .write.mode("overwrite").parquet(f"{verdict_path}/ep={epoch_id}"))
+    bits.select(*cols).write.mode("overwrite") \
+        .parquet(f"{index_path}/ep={epoch_id}")
+
+
 # ---------------------------------------------------------------------------
 # Epoch compaction (VERDICT r07 #3): the foreachBatch twins append one
 # ep=<batch> directory per micro-batch FOREVER -- a year of 1-minute
