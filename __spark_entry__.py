@@ -3170,72 +3170,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     value-checked every session by tests/test_oracle_parity.py
     regardless of window position.
 
-    Round-13 window from that policy: the seven never-graded round-12
-    additions (t21/t22/v05/a29-a32), then m01/m02 (last graded r3) and
-    41 of the 50 queries last graded r10 (a01-a13, d01-d07, k01-k14,
-    p01-p04, s01-s03). The r10 leftovers (s04-s07, t01-t05) lead the
-    r14 queue, followed by the r11 cohort (a22-a25, c01-c04, k15, v03)
-    and the r12-graded surface; a33-a38 and t23 (new this round) wait for the
-    r14 never-graded head."""
+    Round-14 window from that policy: the seven never-graded round-13
+    additions (a33-a38, t23), then the r10 leftovers (s04-s07,
+    t01-t05), the r11 cohort (a22-a25, c01-c04, k15, v03), and the
+    first 24 of the r12-graded cohort in alphabetical order (a14-a21,
+    a26-a28, c05, d08-d14, m03-m05, p05-p06). The r12-cohort remainder
+    (p07-p08, s08-s13, t06-t20, v01-v02, v04) leads the r15 queue,
+    followed by the r13-graded surface; a39-a40 (new this round) wait
+    for the r15 never-graded head."""
     return {
-        # -- never driver-graded (round-12 additions): first grading --
-        "t21_hll_append": q_hll_append,
-        "t22_hll_overlap": q_hll_overlap,
-        "v05_numeric_drift": q_numeric_drift,
-        "a29_top_revenue_supplier": q_top_revenue_supplier,
-        "a30_promo_disjunction": q_promo_disjunction,
-        "a31_concentrated_suppliers": q_concentrated_suppliers,
-        "a32_cheapest_shipper": q_cheapest_shipper,
-        # -- longest-ungraded greens: last graded r3 --
-        "m01_media_features": q_media_features,
-        "m02_frame_plan": q_frame_plan,
-        # -- last graded r10: analytics core --
-        "a01_pricing_summary": q_agg_pricing_summary,
-        "a02_top_customers": q_top_customers,
-        "a03_window_rank": q_window_rank,
-        "a04_customers_without_orders": q_customers_without_orders,
-        "a05_events_rollup": q_events_rollup,
-        "a06_region_rollup": q_region_rollup,
-        "a07_set_ops": q_set_ops,
-        "a08_asof_join": q_asof_join,
-        "a09_sessionize_batch": q_sessionize_batch,
-        "a10_moving_avg": q_moving_avg,
-        "a11_events_pivot": q_events_pivot,
-        "a12_range_join": q_range_join,
-        "a13_percentiles": q_percentiles,
-        # -- last graded r10: dedup core --
-        "d01_dedup_exact": q_dedup_exact,
-        "d02_dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "d03_dedup_simhash": q_dedup_simhash,
-        "d04_dedup_jaccard_verified": q_dedup_jaccard_verified,
-        "d05_dedup_clusters": q_dedup_clusters,
-        "d06_dedup_semantic": q_dedup_semantic,
-        "d07_dedup_keep_best": q_dedup_keep_best,
-        # -- last graded r10: reference k-core --
-        "k01_scan": q_scan,
-        "k02_filter_topk": q_filter_topk,
-        "k03_restrict_semi": q_restrict_semi,
-        "k04_restrict_2hop": q_restrict_2hop,
-        "k05_anonymise": q_anonymise,
-        "k06_anonymise_salted": q_anonymise_salted,
-        "k07_anonymise_geo_literal": q_anonymise_geo_literal,
-        "k08_structure_only": q_structure_only,
-        "k09_matcher_alias": q_matcher_alias,
-        "k10_anonymise_params": q_anonymise_params,
-        "k11_anonymise_registry": q_anonymise_registry,
-        "k12_anonymise_locale": q_anonymise_locale,
-        "k13_anonymise_format": q_anonymise_format,
-        "k14_anonymise_luhn": q_anonymise_luhn,
-        # -- last graded r10: sampling + ANN head --
-        "p01_sample_split": q_sample_split,
-        "p02_sample_stratified": q_sample_stratified,
-        "p03_sample_exact_n": q_sample_exact_n,
-        "p04_sample_weighted": q_sample_weighted,
-        "s01_ann_cosine": q_ann_cosine,
-        "s02_ann_pairs_lsh": q_ann_pairs_lsh,
-        "s03_ivf_topk": q_ivf_topk,
-        # ---- entries below are outside the driver's 50-query window ----
-        # r14 queue head: the r10 leftovers --
+        # -- never driver-graded (round-13 additions): first grading --
+        "a33_nation_profit": q_nation_profit,
+        "a34_nation_trade": q_nation_trade,
+        "a35_waiting_suppliers": q_waiting_suppliers,
+        "a36_market_share": q_market_share,
+        "a37_local_supplier_revenue": q_local_supplier_revenue,
+        "a38_idle_balances": q_idle_balances,
+        "t23_bloom_decontaminate": q_bloom_decontaminate,
+        # -- longest-ungraded greens: last graded r10 --
         "s04_pq_topk": q_pq_topk,
         "s05_pq_rerank": q_pq_rerank,
         "s06_ivfpq_topk": q_ivfpq_topk,
@@ -3245,7 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t03_doc_fingerprints": q_doc_fingerprints,
         "t04_ngram_profile": q_ngram_profile,
         "t05_word_repetition": q_word_repetition,
-        # -- r11 cohort --
+        # -- last graded r11 --
         "a22_late_sole_suppliers": q_late_sole_suppliers,
         "a23_priority_late_orders": q_priority_late_orders,
         "a24_large_volume_orders": q_large_volume_orders,
@@ -3256,7 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c04_leakage_split": q_leakage_split,
         "k15_pii_pipeline": q_pii_pipeline,
         "v03_validate_fk": q_validate_fk,
-        # -- r12-graded surface (freshest rows) --
+        # -- last graded r12 (alphabetical; first 24 fill the window) --
         "a14_funnel": q_funnel,
         "a15_json_props": q_json_props,
         "a16_tdigest": q_tdigest,
@@ -3281,6 +3233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m05_payload_dedup": q_payload_dedup,
         "p05_mixture_sample": q_mixture_sample,
         "p06_token_budget": q_token_budget,
+        # ---- entries below are outside the driver's 50-query window ----
+        # r15 queue head: the r12-cohort remainder (last graded r12) --
         "p07_temperature_mixture": q_temperature_mixture,
         "p08_cluster_sample": q_cluster_sample,
         "s08_filtered_ann": q_filtered_ann,
@@ -3307,14 +3261,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v01_validate": q_validate,
         "v02_length_outliers": q_length_outliers,
         "v04_distribution_drift": q_distribution_drift,
-        # -- new in round 13: wait for the r14 never-graded head --
-        "a33_nation_profit": q_nation_profit,
-        "a34_nation_trade": q_nation_trade,
-        "a35_waiting_suppliers": q_waiting_suppliers,
-        "a36_market_share": q_market_share,
-        "a37_local_supplier_revenue": q_local_supplier_revenue,
-        "a38_idle_balances": q_idle_balances,
-        "t23_bloom_decontaminate": q_bloom_decontaminate,
+        # -- r13-graded surface (freshest rows) --
+        "t21_hll_append": q_hll_append,
+        "t22_hll_overlap": q_hll_overlap,
+        "v05_numeric_drift": q_numeric_drift,
+        "a29_top_revenue_supplier": q_top_revenue_supplier,
+        "a30_promo_disjunction": q_promo_disjunction,
+        "a31_concentrated_suppliers": q_concentrated_suppliers,
+        "a32_cheapest_shipper": q_cheapest_shipper,
+        "m01_media_features": q_media_features,
+        "m02_frame_plan": q_frame_plan,
+        "a01_pricing_summary": q_agg_pricing_summary,
+        "a02_top_customers": q_top_customers,
+        "a03_window_rank": q_window_rank,
+        "a04_customers_without_orders": q_customers_without_orders,
+        "a05_events_rollup": q_events_rollup,
+        "a06_region_rollup": q_region_rollup,
+        "a07_set_ops": q_set_ops,
+        "a08_asof_join": q_asof_join,
+        "a09_sessionize_batch": q_sessionize_batch,
+        "a10_moving_avg": q_moving_avg,
+        "a11_events_pivot": q_events_pivot,
+        "a12_range_join": q_range_join,
+        "a13_percentiles": q_percentiles,
+        "d01_dedup_exact": q_dedup_exact,
+        "d02_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "d03_dedup_simhash": q_dedup_simhash,
+        "d04_dedup_jaccard_verified": q_dedup_jaccard_verified,
+        "d05_dedup_clusters": q_dedup_clusters,
+        "d06_dedup_semantic": q_dedup_semantic,
+        "d07_dedup_keep_best": q_dedup_keep_best,
+        "k01_scan": q_scan,
+        "k02_filter_topk": q_filter_topk,
+        "k03_restrict_semi": q_restrict_semi,
+        "k04_restrict_2hop": q_restrict_2hop,
+        "k05_anonymise": q_anonymise,
+        "k06_anonymise_salted": q_anonymise_salted,
+        "k07_anonymise_geo_literal": q_anonymise_geo_literal,
+        "k08_structure_only": q_structure_only,
+        "k09_matcher_alias": q_matcher_alias,
+        "k10_anonymise_params": q_anonymise_params,
+        "k11_anonymise_registry": q_anonymise_registry,
+        "k12_anonymise_locale": q_anonymise_locale,
+        "k13_anonymise_format": q_anonymise_format,
+        "k14_anonymise_luhn": q_anonymise_luhn,
+        "p01_sample_split": q_sample_split,
+        "p02_sample_stratified": q_sample_stratified,
+        "p03_sample_exact_n": q_sample_exact_n,
+        "p04_sample_weighted": q_sample_weighted,
+        "s01_ann_cosine": q_ann_cosine,
+        "s02_ann_pairs_lsh": q_ann_pairs_lsh,
+        "s03_ivf_topk": q_ivf_topk,
+    
     }
 
 

@@ -174,7 +174,12 @@ def materialise_facts(spark, out_dir: str) -> None:
      .write.mode("overwrite").parquet(f"{out_dir}/events.parquet"))
 
     orders = spark.read.parquet(f"{SRC}/orders.parquet")
-    ok_shift = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    # The shift must clear BOTH key spaces: a dangling lineitem FK
+    # (l_orderkey > max o_orderkey) would otherwise collide across copy
+    # indices and silently corrupt the store (ADVICE r13).
+    li_max = (spark.read.parquet(f"{SRC}/lineitem.parquet")
+              .agg(F.max("l_orderkey")).first()[0])
+    ok_shift = max(orders.agg(F.max("o_orderkey")).first()[0], li_max) + 1
     parts = [orders.select((F.col("o_orderkey") + F.lit(i * ok_shift))
                            .alias("o_orderkey"), "o_custkey",
                            "o_orderstatus", "o_totalprice", "o_orderdate",

@@ -339,11 +339,16 @@ def write_index_meta(spark, path: str, mode: str, params: dict) -> None:
     out.close()
 
 
-def check_index_meta(spark, path: str, mode: str, params: dict) -> None:
+def check_index_meta(spark, path: str, mode: str, params: dict,
+                     required: tuple = ()) -> None:
     """Refuse an append whose scheme differs from the index's recorded
     build parameters. Indexes without a meta file (built before the meta
     existed, or assembled by hand) pass unchecked — the guard protects
-    indexes this code built."""
+    indexes this code built. A key named in ``required`` must also be
+    PRESENT in the stored meta: a scheme parameter that changed meaning
+    across versions (e.g. hll's rho word width) makes an old index
+    stamped without it incompatible, and "key absent" must refuse like
+    "key differs" (ADVICE r13)."""
     import json as _json
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(path)
@@ -359,7 +364,8 @@ def check_index_meta(spark, path: str, mode: str, params: dict) -> None:
         stream.close()
     want = {"mode": mode, **params}
     bad = {k: (meta.get(k), v) for k, v in want.items()
-           if k in meta and meta[k] != v}
+           if (k in meta and meta[k] != v)
+           or (k in required and k not in meta)}
     if bad:
         detail = ", ".join(f"{k}: index={i!r} append={a!r}"
                            for k, (i, a) in sorted(bad.items()))

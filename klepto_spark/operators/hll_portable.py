@@ -190,7 +190,8 @@ def hll_append(spark, path: str, batch: DataFrame, value_col: str,
     frame probes the PRE-append snapshot even after the commit (the
     parquet relation pins its file list at read time)."""
     from klepto_spark.operators.dedup import check_index_meta
-    check_index_meta(spark, path, "hll", {"p": _P, "rho_bits": _RHO_BITS})
+    check_index_meta(spark, path, "hll", {"p": _P, "rho_bits": _RHO_BITS},
+                     required=("rho_bits",))
     batch_regs = hll_registers(batch, value_col, group_cols)
     idx = spark.read.parquet(path).select(*group_cols, "hll_bucket",
                                           "hll_r")

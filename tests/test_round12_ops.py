@@ -172,6 +172,22 @@ def test_hll_append_refuses_mismatched_scheme(spark, sf_dir, tmp_path):
                      commit=False)
 
 
+def test_hll_append_refuses_pre_rho_bits_meta(spark, sf_dir, tmp_path):
+    """ADVICE r13 (medium): an index stamped before the 48-bit rho
+    scheme carries {mode, p} but NO rho_bits key — its registers encode
+    32-bit ranks (saturation sentinel rho=33), which a 48-bit max-fold
+    would silently reinterpret mid-range. A required param ABSENT from
+    the stored meta must refuse exactly like a differing one."""
+    from klepto_spark.operators.dedup import write_index_meta
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = str(tmp_path / "hll_idx")
+    H.hll_write_registers(events, "user_id", ["event_type"], path)
+    write_index_meta(spark, path, "hll", {"p": H._P})  # pre-r13 stamp
+    with pytest.raises(ValueError, match="different scheme"):
+        H.hll_append(spark, path, events, "user_id", ["event_type"],
+                     commit=False)
+
+
 # --------------------------------------------------------------------------
 # t22 — HLL overlap (inclusion-exclusion over portable registers)
 # --------------------------------------------------------------------------

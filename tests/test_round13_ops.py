@@ -26,17 +26,23 @@ def test_bloom_no_false_negatives(spark):
 
 def test_bloom_fpr_within_envelope(spark):
     """Non-members flag at ~the analytic (1-e^(-kn/m))^k rate — assert
-    within 3x of it (binomial noise at n=1000 probes), and crucially
-    FAR from saturation."""
+    within 3x of it plus 1% binomial slack at n=1000 probes. The
+    geometry must make the envelope BIND: at m=4096/k=4/n=200 the
+    analytic FPR is ~0.1%, so the asserted ceiling (~1.3%) is far
+    below 1.0 and a saturated or mis-hashed filter fails loudly
+    (ADVICE r13: the old SMALL geometry was ~84% FPR, where 3x+1%
+    exceeded 1.0 and the assert could never fire)."""
     import math
+    geo = dict(m=4096, k=4)
     train = spark.range(0, 200).select(
         F.col("id").cast("string").alias("v"))
     probe = spark.range(10_000, 11_000).select(
         F.col("id").cast("string").alias("v"))
-    bits = B.bloom_bits(train, "v", **SMALL)
-    flagged = (B.bloom_probe(bits, probe, "v", **SMALL)
+    bits = B.bloom_bits(train, "v", **geo)
+    flagged = (B.bloom_probe(bits, probe, "v", **geo)
                .filter("maybe_member").count())
-    fpr = (1 - math.exp(-SMALL["k"] * 200 / SMALL["m"])) ** SMALL["k"]
+    fpr = (1 - math.exp(-geo["k"] * 200 / geo["m"])) ** geo["k"]
+    assert fpr < 0.01, "geometry drifted: envelope must bind"
     assert flagged / 1000 <= 3 * fpr + 0.01, (flagged, fpr)
 
 
