@@ -3062,6 +3062,102 @@ GROUP BY c_mktsegment
 ORDER BY c_mktsegment"""
 
 
+A39_BUCKETS = 16
+
+
+def q_skewed_hot_key(spark, sf_dir):
+    """a39: the skew-handling pattern on the graded surface (VERDICT
+    r13 #3) — aggregate + join over a DELIBERATELY hot key. 70% of
+    event rows fold onto one synthetic key (user_id % 10 < 7 → key 0, a
+    zipf-head stand-in for the "one whale user / null bucket / default
+    tenant" shape every 100 TB corpus has), the distribution AQE's
+    skew-join splitting does not fix for AGGREGATIONS and that a plain
+    groupBy serialises onto a single reducer.
+
+    Executed via the salted two-phase operators (operators/skew.py):
+    salted_join spreads the hot key over A39_BUCKETS salt values and
+    EXPLODES the small dimension across them (key 0's 7k rows land on
+    16 reducers instead of 1), then salted_agg partial-aggregates on
+    (key, nation, salt) and merges on (key, nation). Both phases'
+    merges are algebraic (sum-of-sums, sum-of-counts, max-of-maxes), so
+    salting is INVISIBLE in the values — the DuckDB oracle is the plain
+    JOIN + GROUP BY, cross-validating exactly that. The row salt is a
+    deterministic hash, not rand(): reruns and speculative retries land
+    rows on the same salt. Money math: per-row DECIMAL cast before the
+    sum (the a05 rule), double only in the reported column, so the
+    two-phase summation order cannot move the hash."""
+    from klepto_spark.operators import skew
+    load = _load(spark, sf_dir)
+    ev = load("events").select(
+        "event_id",
+        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("user_id")).cast("long").alias("hot_key"),
+        "value")
+    dim = load("customer").select(
+        F.col("c_custkey").alias("hot_key"),
+        F.col("c_nationkey").alias("nation_key"))
+    joined = skew.salted_join(ev, dim, "hot_key", buckets=A39_BUCKETS)
+    out = skew.salted_agg(joined, ["hot_key", "nation_key"], {
+        "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+        "total_value": (F.sum(_dec("value")), F.sum("total_value")),
+        "max_value": (F.max("value"), F.max("max_value")),
+    }, buckets=A39_BUCKETS)
+    return (out.select("hot_key", "nation_key",
+                       F.col("n_events").cast("long").alias("n_events"),
+                       F.col("total_value").cast("double")
+                       .alias("total_value"),
+                       F.col("max_value").alias("max_value"))
+            .orderBy("hot_key"))
+
+
+def _a39_oracle() -> str:
+    return """
+SELECT hot_key, nation_key, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MAX(value) AS max_value
+FROM (SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS hot_key,
+             value
+      FROM events) e
+JOIN (SELECT c_custkey AS hot_key, c_nationkey AS nation_key
+      FROM customer) c USING (hot_key)
+GROUP BY hot_key, nation_key
+ORDER BY hot_key"""
+
+
+A40_K = 3
+
+
+def q_grouped_topk(spark, sf_dir):
+    """a40: per-group top-k over a HIGH-CARDINALITY group (top-3 orders
+    per customer by totalprice) via the aggregate-based k-smallest
+    (operators/topk.py) — the everyday shape where the naive window
+    plan quietly full-sorts the fact table at 100 TB (VERDICT r13 #5).
+    The plan is an ObjectHashAggregate over a hash shuffle with NO Sort
+    and NO Window below the k·groups-row presentation ordering
+    (pinned in test_plans.py); group state is bounded by the data
+    model (orders per customer). Ties break on o_orderkey ASC inside
+    the sort struct, so the ranking is total and the oracle's
+    row_number replay is hash-identical."""
+    from klepto_spark.operators import topk
+    orders = (_load(spark, sf_dir)("orders")
+              .select("o_custkey", "o_orderkey", "o_totalprice"))
+    return (topk.grouped_topk(orders, ["o_custkey"], "o_totalprice",
+                              A40_K, tie_cols=["o_orderkey"])
+            .orderBy("o_custkey", "rank"))
+
+
+def _a40_oracle() -> str:
+    return f"""
+SELECT o_custkey, CAST(rnk AS INT) AS rank, o_orderkey, o_totalprice
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC,
+                                         o_orderkey ASC) AS rnk
+      FROM orders) t
+WHERE rnk <= {A40_K}
+ORDER BY o_custkey, rank"""
+
+
 M05_PREFIX_BYTES = 64
 
 
@@ -3312,7 +3408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s01_ann_cosine": q_ann_cosine,
         "s02_ann_pairs_lsh": q_ann_pairs_lsh,
         "s03_ivf_topk": q_ivf_topk,
-    
+        # -- new in round 14: wait for the r15 never-graded head --
+        "a39_skewed_hot_key": q_skewed_hot_key,
+        "a40_grouped_topk": q_grouped_topk,
     }
 
 
@@ -4012,5 +4110,7 @@ FROM comp""",
         "a36_market_share": _a36_oracle(),
         "a37_local_supplier_revenue": _a37_oracle(),
         "a38_idle_balances": _a38_oracle(),
+        "a39_skewed_hot_key": _a39_oracle(),
+        "a40_grouped_topk": _a40_oracle(),
         "t23_bloom_decontaminate": _t23_oracle(),
     }

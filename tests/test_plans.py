@@ -440,3 +440,40 @@ def test_priority_late_orders_semi_join_no_nested_loop(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_skewed_hot_key_two_phase_salted_plan(spark, sf_dir):
+    """a39: the hot key must cross the wire SPREAD over salt values —
+    the partial-aggregate exchange carries _salt (one hot key lands on
+    A39_BUCKETS reducers, not 1), the merge exchange drops it, and the
+    dimension join is keyed on (hot_key, _salt). Never a nested loop,
+    and salting never changes values (the DuckDB oracle is the PLAIN
+    join + group by)."""
+    import re
+    df = entry.q_skewed_hot_key(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    ex = I.exchange_inputs(df)
+    assert any("_salt" in x for x in ex), ex
+    assert any("_salt" not in x and "hot_key" in x for x in ex), ex
+    assert re.search(r"Join \[hot_key#\d+L?, _salt", plan), plan[:800]
+
+
+def test_grouped_topk_no_window_no_fact_sort(spark, sf_dir):
+    """a40: per-group top-k must compile to an ObjectHashAggregate over
+    a plain hash shuffle — NO Window operator anywhere, and the only
+    Sort is the presentation ordering of the k·groups result ABOVE the
+    aggregate. The fact table is never partition-sorted (the window
+    idiom's hidden cost at 100 TB). Scan pruned to the three needed
+    columns."""
+    import re
+    df = entry.q_grouped_topk(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert "Window" not in plan
+    assert "ObjectHashAggregate" in plan
+    sorts = [m.start() for m in re.finditer(r"\bSort \[", plan)]
+    assert len(sorts) == 1, plan[:800]
+    assert sorts[0] < plan.index("ObjectHashAggregate")
+    assert I.scan_columns(df)[0] == {"o_custkey", "o_orderkey",
+                                     "o_totalprice"}
