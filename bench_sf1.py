@@ -87,7 +87,16 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          "a31_concentrated_suppliers", "a32_cheapest_shipper",
          "a33_nation_profit", "a34_nation_trade",
          "a35_waiting_suppliers", "a36_market_share",
-         "a37_local_supplier_revenue", "a38_idle_balances"]
+         "a37_local_supplier_revenue", "a38_idle_balances",
+         # round-14: the Bloom probe (cost must follow the batch — the
+         # ratio should read ~flat, VERDICT r13 #2), the salted hot-key
+         # pattern over 10x events (the hot key keeps its 70% share
+         # under fact scaling, so the salt spread is exercised at 10x
+         # the rows-per-key), and grouped top-k over 10x orders (group
+         # COUNT grows with the key shift; per-group state stays the
+         # data-model bound)
+         "t23_bloom_decontaminate", "a39_skewed_hot_key",
+         "a40_grouped_topk"]
 COPIES = 10
 
 # Interpretation note for scaling_vs_10x_sf01: the rehearsal corpus is 10
@@ -539,18 +548,11 @@ def main() -> None:
     # of the ratio come from THIS session (same warmth, same box state).
     scaling = {name: round(med / (COPIES * base01[name]), 2)
                for name, med in medians.items() if base01.get(name)}
-    # Continuity ratio vs bench.py's sf0.1 medians (rounds <= 10 graded
-    # this one): cross-session, so warmth asymmetry can push it past 1.0
-    # for queries whose same-session ratio is well under — see notes.
-    scaling_xsession = {}
-    try:
-        base = json.load(open("BENCH_DETAIL.json"))["spread"]
-        for name, med in medians.items():
-            b = base.get(name, {}).get("median")
-            if b:
-                scaling_xsession[name] = round(med / (COPIES * b), 2)
-    except (OSError, KeyError, json.JSONDecodeError):
-        pass
+    # The cross-session continuity ratio (scaling_vs_bench_detail) is
+    # RETIRED as of round 14 (VERDICT r13 #4): every heavy query now has
+    # a same-session interleaved denominator, so one methodology covers
+    # the whole table and the warmth-asymmetry caveat dies with the
+    # old field. Rounds <= 13 artifacts keep it for history.
 
     stress = stress_near_copy(spark)
     recall = ann_recall_sf1(spark, out_dir)
@@ -561,7 +563,6 @@ def main() -> None:
               "sf": 1.0, "runs": runs, "queries": medians,
               "baseline_sf01_same_session": base01,
               "scaling_vs_10x_sf01": scaling,
-              "scaling_vs_bench_detail": scaling_xsession,
               "stress_near_copy": stress,
               "ann_recall": recall,
               "ann_recall_sweep": sweep,
@@ -578,8 +579,10 @@ def main() -> None:
                         "0.4-0.5 (VERDICT r10 #3 — the superlinearity "
                         "was warmth asymmetry, not a plan term; the "
                         "plan is one scan + one (doc,term) shuffle "
-                        "reused by tf, df and N). The old ratio stays "
-                        "recorded as scaling_vs_bench_detail",
+                        "reused by tf, df and N). The cross-session "
+                        "ratio (scaling_vs_bench_detail) is retired as "
+                        "of round 14 — one methodology covers every "
+                        "heavy query (VERDICT r13 #4)",
                         "ann_recall":
                         "the near-copy corpus makes neighbourhoods easy "
                         "(a query's true top-10 is dominated by its 9 "
