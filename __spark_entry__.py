@@ -3158,6 +3158,70 @@ WHERE rnk <= {A40_K}
 ORDER BY o_custkey, rank"""
 
 
+D15_TAU = 0.8
+
+
+def q_jaccard_prefix_join(spark, sf_dir):
+    """d15: COMPLETE exact-threshold Jaccard near-dup pairs via prefix
+    filtering (operators/prefixjoin.py, AllPairs/PPJoin) — the
+    fifteenth dedup entry closes the recall gap the d02→d04 LSH path
+    leaves open: banding is probabilistic, so a true near-dup pair can
+    be missed; this query's output is provably the FULL pair set at
+    J >= 0.8 over 3-word shingles, with candidates bounded by
+    rare-token prefixes instead of n² (43k candidates for 256 true
+    pairs at sf0.1 vs 12.5M brute-force pairs). The oracle replays the
+    same lossless pruning in SQL; engine disagreement in the epsilon'd
+    prefix/size bounds can only widen a candidate set, never the
+    verified result, so the value-bearing surface is exactly d04's
+    green round(jac,6) pattern. Completeness vs true brute force is
+    pinned in tests/test_round14_ops.py."""
+    from klepto_spark.operators.prefixjoin import jaccard_prefix_join
+    docs = _load(spark, sf_dir)("documents")
+    return jaccard_prefix_join(docs, threshold=D15_TAU)
+
+
+def _d15_oracle(w: int = 3, threshold: float = D15_TAU) -> str:
+    """SQL replay of the prefix-filter join: same word shingling, same
+    rarest-first prefix bound, same size prune, exact verification via
+    the candidate-restricted shingle join (na + nb - inter == union)."""
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, md5(s) AS h
+  FROM (SELECT doc_id,
+          unnest(CASE WHEN length(w) < {w} THEN [array_to_string(w, ' ')]
+                 ELSE [array_to_string(w[i:i+{w - 1}], ' ')
+                       FOR i IN range(1, length(w) - {w - 2})] END) AS s
+        FROM words)),
+tf AS (SELECT h, count(*) AS tf FROM sh GROUP BY h),
+ranked AS (
+  SELECT sh.doc_id, sh.h,
+         row_number() OVER (PARTITION BY sh.doc_id
+                            ORDER BY tf.tf, sh.h) AS rn,
+         count(*) OVER (PARTITION BY sh.doc_id) AS n
+  FROM sh JOIN tf USING (h)),
+pref AS (SELECT doc_id, h, n FROM ranked
+         WHERE rn <= n - CAST(ceil({threshold} * n - 1e-6) AS BIGINT) + 1),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM pref x JOIN pref y ON x.h = y.h AND x.doc_id < y.doc_id
+         WHERE least(x.n, y.n) >= ({threshold} - 1e-6) * greatest(x.n, y.n)),
+inter AS (SELECT c.a, c.b, count(*) AS i
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.a
+          JOIN sh y ON y.doc_id = c.b AND y.h = x.h
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT inter.a, inter.b,
+       round(CAST(i AS DOUBLE) / greatest(na.n + nb.n - i, 1), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = inter.a
+JOIN sizes nb ON nb.doc_id = inter.b
+WHERE round(CAST(i AS DOUBLE) / greatest(na.n + nb.n - i, 1), 6)
+      >= {threshold}"""
+
+
 M05_PREFIX_BYTES = 64
 
 
@@ -3272,8 +3336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first 24 of the r12-graded cohort in alphabetical order (a14-a21,
     a26-a28, c05, d08-d14, m03-m05, p05-p06). The r12-cohort remainder
     (p07-p08, s08-s13, t06-t20, v01-v02, v04) leads the r15 queue,
-    followed by the r13-graded surface; a39-a40 (new this round) wait
-    for the r15 never-graded head."""
+    followed by the r13-graded surface; a39-a40 and d15 (new this
+    round) wait for the r15 never-graded head."""
     return {
         # -- never driver-graded (round-13 additions): first grading --
         "a33_nation_profit": q_nation_profit,
@@ -3411,6 +3475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 14: wait for the r15 never-graded head --
         "a39_skewed_hot_key": q_skewed_hot_key,
         "a40_grouped_topk": q_grouped_topk,
+        "d15_jaccard_prefix_join": q_jaccard_prefix_join,
     }
 
 
@@ -4112,5 +4177,6 @@ FROM comp""",
         "a38_idle_balances": _a38_oracle(),
         "a39_skewed_hot_key": _a39_oracle(),
         "a40_grouped_topk": _a40_oracle(),
+        "d15_jaccard_prefix_join": _d15_oracle(),
         "t23_bloom_decontaminate": _t23_oracle(),
     }

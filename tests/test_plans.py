@@ -477,3 +477,21 @@ def test_grouped_topk_no_window_no_fact_sort(spark, sf_dir):
     assert sorts[0] < plan.index("ObjectHashAggregate")
     assert I.scan_columns(df)[0] == {"o_custkey", "o_orderkey",
                                      "o_totalprice"}
+
+
+def test_prefix_join_hashes_shuffle_not_text(spark, sf_dir):
+    """d15: the AllPairs prefix join's scale posture — after the one
+    fan_out spread of the raw docs, every exchange carries md5 hashes,
+    counts, and ids, never the document text; candidates come from an
+    equi-join (no nested loop anywhere), and the scan is pruned to
+    (doc_id, text)."""
+    df = entry.q_jaccard_prefix_join(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Python" not in plan
+    text_crossings = sum(1 for ex in I.exchange_inputs(df)
+                         if "text" in [c.split("#")[0]
+                                       for c in ex.split(", ")])
+    assert text_crossings <= 1, I.exchange_inputs(df)
+    assert I.scan_columns(df)[0] == {"doc_id", "text"}

@@ -76,3 +76,101 @@ def test_skewed_hot_key_salting_invisible(spark, sf_dir):
                   F.max("value").alias("max_value"))
              .orderBy("hot_key"))
     assert got == sorted(map(tuple, plain.collect()))
+
+
+# ---------------------------------------------------------------------------
+# d15: exact-threshold Jaccard via prefix filtering (operators/prefixjoin.py)
+# ---------------------------------------------------------------------------
+
+import itertools
+import re as _re
+
+from klepto_spark.operators.prefixjoin import jaccard_prefix_join
+
+
+def _py_shingles(text, w=3):
+    """Independent pure-Python truth for the word-shingle set — mirrors
+    the engine rule: <w words emit the whole text as one shingle."""
+    ws = _re.split(r"\s+", text.strip().lower())
+    if len(ws) < w:
+        return {" ".join(ws)}
+    return {" ".join(ws[i:i + w]) for i in range(len(ws) - w + 1)}
+
+
+def _py_truth(docs, tau=0.8, w=3):
+    """Brute-force all-pairs truth, no pruning anywhere."""
+    sets = {d: _py_shingles(t, w) for d, t in docs}
+    out = []
+    for (a, sa), (b, sb) in itertools.combinations(sorted(sets.items()), 2):
+        i = len(sa & sb)
+        u = len(sa | sb)
+        j = i / max(u, 1)
+        if round(j, 6) >= tau - 1e-12:
+            out.append((a, b, j))
+    return sorted(out)
+
+
+def _corpus(spark):
+    """Engineered corpus: exact dup (J=1), a pair at EXACTLY J=0.8
+    (11 words differing in the last -> 8 shared / 10 union, dyadic so
+    both engines round it identically and the inclusive boundary is
+    pinned), a just-under pair (7/9 = 0.778), short/empty edge docs,
+    and unrelated filler."""
+    w11 = " ".join(f"w{i}" for i in range(11))
+    w11b = " ".join(f"w{i}" for i in range(10)) + " zz"
+    w10 = " ".join(f"w{i}" for i in range(10))
+    w10b = " ".join(f"w{i}" for i in range(9)) + " zz"
+    rows = [(1, w11), (2, w11b),          # J = 8/10 = 0.8 exactly
+            (3, w10), (4, w10b),          # J = 7/9 ~ 0.778 — excluded
+            (5, "same doc twice"), (6, "same doc twice"),   # J = 1
+            (7, ""), (8, "one"), (9, "two words"),          # edges
+            (10, "two words"),            # short-doc exact pair, J = 1
+            (11, "totally unrelated filler text about nothing shared"),
+            (12, "another disjoint document with its own vocabulary")]
+    return rows, spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_prefix_join_equals_brute_force(spark):
+    """Completeness AND exactness vs an engine-independent truth: the
+    returned pair set is exactly every pair at J >= tau — including the
+    inclusive J = 0.8 boundary — and values match to 1e-9."""
+    rows, df = _corpus(spark)
+    got = sorted((r.a, r.b, r.jaccard)
+                 for r in jaccard_prefix_join(df).collect())
+    want = _py_truth(rows)
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, g), (_, _, t) in zip(got, want):
+        assert abs(g - t) < 1.1e-6       # got is round(.,6), t is raw
+    assert (1, 2, 0.8) in got            # the engineered boundary pair
+    assert all(p[:2] != (3, 4) for p in got)   # just-under stays out
+    assert (5, 6, 1.0) in got and (9, 10, 1.0) in got
+
+
+def test_prefix_join_corpus_brute_force(spark, sf_dir):
+    """Same completeness claim on the real documents table — the truth
+    recomputed in Python from the collected corpus (small at test SF),
+    so neither Spark's pruning nor the DuckDB oracle's is trusted."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    got = sorted((r.a, r.b, r.jaccard)
+                 for r in jaccard_prefix_join(docs).collect())
+    want = _py_truth(rows)
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, g), (_, _, t) in zip(got, want):
+        assert abs(g - t) < 1.1e-6       # got is round(.,6), t is raw
+
+
+def test_prefix_join_threshold_monotone(spark):
+    """Raising tau can only shrink the pair set, and every returned
+    jaccard respects its own threshold — the prefix/size prunes
+    re-derive from tau, so this exercises them at several lengths."""
+    rows, df = _corpus(spark)
+    prev = None
+    for tau in (0.5, 0.8, 0.95):
+        pairs = {(r.a, r.b) for r in
+                 jaccard_prefix_join(df, threshold=tau).collect()}
+        truth = {(a, b) for a, b, _ in _py_truth(rows, tau=tau)}
+        assert pairs == truth, (tau, pairs ^ truth)
+        if prev is not None:
+            assert pairs <= prev
+        prev = pairs
