@@ -3222,6 +3222,42 @@ WHERE round(CAST(i AS DOUBLE) / greatest(na.n + nb.n - i, 1), 6)
       >= {threshold}"""
 
 
+T24_PROBE_MOD = 97
+
+
+def q_cms_frequency(spark, sf_dir):
+    """t24: portable count-min frequency estimates
+    (operators/cms_portable.py) — the frequency member completing the
+    sketch trio (HLL distinct-count t06/t21/t22, Bloom membership t23,
+    CMS frequency): the d×w counter matrix over the corpus word-token
+    stream, probed with the distinct tokens of a probe document subset.
+    min-over-rows NEVER underestimates; the DuckDB oracle computes the
+    bit-identical counter matrix (salted-md5 columns, exact integer
+    counts), so the comparison is exact — no float surface at all."""
+    from klepto_spark.operators import cms_portable as C
+    docs = _load(spark, sf_dir)("documents")
+    tok = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) \
+        .alias("token")
+    toks = (dedup.fan_out(docs, "doc_id").select(tok)
+            .filter(F.col("token") != ""))
+    counters = C.cms_counters(toks, "token")
+    probe = (docs.filter(F.col("doc_id") % T24_PROBE_MOD == 0)
+             .select(tok).filter(F.col("token") != "").distinct())
+    return C.cms_probe(counters, probe, "token")
+
+
+def _t24_oracle() -> str:
+    from klepto_spark.operators import cms_portable as C
+    toks = ("SELECT token FROM (SELECT unnest(string_split_regex("
+            "lower(trim(text)), '\\s+')) AS token FROM documents) "
+            "WHERE token <> ''")
+    probe = ("SELECT DISTINCT token FROM (SELECT unnest("
+             "string_split_regex(lower(trim(text)), '\\s+')) AS token "
+             f"FROM documents WHERE doc_id % {T24_PROBE_MOD} = 0) "
+             "WHERE token <> ''")
+    return C.probe_oracle_sql(toks, probe, "token")
+
+
 M05_PREFIX_BYTES = 64
 
 
@@ -3336,7 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first 24 of the r12-graded cohort in alphabetical order (a14-a21,
     a26-a28, c05, d08-d14, m03-m05, p05-p06). The r12-cohort remainder
     (p07-p08, s08-s13, t06-t20, v01-v02, v04) leads the r15 queue,
-    followed by the r13-graded surface; a39-a40 and d15 (new this
+    followed by the r13-graded surface; a39-a40, d15 and t24 (new this
     round) wait for the r15 never-graded head."""
     return {
         # -- never driver-graded (round-13 additions): first grading --
@@ -3476,6 +3512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a39_skewed_hot_key": q_skewed_hot_key,
         "a40_grouped_topk": q_grouped_topk,
         "d15_jaccard_prefix_join": q_jaccard_prefix_join,
+        "t24_cms_frequency": q_cms_frequency,
     }
 
 
@@ -4178,5 +4215,6 @@ FROM comp""",
         "a39_skewed_hot_key": _a39_oracle(),
         "a40_grouped_topk": _a40_oracle(),
         "d15_jaccard_prefix_join": _d15_oracle(),
+        "t24_cms_frequency": _t24_oracle(),
         "t23_bloom_decontaminate": _t23_oracle(),
     }

@@ -495,3 +495,19 @@ def test_prefix_join_hashes_shuffle_not_text(spark, sf_dir):
                                        for c in ex.split(", ")])
     assert text_crossings <= 1, I.exchange_inputs(df)
     assert I.scan_columns(df)[0] == {"doc_id", "text"}
+
+
+def test_cms_probe_broadcasts_bounded_sketch(spark, sf_dir):
+    """t24: the folded counter matrix (<= d·w rows) must BROADCAST into
+    the probe's d-row expansion — the sketch's whole point is that
+    probe cost follows the batch, never the counted stream. No nested
+    loop, no Python, and the only scans are the pruned documents
+    reads."""
+    df = entry.q_cms_frequency(spark, sf_dir)
+    plan = I.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Python" not in plan
+    assert I.has_broadcast_join(df)
+    for cols in I.scan_columns(df):
+        assert cols <= {"doc_id", "text"}, cols

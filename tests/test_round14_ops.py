@@ -174,3 +174,165 @@ def test_prefix_join_threshold_monotone(spark):
         if prev is not None:
             assert pairs <= prev
         prev = pairs
+
+
+# ---------------------------------------------------------------------------
+# t24: portable count-min sketch (operators/cms_portable.py)
+# ---------------------------------------------------------------------------
+
+import duckdb
+import pytest
+
+from klepto_spark.operators import cms_portable as C
+from klepto_spark.operators.dedup import write_index_meta
+
+# small geometry for the hand tests: w=32 forces real collisions so the
+# overestimate branch is exercised, d=4 lets min-over-rows repair them
+CM_SMALL = dict(w=32, d=4)
+
+_FREQS = {"apple": 50, "banana": 20, "cherry": 5, "kiwi": 1}
+
+
+def _stream(spark):
+    rows = [(t,) for t, n in _FREQS.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "token string")
+
+
+def _probe(spark):
+    vals = [*_FREQS, "absent1", "absent2"]
+    return spark.createDataFrame([(v,) for v in vals], "token string")
+
+
+def test_cms_never_underestimates(spark):
+    """The defining guarantee at a collision-forcing geometry: the
+    estimate is >= the true count for EVERY probe (each occurrence
+    incremented all d of its cells; min cannot dip below any of
+    them)."""
+    counters = C.cms_counters(_stream(spark), "token", **CM_SMALL)
+    got = {r["token"]: r["est_count"]
+           for r in C.cms_probe(counters, _probe(spark), "token",
+                                **CM_SMALL).collect()}
+    for t, n in _FREQS.items():
+        assert got[t] >= n, (t, got[t], n)
+    assert got["absent1"] >= 0 and got["absent2"] >= 0
+
+
+def test_cms_exact_at_roomy_geometry(spark):
+    """At the default geometry (w=1024 >> distinct values) the
+    deterministic md5 columns collide nowhere in this stream, so the
+    estimate IS the true count — pinning the arithmetic, not just the
+    inequality."""
+    counters = C.cms_counters(_stream(spark), "token")
+    got = {r["token"]: r["est_count"]
+           for r in C.cms_probe(counters, _probe(spark),
+                                "token").collect()}
+    assert got == {**_FREQS, "absent1": 0, "absent2": 0}
+
+
+def test_cms_matches_duckdb_bit_identically(spark):
+    """The portability contract: DuckDB computes the SAME counter
+    matrix and the SAME min-over-rows estimates — exact integers, no
+    float surface — at the collision-forcing geometry."""
+    got = sorted(map(tuple, C.cms_probe(
+        C.cms_counters(_stream(spark), "token", **CM_SMALL),
+        _probe(spark), "token", **CM_SMALL).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tk (token VARCHAR)")
+    con.executemany("INSERT INTO tk VALUES (?)",
+                    [(t,) for t, n in _FREQS.items() for _ in range(n)])
+    con.execute("CREATE TABLE pv (token VARCHAR)")
+    con.executemany("INSERT INTO pv VALUES (?)",
+                    [(v,) for v in [*_FREQS, "absent1", "absent2"]])
+    want = sorted(map(tuple, con.execute(C.probe_oracle_sql(
+        "SELECT token FROM tk", "SELECT token FROM pv", "token",
+        **CM_SMALL)).fetchall()))
+    assert got == want
+
+
+def test_cms_layout_independent(spark):
+    """Counters must not depend on partitioning: a repartitioned
+    stream folds to the identical matrix."""
+    a = sorted(map(tuple, C.cms_counters(
+        _stream(spark), "token", **CM_SMALL).collect()))
+    b = sorted(map(tuple, C.cms_counters(
+        _stream(spark).repartition(7), "token", **CM_SMALL).collect()))
+    assert a == b
+
+
+def test_cms_append_equals_full_recompute(spark, tmp_path):
+    """The at-rest contract: the folded (index ∪ batch) counters are
+    row-identical to a full recompute (counter addition is exact), and
+    a committed append is visible to the next read after sum-on-read."""
+    old = _stream(spark)
+    new = spark.createDataFrame(
+        [("apple",)] * 10 + [("durian",)] * 3, "token string")
+    path = str(tmp_path / "cms_idx")
+    C.cms_write(old, "token", [], path, **CM_SMALL)
+
+    combined = C.cms_append(spark, path, new, "token", [], commit=False,
+                            **CM_SMALL)
+    full = C.cms_counters(old.unionByName(new), "token", **CM_SMALL)
+    assert (sorted(map(tuple, combined.collect()))
+            == sorted(map(tuple, full.collect())))
+
+    C.cms_append(spark, path, new, "token", [], commit=True, **CM_SMALL)
+    after = C.fold_counters(spark.read.parquet(path))
+    assert (sorted(map(tuple, after.collect()))
+            == sorted(map(tuple, full.collect())))
+
+
+def test_cms_append_refuses_mismatched_or_missing_scheme(spark, tmp_path):
+    """Geometry drift refuses — and so does a REQUIRED param absent
+    from the stored meta (the r13 ADVICE rule: pre-scheme indexes must
+    refuse, not silently merge)."""
+    vals = _stream(spark)
+    path = str(tmp_path / "cms_idx")
+    C.cms_write(vals, "token", [], path, **CM_SMALL)
+    write_index_meta(spark, path, "cms", {"w": 64, "d": 4})
+    with pytest.raises(ValueError, match="different scheme"):
+        C.cms_append(spark, path, vals, "token", [], **CM_SMALL)
+    write_index_meta(spark, path, "cms", {"w": 32})   # d missing
+    with pytest.raises(ValueError, match="different scheme|missing"):
+        C.cms_append(spark, path, vals, "token", [], **CM_SMALL)
+
+
+def test_streaming_cms_estimates_and_replay(spark, tmp_path):
+    """Two micro-batches through process_cms_batch: epoch estimates
+    cover everything at-or-before the batch (own occurrences included),
+    bit-identical to cms_probe over that union; the non-idempotent sum
+    is exactly why the ep= overwrite protocol is load-bearing — an
+    out-of-order REPLAY of epoch 0 must leave both the index and every
+    estimate byte-identical."""
+    from klepto_spark.streaming.dedup import process_cms_batch
+    idx = str(tmp_path / "idx")
+    est = str(tmp_path / "est")
+    df1 = _stream(spark)                       # apple 50, banana 20, ...
+    df2 = spark.createDataFrame(
+        [("apple",)] * 10 + [("durian",)] * 3, "token string")
+    args = ("token", [], CM_SMALL["w"], CM_SMALL["d"])
+    process_cms_batch(df1, 0, idx, est, *args)
+    process_cms_batch(df2, 1, idx, est, *args)
+
+    ep1 = {r["token"]: r["est_count"]
+           for r in spark.read.parquet(f"{est}/ep=1").collect()}
+    want = {r["token"]: r["est_count"] for r in C.cms_probe(
+        C.cms_counters(df1.unionByName(df2), "token", **CM_SMALL),
+        df2, "token", **CM_SMALL).collect()}
+    assert ep1 == want
+    assert ep1["apple"] >= 60 and ep1["durian"] >= 3
+
+    before_idx = sorted(map(tuple, C.fold_counters(
+        spark.read.parquet(idx).select("cm_row", "cm_col", "cnt"))
+        .collect()))
+    # replay epoch 0 AFTER epoch 1 committed: the pinned prior view
+    # (ep < 0 = nothing) and the dir overwrite make it a no-op
+    process_cms_batch(df1, 0, idx, est, *args)
+    after_idx = sorted(map(tuple, C.fold_counters(
+        spark.read.parquet(idx).select("cm_row", "cm_col", "cnt"))
+        .collect()))
+    assert before_idx == after_idx
+    ep0 = {r["token"]: r["est_count"]
+           for r in spark.read.parquet(f"{est}/ep=0").collect()}
+    assert ep0 == {r["token"]: r["est_count"] for r in C.cms_probe(
+        C.cms_counters(df1, "token", **CM_SMALL), df1, "token",
+        **CM_SMALL).collect()}
