@@ -485,6 +485,9 @@ def test_prefix_join_hashes_shuffle_not_text(spark, sf_dir):
     counts, and ids, never the document text; candidates come from an
     equi-join (no nested loop anywhere), and the scan is pruned to
     (doc_id, text)."""
+    # earlier tests may have persisted this query's frames; a cache hit
+    # would replace the scan under test with an InMemoryRelation
+    spark.catalog.clearCache()
     df = entry.q_jaccard_prefix_join(spark, sf_dir)
     plan = I.executed_plan(df)
     assert "CartesianProduct" not in plan
