@@ -96,7 +96,14 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          # COUNT grows with the key shift; per-group state stays the
          # data-model bound)
          "t23_bloom_decontaminate", "a39_skewed_hot_key",
-         "a40_grouped_topk"]
+         "a40_grouped_topk",
+         # round-14 closers: the complete prefix-filtered Jaccard join
+         # (candidate/OUTPUT-driven like d04 — the near-copy rehearsal
+         # multiplies true pairs ~45x per clique, so judge its ratio
+         # against that workload growth, not row count) and the CMS
+         # probe (fixed d*w counters; cost must follow the probe set —
+         # expected ~flat like t23)
+         "d15_jaccard_prefix_join", "t24_cms_frequency"]
 COPIES = 10
 
 # Interpretation note for scaling_vs_10x_sf01: the rehearsal corpus is 10
