@@ -590,6 +590,17 @@ def main() -> None:
                         "ratio (scaling_vs_bench_detail) is retired as "
                         "of round 14 — one methodology covers every "
                         "heavy query (VERDICT r13 #4)",
+                        "d15":
+                        "candidate/OUTPUT-driven like d04: the "
+                        "near-copy rehearsal turns every document into "
+                        "a 10-clique, so the TRUE pair set grows "
+                        "256 -> 248,962 (972x) for 10x data — an exact "
+                        "join's cost cannot beat its output; measured "
+                        "cost grew 25x, i.e. cost-per-emitted-pair "
+                        "FELL ~39x. Read this entry per pair, not per "
+                        "corpus ratio; a production corpus without "
+                        "quadratic clique mass scales with its own "
+                        "(far smaller) true-pair count",
                         "ann_recall":
                         "the near-copy corpus makes neighbourhoods easy "
                         "(a query's true top-10 is dominated by its 9 "
