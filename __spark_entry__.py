@@ -1060,7 +1060,14 @@ def q_corpus_recipe(spark, sf_dir):
     over the survivor set, hash-order determinism end to end)."""
     from klepto_spark.operators import sampling as P
     docs = _load(spark, sf_dir)("documents")
-    gate = T.gopher_signals(docs).filter("keep").select("doc_id")
+    # gate PERSISTS (optimization r14, the c05 pattern): its doc_id-only
+    # output is consumed by every downstream branch — keepers AND dd,
+    # each re-evaluated by temperature_mixture's count pass + join pass
+    # and again by token_budget's two passes — so without the pin the
+    # two-aggregate gopher subtree executes up to 4x (24 parquet scans
+    # in the initial plan). The cached frame is survivor-id-sized
+    # (bounded, MEMORY_AND_DISK, released via release_caches).
+    gate = _pin(T.gopher_signals(docs).filter("keep").select("doc_id"))
     kept = docs.join(gate, "doc_id")
     keepers = (kept.select(
         "doc_id", dedup.exact_fingerprint("text", D11_PREFIX).alias("fp"))
@@ -1819,15 +1826,23 @@ def q_hybrid_rrf(spark, sf_dir):
     emb = _load(spark, sf_dir)("embeddings")
     qg = _query_trigrams(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
-    # lexical leg: distinct doc shingles semi-joined against the
-    # broadcast query-gram set, then counted — same exact score as an
-    # array_intersect size, but codegen'd explode instead of an
-    # interpreted higher-order transform (measured 4x faster at sf0.1)
-    grams = (dedup.exploded_shingles(dedup.fan_out(docs, "doc_id"),
-                                     "text", "doc_id", 3).distinct())
+    # lexical leg: doc shingles semi-joined against the broadcast
+    # query-gram set FIRST, then per-doc distinct-counted — same exact
+    # score as an array_intersect size, but codegen'd explode instead of
+    # an interpreted higher-order transform (measured 4x faster at
+    # sf0.1). Optimization r14 (guide §2.3 "shuffle fewer bytes"): the
+    # old shape ran .distinct() over EVERY (doc, trigram) row before the
+    # semi-join — a full-corpus exchange; filtering against the ~300-gram
+    # broadcast set first drops non-matching trigrams at scan speed, so
+    # only matching rows reach the (partial-aggregated) distinct count.
+    # count_distinct(sh) per doc ≡ counting the distinct-set semi-join:
+    # identical score, one exchange, input rows bounded by hits.
+    grams = dedup.exploded_shingles(dedup.fan_out(docs, "doc_id"),
+                                    "text", "doc_id", 3)
     qset = spark.createDataFrame([(g,) for g in qg], "sh string")
     hits = (grams.join(F.broadcast(qset), "sh", "left_semi")
-            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("t_score")))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("sh").alias("t_score")))
     lex = (docs.select("doc_id")
            .join(hits, "doc_id", "left")
            .select("doc_id", F.coalesce("t_score", F.lit(0))

@@ -555,11 +555,24 @@ def simhash_df(df: DataFrame, text_col: str = "text",
     assert bits % 4 == 0
     exploded = exploded.withColumn("h", F.md5("sh"))
     # bit b = bit (3 - b%4) of hex nibble b//4 — big-endian within the
-    # nibble so the fingerprint reads as the md5 prefix would
+    # nibble so the fingerprint reads as the md5 prefix would.
+    # Decode each hex char ONCE (16 nibbles), not once per BIT (64):
+    # conv() routes through radix parsing per call and dominated the
+    # d03 profile (optimization r14, guide §1.2 step 2). ascii
+    # arithmetic reads the same lowercase-md5 digit exactly
+    # ('0'-'9' -> 48..57, 'a'-'f' -> 97..102); the 64 votes then are
+    # cheap shift/mask reads of the precomputed nibble columns, and
+    # the projection drops sh/h before the aggregate (§2.3).
+    nibs = []
+    for n in range(bits // 4):
+        a = F.ascii(F.substring("h", n + 1, 1))
+        nibs.append((a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
+                    .alias(f"_n{n}"))
+    exploded = exploded.select(key_col, *nibs)
     aggs = []
     for b in range(bits):
-        nibble = F.conv(F.substring("h", b // 4 + 1, 1), 16, 10).cast("int")
-        bit = F.shiftright(nibble, 3 - b % 4).bitwiseAND(F.lit(1))
+        bit = (F.shiftright(F.col(f"_n{b // 4}"), 3 - b % 4)
+               .bitwiseAND(F.lit(1)))
         aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{b}"))
     votes = exploded.groupBy(key_col).agg(*aggs)
     nibbles = []

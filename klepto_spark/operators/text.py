@@ -717,6 +717,14 @@ def shared_chunk_stats(df: "DataFrame", text_col: str = "text",
     chunks = (chunk_documents(df, size, 0, text_col, key_col)
               .filter(F.col("n_chunk_chars") > 0)
               .select(F.col(key_col), F.md5("chunk").alias("h")))
+    # chunks persists (optimization r14): it feeds the cross-doc count
+    # AND the join-back probe; when `cross` broadcasts, the probe side
+    # sits behind no exchange and the chunk+md5 projection would run
+    # twice. (key, h) rows only — text never cached; released via
+    # dedup.release_caches (the t18 pattern).
+    from klepto_spark.operators.dedup import _PINNED_CACHES
+    chunks = chunks.persist()
+    _PINNED_CACHES.append(chunks)
     cross = (chunks.groupBy("h")
              .agg(F.countDistinct(key_col).alias("nd")))
     return (chunks.join(cross, "h")
@@ -851,6 +859,12 @@ def cdc_shared_stats(df: "DataFrame", text_col: str = "text",
     Returns (key, n_chunks, shared_chunks, shared_frac): chunks whose
     hash also occurs in ANOTHER document, per document."""
     chunks = cdc_chunk_rows(df, text_col, key_col, divisor)
+    # same persist rationale as shared_chunk_stats: the CDC split +
+    # per-chunk md5 projection is the operator's dominant per-task work
+    # and feeds two consumers (optimization r14).
+    from klepto_spark.operators.dedup import _PINNED_CACHES
+    chunks = chunks.persist()
+    _PINNED_CACHES.append(chunks)
     cross = (chunks.groupBy("h")
              .agg(F.countDistinct(key_col).alias("nd")))
     return (chunks.join(cross, "h")
@@ -917,8 +931,22 @@ def _dup_occurrences(df: "DataFrame", text_col: str, key_col: str,
     """Shared core of t18/t19: ``(docs, occ)`` where ``occ`` is one
     (key, pos) row per sliding k-word window whose corpus-wide occurrence
     count reaches ``min_count``. The duplicate filter is a
-    hash-aggregate on the md5 plus a semi-join back."""
+    hash-aggregate on the md5 plus a semi-join back.
+
+    ``grams`` PERSISTS (optimization r14, guide §5 caching rule): it
+    feeds both the duplicate-hash aggregate and the semi-join probe
+    side, and the probe side of a broadcast semi-join sits behind no
+    exchange — without the pin the whole text-split + per-window-md5
+    projection executed twice (6 parquet scans in the t18 initial
+    plan). The cached rows are (key, pos, md5) — ~48 B each, never the
+    text — MEMORY_AND_DISK and registered for ``release_caches``, the
+    same d15/c05 pattern; recomputing them costs strictly more than
+    spilling them at any scale because the md5-per-window projection
+    dominates the row size."""
+    from klepto_spark.operators.dedup import _PINNED_CACHES
     docs, grams = _window_grams(df, text_col, key_col, k)
+    grams = grams.persist()
+    _PINNED_CACHES.append(grams)
     dup_h = (grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
              .filter(F.col("cnt") >= min_count).select("h"))
     occ = grams.join(dup_h, "h", "left_semi").select(key_col, "pos")

@@ -98,44 +98,70 @@ def _violation_expr(c: Check) -> F.Column:
 
 def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Run every check; returns (check, target, violations, pass) rows.
-    Row-local checks share ONE aggregate pass over one scan."""
-    spark = df.sparkSession
+    Row-local checks share ONE aggregate pass over one scan.
+
+    The result is LAZY: one UNION of per-check one-row aggregates, not a
+    driver loop of eager ``.first()``/``.count()`` actions (optimization
+    r14, guide §1.2/§2.6). The eager form ran N sequential Spark jobs —
+    v03's five checks serialised five full passes, ~1.9 s at sf0.1 with
+    a plan the audit could not even see (a local-relation scan). As one
+    union, every branch executes inside a single job, so independent
+    stages overlap on free cores; row order (row-local first, then
+    unique/references in declaration order) and all values are
+    unchanged, and the physical plan now shows the real work."""
     row_local = [c for c in checks
                  if c.kind not in ("unique", "references")]
-    results = []
+    frames: list[DataFrame] = []
 
     if row_local:
-        aggs = [F.sum(F.when(_violation_expr(c), 1).otherwise(0))
+        aggs = [F.coalesce(F.sum(F.when(_violation_expr(c), 1)
+                                 .otherwise(0)), F.lit(0))
                 .cast("long").alias(f"_v{i}")
                 for i, c in enumerate(row_local)]
-        row = df.agg(*aggs).first()
-        for i, c in enumerate(row_local):
-            results.append((c.kind, c.target, int(row[f"_v{i}"] or 0)))
+        # quote-double targets: an expression check's display name is
+        # caller text and may carry single quotes
+        triples = ", ".join(
+            "'{}', '{}', _v{}".format(c.kind.replace("'", "''"),
+                                      c.target.replace("'", "''"), i)
+            for i, c in enumerate(row_local))
+        frames.append(df.agg(*aggs).selectExpr(
+            f"stack({len(row_local)}, {triples}) "
+            "as (check, target, violations)"))
 
     for c in checks:
         if c.kind == "unique":
             cols = list(c.params)
-            dups = (df.groupBy(*cols)
-                    .agg(F.count(F.lit(1)).alias("_n"))
-                    .filter(F.col("_n") > 1)
-                    .agg(F.coalesce(F.sum(F.col("_n") - 1), F.lit(0))
-                         .cast("long").alias("_d"))
-                    .first()["_d"])
-            results.append((c.kind, c.target, int(dups)))
+            frames.append(
+                df.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .agg(F.coalesce(F.sum(F.col("_n") - 1), F.lit(0))
+                     .cast("long").alias("violations"))
+                .select(F.lit(c.kind).alias("check"),
+                        F.lit(c.target).alias("target"),
+                        F.col("violations")))
         elif c.kind == "references":
             cols, other, other_cols = c.params[:3]
             parents = (other.select(*[F.col(oc).alias(cc) for cc, oc
                                       in zip(cols, other_cols)])
                        .distinct())
-            orphans = (df.select(*cols).na.drop()
-                       .join(parents, on=list(cols), how="left_anti")
-                       .count())
-            results.append((c.kind, c.target, int(orphans)))
+            frames.append(
+                df.select(*cols).na.drop()
+                .join(parents, on=list(cols), how="left_anti")
+                .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+                .select(F.lit(c.kind).alias("check"),
+                        F.lit(c.target).alias("target"),
+                        F.col("violations")))
 
-    out = spark.createDataFrame(
-        [(k, t, v, v == 0) for k, t, v in results],
-        "check string, target string, violations bigint, pass boolean")
-    return out
+    if not frames:  # no checks: empty result, same schema as ever
+        return df.sparkSession.createDataFrame(
+            [], "check string, target string, violations bigint, "
+                "pass boolean")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select("check", "target", "violations",
+                      (F.col("violations") == 0).alias("pass"))
 
 
 def validate_sql(table: str, checks: list[Check]) -> str:
