@@ -502,8 +502,7 @@ def q_ann_cosine(spark, sf_dir):
     pre-partitioned anyway)."""
     emb = _load(spark, sf_dir)("embeddings")
     q = _query_vec(spark, sf_dir)
-    c = F.col("embedding").cast("array<double>")
-    score = similarity.cosine_const(c, q)
+    score = similarity.cosine_const(similarity._arr_sql("embedding"), q)
     return (emb.select("vec_id", F.round(score, 6).alias("score"))
             .filter(F.col("score") >= 0.25))
 
@@ -1851,7 +1850,7 @@ def q_hybrid_rrf(spark, sf_dir):
     w_t = Window.orderBy(F.desc("t_score"), F.asc("doc_id"))
     lex = lex.select("doc_id", F.row_number().over(w_t).alias("rank_t"))
     cos = F.round(similarity.cosine_const(
-        F.col("embedding").cast("array<double>"), qv), 6)
+        similarity._arr_sql("embedding"), qv), 6)
     vec = (emb.select(F.col("vec_id").alias("doc_id"),
                       cos.alias("v_score"))
            .orderBy(F.desc("v_score"), F.asc("doc_id")).limit(S10_M))
@@ -1903,7 +1902,7 @@ def q_batched_ann(spark, sf_dir):
     emb = _load(spark, sf_dir)("embeddings")
     qrows = (emb.filter(F.col("vec_id") < S11_NQ)
              .select("vec_id", "embedding").orderBy("vec_id").collect())
-    c = F.col("embedding").cast("array<double>")
+    c = similarity._arr_sql("embedding")
     scores = [F.round(similarity.cosine_const(
         c, [float(x) for x in r["embedding"]]), 6).alias(f"s{i}")
         for i, r in enumerate(qrows)]
@@ -1938,8 +1937,8 @@ def q_filtered_ann(spark, sf_dir):
     # prior repartition is a pure extra exchange (see s01 note)
     emb = _load(spark, sf_dir)("embeddings")
     q = _query_vec(spark, sf_dir)
-    c = F.col("embedding").cast("array<double>")
-    score = F.round(similarity.cosine_const(c, q), 6)
+    score = F.round(similarity.cosine_const(
+        similarity._arr_sql("embedding"), q), 6)
     w = Window.partitionBy("label").orderBy(F.desc("score"),
                                             F.asc("vec_id"))
     return (emb.select("vec_id", "label", score.alias("score"))

@@ -563,28 +563,33 @@ def simhash_df(df: DataFrame, text_col: str = "text",
     # ('0'-'9' -> 48..57, 'a'-'f' -> 97..102); the 64 votes then are
     # cheap shift/mask reads of the precomputed nibble columns, and
     # the projection drops sh/h before the aggregate (§2.3).
-    nibs = []
-    for n in range(bits // 4):
-        a = F.ascii(F.substring("h", n + 1, 1))
-        nibs.append((a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
-                    .alias(f"_n{n}"))
+    # Single-F.expr builds throughout (optimization r14): 16 nibble
+    # decodes + 64 vote aggregates + the 16-nibble fingerprint assembly
+    # built Column-by-Column cost ~700 py4j round-trips of pure driver
+    # time per construction; the SQL strings parse to the identical
+    # trees in a handful of calls.
+    nibs = [F.expr(
+        f"(ascii(substring(h, {n + 1}, 1)) - "
+        f"(CASE WHEN (ascii(substring(h, {n + 1}, 1)) >= 97) "
+        "THEN 87 ELSE 48 END))").alias(f"_n{n}")
+        for n in range(bits // 4)]
     exploded = exploded.select(key_col, *nibs)
-    aggs = []
-    for b in range(bits):
-        bit = (F.shiftright(F.col(f"_n{b // 4}"), 3 - b % 4)
-               .bitwiseAND(F.lit(1)))
-        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{b}"))
+    aggs = [F.expr(
+        f"sum(CASE WHEN ((shiftright(_n{b // 4}, {3 - b % 4}) & 1) = 1) "
+        "THEN 1 ELSE -1 END)").alias(f"v{b}")
+        for b in range(bits)]
     votes = exploded.groupBy(key_col).agg(*aggs)
     nibbles = []
     for n in range(bits // 4):
-        val = F.lit(0)
+        val = "0"
         for j in range(4):
             b = n * 4 + j
-            val = val + F.when(F.col(f"v{b}") > 0,
-                               F.lit(1 << (3 - j))).otherwise(F.lit(0))
-        nibbles.append(F.substring(F.lit("0123456789abcdef"), val + 1, 1))
+            val = (f"({val} + (CASE WHEN (v{b} > 0) "
+                   f"THEN {1 << (3 - j)} ELSE 0 END))")
+        nibbles.append(f"substring('0123456789abcdef', ({val} + 1), 1)")
     return votes.select(F.col(key_col),
-                        F.concat(*nibbles).alias("simhash"))
+                        F.expr("concat(" + ", ".join(nibbles) + ")")
+                        .alias("simhash"))
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text",
@@ -1078,9 +1083,11 @@ def semantic_index_rows(emb: DataFrame, vec_col: str = "embedding",
     if dim is None:
         # None on an empty frame: any width signs zero rows identically
         dim = probe_dim(emb, vec_col) or 1
+    from klepto_spark.operators.similarity import _arr_sql
     v = F.col(vec_col).cast("array<double>")
     return emb.select(F.col(key_col),
-                      rh_signature(v, bits, dim).alias("sig"),
+                      rh_signature(_arr_sql(vec_col), bits, dim)
+                      .alias("sig"),
                       v.alias("v"))
 
 
@@ -1125,9 +1132,11 @@ def semantic_append(spark, path, new_emb: DataFrame, threshold: float,
             # empty micro-batch (foreachBatch delivers these — ADVICE
             # r07): no new pairs, nothing to fold into the index
             return empty_pair_frame(new_emb, key_col)
+    from klepto_spark.operators.similarity import _arr_sql
     v = F.col(vec_col).cast("array<double>")
     nb = (fan_out(new_emb, key_col)
-          .select(F.col(key_col), rh_signature(v, bits, dim).alias("sig"),
+          .select(F.col(key_col),
+                  rh_signature(_arr_sql(vec_col), bits, dim).alias("sig"),
                   v.alias("v")))
     paths = list(path) if isinstance(path, (list, tuple)) else [path]
     idx = spark.read.parquet(*paths).select(key_col, "sig", "v")

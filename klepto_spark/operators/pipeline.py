@@ -41,19 +41,43 @@ from klepto_spark.functions.anonymise import (
 LoadFn = Callable[[str], DataFrame]
 
 
+#: (applicationId, sf_dir, table) -> lazy DataFrame HANDLE. Bounded FIFO.
+#: This memoises the *unresolved plan object only* — no rows, no persisted
+#: blocks: every action over the handle still plans, optimises and scans
+#: the parquet files from disk. What it saves is the per-call driver work
+#: of DataFrameReader.parquet (file listing + footer schema read + py4j
+#: round-trips, ~100 ms each in this sandbox) that a 130-query bench
+#: re-paid on every load of the same immutable table (optimization r14,
+#: guide §1.2 step 2 — per-task here meaning per-query driver work).
+_LOADER_CACHE: dict = {}
+_LOADER_CACHE_MAX = 64
+
+
 def parquet_loader(spark: SparkSession, sf_dir: str) -> LoadFn:
     """Loader over the driver's testdata layout: <dir>/<table>.parquet.
 
     events.ts is stored as TIMESTAMP(NANOS), which Spark reads as a long
     (nanosAsLong, set at runtime so sessions we did not build — the
     driver's — also read it); normalise it back to a microsecond
-    TimestampType so downstream operators see a proper timestamp."""
+    TimestampType so downstream operators see a proper timestamp.
+
+    Handles are memoised per (session, dir, table) — see
+    ``_LOADER_CACHE``. Keyed on applicationId, not id(spark), so a dead
+    session's plans can never be served to a new one (the s11 rule)."""
     from klepto_spark.session import ensure_nanos_conf, normalise_nanos_ts
 
     def load(name: str) -> DataFrame:
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+        hit = _LOADER_CACHE.get(key)
+        if hit is not None:
+            return hit
         ensure_nanos_conf(spark)
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return normalise_nanos_ts(df)
+        df = normalise_nanos_ts(
+            spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        while len(_LOADER_CACHE) >= _LOADER_CACHE_MAX:
+            _LOADER_CACHE.pop(next(iter(_LOADER_CACHE)))
+        _LOADER_CACHE[key] = df
+        return df
     return load
 
 

@@ -26,6 +26,57 @@ def _vec_lit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+# ---------------------------------------------------------------------------
+# Spark-SQL text builders for the unrolled constant expressions
+# (optimization r14). Building a 64-term dot product Column-by-Column costs
+# hundreds of py4j round-trips PER CALL (~1 ms each in this sandbox; the
+# s04-s07 codebook trees reached several SECONDS of driver time per query
+# construction). Rendering the identical expression as ONE SQL string and
+# parsing it with a single F.expr() moves the whole tree across the
+# boundary in one round-trip. Exactness: the strings mirror the Column
+# builders token for token — same element_at calls, same explicit
+# parenthesisation (SQL + is left-associative, matching the Column fold),
+# and double literals use the `<repr>D` suffix, which Spark parses with
+# Double.parseDouble — the same bits Python's repr round-trips (pinned by
+# tests/test_round14_ops.py::test_expr_builders_match_column_builders).
+# ---------------------------------------------------------------------------
+
+def _d(x: float) -> str:
+    """A Spark-SQL DOUBLE literal with the exact bits of ``x``."""
+    return f"{float(x)!r}D"
+
+
+def _arr_sql(col: str) -> str:
+    """SQL fragment casting a named column to array<double> — what every
+    call site previously built as F.col(c).cast('array<double>')."""
+    return f"cast(`{col}` as array<double>)"
+
+
+def dot_expr(v_sql: str, q: list[float]) -> str:
+    """SQL text of :func:`dot_const` over the fragment ``v_sql``."""
+    return " + ".join(
+        f"(element_at({v_sql}, {j + 1}) * {_d(q[j])})"
+        for j in range(len(q)))
+
+
+def norm_expr(v_sql: str, dim: int) -> str:
+    """SQL text of :func:`norm_unrolled`."""
+    terms = " + ".join(
+        f"(element_at({v_sql}, {j + 1}) * element_at({v_sql}, {j + 1}))"
+        for j in range(dim))
+    return f"SQRT({terms})"
+
+
+def cosine_expr(v_sql: str, q: list[float]) -> str:
+    """SQL text of :func:`cosine_const` (query norm folded at plan time
+    with the same left-to-right float64 accumulation)."""
+    acc = 0.0
+    for x in q:
+        acc += float(x) * float(x)
+    return (f"({dot_expr(v_sql, q)}) / "
+            f"({norm_expr(v_sql, len(q))} * {_d(math.sqrt(acc))})")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Row-vector x row-vector dot product (fold; interpreted — fine for
     small candidate sets, use the *_const variants for scans)."""
@@ -42,11 +93,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def dot_const(v: Column, q: list[float]) -> Column:
+def dot_const(v: Column | str, q: list[float]) -> Column:
     """Row-vector x plan-time-constant dot product, UNROLLED into plain
     arithmetic: higher-order folds run interpreted (no whole-stage codegen),
     which dominated scan profiles; an element_at sum chain stays codegen'd.
-    Left-associated in ascending index order — bit-identical to the fold."""
+    Left-associated in ascending index order — bit-identical to the fold.
+
+    Pass ``v`` as a SQL fragment (string) to build the tree in ONE
+    F.expr round-trip instead of ~3 py4j calls per term (see the
+    *_expr builders above); a Column keeps the per-term path."""
+    if isinstance(v, str):
+        return F.expr(dot_expr(v, q))
     terms = [F.element_at(v, j + 1) * float(q[j]) for j in range(len(q))]
     out = terms[0]
     for t in terms[1:]:
@@ -54,7 +111,9 @@ def dot_const(v: Column, q: list[float]) -> Column:
     return out
 
 
-def norm_unrolled(v: Column, dim: int) -> Column:
+def norm_unrolled(v: Column | str, dim: int) -> Column:
+    if isinstance(v, str):
+        return F.expr(norm_expr(v, dim))
     terms = [F.element_at(v, j + 1) * F.element_at(v, j + 1)
              for j in range(dim)]
     out = terms[0]
@@ -63,10 +122,13 @@ def norm_unrolled(v: Column, dim: int) -> Column:
     return F.sqrt(out)
 
 
-def cosine_const(v: Column, q: list[float]) -> Column:
+def cosine_const(v: Column | str, q: list[float]) -> Column:
     """cosine(row vector, constant vector) — codegen-friendly unrolled form;
     the query norm is folded at plan time (same ascending-order float64
-    arithmetic, so values match the in-engine computation exactly)."""
+    arithmetic, so values match the in-engine computation exactly).
+    String ``v`` = SQL fragment -> single-F.expr build (see dot_const)."""
+    if isinstance(v, str):
+        return F.expr(cosine_expr(v, q))
     # plain left-to-right sum (not fsum): must match the engine's fold order
     acc = 0.0
     for x in q:
@@ -82,8 +144,7 @@ def brute_force_topk(df: DataFrame, query: list[float],
     Emits (key, score); compiles to scan -> project -> TakeOrderedAndProject
     (verified in tests) — no global sort, no shuffle of vectors."""
     from klepto_spark.operators.dedup import fan_out
-    c = F.col(vec_col).cast("array<double>")
-    score = cosine_const(c, query)
+    score = cosine_const(_arr_sql(vec_col), query)
     return (fan_out(df, key_col)
             .select(F.col(key_col), F.round(score, 6).alias("score"))
             .orderBy(F.desc("score"), F.col(key_col))
@@ -112,7 +173,7 @@ def cosine_similar_pairs(df: DataFrame, threshold: float,
             # empty frame (a streaming bootstrap batch can be empty —
             # ADVICE r07): no pairs, but keep the (a, b, cosine) schema
             return empty_pair_frame(df, key_col)
-    sig = rh_signature(F.col(vec_col).cast("array<double>"), bits, dim=dim)
+    sig = rh_signature(_arr_sql(vec_col), bits, dim=dim)
     with_sig = spread.select(F.col(key_col), sig.alias("sig"))
     buckets = (with_sig.groupBy("sig")
                .agg(F.array_sort(F.collect_set(key_col)).alias("ids"))
@@ -163,9 +224,16 @@ def _hyperplane(bit: int, dim: int) -> list[float]:
     return [v / n for v in vals]
 
 
-def rh_signature(vec: Column, bits: int = 16, dim: int = 64) -> Column:
+def rh_signature(vec: Column | str, bits: int = 16, dim: int = 64) -> Column:
     """Random-hyperplane LSH signature as a bits-length bitstring; ``dim``
-    must match the vector length (hyperplanes are unrolled at plan time)."""
+    must match the vector length (hyperplanes are unrolled at plan time).
+    String ``vec`` = SQL fragment -> single-F.expr build (see dot_const)."""
+    if isinstance(vec, str):
+        cases = ", ".join(
+            f"CASE WHEN ({dot_expr(vec, _hyperplane(b, dim))}) >= 0 "
+            "THEN '1' ELSE '0' END"
+            for b in range(bits))
+        return F.expr(f"concat({cases})")
     parts = []
     for b in range(bits):
         plane = _hyperplane(b, dim)
@@ -287,9 +355,9 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
 
     At scale, write the output partitioned by ``cluster`` so ANN queries
     prune to the probed clusters' files only."""
-    c = F.col(vec_col).cast("array<double>")
     return df.select(F.col(key_col),
-                     _argmin_cluster(c, centroids).alias("cluster"))
+                     _argmin_cluster(_arr_sql(vec_col),
+                                     centroids).alias("cluster"))
 
 
 def _argmin_cluster(v: Column, centroids: list[list[float]]) -> Column:
@@ -306,9 +374,13 @@ def _argmin_cluster(v: Column, centroids: list[list[float]]) -> Column:
     # why it never serves oracle-checked constants.
     terms = len(centroids) * len(centroids[0])
     if 2 * terms <= _CODEGEN_TERM_BUDGET:
+        if isinstance(v, str):  # one-F.expr build (optimization r14)
+            return F.expr(argmin_expr(v, centroids))
         ds = F.array(*[_sq_dist_unrolled(v, cent, len(cent))
                        for cent in centroids])
         return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+    if isinstance(v, str):
+        v = F.expr(v)
     if terms <= 8 * _CODEGEN_TERM_BUDGET:
         return _argmin_sq_pandas(centroids)(v)
     return _argmin_pandas(centroids)(v)
@@ -398,7 +470,7 @@ def ivf_topk(df: DataFrame, query: list[float], centroids: list[list[float]],
     # runs BEFORE the UDF so the assignment itself is spread too.
     from klepto_spark.operators.dedup import fan_out
     cluster = _argmin_sq_pandas(centroids)(c)
-    score = cosine_const(c, query)
+    score = cosine_const(_arr_sql(vec_col), query)
     guarded = F.when(cluster.isin([int(p) for p in probed]),
                      F.round(score, 6))
     return (fan_out(df, key_col)
@@ -504,6 +576,24 @@ def _sq_dist_unrolled(v: Column, cent: list[float], dim: int) -> Column:
     for t in terms[1:]:
         out = out + t
     return out
+
+
+def sq_dist_expr(v_sql: str, cent: list[float]) -> str:
+    """SQL text of :func:`_sq_dist_unrolled` (same subtract-square terms,
+    left-associated) — the one-round-trip build (optimization r14)."""
+    return " + ".join(
+        f"((element_at({v_sql}, {j + 1}) - {_d(cent[j])}) * "
+        f"(element_at({v_sql}, {j + 1}) - {_d(cent[j])}))"
+        for j in range(len(cent)))
+
+
+def argmin_expr(v_sql: str, centroids: list[list[float]]) -> str:
+    """SQL text of the expression-path argmin in :func:`_argmin_cluster`
+    — the distance array is inlined twice (array_position + array_min),
+    exactly like the Column form, so codegen budgeting is unchanged."""
+    ds = ("array(" + ", ".join(f"({sq_dist_expr(v_sql, cent)})"
+                               for cent in centroids) + ")")
+    return f"CAST((array_position({ds}, array_min({ds})) - 1) AS INT)"
 
 
 def ivf_topk_sql(query: list[float], centroids: list[list[float]],
@@ -618,13 +708,17 @@ def normalise_embeddings(df: DataFrame, dim: int,
     (the row-norm term), which at query-per-day × 100 TB scan volume is
     the dominant repeated cost. Zero vectors stay zero with norm 0 (no
     NaNs downstream)."""
-    v = F.col(vec_col).cast("array<double>")
-    n = norm_unrolled(v, dim)
-    unit = F.array(*[
-        F.when(n == 0.0, F.lit(0.0))
-        .otherwise(F.element_at(v, j + 1) / n) for j in range(dim)])
-    return (df.withColumn(norm_col, n)
-            .withColumn(vec_col, unit))
+    # one-F.expr build (optimization r14): the unit array re-embeds the
+    # norm expression per element exactly as the Column form did — same
+    # tree, one py4j round-trip instead of ~5*dim
+    v = _arr_sql(vec_col)
+    n = norm_expr(v, dim)
+    unit = "array(" + ", ".join(
+        f"CASE WHEN ({n} = 0.0D) THEN 0.0D "
+        f"ELSE (element_at({v}, {j + 1}) / {n}) END"
+        for j in range(dim)) + ")"
+    return (df.withColumn(norm_col, F.expr(n))
+            .withColumn(vec_col, F.expr(unit)))
 
 
 # ---------------------------------------------------------------------------
@@ -673,23 +767,28 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     dim=64 on ~100k rows). Past the budget, ONE Arrow-vectorised pandas
     UDF encodes all subspaces per batch."""
     v = F.col(vec_col).cast("array<double>")
+    vs = _arr_sql(vec_col)
     sub = len(codebooks[0][0])
     m = len(codebooks)
     k = len(codebooks[0])
     if m * k * sub <= _CODEGEN_TERM_BUDGET:
-        codes = [
-            _argmin_cluster(F.slice(v, i * sub + 1, sub), book)
-            for i, book in enumerate(codebooks)]
+        # one-F.expr build (optimization r14): identical tree to the
+        # Column form — per-subspace argmin over an inline slice, the
+        # validity CASE guarding the array
+        codes = ", ".join(
+            argmin_expr(f"slice({vs}, {i * sub + 1}, {sub})", book)
+            for i, book in enumerate(codebooks))
         # Invalid vectors (NULL / wrong dim / non-finite) must yield a NULL
         # CODES ARRAY, matching the pandas path — an array OF nulls is not
         # itself NULL, and under ANSI mode element_at(lut, NULL) does not
         # propagate NULL, so downstream ADC would score garbage instead of
         # dropping the row.
-        valid = (v.isNotNull() & (F.size(v) == m * sub)
-                 & ~F.exists(v, lambda x: x.isNull() | F.isnan(x)
-                             | (F.abs(x) == F.lit(float("inf")))))
+        valid = (f"((({vs} IS NOT NULL) AND (size({vs}) = {m * sub})) "
+                 f"AND (NOT exists({vs}, x -> (((x IS NULL) OR isnan(x)) "
+                 f"OR (abs(x) = CAST('Infinity' AS DOUBLE))))))")
         return df.select(F.col(key_col),
-                         F.when(valid, F.array(*codes)).alias("codes"))
+                         F.expr(f"CASE WHEN {valid} THEN array({codes}) "
+                                "END").alias("codes"))
     return df.select(F.col(key_col),
                      _pq_encode_pandas(codebooks)(v).alias("codes"))
 
@@ -747,12 +846,11 @@ def pq_topk(codes_df: DataFrame, query: list[float],
         q_i = query[i * sub:(i + 1) * sub]
         table = [sum((float(a) - float(b)) ** 2 for a, b in zip(q_i, cent))
                  for cent in book]
-        lut = F.array(*[F.lit(d) for d in table])
+        lut = "array(" + ", ".join(_d(d) for d in table) + ")"
         score_terms.append(
-            F.element_at(lut, F.element_at(F.col("codes"), i + 1) + 1))
-    dist = score_terms[0]
-    for t in score_terms[1:]:
-        dist = dist + t
+            f"(element_at({lut}, (element_at(`codes`, {i + 1}) + 1)))")
+    # one-F.expr build (optimization r14): same lookup chain, one parse
+    dist = F.expr(" + ".join(score_terms))
     # NULL codes (the NULL-safe encoders' drop-the-row marker for
     # NULL/wrong-dim/NaN vectors) must not rank. Two traps: (a) a pre-sort
     # filter(codes IS NOT NULL) collapses through the projection and
@@ -1000,7 +1098,7 @@ def ivfpq_search(spark, path: str, query: list[float], centroids,
     # partitions, but keep the ordering NULL-proof regardless
     shortlist = (cand.orderBy(F.asc_nulls_last("adc"), F.col(key_col))
                  .limit(n_candidates))
-    score = cosine_const(F.col(vec_col).cast("array<double>"), query)
+    score = cosine_const(_arr_sql(vec_col), query)
     return (shortlist
             .select(F.col(key_col), F.round(score, 6).alias("score"))
             .orderBy(F.desc("score"), F.col(key_col))
@@ -1038,29 +1136,25 @@ def ivfpq_topk(df: DataFrame, query: list[float], centroids,
                     F.col("_e.codes").alias("codes")))
     terms = []
     for i, book in enumerate(codebooks):
-        lut_branches = None
+        branches = []
         for c in probed:
             rq_i = [float(q) - float(cc) for q, cc in zip(
                 query[i * sub:(i + 1) * sub],
                 centroids[c][i * sub:(i + 1) * sub])]
-            lut = F.array(*[
-                F.lit(sum((a - float(b)) ** 2 for a, b in zip(rq_i, cent)))
-                for cent in book])
-            hit = F.element_at(lut, F.element_at(F.col("codes"), i + 1) + 1)
-            lut_branches = (F.when(F.col("cluster") == int(c), hit)
-                            if lut_branches is None
-                            else lut_branches.when(
-                                F.col("cluster") == int(c), hit))
-        terms.append(lut_branches)
-    adc = terms[0]
-    for t in terms[1:]:
-        adc = adc + t
+            lut = "array(" + ", ".join(
+                _d(sum((a - float(b)) ** 2 for a, b in zip(rq_i, cent)))
+                for cent in book) + ")"
+            hit = f"element_at({lut}, (element_at(`codes`, {i + 1}) + 1))"
+            branches.append(f"WHEN (`cluster` = {int(c)}) THEN {hit}")
+        terms.append("(CASE " + " ".join(branches) + " END)")
+    # one-F.expr build (optimization r14): same no-ELSE CASE per subspace
+    adc = F.expr(" + ".join(terms))
     shortlist = (base.select(F.col(key_col), F.col(vec_col),
                              adc.alias("adc"))
                  .orderBy(F.asc_nulls_last("adc"), F.col(key_col))
                  .limit(n_candidates)
                  .filter(F.col("adc").isNotNull()))
-    score = cosine_const(F.col(vec_col).cast("array<double>"), query)
+    score = cosine_const(_arr_sql(vec_col), query)
     return (shortlist
             .select(F.col(key_col), F.round(score, 6).alias("score"))
             .orderBy(F.desc("score"), F.col(key_col))
@@ -1311,9 +1405,9 @@ def topk_prenormalised(df: DataFrame, query: list[float],
     shape as brute_force_topk. The query is normalised driver-side."""
     qn = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
     unit_q = [float(x) / qn for x in query]
-    v = F.col(vec_col).cast("array<double>")
     return (df.select(F.col(key_col),
-                      F.round(dot_const(v, unit_q), 6).alias("score"))
+                      F.round(dot_const(_arr_sql(vec_col), unit_q), 6)
+                      .alias("score"))
             .orderBy(F.desc("score"), F.col(key_col))
             .limit(k))
 

@@ -336,3 +336,51 @@ def test_streaming_cms_estimates_and_replay(spark, tmp_path):
     assert ep0 == {r["token"]: r["est_count"] for r in C.cms_probe(
         C.cms_counters(df1, "token", **CM_SMALL), df1, "token",
         **CM_SMALL).collect()}
+
+
+# ---------------------------------------------------------------------------
+# Optimization r14: single-F.expr builds of the unrolled constant
+# expressions must be EXACTLY the Column-by-Column trees they replaced
+# ---------------------------------------------------------------------------
+
+def test_expr_builders_match_column_builders(spark):
+    """The SQL-text builders (dot/cosine/norm/rh/argmin/sq-dist) exist
+    purely to cut py4j round-trips; any value drift — a mis-parsed
+    literal, a re-associated sum — would silently move LSH buckets or
+    k-boundaries. Pin bit-exact equality against the original Column
+    forms on adversarial vectors (negatives, tiny exponents, exact
+    zeros)."""
+    from klepto_spark.operators import similarity as S
+
+    rows = [([0.1, -2.5e-7, 3.0, -4.25],),
+            ([0.0, -1.0, 0.0, 1e-5],),
+            ([1e-300, -1.7976e308, 0.3000000000000001, 2.0],)]
+    df = spark.createDataFrame(rows, "v array<float>")
+    q = [0.25, -1.5, 1e-3, 7.0]
+    cents = [[0.1, 0.2, 0.3, 0.4], [-1.0, 0.5, 0.0, 2.0]]
+    vc = F.col("v").cast("array<double>")
+    vs = S._arr_sql("v")
+
+    pairs = [
+        (S.dot_const(vc, q), F.expr(S.dot_expr(vs, q))),
+        (S.norm_unrolled(vc, 4), F.expr(S.norm_expr(vs, 4))),
+        (S.cosine_const(vc, q), F.expr(S.cosine_expr(vs, q))),
+        (S.rh_signature(vc, bits=4, dim=4), S.rh_signature(vs, 4, 4)),
+        (S._sq_dist_unrolled(vc, cents[0], 4),
+         F.expr(S.sq_dist_expr(vs, cents[0]))),
+        ((F.array_position(
+            F.array(*[S._sq_dist_unrolled(vc, c, 4) for c in cents]),
+            F.array_min(F.array(*[S._sq_dist_unrolled(vc, c, 4)
+                                  for c in cents]))) - 1).cast("int"),
+         F.expr(S.argmin_expr(vs, cents))),
+    ]
+    sel = df.select(*[p.alias(f"a{i}") for i, (p, _) in enumerate(pairs)],
+                    *[e.alias(f"b{i}") for i, (_, e) in enumerate(pairs)])
+    for r in sel.collect():
+        for i in range(len(pairs)):
+            a, b = r[f"a{i}"], r[f"b{i}"]
+            if isinstance(a, float):
+                import math as _m
+                assert (a == b or (_m.isnan(a) and _m.isnan(b))), (i, a, b)
+            else:
+                assert a == b, (i, a, b)
