@@ -23,6 +23,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+#: id(df) -> (df, numPartitions). The strong reference to ``df`` keeps the
+#: object alive so a CPython id() can never be reused while cached (the
+#: ADVICE-r06 rule); bounded FIFO. The probe itself — DataFrame.rdd —
+#: triggers full physical planning + RDD materialisation in the JVM,
+#: ~0.6 s of pure driver time per call in this sandbox; with the loader
+#: memoising table handles, every fan_out over the same base table is the
+#: same object, so the probe runs once per (session, table) instead of
+#: once per query construction (optimization r14).
+_NPART_CACHE: dict = {}
+_NPART_CACHE_MAX = 128
+
+
+def _num_partitions(df: DataFrame) -> int:
+    hit = _NPART_CACHE.get(id(df))
+    if hit is not None and hit[0] is df:
+        return hit[1]
+    n = df.rdd.getNumPartitions()
+    while len(_NPART_CACHE) >= _NPART_CACHE_MAX:
+        _NPART_CACHE.pop(next(iter(_NPART_CACHE)))
+    _NPART_CACHE[id(df)] = (df, n)
+    return n
+
+
 def fan_out(df: DataFrame, key_col: str, target: int | None = None) -> DataFrame:
     """Spread a (possibly single-partition) input across the cluster before
     per-row-expensive work. Local parquet testdata arrives as ONE partition
@@ -38,7 +61,7 @@ def fan_out(df: DataFrame, key_col: str, target: int | None = None) -> DataFrame
     has at least half the target parallelism."""
     if target is None:
         target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    if _num_partitions(df) >= max(2, target // 2):
         return df
     return df.repartition(target, F.col(key_col))
 

@@ -50,8 +50,26 @@ def _count_occurrences(c: Column, needle: str) -> Column:
 
 def stopword_hits(col: Column | str, lang: str) -> Column:
     """How many stopword occurrences of ``lang`` appear in the text
-    (padded word-boundary count)."""
-    c = F.col(col) if isinstance(col, str) else col
+    (padded word-boundary count).
+
+    A string ``col`` (column name) builds the whole padded-replace /
+    length-arithmetic tree as ONE F.expr parse — the Column-by-Column
+    form cost ~80 py4j round-trips per language (optimization r14); the
+    parsed tree is token-identical, pinned by
+    test_stopword_hits_expr_matches_column."""
+    if isinstance(col, str):
+        p = f"concat(' ', lower(`{col}`), ' ')"
+        for ch in [",", ".", ";", ":", "!", "?"]:
+            p = f"replace({p}, '{ch}', ' ')"
+        hits = [
+            f"CAST(((length({p}) - length(replace({p}, ' {w} ', ''))) "
+            f"/ {len(w) + 2}) AS BIGINT)"
+            for w in LANG_STOPWORDS[lang]]
+        total = hits[0]
+        for h in hits[1:]:
+            total = f"({total} + {h})"
+        return F.expr(f"CAST({total} AS BIGINT)")
+    c = col
     padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
     # strip common punctuation so boundaries are spaces
     for ch in [",", ".", ";", ":", "!", "?"]:

@@ -384,3 +384,21 @@ def test_expr_builders_match_column_builders(spark):
                 assert (a == b or (_m.isnan(a) and _m.isnan(b))), (i, a, b)
             else:
                 assert a == b, (i, a, b)
+
+
+def test_stopword_hits_expr_matches_column(spark):
+    """stopword_hits' one-parse F.expr build (string col) must equal the
+    Column-by-Column build bit for bit, including the padded-boundary
+    replace chain and the per-word length arithmetic."""
+    from klepto_spark.operators.text import LANG_STOPWORDS, stopword_hits
+    rows = [("the cat and the hat, of course; it is that!",),
+            ("der und der, das ist nicht: ein zu?",),
+            ("no stopwords here",), ("",), ("the the the the",)]
+    df = spark.createDataFrame(rows, "text string")
+    cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        cols.append(stopword_hits("text", lang).alias(f"e_{lang}"))
+        cols.append(stopword_hits(F.col("text"), lang).alias(f"c_{lang}"))
+    for r in df.select(*cols).collect():
+        for lang in sorted(LANG_STOPWORDS):
+            assert r[f"e_{lang}"] == r[f"c_{lang}"], (lang, dict(r.asDict()))
