@@ -18,6 +18,7 @@ swapped in, but at 128-dim the built-ins win by avoiding Arrow transfer.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -52,17 +53,51 @@ def _arr_sql(col: str) -> str:
     return f"cast(`{col}` as array<double>)"
 
 
+#: The exact shape _arr_sql emits. When an element access targets this
+#: wrapper, cast the ELEMENT, not the array: codegen inlines a full
+#: array-conversion loop (~100 lines + an allocation per row) for EVERY
+#: occurrence of the array cast, so a 64-dim cosine (128 occurrences
+#: across dot + norm) pushed the fused WholeStageCodegen method past the
+#: JVM's 64 KB bytecode limit — janino "Code grows beyond 64 KB", whole
+#: stage silently falling back to interpreted eval (observed on
+#: s01/s08). CAST(element_at(col, j) AS DOUBLE) is the same value
+#: (float->double widening is exact for every float) in ~5 lines of
+#: codegen with no allocation.
+_ARR_CAST_RE = re.compile(r"^cast\((`[^`]+`) as array<double>\)$")
+
+#: Same wrapper under a contiguous slice (the PQ subspace fragments).
+#: element j of slice(arr, start, n) IS element start+j-1 of arr for any
+#: in-bounds access — identical value and identical out-of-bounds
+#: behaviour for the guarded shapes that emit it (pq_encode CASE-guards
+#: on size(arr) = m*sub, so every evaluated access is in-bounds), while
+#: skipping a per-occurrence array conversion AND a slice allocation.
+_SLICE_CAST_RE = re.compile(
+    r"^slice\(cast\((`[^`]+`) as array<double>\), (\d+), (\d+)\)$")
+
+
+def _elem_expr(v_sql: str, j: int) -> str:
+    """SQL for element ``j`` (1-based) of the fragment, as a DOUBLE."""
+    m = _ARR_CAST_RE.match(v_sql)
+    if m:
+        return f"CAST(element_at({m.group(1)}, {j}) AS DOUBLE)"
+    m = _SLICE_CAST_RE.match(v_sql)
+    if m and j <= int(m.group(3)):
+        return (f"CAST(element_at({m.group(1)}, "
+                f"{int(m.group(2)) + j - 1}) AS DOUBLE)")
+    return f"element_at({v_sql}, {j})"
+
+
 def dot_expr(v_sql: str, q: list[float]) -> str:
     """SQL text of :func:`dot_const` over the fragment ``v_sql``."""
     return " + ".join(
-        f"(element_at({v_sql}, {j + 1}) * {_d(q[j])})"
+        f"({_elem_expr(v_sql, j + 1)} * {_d(q[j])})"
         for j in range(len(q)))
 
 
 def norm_expr(v_sql: str, dim: int) -> str:
     """SQL text of :func:`norm_unrolled`."""
     terms = " + ".join(
-        f"(element_at({v_sql}, {j + 1}) * element_at({v_sql}, {j + 1}))"
+        f"({_elem_expr(v_sql, j + 1)} * {_elem_expr(v_sql, j + 1)})"
         for j in range(dim))
     return f"SQRT({terms})"
 
@@ -582,8 +617,8 @@ def sq_dist_expr(v_sql: str, cent: list[float]) -> str:
     """SQL text of :func:`_sq_dist_unrolled` (same subtract-square terms,
     left-associated) — the one-round-trip build (optimization r14)."""
     return " + ".join(
-        f"((element_at({v_sql}, {j + 1}) - {_d(cent[j])}) * "
-        f"(element_at({v_sql}, {j + 1}) - {_d(cent[j])}))"
+        f"(({_elem_expr(v_sql, j + 1)} - {_d(cent[j])}) * "
+        f"({_elem_expr(v_sql, j + 1)} - {_d(cent[j])}))"
         for j in range(len(cent)))
 
 
@@ -715,7 +750,7 @@ def normalise_embeddings(df: DataFrame, dim: int,
     n = norm_expr(v, dim)
     unit = "array(" + ", ".join(
         f"CASE WHEN ({n} = 0.0D) THEN 0.0D "
-        f"ELSE (element_at({v}, {j + 1}) / {n}) END"
+        f"ELSE ({_elem_expr(v, j + 1)} / {n}) END"
         for j in range(dim)) + ")"
     return (df.withColumn(norm_col, F.expr(n))
             .withColumn(vec_col, F.expr(unit)))

@@ -402,3 +402,57 @@ def test_stopword_hits_expr_matches_column(spark):
     for r in df.select(*cols).collect():
         for lang in sorted(LANG_STOPWORDS):
             assert r[f"e_{lang}"] == r[f"c_{lang}"], (lang, dict(r.asDict()))
+
+
+# ---------------------------------------------------------------------------
+# Optimization r14 (round 2 of the session): scalar element casts in the
+# unrolled builders — the array-cast-per-occurrence form busted the JVM's
+# 64 KB method limit on the 64-dim cosine (janino "Code grows beyond
+# 64 KB"), silently degrading s01/s08 to interpreted eval, and paid a
+# whole-array conversion per TERM per row.
+# ---------------------------------------------------------------------------
+
+def test_elem_expr_rewrites_cast_and_slice():
+    """_elem_expr rewrites the _arr_sql wrapper (and its PQ slice form)
+    to a scalar element cast; anything else passes through untouched."""
+    from klepto_spark.operators import similarity as S
+    frag = S._arr_sql("emb")
+    assert S._elem_expr(frag, 3) == "CAST(element_at(`emb`, 3) AS DOUBLE)"
+    sl = f"slice({frag}, 9, 8)"
+    # element 2 of slice(arr, 9, 8) is element 10 of arr
+    assert S._elem_expr(sl, 2) == "CAST(element_at(`emb`, 10) AS DOUBLE)"
+    # an index past the declared slice length keeps the literal form
+    # (same out-of-bounds behaviour as before the rewrite)
+    assert S._elem_expr(sl, 9) == f"element_at({sl}, 9)"
+    # non-_arr_sql fragments are untouched
+    assert S._elem_expr("array(1.0D)", 1) == "element_at(array(1.0D), 1)"
+
+
+def test_unrolled_builders_emit_no_array_cast():
+    """The expensive form must never reappear: a 64-dim cosine or
+    squared-distance tree over an _arr_sql fragment contains zero
+    array<double> casts (128+ of them is what broke codegen)."""
+    from klepto_spark.operators import similarity as S
+    frag = S._arr_sql("embedding")
+    q = [0.015625 * (j - 32) for j in range(64)]
+    assert "array<double>" not in S.cosine_expr(frag, q)
+    assert "array<double>" not in S.sq_dist_expr(frag, q)
+
+
+def test_slice_elem_rewrite_matches_slice_values(spark):
+    """The PQ subspace rewrite (index arithmetic over the raw array) is
+    value-identical to element_at over the materialised slice, including
+    float->double widening and nulls."""
+    from klepto_spark.operators import similarity as S
+    rows = [([0.1, -2.5e-7, 3.0, -4.25, 1e-300, 7.5],),
+            ([0.0, -1.0, None, 1e-5, 2.0, -0.0],)]
+    df = spark.createDataFrame(rows, "v array<float>")
+    frag = f"slice({S._arr_sql('v')}, 3, 4)"
+    cols = []
+    for j in range(1, 5):
+        cols.append(F.expr(S._elem_expr(frag, j)).alias(f"n{j}"))
+        cols.append(F.expr(f"element_at({frag}, {j})").alias(f"o{j}"))
+    for r in df.select(*cols).collect():
+        for j in range(1, 5):
+            assert r[f"n{j}"] == r[f"o{j}"] or (
+                r[f"n{j}"] is None and r[f"o{j}"] is None), (j, r)
