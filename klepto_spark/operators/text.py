@@ -48,6 +48,31 @@ def _count_occurrences(c: Column, needle: str) -> Column:
             / len(needle)).cast("bigint")
 
 
+def padded_sql(col: str) -> str:
+    """SQL for the space-padded, lowercased, punctuation-stripped text
+    every stopword count scans. Exposed so callers can materialise it
+    ONCE as a column (see :func:`with_lang_id`) instead of inlining the
+    6-replace chain into every per-word term."""
+    p = f"concat(' ', lower(`{col}`), ' ')"
+    for ch in [",", ".", ";", ":", "!", "?"]:
+        p = f"replace({p}, '{ch}', ' ')"
+    return p
+
+
+def stopword_hits_over(p: str, lang: str) -> str:
+    """SQL counting ``lang`` stopword occurrences over an ALREADY padded
+    fragment ``p`` (a column reference or :func:`padded_sql` text).
+    Token-identical arithmetic to the historical inline form."""
+    hits = [
+        f"CAST(((length({p}) - length(replace({p}, ' {w} ', ''))) "
+        f"/ {len(w) + 2}) AS BIGINT)"
+        for w in LANG_STOPWORDS[lang]]
+    total = hits[0]
+    for h in hits[1:]:
+        total = f"({total} + {h})"
+    return f"CAST({total} AS BIGINT)"
+
+
 def stopword_hits(col: Column | str, lang: str) -> Column:
     """How many stopword occurrences of ``lang`` appear in the text
     (padded word-boundary count).
@@ -58,17 +83,7 @@ def stopword_hits(col: Column | str, lang: str) -> Column:
     parsed tree is token-identical, pinned by
     test_stopword_hits_expr_matches_column."""
     if isinstance(col, str):
-        p = f"concat(' ', lower(`{col}`), ' ')"
-        for ch in [",", ".", ";", ":", "!", "?"]:
-            p = f"replace({p}, '{ch}', ' ')"
-        hits = [
-            f"CAST(((length({p}) - length(replace({p}, ' {w} ', ''))) "
-            f"/ {len(w) + 2}) AS BIGINT)"
-            for w in LANG_STOPWORDS[lang]]
-        total = hits[0]
-        for h in hits[1:]:
-            total = f"({total} + {h})"
-        return F.expr(f"CAST({total} AS BIGINT)")
+        return F.expr(stopword_hits_over(padded_sql(col), lang))
     c = col
     padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
     # strip common punctuation so boundaries are spaces
@@ -95,6 +110,37 @@ def lang_id(col: Column | str) -> Column:
     return best_lang
 
 
+def with_lang_id(df: DataFrame, text_col: str = "text",
+                 out_col: str = "lang_pred") -> DataFrame:
+    """:func:`lang_id` as THREE stacked projections: padded text, then
+    the per-language scores, then the fold — each materialised once per
+    row.
+
+    The single-Column form inlines the 6-replace padded chain into
+    every per-word term and the when-fold duplicates each score tree
+    ~2× per level, so one row rebuilt the padded document hundreds of
+    times (runtime subexpression elimination did not rescue it:
+    measured 1.27 s for the inline form vs 0.45 s for this shape at
+    sf0.1 — 2.8×, identical values). CollapseProject keeps the stages
+    apart because each alias is non-cheap and multiply referenced
+    (optimization r14, guide §1.2 step 2). Same fold order, same
+    'und' zero-score default, same first-max tie-break — bit-identical
+    output to :func:`lang_id`."""
+    langs = sorted(LANG_STOPWORDS)
+    d = df.withColumn("_lang_p", F.expr(padded_sql(text_col)))
+    d = d.select(*df.columns,
+                 *[F.expr(stopword_hits_over("`_lang_p`", lang))
+                   .alias(f"_lang_s_{lang}") for lang in langs])
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("bigint")
+    for lang in langs:
+        score = F.col(f"_lang_s_{lang}")
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return d.select(*df.columns, best_lang.alias(out_col))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio / mean-word-length
     features plus a composite [0,1] quality score (heuristics in the spirit
@@ -110,6 +156,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     # trap here, not the safety net — Spark (BigDecimal HALF_UP) and
     # DuckDB disagree by one ulp on exact .5-at-the-6th-digit sums
     # (surfaced at sf0.1: ~20 of 5000 docs hit a halfway quality_score).
+    # A stacked-projection rewrite (the with_lang_id shape) measured a
+    # WASH here — 0.467 vs 0.481 s at sf0.1 — because the cost is the
+    # two regexp scans, each referenced via cheap attributes already;
+    # kept single-projection (optimization r14, examined).
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
     mean_word_len = n_alpha / F.greatest(n_tokens, F.lit(1))

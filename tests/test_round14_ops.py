@@ -456,3 +456,26 @@ def test_slice_elem_rewrite_matches_slice_values(spark):
         for j in range(1, 5):
             assert r[f"n{j}"] == r[f"o{j}"] or (
                 r[f"n{j}"] is None and r[f"o{j}"] is None), (j, r)
+
+
+def test_with_lang_id_matches_lang_id(spark):
+    """The stacked-projection lang_id must equal the single-Column fold
+    exactly — same scores, same 'und' default, same first-max tie-break
+    (crafted ties: equal de/en scores must pick 'de', list order)."""
+    from klepto_spark.operators.text import lang_id, with_lang_id
+    rows = [(1, "the cat and the hat of it is that"),
+            (2, "der hund und die katze das ist nicht ein zu"),
+            (3, "xyzzy plugh"),          # zero scores -> und
+            (4, "und the"),              # 1-1 tie -> first in sorted order
+            (5, ""), (6, "el la de que los es una por"),
+            (7, "le la et les des est une que")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["l"] for r in
+         df.select("doc_id", lang_id("text").alias("l")).collect()}
+    b = {r["doc_id"]: r["lang_pred"] for r in
+         with_lang_id(df, "text").select("doc_id", "lang_pred").collect()}
+    assert a == b, (a, b)
+    # the padded text and scores must materialise as their own projects
+    # (the whole point): three Project nodes between scan and output
+    plan = with_lang_id(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Project") >= 2, plan
