@@ -142,6 +142,15 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
+    # Cold-first-sample per query (VERDICT r14 #1): the adaptive warmup's
+    # FIRST run is the only execution that pays every cost a cold cluster
+    # job would — codegen compile, shuffle-file warmup, and (for queries
+    # that persist() an intermediate) the cache MATERIALISATION that the
+    # warm timed samples then read back. Recording it makes persist-shaped
+    # wins gradeable at their cold cost instead of only their steady-state
+    # cost. Purely additive: the graded median/best methodology is
+    # unchanged.
+    cold: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         # untimed ADAPTIVE warmup per query BEFORE the timed samples: the
         # first execution of a plan pays codegen compile + shuffle-file
@@ -154,6 +163,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         prev = time.perf_counter() - t0
+        cold[name] = round(prev, 3)
         for _ in range(2):
             if prev < 0.5:
                 break
@@ -224,7 +234,13 @@ def main() -> None:
     # driver's merged-stream tail and truncates the parse (the r2 AND r3
     # "parsed": null failure).  The compact stdout line below must be the
     # final line this process emits.
-    detail = {"best": timings, "spread": spread, "sf": sf, "runs": runs,
+    # cpus stamped so an 8-core driver run can never masquerade as the
+    # 32-core artifact (VERDICT r14 "what's wrong" #2); cold per query per
+    # the cold-first-sample note above.
+    detail = {"best": timings, "spread": spread, "cold": cold,
+              "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+              "defaultParallelism": spark.sparkContext.defaultParallelism,
+              "sf": sf, "runs": runs,
               "loadavg_1m_start": load_start, "loadavg_1m_end": load_end,
               "load_waited_sec": waited, "load_gate_passed": load_gate_passed,
               "requeued": requeued,

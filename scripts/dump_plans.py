@@ -1,7 +1,8 @@
-"""Dump .explain("formatted") for every contract query to plans/r14/.
+"""Dump .explain("formatted") for every contract query to plans/<round>/.
 
 Usage: python scripts/dump_plans.py <suffix> [query ...]
-Writes plans/r14/<query>_<suffix>.txt. Driver-side only (no job runs),
+Round dir from $KLEPTO_PLAN_ROUND (default r15).
+Writes plans/<round>/<query>_<suffix>.txt. Driver-side only (no job runs),
 so it is cheap and safe to run alongside other work; queries whose
 CONSTRUCTION runs eager actions (v01/v03, s11's collect, kmeans inits)
 do execute those — still far below a bench pass.
@@ -23,7 +24,8 @@ def main() -> None:
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r14")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("KLEPTO_PLAN_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="plan_dump")
     spark.sparkContext.setLogLevel("ERROR")

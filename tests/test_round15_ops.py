@@ -1,0 +1,77 @@
+"""Round-15 optimization pins: semantics-preservation tests for the
+operators whose internals changed this round (the r14 pattern —
+bit-equality of the rewritten shape against the historical form)."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from klepto_spark.operators.components import (connected_components,
+                                               connected_components_local,
+                                               dedup_keep_best)
+
+
+def _window_keep_best(df, pairs, *, score_col, key_col="doc_id"):
+    """The pre-r15 dedup_keep_best: corpus-wide row_number window +
+    join back — kept verbatim as the semantic reference."""
+    pairs = pairs.persist()
+    try:
+        try:
+            comp = F.broadcast(connected_components_local(pairs))
+        except ValueError:
+            comp = connected_components(pairs)
+    finally:
+        pairs.unpersist()
+    comp = comp.withColumnRenamed("node", key_col)
+    labelled = (df.select(F.col(key_col), F.col(score_col).alias("_q"))
+                .join(comp, key_col, "left")
+                .withColumn("comp", F.coalesce(F.col("comp"),
+                                               F.col(key_col))))
+    w = Window.partitionBy("comp").orderBy(F.desc("_q"), F.asc(key_col))
+    keeper = (labelled.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
+              .select(F.col("comp"), F.col(key_col).alias("canonical")))
+    return (labelled.join(keeper, "comp")
+            .select(F.col(key_col), F.col("canonical"),
+                    (F.col(key_col) != F.col("canonical"))
+                    .alias("is_duplicate")))
+
+
+def test_keep_best_member_window_matches_corpus_window(spark):
+    """The member-only first_value window + singleton union must replay
+    the corpus-wide row_number rule exactly: score ties (min key wins),
+    null scores (lose to any non-null), all-null clusters, negative and
+    huge scores, and singletons."""
+    rows = [(1, 10), (2, 10), (3, 5),      # {1,2,3}: tie on 10 -> min id 1
+            (4, None), (5, None),          # {4,5}: all-null -> min id 4
+            (6, 7), (7, None),             # {6,7}: non-null wins -> 6
+            (8, -3), (9, -1),              # {8,9}: -1 > -3 -> 9
+            (10, 0),                       # singleton
+            (11, 2 ** 62), (12, 2 ** 62 - 1)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    pr = spark.createDataFrame([(1, 2), (2, 3), (4, 5), (6, 7), (8, 9),
+                                (11, 12)], "a long, b long")
+    got = sorted(map(tuple, dedup_keep_best(
+        df, pr, score_col="n_chars").collect()))
+    ref = sorted(map(tuple, _window_keep_best(
+        df, pr, score_col="n_chars").collect()))
+    assert got == ref
+    assert got == [(1, 1, False), (2, 1, True), (3, 1, True),
+                   (4, 4, False), (5, 4, True),
+                   (6, 6, False), (7, 6, True),
+                   (8, 9, True), (9, 9, False),
+                   (10, 10, False),
+                   (11, 11, False), (12, 11, True)]
+
+
+def test_keep_best_double_scores_and_distributed_fallback(spark):
+    """Non-integral scores and the distributed (non-auto) label paths go
+    through the same member window — equality must hold there too."""
+    rows = [(1, 1.5), (2, 2.5), (3, float("nan")), (4, 0.0), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars double")
+    pr = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    for algo in ("auto", "propagation"):
+        got = sorted(map(tuple, dedup_keep_best(
+            df, pr, score_col="n_chars", algorithm=algo).collect()))
+        ref = sorted(map(tuple, _window_keep_best(
+            df, pr, score_col="n_chars").collect()))
+        assert got == ref, algo
