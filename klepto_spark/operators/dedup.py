@@ -988,7 +988,9 @@ def cross_corpus_pairs(old: DataFrame, new: DataFrame,
     cost follows the SMALL side, never |old| x |new|. Returned pairs
     always have the ``old``-side key in ``a`` and the ``new``-side key
     in ``b``; intra-corpus duplicates are excluded (run
-    :func:`minhash_lsh_pairs` per side for those).
+    :func:`minhash_lsh_pairs` per side for those). Requires disjoint
+    key spaces, like :func:`cross_corpus_pairs_indexed` — a key present
+    in both corpora could not be oriented.
 
     ``per_doc_cap``: bound candidates to ~cap per doc by band agreement
     (:func:`cap_pairs_per_doc`) before orientation — the mass-near-copy
@@ -1015,24 +1017,25 @@ def cross_corpus_pairs(old: DataFrame, new: DataFrame,
         weighted = (capped_bucket_pairs(buckets, max_bucket, dedup=False)
                     .groupBy("a", "b").agg(F.count(F.lit(1)).alias("w")))
         pairs = cap_pairs_per_doc(weighted, per_doc_cap)
-    old_keys = old.select(F.col(key_col).alias("__ok")).distinct()
-    new_keys = new.select(F.col(key_col).alias("__nk")).distinct()
+    # Orientation flags from the CACHED probe-side band rows, not four
+    # fresh corpus scans (VERDICT r15): every pair endpoint sits in a
+    # bucket, so it carries >= 1 band row and appears in ``ob`` or
+    # ``nb`` — under the disjoint-keys contract "endpoint not in the
+    # new side's keys" IS "endpoint is old". The previous shape scanned
+    # the documents twice per side (old/new x a/b) plus a distinct
+    # exchange and broadcast each, ~0.7 s of d08's 3.0 s at sf0.1.
+    new_keys = nb.select(F.col(key_col)).distinct()
     fa = (pairs
-          .join(F.broadcast(old_keys.withColumnRenamed("__ok", "a"))
-                .withColumn("__ao", F.lit(1)), "a", "left")
-          .join(F.broadcast(new_keys.withColumnRenamed("__nk", "a"))
+          .join(F.broadcast(new_keys.withColumnRenamed(key_col, "a"))
                 .withColumn("__an", F.lit(1)), "a", "left")
-          .join(F.broadcast(old_keys.withColumnRenamed("__ok", "b"))
-                .withColumn("__bo", F.lit(1)), "b", "left")
-          .join(F.broadcast(new_keys.withColumnRenamed("__nk", "b"))
+          .join(F.broadcast(new_keys.withColumnRenamed(key_col, "b"))
                 .withColumn("__bn", F.lit(1)), "b", "left"))
     cross = fa.filter(
-        (F.col("__ao").isNotNull() & F.col("__bn").isNotNull())
-        | (F.col("__an").isNotNull() & F.col("__bo").isNotNull()))
-    a_is_old = F.col("__ao").isNotNull()
+        F.col("__an").isNotNull() != F.col("__bn").isNotNull())
+    b_is_new = F.col("__bn").isNotNull()
     return cross.select(
-        F.when(a_is_old, F.col("a")).otherwise(F.col("b")).alias("a"),
-        F.when(a_is_old, F.col("b")).otherwise(F.col("a")).alias("b"))
+        F.when(b_is_new, F.col("a")).otherwise(F.col("b")).alias("a"),
+        F.when(b_is_new, F.col("b")).otherwise(F.col("a")).alias("b"))
 
 
 def cross_corpus_pairs_indexed(spark, path, train: DataFrame,
@@ -1059,7 +1062,12 @@ def cross_corpus_pairs_indexed(spark, path, train: DataFrame,
     shuffled beyond its own band aggregation. ``path`` may be a list of
     paths (e.g. the epoch dirs of a streaming-built index)."""
     paths = list(path) if isinstance(path, (list, tuple)) else [path]
-    ib = spark.read.parquet(*paths).select(key_col, "band")
+    # the index rows feed FOUR consumers (probe bands, member union, and
+    # both orientation-flag joins): persist so the parquet is read and
+    # decoded once (bounded by the held-out side's size, released via
+    # release_caches — the d08 nb pattern)
+    ib = spark.read.parquet(*paths).select(key_col, "band").persist()
+    _PINNED_CACHES.append(ib)
     tb = minhash_band_rows(train, text_col, key_col, k, num_hashes, bands)
     probe = ib.select("band").distinct()
     touched = tb.join(F.broadcast(probe), "band", "left_semi")
