@@ -3197,10 +3197,54 @@ def q_jaccard_prefix_join(spark, sf_dir):
     return jaccard_prefix_join(docs, threshold=D15_TAU)
 
 
-def _d15_oracle(w: int = 3, threshold: float = D15_TAU) -> str:
+# d16 cap: binds on the sf0.1 candidate distribution (degrees reach 64;
+# verified degrees are <= 3, and true near-dups share many prefix tokens,
+# so the w-ranking keeps them first) and bounds candidates to
+# <= 2*16*n_docs — the selectable linear-cost trade for mass-near-copy
+# corpora where d15's exact output grows quadratically (VERDICT r14 #5).
+D16_CAP = 16
+
+
+def q_jaccard_prefix_capped(spark, sf_dir):
+    """d16: d15's prefix join with the per-document candidate cap ON —
+    candidates ranked by shared-prefix-token count (cap_pairs_per_doc:
+    kept when within the top-16 of either endpoint) before exact
+    verification, so candidate volume — and therefore cost and output —
+    stays linear in the corpus on adversarial mass-near-copy inputs
+    where the exact pair set is quadratic. RECALL TRADE (same as d04's
+    capped path): a doc with more than 16 genuine near-duplicates keeps
+    only its strongest edges. Oracle replays the identical weighting,
+    ranking, and verification in SQL."""
+    from klepto_spark.operators.prefixjoin import jaccard_prefix_join
+    docs = _load(spark, sf_dir)("documents")
+    return jaccard_prefix_join(docs, threshold=D15_TAU,
+                               per_doc_cap=D16_CAP)
+
+
+def _d15_oracle(w: int = 3, threshold: float = D15_TAU,
+                per_doc_cap: int | None = None) -> str:
     """SQL replay of the prefix-filter join: same word shingling, same
     rarest-first prefix bound, same size prune, exact verification via
-    the candidate-restricted shingle join (na + nb - inter == union)."""
+    the candidate-restricted shingle join (na + nb - inter == union).
+    ``per_doc_cap`` replays the d16 twin's cap_pairs_per_doc rule:
+    candidates weighted by shared-prefix-token count, ranked per
+    endpoint (w DESC, partner ASC), kept when within the top-cap of
+    either endpoint."""
+    if per_doc_cap is not None:
+        cap_sql = f""",
+weighted AS (SELECT a, b, count(*) AS w FROM rawcand GROUP BY a, b),
+sides AS (SELECT a AS doc, b AS other, w FROM weighted
+          UNION ALL
+          SELECT b AS doc, a AS other, w FROM weighted),
+kept AS (SELECT doc, other FROM (
+           SELECT doc, other,
+                  row_number() OVER (PARTITION BY doc
+                                     ORDER BY w DESC, other ASC) AS rn
+           FROM sides) WHERE rn <= {per_doc_cap}),
+cand AS (SELECT DISTINCT least(doc, other) AS a,
+                greatest(doc, other) AS b FROM kept)"""
+    else:
+        cap_sql = ",\ncand AS (SELECT DISTINCT a, b FROM rawcand)"
     return f"""
 WITH words AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
@@ -3221,9 +3265,9 @@ ranked AS (
   FROM sh JOIN tf USING (h)),
 pref AS (SELECT doc_id, h, n FROM ranked
          WHERE rn <= n - CAST(ceil({threshold} * n - 1e-6) AS BIGINT) + 1),
-cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+rawcand AS (SELECT x.doc_id AS a, y.doc_id AS b
          FROM pref x JOIN pref y ON x.h = y.h AND x.doc_id < y.doc_id
-         WHERE least(x.n, y.n) >= ({threshold} - 1e-6) * greatest(x.n, y.n)),
+         WHERE least(x.n, y.n) >= ({threshold} - 1e-6) * greatest(x.n, y.n)){cap_sql},
 inter AS (SELECT c.a, c.b, count(*) AS i
           FROM cand c
           JOIN sh x ON x.doc_id = c.a
@@ -3529,6 +3573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a39_skewed_hot_key": q_skewed_hot_key,
         "a40_grouped_topk": q_grouped_topk,
         "d15_jaccard_prefix_join": q_jaccard_prefix_join,
+        "d16_jaccard_prefix_capped": q_jaccard_prefix_capped,
         "t24_cms_frequency": q_cms_frequency,
     }
 
@@ -4232,6 +4277,7 @@ FROM comp""",
         "a39_skewed_hot_key": _a39_oracle(),
         "a40_grouped_topk": _a40_oracle(),
         "d15_jaccard_prefix_join": _d15_oracle(),
+        "d16_jaccard_prefix_capped": _d15_oracle(per_doc_cap=D16_CAP),
         "t24_cms_frequency": _t24_oracle(),
         "t23_bloom_decontaminate": _t23_oracle(),
     }

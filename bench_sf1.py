@@ -103,7 +103,11 @@ HEAVY = ["d02_dedup_minhash_lsh", "d05_dedup_clusters",
          # against that workload growth, not row count) and the CMS
          # probe (fixed d*w counters; cost must follow the probe set —
          # expected ~flat like t23)
-         "d15_jaccard_prefix_join", "t24_cms_frequency"]
+         "d15_jaccard_prefix_join", "t24_cms_frequency",
+         # round-15 (VERDICT r14 #5): the capped prefix-join twin -- the
+         # whole point is its sf1 behaviour (candidates stay linear on the
+         # 10-clique rehearsal corpus where d15's exact output is quadratic)
+         "d16_jaccard_prefix_capped"]
 COPIES = 10
 
 # Interpretation note for scaling_vs_10x_sf01: the rehearsal corpus is 10

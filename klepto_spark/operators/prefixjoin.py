@@ -80,9 +80,21 @@ def word_shingles(df: DataFrame, text_col: str, key_col: str,
 
 def jaccard_prefix_join(df: DataFrame, text_col: str = "text",
                         key_col: str = "doc_id", w: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        per_doc_cap: int | None = None) -> DataFrame:
     """All pairs ``(a, b, jaccard)`` with ``a < b`` and ``w``-word-
-    shingle-set Jaccard >= ``threshold`` — complete and exact.
+    shingle-set Jaccard >= ``threshold`` — complete and exact when
+    ``per_doc_cap`` is None.
+
+    ``per_doc_cap`` bounds the CANDIDATE set to ~cap pairs per document
+    before verification, ranked by shared-prefix-token count (the
+    :func:`~klepto_spark.operators.dedup.cap_pairs_per_doc` rule:
+    strongest first, kept when within the top-cap of EITHER endpoint) —
+    the mass-near-copy defence for corpora whose true pair set grows
+    quadratically (every candidate that survives is still verified
+    exactly, but a doc with more than ~cap genuine near-duplicates
+    keeps only its strongest edges). Output is <= 2*cap*n_docs by
+    construction — linear in the corpus at any scale.
 
     Persists the shingle and candidate frames (each consumed more than
     once); the returned DataFrame closes over them, released via
@@ -118,14 +130,20 @@ def jaccard_prefix_join(df: DataFrame, text_col: str = "text",
 
     lhs = pref.select(F.col(key_col).alias("a"), F.col("n").alias("na"), "h")
     rhs = pref.select(F.col(key_col).alias("b"), F.col("n").alias("nb"), "h")
-    cand = (lhs.join(rhs, "h")
-            .filter(F.col("a") < F.col("b"))
-            # exact size prune: J <= min/max; epsilon keeps borderline
-            # candidates (superset-safe), the verify below decides
-            .filter(F.least("na", "nb")
-                    >= (F.lit(threshold) - F.lit(1e-6)) * F.greatest("na", "nb"))
-            .select("a", "b")
-            .distinct()).persist()
+    matched = (lhs.join(rhs, "h")
+               .filter(F.col("a") < F.col("b"))
+               # exact size prune: J <= min/max; epsilon keeps borderline
+               # candidates (superset-safe), the verify below decides
+               .filter(F.least("na", "nb")
+                       >= (F.lit(threshold) - F.lit(1e-6))
+                       * F.greatest("na", "nb")))
+    if per_doc_cap is None:
+        cand = matched.select("a", "b").distinct().persist()
+    else:
+        from .dedup import cap_pairs_per_doc
+        weighted = (matched.groupBy("a", "b")
+                    .agg(F.count(F.lit(1)).alias("w")))
+        cand = cap_pairs_per_doc(weighted, per_doc_cap).persist()
     _PINNED_CACHES.append(cand)
 
     # token-set arrays for CANDIDATE docs only (left-semi prune), then

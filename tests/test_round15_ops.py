@@ -75,3 +75,31 @@ def test_keep_best_double_scores_and_distributed_fallback(spark):
         ref = sorted(map(tuple, _window_keep_best(
             df, pr, score_col="n_chars").collect()))
         assert got == ref, algo
+
+
+def test_jaccard_prefix_cap_subset_and_bounded(spark):
+    """d16's candidate cap (VERDICT r14 #5): a huge cap reproduces the
+    exact join bit-for-bit; a binding cap yields a SUBSET of the exact
+    verified pairs, bounded <= 2*cap*n_docs on an adversarial clique
+    corpus where the exact output is quadratic."""
+    from klepto_spark.operators.prefixjoin import jaccard_prefix_join
+    from klepto_spark.operators import dedup
+
+    # 30-doc near-copy clique: every pair is a true near-dup
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta " * 6
+          + f"tail{i}") for i in range(30)],
+        "doc_id long, text string")
+    exact = sorted(map(tuple, jaccard_prefix_join(
+        docs, threshold=0.8).collect()))
+    dedup.release_caches()
+    huge = sorted(map(tuple, jaccard_prefix_join(
+        docs, threshold=0.8, per_doc_cap=10_000).collect()))
+    dedup.release_caches()
+    assert huge == exact and len(exact) == 30 * 29 // 2  # full clique
+    cap = 4
+    capped = sorted(map(tuple, jaccard_prefix_join(
+        docs, threshold=0.8, per_doc_cap=cap).collect()))
+    dedup.release_caches()
+    assert set(capped) <= set(exact)
+    assert 0 < len(capped) <= 2 * cap * 30
