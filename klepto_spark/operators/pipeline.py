@@ -63,7 +63,15 @@ def parquet_loader(spark: SparkSession, sf_dir: str) -> LoadFn:
 
     Handles are memoised per (session, dir, table) — see
     ``_LOADER_CACHE``. Keyed on applicationId, not id(spark), so a dead
-    session's plans can never be served to a new one (the s11 rule)."""
+    session's plans can never be served to a new one (the s11 rule).
+
+    ASSUMES IMMUTABLE INPUTS (ADVICE r14): the memo is not keyed on file
+    mtime, so a parquet file rewritten in-place within one application
+    would be served through the stale handle's snapshot, and
+    ensure_nanos_conf is only re-asserted on misses. Both hold for the
+    bench/oracle layout (testdata never changes under a run); library
+    callers who rewrite inputs mid-session should bypass this loader or
+    clear _LOADER_CACHE."""
     from klepto_spark.session import ensure_nanos_conf, normalise_nanos_ts
 
     def load(name: str) -> DataFrame:

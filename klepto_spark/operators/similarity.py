@@ -43,8 +43,19 @@ def _vec_lit(vec: list[float]) -> Column:
 # ---------------------------------------------------------------------------
 
 def _d(x: float) -> str:
-    """A Spark-SQL DOUBLE literal with the exact bits of ``x``."""
-    return f"{float(x)!r}D"
+    """A Spark-SQL DOUBLE literal with the exact bits of ``x``.
+
+    Non-finite values render as CAST('...' AS DOUBLE) — 'inf'/'nan'
+    repr text is not parseable SQL, and the historical Column path
+    (F.lit) accepted them (ADVICE r14)."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{x!r}D"
 
 
 def _arr_sql(col: str) -> str:

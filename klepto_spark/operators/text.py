@@ -127,14 +127,23 @@ def with_lang_id(df: DataFrame, text_col: str = "text",
     'und' zero-score default, same first-max tie-break — bit-identical
     output to :func:`lang_id`."""
     langs = sorted(LANG_STOPWORDS)
-    d = df.withColumn("_lang_p", F.expr(padded_sql(text_col)))
+    # intermediate names must not shadow caller data: withColumn would
+    # silently REPLACE an existing column and the final select(*df.columns)
+    # would return the scratch value in the user's column (ADVICE r14)
+    pad = "_lang_p"
+    while pad in df.columns:
+        pad += "_"
+    sfx = ""
+    while any(f"_lang_s_{lang}{sfx}" in df.columns for lang in langs):
+        sfx += "_"
+    d = df.withColumn(pad, F.expr(padded_sql(text_col)))
     d = d.select(*df.columns,
-                 *[F.expr(stopword_hits_over("`_lang_p`", lang))
-                   .alias(f"_lang_s_{lang}") for lang in langs])
+                 *[F.expr(stopword_hits_over(f"`{pad}`", lang))
+                   .alias(f"_lang_s_{lang}{sfx}") for lang in langs])
     best_lang = F.lit("und")
     best_score = F.lit(0).cast("bigint")
     for lang in langs:
-        score = F.col(f"_lang_s_{lang}")
+        score = F.col(f"_lang_s_{lang}{sfx}")
         take = score > best_score
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(take, score).otherwise(best_score)
@@ -781,7 +790,13 @@ def shared_chunk_stats(df: "DataFrame", text_col: str = "text",
     cross-doc count is one hash-aggregate on the chunk hash, and the
     join back is hash-keyed — all stages linear in total chunk count.
     Empty chunks are excluded in both engines (an empty tail chunk must
-    not read as shared boilerplate)."""
+    not read as shared boilerplate).
+
+    Caching contract (ADVICE r14): persists a (key, hash) frame into
+    the process-global registry freed only by
+    :func:`klepto_spark.operators.dedup.release_caches` — long-lived
+    services calling this repeatedly must call it between uses, as
+    bench.py does per query, or persisted blocks accumulate."""
     chunks = (chunk_documents(df, size, 0, text_col, key_col)
               .filter(F.col("n_chunk_chars") > 0)
               .select(F.col(key_col), F.md5("chunk").alias("h")))
@@ -925,7 +940,11 @@ def cdc_shared_stats(df: "DataFrame", text_col: str = "text",
     linear in total chunk count, same posture as t16.
 
     Returns (key, n_chunks, shared_chunks, shared_frac): chunks whose
-    hash also occurs in ANOTHER document, per document."""
+    hash also occurs in ANOTHER document, per document.
+
+    Caching contract: persists a (key, hash) frame released only by
+    :func:`klepto_spark.operators.dedup.release_caches` — see
+    :func:`shared_chunk_stats` (ADVICE r14)."""
     chunks = cdc_chunk_rows(df, text_col, key_col, divisor)
     # same persist rationale as shared_chunk_stats: the CDC split +
     # per-chunk md5 projection is the operator's dominant per-task work
@@ -1010,7 +1029,9 @@ def _dup_occurrences(df: "DataFrame", text_col: str, key_col: str,
     text — MEMORY_AND_DISK and registered for ``release_caches``, the
     same d15/c05 pattern; recomputing them costs strictly more than
     spilling them at any scale because the md5-per-window projection
-    dominates the row size."""
+    dominates the row size. Long-lived callers must release_caches()
+    between uses (ADVICE r14 — the registry is process-global and
+    unbounded by design; bench.py frees it per query)."""
     from klepto_spark.operators.dedup import _PINNED_CACHES
     docs, grams = _window_grams(df, text_col, key_col, k)
     grams = grams.persist()

@@ -118,15 +118,18 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
                                  .otherwise(0)), F.lit(0))
                 .cast("long").alias(f"_v{i}")
                 for i, c in enumerate(row_local)]
-        # quote-double targets: an expression check's display name is
-        # caller text and may carry single quotes
-        triples = ", ".join(
-            "'{}', '{}', _v{}".format(c.kind.replace("'", "''"),
-                                      c.target.replace("'", "''"), i)
-            for i, c in enumerate(row_local))
-        frames.append(df.agg(*aggs).selectExpr(
-            f"stack({len(row_local)}, {triples}) "
-            "as (check, target, violations)"))
+        # labels as F.lit columns, never interpolated SQL text: an
+        # expression check's display name is caller text whose quotes
+        # or backslashes (e.g. rlike '\\d') the SQL string parser would
+        # mangle (ADVICE r14). explode(array(...)) preserves the
+        # declaration order stack() emitted.
+        rows = F.array(*[
+            F.struct(F.lit(c.kind).alias("check"),
+                     F.lit(c.target).alias("target"),
+                     F.col(f"_v{i}").alias("violations"))
+            for i, c in enumerate(row_local)])
+        frames.append(df.agg(*aggs).select(F.explode(rows).alias("_s"))
+                      .select("_s.check", "_s.target", "_s.violations"))
 
     for c in checks:
         if c.kind == "unique":

@@ -103,3 +103,46 @@ def test_jaccard_prefix_cap_subset_and_bounded(spark):
     dedup.release_caches()
     assert set(capped) <= set(exact)
     assert 0 < len(capped) <= 2 * cap * 30
+
+
+def test_validate_target_with_backslashes_and_quotes(spark):
+    """ADVICE r14: check labels are F.lit columns, never interpolated
+    SQL — a target carrying backslashes or quotes must round-trip
+    verbatim."""
+    from klepto_spark.operators.validate import Check, validate
+    df = spark.createDataFrame([("a1",), ("zz",)], "v string")
+    target = r"v rlike '\d' and it's \raw\ text"
+    out = validate(df, [Check("expression", target, (r"v rlike '\\d'",))])
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["target"] == target
+    assert rows[0]["violations"] == 1  # 'zz' has no digit
+
+
+def test_with_lang_id_survives_scratch_name_collisions(spark):
+    """ADVICE r14: a caller column named like the scratch aliases must
+    come through untouched."""
+    from klepto_spark.operators.text import with_lang_id, LANG_STOPWORDS
+    lang0 = sorted(LANG_STOPWORDS)[0]
+    df = spark.createDataFrame(
+        [("the quick brown fox and the lazy dog", "keepme", 7)],
+        f"text string, _lang_p string, _lang_s_{lang0} int")
+    out = with_lang_id(df).collect()[0]
+    assert out["_lang_p"] == "keepme"
+    assert out[f"_lang_s_{lang0}"] == 7
+    assert out["lang_pred"] == "en"
+
+
+def test_double_literal_nonfinite(spark):
+    """ADVICE r14: _d() emits parseable literals for inf/nan like the
+    historical F.lit path did."""
+    import math
+    from pyspark.sql import functions as F
+    from klepto_spark.operators.similarity import _d
+    row = spark.range(1).select(
+        F.expr(_d(float("inf"))).alias("pi"),
+        F.expr(_d(float("-inf"))).alias("ni"),
+        F.expr(_d(float("nan"))).alias("nn"),
+        F.expr(_d(0.1)).alias("d")).collect()[0]
+    assert row["pi"] == float("inf") and row["ni"] == float("-inf")
+    assert math.isnan(row["nn"]) and row["d"] == 0.1
