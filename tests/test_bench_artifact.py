@@ -89,3 +89,26 @@ def test_bench_detail_requeue_records_both_passes_and_sanity_floor():
     # every NON-requeued query's stats are single-pass: median >= best
     for name, s in detail["spread"].items():
         assert s["median"] >= detail["best"][name], name
+
+
+def test_bench_detail_carries_cold_sample_and_cpus():
+    """Round-15 (VERDICT r14 #1/#2): persist-shaped wins must be
+    gradeable at their COLD cost — the artifact records the untimed
+    warmup's first run per query — and the artifact must say which
+    core count produced it so an 8-core run can't be mistaken for the
+    32-core one."""
+    path = os.path.join(REPO, "BENCH_DETAIL.json")
+    if not os.path.exists(path):
+        pytest.skip("BENCH_DETAIL.json not generated yet")
+    with open(path) as fh:
+        detail = json.load(fh)
+    if "cold" not in detail:
+        pytest.skip("pre-round-15 BENCH_DETAIL.json")
+    assert set(detail["cold"]) == set(detail["best"])
+    for name, c in detail["cold"].items():
+        # the cold number is forensic, not gated: host phase can make
+        # it land either side of the steady-state best — only require
+        # that it is a real measurement
+        assert isinstance(c, (int, float)) and c > 0, name
+    assert "cpus" in detail and "defaultParallelism" in detail
+    assert detail["defaultParallelism"] >= 1
