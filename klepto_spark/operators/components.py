@@ -292,7 +292,9 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, *,
     w = Window.partitionBy("comp").orderBy(F.desc("_q"), F.asc(key_col))
     mem_out = member.select(F.col(key_col),
                             F.first(key_col).over(w).alias("canonical"))
-    single_out = (scored.join(comp, key_col, "left_anti")
+    # key column only — the singleton branch never looks at the score,
+    # so its scan must not read it
+    single_out = (df.select(F.col(key_col)).join(comp, key_col, "left_anti")
                   .select(F.col(key_col),
                           F.col(key_col).alias("canonical")))
     return (mem_out.unionByName(single_out)
